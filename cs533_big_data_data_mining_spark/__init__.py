@@ -1,0 +1,35 @@
+"""cs533_big_data_data_mining_spark — a PySpark-native analytics engine.
+
+Re-implements the complete capability surface of the reference
+(dhoule/CS533-Big-Data-Data-Mining — an MPI C++ distributed DBSCAN
+engine, PDSDBSCAN-D, Patwary et al. SC'12) as idiomatic PySpark
+DataFrame operators, plus large-scale training-data-pipeline
+extensions (dedup, similarity search, text analysis, multimodal
+column plumbing).
+
+Design stance (SURVEY.md §7): DataFrame/Arrow first; Catalyst plans
+everything SQL-expressible; per-cell numeric kernels run in
+``applyInPandas`` with NumPy; determinism and partition-count
+invariance are hard requirements (the reference's known bug —
+cluster count degrades with parallelism — is fixed by construction).
+"""
+
+from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
+from cs533_big_data_data_mining_spark.sources.points import (
+    as_points,
+    read_points_bin,
+    read_points_parquet,
+    write_clusters,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "dbscan",
+    "dbscan_stats",
+    "as_points",
+    "read_points_bin",
+    "read_points_parquet",
+    "write_clusters",
+    "__version__",
+]

@@ -1,0 +1,171 @@
+"""Spatial grid partitioning + ghost expansion (SURVEY §2 ops 5, 6).
+
+The reference re-partitions points across ranks by recursive median
+bisection on the widest dimension (``geometric_partitioning.cpp:243-497``)
+and then swaps "outer" halo points within eps of each boundary
+(``geometric_partitioning.cpp:32-235``). In Spark both collapse into
+one declarative pattern:
+
+* assign each point a grid **cell id** over the k widest dimensions
+  (cell side >= eps, so all eps-neighbors live in the 3^k adjacent
+  cells) — ``repartition("cell")`` IS the hypercube exchange;
+* **ghost rows**: flatMap each point into every adjacent cell whose
+  slab it eps-touches — the halo exchange without mutable per-node
+  state. The per-dim boundary-distance test is the same partition
+  pruning the reference does with bounding-box overlap
+  (``geometric_partitioning.cpp:92-114``), done as cheap arithmetic
+  inside the projection so Catalyst keeps it in whole-stage codegen.
+
+Grid width trade-off: width w = factor*eps gives expected ghost
+duplication (1 + 2*eps/w)^k = (1 + 2/factor)^k; larger cells mean
+fewer ghosts but more O(n^2) work per cell. Default factor 4 -> ~3.4x
+at k=3 worst case.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from itertools import product
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.operators.stats import bounding_box
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """A fixed grid over a subset of dimensions.
+
+    ``dims[i]`` is the coordinate index of grid axis i; ``origin`` its
+    minimum; ``width`` the cell side (>= eps); ``ncells`` the axis
+    cardinality. Cell ids are row-major longs.
+    """
+
+    eps: float
+    dims: tuple[int, ...]
+    origin: tuple[float, ...]
+    width: tuple[float, ...]
+    ncells: tuple[int, ...]
+
+    @property
+    def strides(self) -> tuple[int, ...]:
+        s, out = 1, []
+        for n in reversed(self.ncells):
+            out.append(s)
+            s *= n
+        return tuple(reversed(out))
+
+    @property
+    def total_cells(self) -> int:
+        return math.prod(self.ncells) if self.ncells else 1
+
+
+def choose_grid(
+    points: DataFrame,
+    dims: int,
+    eps: float,
+    max_grid_dims: int = 3,
+    width_factor: float = 4.0,
+    max_cells_per_dim: int = 256,
+) -> GridSpec:
+    """Pick grid axes = the widest dimensions (same heuristic as the
+    reference's widest-dim split, ``geometric_partitioning.cpp:430-437``),
+    keeping only axes wide enough for >= 3 cells.
+
+    One tiny ``df.agg`` (the bounding box) is the only data pass.
+    High-dimensional inputs degrade gracefully: axes too narrow
+    relative to eps are dropped, and with zero usable axes the grid is
+    a single cell (correct, just less parallel) — SURVEY §7 Phase D(i).
+    """
+    if width_factor < 1.0:
+        raise ValueError("width_factor must be >= 1 (cell side must be >= eps)")
+    row = bounding_box(points, dims).head()
+    widths = sorted(
+        ((row[f"max_x{j}"] - row[f"min_x{j}"], j) for j in range(dims)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    axes: list[tuple[int, float, float, int]] = []
+    for w, j in widths:
+        if len(axes) >= max_grid_dims:
+            break
+        side = max(width_factor * eps, w / max_cells_per_dim)
+        n = int(math.floor(w / side)) + 1
+        if n < 3:
+            continue
+        axes.append((j, float(row[f"min_x{j}"]), side, n))
+    axes.sort(key=lambda a: a[0])
+    return GridSpec(
+        eps=eps,
+        dims=tuple(a[0] for a in axes),
+        origin=tuple(a[1] for a in axes),
+        width=tuple(a[2] for a in axes),
+        ncells=tuple(a[3] for a in axes),
+    )
+
+
+def _cell_index_cols(spec: GridSpec) -> list:
+    """Per-axis clamped cell index expressions."""
+    out = []
+    for i, j in enumerate(spec.dims):
+        raw = F.floor((F.col("xs")[j] - F.lit(spec.origin[i])) / F.lit(spec.width[i]))
+        out.append(F.greatest(F.lit(0), F.least(F.lit(spec.ncells[i] - 1), raw)).cast("long"))
+    return out
+
+
+def assign_cells(points: DataFrame, spec: GridSpec) -> DataFrame:
+    """Add the home ``cell`` id column (op 5). ``repartition('cell')``
+    downstream is the shuffle that replaces the reference's log2(P)
+    ``MPI_Sendrecv`` rounds."""
+    if not spec.dims:
+        return points.withColumn("cell", F.lit(0).cast("long"))
+    strides = spec.strides
+    idx = _cell_index_cols(spec)
+    cell = idx[0] * F.lit(strides[0])
+    for i in range(1, len(idx)):
+        cell = cell + idx[i] * F.lit(strides[i])
+    return points.withColumn("cell", cell)
+
+
+def ghost_expand(points: DataFrame, spec: GridSpec) -> DataFrame:
+    """Explode each point into its home cell plus every adjacent cell
+    whose slab it eps-touches (op 6). Output columns:
+    ``cell, id, xs, is_home``.
+
+    A neighbor at Euclidean distance <= eps differs by <= eps along
+    every grid axis (cell side >= eps), so home+ghost rows of a cell
+    contain ALL eps-neighbors of that cell's home points — the same
+    closure property the reference's halo exchange guarantees
+    (``geometric_partitioning.cpp:46-51`` extends each box by eps).
+    """
+    if not spec.dims:
+        return points.select(F.lit(0).cast("long").alias("cell"), "id", "xs", F.lit(True).alias("is_home"))
+
+    strides = spec.strides
+    idx = _cell_index_cols(spec)
+    pts = points.select("id", "xs", *[ix.alias(f"_c{i}") for i, ix in enumerate(idx)])
+
+    k = len(spec.dims)
+    candidates = []
+    for delta in product((-1, 0, 1), repeat=k):
+        cell = F.lit(0).cast("long")
+        cond = F.lit(True)
+        for i, d in enumerate(delta):
+            ci = F.col(f"_c{i}") + F.lit(d)
+            cell = cell + ci * F.lit(strides[i])
+            xj = F.col("xs")[spec.dims[i]]
+            low = F.lit(spec.origin[i]) + F.col(f"_c{i}") * F.lit(spec.width[i])
+            if d == -1:
+                cond = cond & (F.col(f"_c{i}") > 0) & ((xj - low) <= F.lit(spec.eps))
+            elif d == 1:
+                cond = cond & (F.col(f"_c{i}") < F.lit(spec.ncells[i] - 1)) & (
+                    (low + F.lit(spec.width[i]) - xj) <= F.lit(spec.eps)
+                )
+        is_home = all(d == 0 for d in delta)
+        candidates.append(F.when(cond, F.struct(cell.alias("cell"), F.lit(is_home).alias("is_home"))))
+
+    exploded = pts.select(
+        "id", "xs", F.explode(F.filter(F.array(*candidates), lambda s: s.isNotNull())).alias("g")
+    )
+    return exploded.select(F.col("g.cell").alias("cell"), "id", "xs", F.col("g.is_home").alias("is_home"))

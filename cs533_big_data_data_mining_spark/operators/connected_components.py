@@ -1,0 +1,80 @@
+"""Distributed connected components (SURVEY §2 ops 10-11).
+
+Replaces the reference's interleaved asynchronous merge protocol
+(``dbscan.cpp:796-1012``) and its pointer-jumping global root
+resolution (``dbscan.cpp:125-336``) with the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14): each round is two
+shuffles, convergence in O(log^2 n) rounds, and the result is
+deterministic — component label = min node id — which is exactly the
+"union by global order" orientation the reference enforces manually
+(``dbscan.cpp:950-977``).
+
+The reference's termination vote (``MPI_Allreduce`` of outstanding
+message counts, ``dbscan.cpp:1007-1010``) becomes a driver-side
+fixpoint check on the edge set; ``localCheckpoint`` truncates lineage
+each round (SURVEY §4 "custom work" item 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    w = Window.partitionBy("src")
+    m = F.least(F.col("src"), F.min("dst").over(w)).alias("m")
+    return (
+        sym.select("src", "dst", m)
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges downward, then connect u and all smaller neighbors
+    to the minimum of the down-neighborhood."""
+    down = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src")
+    m = F.min("dst").over(w).alias("m")
+    withm = down.select("src", "dst", m)
+    out = withm.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        withm.select("src", "m")
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50, checkpoint_every: int = 1
+) -> DataFrame:
+    """Edge list ``(src, dst)`` -> ``(node, component)`` with
+    ``component`` = min node id in the component. Nodes appearing only
+    as isolated (no edges) must be handled by the caller (self-label).
+    """
+    e = edges.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    prev_sig = None
+    for it in range(max_iterations):
+        e = _small_star(_large_star(e))
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).head()
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+
+    # After convergence every edge is (node -> component root).
+    comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = comp.select(F.col("component").alias("node"), F.col("component"))
+    return comp.union(roots).distinct()

@@ -1,0 +1,132 @@
+"""Distributed DBSCAN — the reference engine's flagship capability,
+as one composable DataFrame pipeline (SURVEY §3.1 lifecycle):
+
+    points -> [sample] -> grid cells -> ghost expand
+           -> applyInPandas neighbor counts  (core predicate)
+           -> applyInPandas local union      (star edges + borders)
+           -> connected components fixpoint  (cross-cell merge)
+           -> dense cluster ids              (noise = 0)
+
+Semantics are **standard sequential DBSCAN** (the oracle of
+FIXTURES.md §1), not the reference's order-dependent variant: the
+reference's cluster count degrades with parallelism
+(``Progress-5-Nov-19.txt:15-52``, suspected id-assignment bug); this
+pipeline is deterministic and partition-count invariant by
+construction (all merges are min-reductions).
+
+Conventions:
+* core point: |N_eps(p)| >= min_pts, self inclusive, dist <= eps.
+* cluster = connected component of core points under the eps
+  relation; every core belongs to exactly one cluster (singleton core
+  components are clusters, per standard DBSCAN).
+* border point (non-core with >= 1 core eps-neighbor) joins the
+  cluster of its minimum core root — a deterministic tie-break where
+  the reference inherits arrival order (``dbscan.cpp:760``).
+* noise: cluster_id = 0 (reference convention ``dbscan.cpp:399``);
+  cluster ids are dense 1..K ordered by each cluster's min core id
+  (reference op 12's prefix-sum dense numbering, made deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.operators.cells import GridSpec, choose_grid, ghost_expand
+from cs533_big_data_data_mining_spark.operators.connected_components import connected_components
+from cs533_big_data_data_mining_spark.operators.neighbors import (
+    local_components_and_borders,
+    neighbor_counts,
+)
+from cs533_big_data_data_mining_spark.operators.stats import cluster_stats, sample_points
+
+
+def _infer_dims(points: DataFrame) -> int:
+    head = points.select(F.size("xs").alias("d")).head()
+    if head is None:
+        raise ValueError("empty point frame")
+    return int(head["d"])
+
+
+def core_flags(points: DataFrame, eps: float, min_pts: int, spec: GridSpec) -> DataFrame:
+    """(id, n_neighbors, is_core) — op 9's core predicate as a
+    HAVING-count-style aggregate over the cell kernel."""
+    celled = ghost_expand(points, spec)
+    counts = neighbor_counts(celled, eps)
+    return counts.withColumn("is_core", F.col("n_neighbors") >= F.lit(int(min_pts)))
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    dims: int | None = None,
+    sample: float | None = None,
+    seed: int | None = None,
+    spec: GridSpec | None = None,
+    max_grid_dims: int = 3,
+    width_factor: float = 4.0,
+) -> DataFrame:
+    """Cluster a canonical point frame ``(id, xs)``.
+
+    Returns ``(id, xs, cluster_id)`` with noise = 0. One call covers
+    the reference's whole ``mpi_main.cpp:47-197`` pipeline, including
+    the declared-but-unwired ``-p`` sampling option (op 15).
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    dims = dims or _infer_dims(points)
+    if sample is not None:
+        points = sample_points(points, sample, seed)
+    points = points.select("id", "xs").cache()
+
+    spec = spec or choose_grid(points, dims, eps, max_grid_dims=max_grid_dims, width_factor=width_factor)
+
+    celled = ghost_expand(points, spec).cache()
+    counts = neighbor_counts(celled, eps)
+    flags = counts.select("id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core"))
+
+    # carry core flags back onto the ghost-expanded frame (AQE picks
+    # broadcast vs shuffle; flags is one boolean per point)
+    celled_flagged = celled.join(flags, "id")
+
+    lb = local_components_and_borders(celled_flagged, spec.eps).cache()
+    star_edges = lb.filter(F.col("kind") == 0).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    border_pairs = lb.filter(F.col("kind") == 1).select("a", "b")
+
+    cc = connected_components(star_edges)
+
+    cores = flags.filter("is_core").select("id")
+    core_roots = cores.join(cc, cores["id"] == cc["node"], "left").select(
+        cores["id"].alias("id"), F.coalesce("component", cores["id"]).alias("root")
+    )
+
+    border_roots = (
+        border_pairs.join(core_roots.select(F.col("id").alias("b_id"), "root"), F.col("b") == F.col("b_id"))
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("root").alias("root"))
+    )
+
+    # dense ids 1..K ordered by cluster min core id (K is small: one
+    # row per cluster, so the window sort is negligible)
+    from pyspark.sql import Window
+
+    dense = (
+        core_roots.select("root")
+        .distinct()
+        .withColumn("cluster_id", F.row_number().over(Window.orderBy("root")))
+    )
+
+    labels = core_roots.union(border_roots).join(dense, "root").select("id", "cluster_id")
+    labeled = (
+        points.join(labels, "id", "left")
+        .select("id", "xs", F.coalesce("cluster_id", F.lit(0)).alias("cluster_id"))
+    )
+    return labeled
+
+
+def dbscan_stats(labeled: DataFrame) -> DataFrame:
+    """(total_points, points_in_clusters, noise_count, n_clusters) — op 13."""
+    return cluster_stats(labeled)

@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is the test harness; the conf is written so the same code
+runs unchanged on a multi-executor cluster (AQE, Arrow, sensible
+shuffle partitioning). Nothing here is local-mode-specific except the
+master URL, which callers override in production.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package so ``addPyFile`` can ship it to executors.
+
+    Local mode spawns Python workers from the JVM, and on a real
+    cluster executors live on other hosts — either way the package
+    must travel with the session, not rely on the driver's cwd.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), "cs533_big_data_data_mining_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_STORED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return out
+
+
+def get_spark(
+    app_name: str = "cs533_spark_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    AQE is on so skewed cells / small shuffles re-plan at runtime;
+    Arrow is on because every custom kernel is a Pandas UDF.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark

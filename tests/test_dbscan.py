@@ -1,0 +1,94 @@
+"""Golden DBSCAN tests vs the sequential oracle (FIXTURES.md §1).
+
+Checks: exact membership under canonical labeling, cluster counts,
+stats row, and partition-count invariance — the exact property the
+reference violates (``Progress-5-Nov-19.txt:15-29``).
+"""
+
+import numpy as np
+import pytest
+
+from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
+from tests.oracle import grid_centers, make_blobs, seq_dbscan
+
+
+def to_points_df(spark, x: np.ndarray):
+    rows = [(int(i), [float(v) for v in row]) for i, row in enumerate(x)]
+    return spark.createDataFrame(rows, "id long, xs array<double>")
+
+
+def run_and_compare(spark, x, eps, min_pts, partitions=None, **kw):
+    df = to_points_df(spark, x)
+    if partitions:
+        df = df.repartition(partitions)
+    got = {r["id"]: r["cluster_id"] for r in dbscan(df, eps, min_pts, **kw).collect()}
+    want = seq_dbscan(x, eps, min_pts)
+    got_arr = np.array([got[i] for i in range(len(x))], dtype=np.int64)
+    assert np.array_equal(got_arr, want), (
+        f"mismatch: {int((got_arr != want).sum())}/{len(x)} points differ; "
+        f"got clusters={got_arr.max()}, want={want.max()}"
+    )
+    return got_arr
+
+
+CASES = [
+    # (name, n, d, k, spacing, std, eps, min_pts, noise_frac)
+    ("tiny_2d", 60, 2, 3, 30.0, 1.0, 1.0, 4, 0.1),
+    ("blobs_2d", 2000, 2, 6, 50.0, 0.5, 0.3, 10, 0.05),
+    ("blobs_3d", 3000, 3, 12, 1.0, 0.004, 0.01, 5, 0.02),
+    ("blobs_10d", 4000, 10, 17, 400.0, 8.0, 25.0, 5, 0.05),
+]
+
+
+@pytest.mark.parametrize("name,n,d,k,spacing,std,eps,min_pts,noise", CASES, ids=[c[0] for c in CASES])
+def test_dbscan_matches_oracle(spark, name, n, d, k, spacing, std, eps, min_pts, noise):
+    x = make_blobs(n, d, grid_centers(k, d, spacing), std, seed=42, noise_frac=noise)
+    run_and_compare(spark, x, eps, min_pts)
+
+
+def test_partition_invariance(spark):
+    """Identical labels at 1/2/4/8 input partitions — fixes the
+    reference's parallelism-dependent cluster counts."""
+    x = make_blobs(1500, 2, grid_centers(5, 2, 40.0), 0.6, seed=7, noise_frac=0.08)
+    ref = None
+    for p in (1, 2, 4, 8):
+        got = run_and_compare(spark, x, 0.4, 8, partitions=p)
+        if ref is None:
+            ref = got
+        assert np.array_equal(got, ref), f"labels differ at {p} partitions"
+
+
+def test_grid_width_invariance(spark):
+    """Result must not depend on the physical grid choice."""
+    x = make_blobs(800, 2, grid_centers(4, 2, 25.0), 0.5, seed=3, noise_frac=0.1)
+    for wf in (1.0, 2.0, 4.0, 16.0):
+        run_and_compare(spark, x, 0.35, 6, width_factor=wf)
+    # degenerate single-cell grid (eps wider than the data)
+    run_and_compare(spark, x, 0.35, 6, max_grid_dims=0)
+
+
+def test_stats_row(spark):
+    x = make_blobs(1000, 2, grid_centers(4, 2, 30.0), 0.5, seed=5, noise_frac=0.1)
+    df = to_points_df(spark, x)
+    labeled = dbscan(df, 0.4, 8)
+    row = dbscan_stats(labeled).head()
+    want = seq_dbscan(x, 0.4, 8)
+    assert row["total_points"] == 1000
+    assert row["noise_count"] == int((want == 0).sum())
+    assert row["points_in_clusters"] == int((want != 0).sum())
+    assert row["n_clusters"] == int(want.max())
+
+
+def test_sampling_wired(spark):
+    x = make_blobs(1000, 2, grid_centers(3, 2, 30.0), 0.5, seed=11)
+    df = to_points_df(spark, x)
+    labeled = dbscan(df, 0.4, 5, sample=0.5, seed=42)
+    n = labeled.count()
+    assert 300 < n < 700  # Bernoulli sample around 500
+    labeled2 = dbscan(df, 0.4, 5, sample=0.5, seed=42)
+    assert labeled2.count() == n  # seeded => reproducible
+
+
+def test_min_pts_one_all_core(spark):
+    x = make_blobs(100, 2, grid_centers(2, 2, 20.0), 0.3, seed=13)
+    run_and_compare(spark, x, 0.5, 1)

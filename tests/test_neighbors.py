@@ -1,0 +1,75 @@
+"""Cell-kernel neighbor ops vs brute force (SURVEY §2 ops 6-9)."""
+
+import numpy as np
+
+from cs533_big_data_data_mining_spark.operators.cells import assign_cells, choose_grid, ghost_expand
+from cs533_big_data_data_mining_spark.operators.neighbors import (
+    brute_force_neighbor_counts,
+    epsilon_self_join,
+    neighbor_counts,
+)
+from tests.oracle import grid_centers, make_blobs, pairwise_d2
+from tests.test_dbscan import to_points_df
+
+EPS = 0.4
+
+
+def _setup(spark, n=600, d=2, seed=21):
+    x = make_blobs(n, d, grid_centers(4, d, 10.0), 0.6, seed=seed, noise_frac=0.1)
+    df = to_points_df(spark, x)
+    spec = choose_grid(df, d, EPS)
+    return x, df, spec
+
+
+def test_neighbor_counts_exact(spark):
+    x, df, spec = _setup(spark)
+    got = {r["id"]: r["n_neighbors"] for r in neighbor_counts(ghost_expand(df, spec), EPS).collect()}
+    want = (pairwise_d2(x, x) <= EPS * EPS).sum(axis=1)
+    assert len(got) == len(x)
+    for i in range(len(x)):
+        assert got[i] == want[i], f"point {i}: got {got[i]}, want {want[i]}"
+
+
+def test_neighbor_counts_match_brute_force_plan(spark):
+    x, df, spec = _setup(spark, n=300)
+    kernel = {r["id"]: r["n_neighbors"] for r in neighbor_counts(ghost_expand(df, spec), EPS).collect()}
+    brute = {r["id"]: r["n_neighbors"] for r in brute_force_neighbor_counts(df, EPS, 2).collect()}
+    assert kernel == brute
+
+
+def test_epsilon_self_join_exact_pairs(spark):
+    x, df, spec = _setup(spark, n=250)
+    got = {(r["a"], r["b"]) for r in epsilon_self_join(ghost_expand(df, spec), EPS).collect()}
+    d2 = pairwise_d2(x, x)
+    want = {(int(a), int(b)) for a, b in zip(*np.nonzero(d2 <= EPS * EPS))}
+    assert got == want
+
+
+def test_every_point_has_exactly_one_home_cell(spark):
+    x, df, spec = _setup(spark)
+    ghosted = ghost_expand(df, spec)
+    homes = ghosted.filter("is_home").groupBy("id").count().collect()
+    assert len(homes) == len(x)
+    assert all(r["count"] == 1 for r in homes)
+    # home cell agrees with assign_cells
+    ac = dict(assign_cells(df, spec).select("id", "cell").collect())
+    gh = dict(ghosted.filter("is_home").select("id", "cell").collect())
+    assert ac == gh
+
+
+def test_ghost_closure(spark):
+    """Every eps-neighbor of a cell's home points is present in that
+    cell (the halo-exchange completeness property,
+    ``geometric_partitioning.cpp:46-51``)."""
+    x, df, spec = _setup(spark, n=400)
+    rows = ghost_expand(df, spec).collect()
+    by_cell: dict[int, set[int]] = {}
+    home_of: dict[int, int] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], set()).add(r["id"])
+        if r["is_home"]:
+            home_of[r["id"]] = r["cell"]
+    d2 = pairwise_d2(x, x)
+    ai, bi = np.nonzero(d2 <= EPS * EPS)
+    for a, b in zip(ai, bi):
+        assert int(b) in by_cell[home_of[int(a)]], f"neighbor {b} of {a} missing from home cell"
