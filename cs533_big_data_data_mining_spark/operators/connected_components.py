@@ -18,8 +18,16 @@ each round (SURVEY §4 "custom work" item 2).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Below this many edges the fixpoint finishes on the driver: the
+# star-edge graph is already cell-contracted (a few rows per core
+# point), so for moderate inputs the distributed rounds are pure
+# scheduling latency. Same size-gated hybrid GraphFrames applies.
+DRIVER_FASTPATH_EDGES = 5_000_000
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -50,14 +58,40 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _driver_union(e: DataFrame) -> DataFrame:
+    """Finish a small edge set locally: min-label pointer doubling on
+    NumPy arrays — same labels as the distributed path (component =
+    min node id), just without per-round job latency."""
+    pdf = e.toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    u, v = inv[: len(src)], inv[len(src) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        np.minimum.at(lab, u, lab[v])
+        np.minimum.at(lab, v, lab[u])
+        lab = lab[lab]
+        if np.array_equal(lab, before):
+            break
+    out = pd.DataFrame({"node": nodes, "component": nodes[lab]})
+    return e.sparkSession.createDataFrame(out)
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_every: int = 1,
+    driver_fastpath_edges: int = DRIVER_FASTPATH_EDGES,
 ) -> DataFrame:
     """Edge list ``(src, dst)`` -> ``(node, component)`` with
     ``component`` = min node id in the component. Nodes appearing only
     as isolated (no edges) must be handled by the caller (self-label).
     """
     e = edges.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    if driver_fastpath_edges and e.count() <= driver_fastpath_edges:
+        return _driver_union(e)
     prev_sig = None
     for it in range(max_iterations):
         e = _small_star(_large_star(e))

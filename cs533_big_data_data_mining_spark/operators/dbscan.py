@@ -66,6 +66,7 @@ def dbscan(
     spec: GridSpec | None = None,
     max_grid_dims: int = 3,
     width_factor: float = 4.0,
+    cc_driver_fastpath_edges: int | None = None,
 ) -> DataFrame:
     """Cluster a canonical point frame ``(id, xs)``.
 
@@ -96,7 +97,10 @@ def dbscan(
     star_edges = lb.filter(F.col("kind") == 0).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     border_pairs = lb.filter(F.col("kind") == 1).select("a", "b")
 
-    cc = connected_components(star_edges)
+    cc_kwargs = {}
+    if cc_driver_fastpath_edges is not None:
+        cc_kwargs["driver_fastpath_edges"] = cc_driver_fastpath_edges
+    cc = connected_components(star_edges, **cc_kwargs)
 
     cores = flags.filter("is_core").select("id")
     core_roots = cores.join(cc, cores["id"] == cc["node"], "left").select(

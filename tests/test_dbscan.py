@@ -46,6 +46,15 @@ def test_dbscan_matches_oracle(spark, name, n, d, k, spacing, std, eps, min_pts,
     run_and_compare(spark, x, eps, min_pts)
 
 
+def test_distributed_cc_path(spark):
+    """Force the star-algorithm CC path (driver fast path disabled) —
+    must produce identical labels."""
+    x = make_blobs(1200, 2, grid_centers(5, 2, 40.0), 0.6, seed=17, noise_frac=0.08)
+    a = run_and_compare(spark, x, 0.4, 8, cc_driver_fastpath_edges=0)
+    b = run_and_compare(spark, x, 0.4, 8)
+    assert np.array_equal(a, b)
+
+
 def test_partition_invariance(spark):
     """Identical labels at 1/2/4/8 input partitions — fixes the
     reference's parallelism-dependent cluster counts."""
