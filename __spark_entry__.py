@@ -254,6 +254,209 @@ def _q_window_topk(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- extensions
+# (training-data pipeline ops: dedup / similarity / text / multimodal
+#  / streaming — BASELINE north star, SURVEY §7 Phase E)
+
+_TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+
+_SHINGLES_SQL = f"""
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         ELSE [] END)) AS shingle
+  FROM toks
+)"""
+
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ia AS a, ib AS b,
+       round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.ia = sa.doc_id
+JOIN sizes sb ON inter.ib = sb.doc_id
+WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= 0.8
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of functions/vector.dot — same left-to-right fold."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+# text_stats oracle: mirrors functions/text.py formulas term-for-term
+_LANG_MARKERS_SQL = {
+    "de": "['der','die','das','und','ist','nicht','ein']",
+    "en": "['the','a','of','and','to','is','in']",
+    "es": "['el','la','de','y','que','los','un']",
+    "fr": "['le','la','et','les','des','une','est']",
+    "zh": "['的','是','了','在','我','有','和']",
+}
+_STOPWORDS_SQL = "['the','a','of','and','to','is','in','it','on','for']"
+_LANG_SCORE_COLS = ",\n  ".join(
+    f"len(list_intersect(list_distinct(t), {arr})) AS s_{lang}"
+    for lang, arr in sorted(_LANG_MARKERS_SQL.items())
+)
+_TEXT_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents
+),
+scored AS (
+  SELECT doc_id, text, t,
+  {_LANG_SCORE_COLS},
+  greatest(len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['de']})),
+           len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['en']})),
+           len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['es']})),
+           len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['fr']})),
+           len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['zh']}))) AS best
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN s_de = best THEN 'de'
+       WHEN s_en = best THEN 'en'
+       WHEN s_es = best THEN 'es'
+       WHEN s_fr = best THEN 'fr'
+       ELSE 'zh' END AS lang_guess,
+  round(
+    0.25 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+    + 0.25 * (CASE WHEN len(t) > 0
+              THEN CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) ELSE 0.0 END)
+    + 0.25 * (CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+    + 0.25 * least((CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) ELSE 0.0 END) / 8.0, 1.0),
+  6) AS quality,
+  list_reduce(list_prepend(0, range(1, length(text) + 1)),
+              (acc, i) -> (acc * 31 + ascii(substring(text, CAST(i AS INT), 1))) % 2147483647) AS fp
+FROM scored
+"""
+
+
+def _q_dedup_exact(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _q_simhash(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash64(docs, "doc_id", "text")
+
+
+def _q_embed_neardup(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, 0.35)
+
+
+def _q_sim_topk(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_bruteforce(emb, emb.filter("vec_id < 10"), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_sim_topk_ivf(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, nprobe=3)
+
+
+def _q_text_stats(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        decode_media,
+        documents_as_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_media(documents_as_media(docs)).select(
+        "media_id", "modality", "n_bytes", "payload_ok"
+    )
+
+
+def _q_stream_windowed_counts(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.streaming.events import (
+        load_events,
+        windowed_event_counts,
+    )
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="1 hour")
+    # string timestamps: immune to ns-vs-us physical-type hash skew
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_sum",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project_filter": _q_scan_project_filter,
@@ -270,6 +473,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_q1": _q_agg_q1,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "window_topk": _q_window_topk,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash_sigs": _q_simhash,
+        "embed_neardup": _q_embed_neardup,
+        "sim_topk": _q_sim_topk,
+        "sim_topk_ivf": _q_sim_topk_ivf,
+        "text_stats": _q_text_stats,
+        "multimodal_meta": _q_multimodal_meta,
+        "stream_windowed_counts": _q_stream_windowed_counts,
     }
 
 
@@ -361,5 +574,51 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
               FROM orders)
             WHERE rn <= 2
+        """,
+        "dedup_exact": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        # LSH recall at the planted-dup similarity (~0.97+) is 1-1e-10,
+        # so verified MinHash pairs == exact Jaccard pairs
+        "dedup_minhash": _JACCARD_PAIRS_SQL,
+        "embed_neardup": f"""
+            WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                         FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({_dot_sql('a.v', 'b.v')}
+                         / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6) AS cosine
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE round({_dot_sql('a.v', 'b.v')}
+                        / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6) >= 0.35
+        """,
+        "sim_topk": f"""
+            WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                         FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round({_dot_sql('q.v', 'c.v')}
+                           / (sqrt({_dot_sql('q.v', 'q.v')}) * sqrt({_dot_sql('c.v', 'c.v')})), 6) AS cosine
+              FROM emb q JOIN emb c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+              FROM pairs)
+            WHERE rank <= 5
+        """,
+        "text_stats": _TEXT_STATS_SQL,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id, 'text' AS modality,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   FALSE AS payload_ok
+            FROM documents
+        """,
+        "stream_windowed_counts": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+            FROM events
+            GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all pure DataFrame compositions (one shuffle per
+groupBy/join, no Python in the hot path):
+
+* **exact**: hash-groupBy on content — the O(N) baseline.
+* **n-gram Jaccard**: exact set-similarity self-join via shingle
+  inverted index — the ground truth the approximate methods are
+  tested against.
+* **MinHash + LSH**: signature = min of seeded xxhash64 over
+  shingles; banding turns near-dup search into an equi-join on
+  (band, band-hash) — the 100 TB scale path.
+* **SimHash**: 64-bit weighted bit-vote fingerprint; candidates via
+  band equality (Hamming-adjacent pairs share a band whp).
+* **embedding cosine**: semantic near-dups over the embedding column
+  (see ``operators/similarity.py`` for the join machinery).
+
+Scale notes: the shingle inverted index is the classic skew hazard —
+ultra-frequent shingles create quadratic bucket blowup. ``max_doc_freq``
+drops them (a standard trick: a shingle shared by thousands of docs
+carries no near-dup signal). LSH band joins shuffle only
+(band_id, hash) keys, so AQE's skew-join splitting handles hot
+buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.functions.text import word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """One row per distinct content: ``(keep_id = min id, n_dups)``."""
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    ).select("keep_id", "n_dups")
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Deduplicated rows (keeper = min id per content). Expressed as a
+    min-id semi-join rather than a window sort: the groupBy gets
+    map-side partial aggregation, a window over content would not."""
+    keepers = df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keepers, [content_col, id_col], "left_semi")
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """(id, shingle) inverted index, optionally dropping shingles with
+    document frequency above ``max_doc_freq`` (skew guard)."""
+    sh = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle"))
+    if max_doc_freq:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_doc_freq).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs ``(a, b, jaccard)`` with a < b.
+
+    |A ∩ B| comes from the shingle-index self-join (only docs sharing
+    a shingle are ever compared — no cross join); |A ∪ B| from the
+    per-doc distinct-shingle counts.
+    """
+    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("ia"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("ib"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(sa, "ia")
+        .join(sb, "ib")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"), "jaccard")
+    )
+    return jac
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]): sig[i] = min over shingles
+    of xxhash64(i, shingle). One explode + one groupBy — the min per
+    seed is a map-side-combinable aggregate."""
+    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None)
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(a, b)``: docs agreeing on at least
+    one LSH band (rows-per-band = num_hashes/bands). For threshold t,
+    P[candidate] ≈ 1-(1-t^r)^b — with 64/16x4, t=0.5 catches ~66%,
+    t=0.7 ~99%. Distinct equi-join keys only; no quadratic work."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bucketed = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+    l, rt = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            rt,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (candidate set only,
+    so verification cost is linear in candidates, not N^2)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    # intersections recomputed only for candidate pairs (linear in
+    # candidates, not N^2)
+    inter = (
+        sh.withColumnRenamed("id", "a")
+        .join(cands, "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("shingle")), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash BIGINT): 64-bit weighted bit-vote over token
+    hashes (Charikar). Tokens vote +1/-1 per bit weighted by their
+    term frequency; bit b of the result is the vote sign.
+
+    Vectorized as 64 conditional-sum aggregates over one exploded
+    token frame — all JVM-side."""
+    from cs533_big_data_data_mining_spark.functions.text import tokenize
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok"))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = tf.withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(63):  # bit 63 excluded: keep sign bit clear (ANSI-safe)
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b)).otherwise(F.lit(0))
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:
+    """Near-dup candidates: pairs agreeing on >= 1 of ``bands`` 16-bit
+    slices of the simhash (catches all pairs with Hamming distance
+    < bands by pigeonhole)."""
+    sigs = simhash64(df, id_col, text_col)
+    width = 64 // bands
+    bucketed = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )

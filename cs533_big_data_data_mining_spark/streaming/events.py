@@ -1,0 +1,109 @@
+"""Structured Streaming over the ``events`` table shape
+(event_id, ts, user_id, event_type, value, props).
+
+The reference has no streaming surface (SURVEY §1.4); these are the
+north-star extensions expressed idiomatically: ``readStream`` ->
+event-time windowed aggregation with watermarked late-data handling
+-> sink. The same transformation functions run on batch DataFrames
+(Structured Streaming's unified-API property), which is how the
+DuckDB oracle can check their semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch loader for the driver's events parquet, which stores
+    TIMESTAMP(NANOS) — not readable as a Spark timestamp directly.
+    With ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by the
+    session factory) the column arrives as nanos-since-epoch; convert
+    to a proper timestamp at microsecond precision."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (micros timestamps, e.g. produced by ``load_events(...).write``)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window x event_type: count + value sum.
+
+    Works on a stream (with watermark-bounded state) and on a batch
+    frame (watermark is a no-op there) — one definition, two
+    execution modes.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL sum: exact regardless of aggregation order, so
+            # stream == batch == external oracle, bit-for-bit
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def user_activity(events: DataFrame, window: str = "1 day", watermark: str = "2 days") -> DataFrame:
+    """Per-user per-window activity rollup (streaming-safe)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact distinct, spelled streaming-safe (count_distinct is
+            # rejected on streams; collect_set is an ordinary agg)
+            F.size(F.collect_set("event_type")).alias("n_event_types"),
+        )
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "n_event_types")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_s: int = 120
+) -> None:
+    """Drain a bounded file-source stream into an in-memory sink
+    (test/debug helper): availableNow processes the whole backlog in
+    watermark-respecting micro-batches, then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -1,0 +1,110 @@
+"""Dedup operators vs brute-force Python oracles."""
+
+import itertools
+
+from cs533_big_data_data_mining_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_candidates,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog while rain falls on the green hills far away"
+
+
+def _corpus():
+    """Synthetic near-dup corpus: clones with small perturbations +
+    unrelated docs."""
+    words = BASE.split()
+    docs = [(0, BASE)]
+    docs.append((1, BASE))                                   # exact dup of 0
+    docs.append((2, " ".join(words[:-2])))                   # truncated
+    docs.append((3, " ".join(["XX"] + words[1:])))           # 1 word changed
+    docs.append((4, "completely different content about spark query engines and shuffles here now"))
+    docs.append((5, "another unrelated tiny doc"))
+    docs.append((6, BASE.replace("rain", "snow").replace("dog", "cat")))
+    return docs
+
+
+def _jaccard(a: str, b: str, n: int) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def _exact_pairs(docs, n, threshold):
+    out = set()
+    for (i, a), (j, b) in itertools.combinations(docs, 2):
+        if _jaccard(a, b, n) >= threshold:
+            out.add((min(i, j), max(i, j)))
+    return out
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(_corpus(), "doc_id long, text string")
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert groups[0] == 2  # ids 0 and 1 identical
+    assert sum(groups.values()) == 7
+    kept = {r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert kept == {0, 2, 3, 4, 5, 6}  # 1 dropped (dup of 0, higher id)
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()}
+    want = _exact_pairs(docs, 3, 0.3)
+    assert set(got) == want
+    for (a, b), j in got.items():
+        assert abs(j - _jaccard(docs[a][1], docs[b][1], 3)) < 1e-6
+
+
+def test_minhash_lsh_recall(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cands = {(r["a"], r["b"]) for r in minhash_lsh_candidates(df, "doc_id", "text", n=3).collect()}
+    # exact dups MUST be candidates (identical signatures)
+    assert (0, 1) in cands
+    # high-jaccard pairs should be caught at 64/16-band settings
+    want = _exact_pairs(docs, 3, 0.7)
+    assert want <= cands, f"missed {want - cands}"
+
+
+def test_minhash_verified_pairs(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in minhash_dedup_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()}
+    # verification must report exact jaccard for surviving pairs
+    for (a, b), j in got.items():
+        truth = _jaccard(docs[a][1], docs[b][1], 3)
+        assert truth >= 0.5 and abs(j - truth) < 1e-6
+
+
+def test_simhash_properties(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]  # identical docs -> identical sig
+    assert sigs[0] >= 0  # sign bit clear
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    # near-dup should be much closer than unrelated
+    assert hamming(sigs[0], sigs[3]) < hamming(sigs[0], sigs[4])
+    cands = {(r["a"], r["b"]) for r in simhash_candidates(df, "doc_id", "text").collect()}
+    assert (0, 1) in cands
+
+
+def test_dedup_on_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert exact_dedup(docs, "doc_id", "text").count() <= n
+    # jaccard self-join returns (a<b) pairs only
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=200).collect()
+    assert all(r["a"] < r["b"] for r in pairs)

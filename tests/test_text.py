@@ -1,0 +1,83 @@
+"""Text functions (tokenize/lang-id/quality/fingerprint/shingles)."""
+
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.functions.text import (
+    FINGERPRINT_MOD,
+    char_shingles,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    tokenize,
+    word_shingles,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], "text string").select(expr.alias("v")).head()["v"]
+
+
+def test_tokenize_edges(spark):
+    assert _one(spark, "  a  b\tc ", tokenize("text")) == ["a", "b", "c"]
+    assert _one(spark, "", token_count("text")) == 0
+    assert _one(spark, "one", token_count("text")) == 1
+
+
+def test_word_shingles(spark):
+    got = _one(spark, "a b c d", word_shingles("text", 2))
+    assert got == ["a b", "b c", "c d"]
+    # shorter than n -> empty
+    assert _one(spark, "a", word_shingles("text", 3)) == []
+    # distinct
+    assert _one(spark, "x y x y x y", word_shingles("text", 2)) == ["x y", "y x"]
+
+
+def test_char_shingles(spark):
+    assert _one(spark, "abcd", char_shingles("text", 3)) == ["abc", "bcd"]
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat sat on the mat and slept", lang_id("text")) == "en"
+    assert _one(spark, "el gato que duerme en la casa y los perros", lang_id("text")) == "es"
+    assert _one(spark, "der hund und die katze ist nicht hier", lang_id("text")) == "de"
+    assert _one(spark, "le chat et les chiens est une maison", lang_id("text")) == "fr"
+    assert _one(spark, "xyzzy plugh qwop", lang_id("text")) == "und"
+    # tie -> alphabetically first
+    assert _one(spark, "the el", lang_id("text")) in ("en", "es")
+
+
+def test_quality_score_bounds(spark):
+    for text in ["", "x", "the quick brown fox " * 20, "!!! ??? 123"]:
+        v = _one(spark, text, quality_score("text"))
+        assert 0.0 <= v <= 1.0, (text, v)
+    rich = _one(spark, "the quick brown fox jumps over the lazy dog and runs away fast", quality_score("text"))
+    junk = _one(spark, "!!!! #### 1234 ....", quality_score("text"))
+    assert rich > junk
+
+
+def test_fingerprint_deterministic(spark):
+    a = _one(spark, "hello world", fingerprint("text"))
+    b = _one(spark, "hello world", fingerprint("text"))
+    c = _one(spark, "hello worlD", fingerprint("text"))
+    assert a == b != c
+    assert 0 <= a < FINGERPRINT_MOD
+    # matches the reference recurrence computed in python
+    want = 0
+    for ch in "hello world":
+        want = (want * 31 + ord(ch)) % FINGERPRINT_MOD
+    assert a == want
+
+
+def test_text_functions_on_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["n_tokens"] > 0 and 0 <= r["q"] <= 1 for r in rows)
