@@ -72,26 +72,137 @@ def cosine_topk_bruteforce(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding-space
-    near-dup detection. Exact form (self-join); for corpora too big
-    to self-join, route through ``ivf_index`` buckets first."""
-    v = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec"))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("a.vec"), F.col("b.vec"))
-                / (norm2(F.col("a.vec")) * norm2(F.col("b.vec"))),
-                6,
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), "cosine")
+    near-dup detection, exact.
+
+    Block nested-loop with BLAS: vectors are hash-assigned to
+    ``ceil(N/block_rows)`` blocks, each block packed into one row
+    (ids + unit-normalized matrix); the m*(m+1)/2 unordered block
+    pairs fan out over the cluster and each task computes one
+    X @ Y.T gram in NumPy. Shuffle volume is O(N*D) (the packing
+    groupBy) + O(m^2 * block_rows * D) for the block-pair join —
+    each task holds exactly two blocks, so memory is bounded by
+    ``block_rows`` regardless of N. For corpora where even m^2
+    block pairs is too much, route through ``ivf_index`` buckets
+    first and run this per-bucket.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    # raw vectors ship to the kernel; normalization happens in NumPy
+    # (one vectorized divide per block, not an interpreted SQL lambda)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    n = v.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame([], "a long, b long, cosine double")
+    m = max(1, math.ceil(n / block_rows))
+
+    packed = (
+        v.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(m)).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs"))
     )
+    pairs = packed.join(
+        packed.select(
+            F.col("blk").alias("yblk"),
+            F.col("ids").alias("yids"),
+            F.col("vecs").alias("yvecs"),
+        ),
+        F.col("blk") <= F.col("yblk"),
+    ).repartition(max(m * (m + 1) // 2, 1))
+
+    thr = float(threshold)
+
+    def gram(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                xi = np.asarray(list(row.ids), dtype=np.int64)
+                X = np.array(list(row.vecs), dtype=np.float64)
+                yi = np.asarray(list(row.yids), dtype=np.int64)
+                Y = np.array(list(row.yvecs), dtype=np.float64)
+                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+                G = np.round(X @ Y.T, 6)
+                ii, jj = np.nonzero(G >= thr)
+                a, b = xi[ii], yi[jj]
+                if row.blk == row.yblk:
+                    keep = a < b
+                else:
+                    keep = a != b
+                a, b, c = a[keep], b[keep], G[ii[keep], jj[keep]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                yield pd.DataFrame({"a": lo, "b": hi, "cosine": c})
+
+    return pairs.mapInPandas(gram, "a long, b long, cosine double")
+
+
+def _centroid_matrix(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+    seed: int,
+):
+    """k-means-lite centroid fit, driver-held result.
+
+    Centroids are a C x D float64 matrix — kilobytes — so they live on
+    the driver and are closure-broadcast into vectorized NumPy
+    kernels. Each Lloyd round is ONE pass over the corpus
+    (mapInPandas emitting per-batch partial sums, <= partitions*C
+    rows collected), so the corpus is never joined against centroids
+    row-by-row and no lineage chain builds up across rounds.
+    Assignment ties break toward the lowest cid (np.argmax), keeping
+    results partition-count invariant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    rows = (
+        c.withColumn("hk", F.xxhash64(F.lit(seed), "id")).orderBy("hk", "id").limit(n_centroids).collect()
+    )
+    C = np.array([list(r.vec) for r in rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    dims = C.shape[1]
+
+    for _ in range(iters):
+        Cmat = C
+
+        def partial_sums(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["vec"]), dtype=np.float64)
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                cid = np.argmax(Xn @ Cmat.T, axis=1)
+                out = []
+                for ci in np.unique(cid):
+                    mask = cid == ci
+                    out.append((int(ci), int(mask.sum()), Xn[mask].sum(axis=0).tolist()))
+                yield pd.DataFrame(out, columns=["cid", "cnt", "vsum"])
+
+        parts = c.mapInPandas(
+            partial_sums, f"cid int, cnt long, vsum array<double>"
+        ).collect()
+        cnt = np.zeros(len(C))
+        acc = np.zeros_like(C)
+        for r in parts:
+            cnt[r.cid] += r.cnt
+            acc[r.cid] += np.asarray(r.vsum)
+        nonempty = cnt > 0
+        C = np.where(nonempty[:, None], acc / np.maximum(cnt, 1)[:, None], C)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
 
 
 def ivf_index(
@@ -104,33 +215,31 @@ def ivf_index(
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: returns ``(centroids, assignments)``.
 
-    centroids: (cid, cvec) — seeded sample refined by ``iters``
-    Lloyd rounds (each round: broadcast-join argmin assign + groupBy
-    mean). assignments: (id, vec, cid).
+    centroids: (cid, cvec) — unit-norm, k-means-refined.
+    assignments: (id, vec, cid) — one vectorized argmax pass.
     """
-    c = _normalized(corpus, id_col, vec_col)
-    cent = (
-        c.orderBy(F.xxhash64(F.lit(seed), "id"))
-        .limit(n_centroids)
-        .select(F.monotonically_increasing_id().alias("cid"), F.col("vec").alias("cvec"))
+    import numpy as np
+    import pandas as pd
+
+    C = _centroid_matrix(corpus, n_centroids, id_col, vec_col, iters, seed)
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, C[i].tolist()) for i in range(len(C))], "cid int, cvec array<double>"
     )
 
-    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
-        scored = points.join(F.broadcast(cents)).withColumn("sim", dot("vec", "cvec"))
-        w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("id", "vec", "cid")
-        )
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    vec_type = c.schema["vec"].dataType.simpleString()
 
-    for _ in range(iters):
-        assigned = assign(c, cent)
-        dims = len(cent.select("cvec").head()["cvec"])
-        cent = assigned.groupBy("cid").agg(
-            F.array(*[F.avg(F.col("vec")[j]) for j in range(dims)]).alias("cvec")
-        )
-    assignments = assign(c, cent)
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["vec"]), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cid = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"id": pdf["id"], "vec": pdf["vec"], "cid": cid})
+
+    assignments = c.mapInPandas(assign, f"id long, vec {vec_type}, cid int")
     return cent, assignments
 
 
@@ -145,17 +254,70 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest IVF buckets per
-    query. Scanned work ~= nprobe/n_centroids of brute force."""
-    cent, assigned = ivf_index(corpus, n_centroids, id_col, vec_col, seed=seed)
-    q = _normalized(queries, id_col, vec_col).withColumnRenamed("vec", "qvec").withColumnRenamed("id", "qid")
+    query. Scanned work ~= nprobe/n_centroids of brute force.
 
-    qc = q.join(F.broadcast(cent)).withColumn("csim", dot("qvec", "cvec"))
-    wq = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid"))
-    probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select("qid", "qvec", "cid")
+    Physical shape: one corpus pass assigns cids (NumPy argmax), one
+    query pass fans each query out to its nprobe buckets, an equi-join
+    on cid pairs queries with candidates, one vectorized pass scores
+    the pairs, and a per-query window takes the top k. Shuffles touch
+    only (cid) keys + candidate rows — never the full cross product.
+    """
+    import numpy as np
+    import pandas as pd
 
-    scored = probes.join(assigned, "cid").filter(F.col("qid") != F.col("id")).withColumn(
-        "cosine", F.round(dot("qvec", "vec"), 6)
-    )
+    C = _centroid_matrix(corpus, n_centroids, id_col, vec_col, iters=2, seed=seed)
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    vec_type = c.schema["vec"].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["vec"]), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cid = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"id": pdf["id"], "vec": pdf["vec"], "cid": cid})
+
+    assigned = c.mapInPandas(assign, f"id long, vec {vec_type}, cid int")
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    qvec_type = q.schema["qvec"].dataType.simpleString()
+    npb = int(nprobe)
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["qvec"]), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ C.T
+            top = np.argsort(-S, kind="stable", axis=1)[:, :npb]
+            nq = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(pdf["qid"].to_numpy(), npb),
+                    "qvec": pdf["qvec"].iloc[np.repeat(np.arange(nq), npb)].to_numpy(),
+                    "cid": top.ravel().astype(np.int32),
+                }
+            )
+
+    probes = q.mapInPandas(probe, f"qid long, qvec {qvec_type}, cid int")
+
+    paired = probes.join(assigned, "cid").filter(F.col("qid") != F.col("id"))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf["qvec"]), dtype=np.float64)
+            X = np.array(list(pdf["vec"]), dtype=np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos = np.round(np.einsum("ij,ij->i", Qn, Xn), 6)
+            yield pd.DataFrame({"qid": pdf["qid"], "id": pdf["id"], "cosine": cos})
+
+    scored = paired.mapInPandas(score, "qid long, id long, cosine double")
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
