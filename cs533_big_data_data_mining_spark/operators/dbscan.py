@@ -87,13 +87,21 @@ def dbscan(
 
     celled = ghost_expand(points, spec).cache()
     counts = neighbor_counts(celled, eps)
-    flags = counts.select("id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core"))
+    # cached: used by the flags join AND core_roots below — without
+    # this the O(n^2)-per-cell neighbor kernel runs twice
+    flags = counts.select("id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core")).cache()
 
     # carry core flags back onto the ghost-expanded frame (AQE picks
     # broadcast vs shuffle; flags is one boolean per point)
     celled_flagged = celled.join(flags, "id")
 
     lb = local_components_and_borders(celled_flagged, spec.eps).cache()
+    # materialize the (small) edge frame eagerly, then release the
+    # ghost-expanded cache — it is ~3.4x the input and every
+    # downstream op needs only lb/flags. Without this, repeated
+    # dbscan() calls in one session stack up evicting caches.
+    lb.count()
+    celled.unpersist()
     star_edges = lb.filter(F.col("kind") == 0).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     border_pairs = lb.filter(F.col("kind") == 1).select("a", "b")
 

@@ -46,11 +46,22 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return df.join(keepers, [content_col, id_col], "left_semi")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as one partition; CPU-bound
+    per-row work (shingling, hashing) must fan out first. No-op when
+    the scan already has enough splits (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
     """(id, shingle) inverted index, optionally dropping shingles with
     document frequency above ``max_doc_freq`` (skew guard)."""
+    df = _spread(df)
     sh = df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle"))
     if max_doc_freq:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_doc_freq).select("shingle")
@@ -75,9 +86,21 @@ def ngram_jaccard_pairs(
     sh = _shingle_index(df, id_col, text_col, n, max_doc_freq).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
-    a, b = sh.alias("a"), sh.alias("b")
+    # size carried on every index row: jaccard >= t forces
+    # t*|A| <= |B| <= |A|/t, so mismatched-size pairs are pruned
+    # inside the shingle join, before they ever reach the groupBy
+    # (PPJoin's length filter).
+    shz = sh.join(sizes, "id").select("id", "shingle", "sz")
+    a, b = shz.alias("a"), shz.alias("b")
+    t = float(threshold)
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") * F.lit(t) <= F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(t) <= F.col("b.sz")),
+        )
         .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -206,7 +229,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     token frame — all JVM-side."""
     from cs533_big_data_data_mining_spark.functions.text import tokenize
 
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok"))
+    toks = _spread(df).select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok"))
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("w"))
     h = tf.withColumn("th", F.xxhash64("tok"))
     votes = [

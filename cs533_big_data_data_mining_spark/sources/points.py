@@ -101,7 +101,15 @@ def read_points_bin(spark: SparkSession, path: str, batch_rows: int = 65536) -> 
                         {"id": np.arange(lo, hi, dtype=np.int64), "xs": list(block)}
                     )
 
-    return files.mapInPandas(unpack, schema=out_schema)
+    pts = files.mapInPandas(unpack, schema=out_schema)
+    # one .bin file = one binaryFile row = one partition; downstream
+    # per-point work (ghost expansion, cell kernels) needs the rows
+    # spread before it runs. At real scale the native path is Parquet
+    # (splittable scan), so this shuffle only ever moves small files.
+    target = spark.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < target:
+        pts = pts.repartition(target)
+    return pts
 
 
 def bin_to_parquet(spark: SparkSession, bin_path: str, parquet_path: str, repartition: int | None = None) -> None:
