@@ -439,6 +439,22 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.streaming.events import load_events
+    from cs533_big_data_data_mining_spark.streaming.sessions import sessionize
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.streaming.events import (
@@ -482,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_topk_ivf,
         "text_stats": _q_text_stats,
         "multimodal_meta": _q_multimodal_meta,
+        "sessionize": _q_sessionize,
         "stream_windowed_counts": _q_stream_windowed_counts,
     }
 
@@ -613,6 +630,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    FALSE AS payload_ok
             FROM documents
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, value, event_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+            FROM sess GROUP BY user_id, sid
         """,
         "stream_windowed_counts": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -94,15 +94,17 @@ def user_activity(events: DataFrame, window: str = "1 day", watermark: str = "2 
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, timeout_s: int = 120
+    stream_df: DataFrame, query_name: str, timeout_s: int = 120, output_mode: str = "complete"
 ) -> None:
     """Drain a bounded file-source stream into an in-memory sink
     (test/debug helper): availableNow processes the whole backlog in
-    watermark-respecting micro-batches, then stops."""
+    watermark-respecting micro-batches, then stops. Stateful
+    append-mode operators (e.g. sessionize_stream) must pass
+    ``output_mode='append'``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
