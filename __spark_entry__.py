@@ -171,6 +171,20 @@ def _q_neighbor_count(spark, sf_dir):
     return neighbor_counts(ghost_expand(pts, spec), EPS3)
 
 
+def _q_eps_join(spark, sf_dir):
+    """The reference's one non-trivial relational operator (SURVEY §2
+    ops 6+8): all ordered pairs within eps, via the cell/ghost
+    pattern — never a cross join."""
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.cells import choose_grid, ghost_expand
+    from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_self_join
+
+    pts = _points3(spark, sf_dir)
+    spec = choose_grid(pts, 3, EPS3)
+    pairs = epsilon_self_join(ghost_expand(pts, spec), EPS3)
+    return pairs.filter(F.col("a") < F.col("b"))
+
+
 def _q_core_points(spark, sf_dir):
     return (
         _q_neighbor_count(spark, sf_dir)
@@ -482,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ghost_rows": _q_ghost_rows,
         "neighbor_count": _q_neighbor_count,
         "core_points": _q_core_points,
+        "eps_join": _q_eps_join,
         "cluster_labels": _q_cluster_labels,
         "cluster_stats": _q_cluster_stats,
         "dense_ids": _q_dense_ids,
@@ -551,6 +566,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS id
             FROM pts a JOIN pts b ON {_D2_SQL} <= {EPS3_SQL}
             GROUP BY a.id HAVING count(*) >= {MINPTS3}
+        """,
+        "eps_join": f"""
+            WITH {_PTS_SQL.strip()}
+            SELECT a.id AS a, b.id AS b
+            FROM pts a JOIN pts b ON a.id < b.id AND {_D2_SQL} <= {EPS3_SQL}
         """,
         "cluster_labels": _LABELS_SQL + "\nSELECT id, cluster_id FROM labels",
         "cluster_stats": _LABELS_SQL

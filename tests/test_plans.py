@@ -1,0 +1,87 @@
+"""Physical-plan shape regression tests.
+
+The scale contract (SURVEY §4) is enforced on the plans themselves:
+filters/projections must reach the parquet scan, small dimensions
+must broadcast, aggregates must have a map-side partial phase, and
+the eps-join path must never plan a cartesian product. These would
+all still "pass" functionally if they regressed — only the 100 TB
+run would notice — so the plan text is the test.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode="simple") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_linenumber", "l_quantity")
+    p = _plan(df, "formatted")
+    assert "LessThan(l_quantity,5.0)" in p, "filter not pushed to parquet scan"
+    # column pruning: the scan must read exactly the 3 projected columns
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    # 4 = the "ReadSchema:" label + one per projected column
+    assert read.count(":") == 4 and "l_orderkey" in read and "l_comment" not in read
+
+
+def test_small_dims_broadcast(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    df = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, "dim joins should broadcast, not shuffle"
+    assert "SortMergeJoin" not in p
+
+
+def test_agg_has_partial_phase(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    p = _plan(df)
+    assert "partial_sum" in p, "aggregate lost its map-side combine"
+
+
+def test_eps_join_is_never_cartesian(spark):
+    from cs533_big_data_data_mining_spark.operators.cells import choose_grid, ghost_expand
+    from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_self_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pts = emb.select(
+        "vec_id",
+        F.array(*[F.col("embedding")[j].cast("double") for j in range(3)]).alias("xs"),
+    ).select(F.col("vec_id").alias("id"), "xs")
+    spec = choose_grid(pts, 3, 0.06)
+    pairs = epsilon_self_join(ghost_expand(pts, spec), 0.06)
+    p = _plan(pairs)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInArrow" in p or "FlatMapGroupsInPandas" in p
+
+
+def test_minhash_band_join_is_equi_join(spark):
+    """The LSH candidate join must plan as a hash equi-join on
+    (band, bhash) — the property that makes it the 100 TB path."""
+    from cs533_big_data_data_mining_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text")
+    p = _plan(cands)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
