@@ -274,6 +274,11 @@ def _q_window_topk(spark, sf_dir):
 
 _TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
 
+# functions/text.SUBWORD_RE with SQL-escaped quotes (RE2-safe subset)
+_SUBWORD_RE_SQL = (
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+)
+
 _SHINGLES_SQL = f"""
 toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 sh AS (
@@ -340,6 +345,7 @@ scored AS (
 )
 SELECT doc_id,
   CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS BIGINT) AS n_subwords,
   CASE WHEN best = 0 THEN 'und'
        WHEN s_de = best THEN 'de'
        WHEN s_en = best THEN 'en'
@@ -427,6 +433,7 @@ def _q_text_stats(spark, sf_dir):
         fingerprint,
         lang_id,
         quality_score,
+        subword_count,
         token_count,
     )
 
@@ -434,10 +441,19 @@ def _q_text_stats(spark, sf_dir):
     return docs.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
+        subword_count("text").cast("long").alias("n_subwords"),
         lang_id("text").alias("lang_guess"),
         quality_score("text").alias("quality"),
         fingerprint("text").alias("fp"),
     )
+
+
+def _q_tfidf(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tf_idf(docs, "doc_id", "text")
 
 
 def _q_multimodal_meta(spark, sf_dir):
@@ -512,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "text_stats": _q_text_stats,
+        "tfidf": _q_tfidf,
         "multimodal_meta": _q_multimodal_meta,
         "sessionize": _q_sessionize,
         "stream_windowed_counts": _q_stream_windowed_counts,
@@ -645,6 +662,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "text_stats": _TEXT_STATS_SQL,
+        "tfidf": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id AS id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT id, term, tf, df,
+                   round(CAST(tf AS DOUBLE)
+                         * (ln((1.0 + n_docs) / (1.0 + CAST(df AS DOUBLE))) + 1.0), 6) AS tfidf
+            FROM tf JOIN df USING (term), n
+        """,
         "multimodal_meta": """
             SELECT doc_id AS media_id, 'text' AS modality,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -114,6 +114,24 @@ def quality_score(col: str | Column) -> Column:
     return F.round(score, 6)
 
 
+# GPT-2-flavored pretokenizer regex, restricted to the syntax subset
+# Java regex and RE2 (DuckDB) share — no lookahead, so " word" keeps
+# its leading space via the ` ?` prefix alternations.
+SUBWORD_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def subword_tokens(col: str | Column) -> Column:
+    """BPE-ish pretokens (the unit a byte-pair tokenizer would merge
+    within) — the standard "how many tokens is this document"
+    estimator when no real tokenizer model ships with the engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(SUBWORD_RE), F.lit(0))
+
+
+def subword_count(col: str | Column) -> Column:
+    return F.size(subword_tokens(col))
+
+
 def fingerprint(col: str) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash
     over characters, ``acc*31 + codepoint (mod 2^31-1)`` — the

@@ -81,3 +81,40 @@ def test_text_functions_on_documents(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == docs.count()
     assert all(r["n_tokens"] > 0 and 0 <= r["q"] <= 1 for r in rows)
+
+
+def test_subword_count_gpt2ish(spark):
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.functions.text import subword_count, subword_tokens
+
+    df = spark.createDataFrame(
+        [("it's 2024, isn't it?",), ("hello   world",), ("",)], ["text"]
+    )
+    got = df.select(
+        subword_tokens("text").alias("toks"), subword_count("text").alias("n")
+    ).collect()
+    # "it" "'s" " 2024" "," " isn" "'t" " it" "?"
+    assert got[0]["toks"] == ["it", "'s", " 2024", ",", " isn", "'t", " it", "?"]
+    assert got[0]["n"] == 8
+    assert got[1]["toks"] == ["hello", " world"]
+    assert got[2]["n"] == 0
+
+
+def test_tfidf_small(spark):
+    from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c c d")], ["doc_id", "text"]
+    )
+    rows = {(r["id"], r["term"]): r for r in tf_idf(df, "doc_id", "text").collect()}
+    import math
+
+    assert rows[(1, "a")]["tf"] == 2 and rows[(1, "a")]["df"] == 2
+    want = round(2 * (math.log(4 / 3) + 1), 6)
+    assert abs(rows[(1, "a")]["tfidf"] - want) < 1e-9
+    # hapax pruning
+    from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf as t2
+
+    pruned = t2(df, "doc_id", "text", min_df=2).select("term").distinct().collect()
+    assert {r["term"] for r in pruned} == {"a", "c"}
