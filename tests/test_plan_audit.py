@@ -1,0 +1,54 @@
+"""plans.audit: the audit must read real plans correctly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.plans.audit import assert_scalable, audit
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_audit_counts_joins_and_scans(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    df = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    a = audit(df, execute=True)
+    assert a.n_broadcast_joins == 2
+    assert a.n_cartesian == 0
+    assert len(a.scans) == 3
+    assert a.n_codegen_spans > 0  # AQE final plan fuses codegen spans
+    assert_scalable(df)  # no red flags
+
+
+def test_audit_flags_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10)
+    cross = a.crossJoin(b)
+    got = audit(cross)
+    assert got.n_cartesian == 1
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_scalable(cross)
+
+
+def test_audit_sees_python_stages(spark):
+    from cs533_big_data_data_mining_spark.operators.cells import GridSpec, ghost_expand
+    from cs533_big_data_data_mining_spark.operators.neighbors import neighbor_counts
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.col("embedding")[j].cast("double") for j in range(3)]).alias("xs"),
+    )
+    spec = GridSpec(eps=0.06, dims=(0,), origin=(-0.6,), width=(0.3,), ncells=(4,))
+    counts = neighbor_counts(ghost_expand(pts, spec), 0.06)
+    a = audit(counts)
+    assert a.n_python_stages >= 1
+    assert_scalable(counts)
