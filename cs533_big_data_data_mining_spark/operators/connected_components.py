@@ -76,7 +76,9 @@ def _driver_union(e: DataFrame) -> DataFrame:
         if np.array_equal(lab, before):
             break
     out = pd.DataFrame({"node": nodes, "component": nodes[lab]})
-    return e.sparkSession.createDataFrame(out)
+    # explicit schema: with zero edges the frame is empty and schema
+    # inference would fail
+    return e.sparkSession.createDataFrame(out, "node long, component long")
 
 
 def connected_components(

@@ -1,0 +1,134 @@
+"""Hypothesis property tests: randomized inputs against exact
+single-node oracles. Few examples per property (each example runs
+Spark jobs), but unconstrained shapes — these catch the corner
+geometry/timing cases the fixed fixtures don't.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.oracle import seq_dbscan
+
+_slow = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _canonical(labels: np.ndarray) -> np.ndarray:
+    """Relabel clusters by first appearance so comparisons are
+    id-scheme independent (noise 0 stays 0)."""
+    out = np.zeros_like(labels)
+    mapping: dict[int, int] = {}
+    for i, v in enumerate(labels):
+        if v == 0:
+            continue
+        if v not in mapping:
+            mapping[v] = len(mapping) + 1
+        out[i] = mapping[v]
+    return out
+
+
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(10, 120),
+    d=st.integers(1, 4),
+    eps=st.floats(0.05, 0.5),
+    min_pts=st.integers(1, 6),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_dbscan_matches_sequential_oracle(spark, seed, n, d, eps, min_pts, parts):
+    from cs533_big_data_data_mining_spark.operators.dbscan import dbscan
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, size=(n, d))
+    pdf = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "xs": list(x)})
+    df = spark.createDataFrame(pdf).repartition(parts)
+    got = (
+        dbscan(df, eps=float(eps), min_pts=int(min_pts), dims=d)
+        .orderBy("id")
+        .select("cluster_id")
+        .toPandas()["cluster_id"]
+        .to_numpy()
+    )
+    want = seq_dbscan(x, float(eps), int(min_pts))
+    assert np.array_equal(_canonical(got), _canonical(want))
+
+
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_users=st.integers(1, 5),
+    n_events=st.integers(1, 60),
+    gap_minutes=st.sampled_from([5, 30]),
+)
+def test_sessionize_invariants(spark, seed, n_users, n_events, gap_minutes):
+    from cs533_big_data_data_mining_spark.streaming.sessions import sessionize
+
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "ts": [
+                base + pd.Timedelta(seconds=int(t))
+                for t in rng.integers(0, 86_400, size=n_events)
+            ],
+            "user_id": rng.integers(0, n_users, size=n_events).astype(np.int64),
+            "value": np.round(rng.uniform(0, 10, size=n_events), 2),
+        }
+    )
+    out = sessionize(
+        spark.createDataFrame(ev), gap=f"{gap_minutes} minutes"
+    ).toPandas()
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+    # sessions partition the events exactly
+    assert out["n_events"].sum() == n_events
+    for uid, gpd in out.groupby("user_id"):
+        gpd = gpd.sort_values("session_start")
+        # within a session: start <= end; events fit inside
+        assert (gpd["session_start"] <= gpd["session_end"]).all()
+        # between consecutive sessions of one user: gap strictly exceeded
+        starts = gpd["session_start"].to_numpy()
+        ends = gpd["session_end"].to_numpy()
+        assert ((starts[1:] - ends[:-1]) > gap.to_timedelta64()).all()
+    # value conservation (decimal-exact)
+    assert abs(out["value_sum"].sum() - ev["value"].sum()) < 1e-6
+
+
+@_slow
+@given(seed=st.integers(0, 2**31 - 1), n_docs=st.integers(4, 30))
+def test_minhash_pairs_subset_of_exact_jaccard(spark, seed, n_docs):
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(n_docs):
+        k = rng.integers(5, 15)
+        docs.append((i, " ".join(rng.choice(vocab, size=k))))
+    # plant a near-duplicate pair
+    docs.append((n_docs, docs[0][1] + " extra"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+    exact = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    mh = {
+        (r["a"], r["b"])
+        for r in minhash_dedup_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    # verification makes MinHash precise: candidates are filtered by
+    # exact jaccard, so the result is always a subset of exact pairs
+    assert mh <= exact
