@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from cs533_big_data_data_mining_spark.operators.cells import GridSpec, choose_grid, ghost_expand
 from cs533_big_data_data_mining_spark.operators.connected_components import connected_components
 from cs533_big_data_data_mining_spark.operators.neighbors import (
+    block_components_and_borders,
+    block_neighbor_counts,
     local_components_and_borders,
     neighbor_counts,
 )
@@ -67,6 +69,7 @@ def dbscan(
     max_grid_dims: int = 3,
     width_factor: float = 4.0,
     cc_driver_fastpath_edges: int | None = None,
+    block_fallback_rows: int = 8192,
 ) -> DataFrame:
     """Cluster a canonical point frame ``(id, xs)``.
 
@@ -85,23 +88,48 @@ def dbscan(
 
     spec = spec or choose_grid(points, dims, eps, max_grid_dims=max_grid_dims, width_factor=width_factor)
 
-    celled = ghost_expand(points, spec).cache()
-    counts = neighbor_counts(celled, eps)
-    # cached: used by the flags join AND core_roots below — without
-    # this the O(n^2)-per-cell neighbor kernel runs twice
-    flags = counts.select("id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core")).cache()
+    # Grid degeneracy check (SURVEY §7 Phase D): high-dimensional or
+    # ultra-concentrated data can leave no usable grid axes, or a grid
+    # whose largest cell holds ~everything — either way the cell
+    # kernel would serialize one O(n^2) task. Fall back to the block
+    # nested-loop path, which spreads the same exact work over
+    # m(m+1)/2 block-pair tasks.
+    use_blocks = not spec.dims
+    celled = None
+    if not use_blocks:
+        celled = ghost_expand(points, spec).cache()
+        biggest = celled.groupBy("cell").count().agg(F.max("count")).head()[0]
+        if biggest is not None and biggest > block_fallback_rows:
+            use_blocks = True
+            celled.unpersist()
 
-    # carry core flags back onto the ghost-expanded frame (AQE picks
-    # broadcast vs shuffle; flags is one boolean per point)
-    celled_flagged = celled.join(flags, "id")
+    if use_blocks:
+        counts = block_neighbor_counts(points, eps)
+        flags = counts.select(
+            "id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core")
+        ).cache()
+        pf = points.join(flags, "id").select("id", "xs", "is_core")
+        lb = block_components_and_borders(pf, eps).cache()
+        lb.count()
+    else:
+        counts = neighbor_counts(celled, eps)
+        # cached: used by the flags join AND core_roots below — without
+        # this the O(n^2)-per-cell neighbor kernel runs twice
+        flags = counts.select(
+            "id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core")
+        ).cache()
 
-    lb = local_components_and_borders(celled_flagged, spec.eps).cache()
-    # materialize the (small) edge frame eagerly, then release the
-    # ghost-expanded cache — it is ~3.4x the input and every
-    # downstream op needs only lb/flags. Without this, repeated
-    # dbscan() calls in one session stack up evicting caches.
-    lb.count()
-    celled.unpersist()
+        # carry core flags back onto the ghost-expanded frame (AQE picks
+        # broadcast vs shuffle; flags is one boolean per point)
+        celled_flagged = celled.join(flags, "id")
+
+        lb = local_components_and_borders(celled_flagged, spec.eps).cache()
+        # materialize the (small) edge frame eagerly, then release the
+        # ghost-expanded cache — it is ~3.4x the input and every
+        # downstream op needs only lb/flags. Without this, repeated
+        # dbscan() calls in one session stack up evicting caches.
+        lb.count()
+        celled.unpersist()
     star_edges = lb.filter(F.col("kind") == 0).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     border_pairs = lb.filter(F.col("kind") == 1).select("a", "b")
 

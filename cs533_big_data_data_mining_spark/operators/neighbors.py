@@ -131,6 +131,140 @@ def brute_force_neighbor_counts(points: DataFrame, eps: float, dims: int) -> Dat
     )
 
 
+def _pack_blocks(points: DataFrame, n: int, block_rows: int, extra: list[str] | None = None):
+    """Hash-pack a point frame into ~``n/block_rows`` single-row
+    blocks and join the unordered block pairs (i <= j). Each output
+    row carries two whole blocks — task memory is bounded by
+    2*block_rows regardless of N, and the m(m+1)/2 pairs are the unit
+    of parallelism."""
+    import math
+
+    m = max(1, math.ceil(n / block_rows))
+    cols = ["id", "xs"] + (extra or [])
+    aggs = [F.collect_list(c).alias(f"{c}s_") for c in cols]
+    packed = (
+        points.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(m)).cast("int"))
+        .groupBy("blk")
+        .agg(*aggs)
+    )
+    right = packed.select(
+        F.col("blk").alias("yblk"), *[F.col(f"{c}s_").alias(f"y{c}s_") for c in cols]
+    )
+    pairs = packed.join(right, F.col("blk") <= F.col("yblk"))
+    return pairs.repartition(max(m * (m + 1) // 2, 1)), m
+
+
+def block_neighbor_counts(points: DataFrame, eps: float, block_rows: int = 2048) -> DataFrame:
+    """``(id, n_neighbors)`` via block nested-loop — the fallback for
+    data the grid cannot partition (high-dimensional or ultra-dense:
+    SURVEY §7 Phase D(i)/(ii)). The O(N^2) distance work is exact and
+    unavoidable; this spreads it over m(m+1)/2 block-pair tasks
+    instead of one degenerate cell, then sums per-point partials with
+    one map-side-combinable groupBy."""
+    eps2 = float(eps) * float(eps)
+    n = points.count()
+    pairs, _m = _pack_blocks(points.select("id", "xs"), n, block_rows)
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                xi = np.asarray(list(row.ids_), dtype=np.int64)
+                X = np.asarray([np.asarray(v) for v in row.xss_], dtype=np.float64)
+                yi = np.asarray(list(row.yids_), dtype=np.int64)
+                Y = np.asarray([np.asarray(v) for v in row.yxss_], dtype=np.float64)
+                same = row.blk == row.yblk
+                out_id, out_c = [], []
+                step = _block_rows(Y.shape[0])
+                cx = np.zeros(X.shape[0], dtype=np.int64)
+                cy = np.zeros(Y.shape[0], dtype=np.int64)
+                for lo in range(0, X.shape[0], step):
+                    hit = _dist2_block(X[lo : lo + step], Y) <= eps2
+                    cx[lo : lo + step] = hit.sum(axis=1)
+                    if not same:
+                        cy += hit.sum(axis=0)
+                out_id.append(xi)
+                out_c.append(cx)
+                if not same:
+                    out_id.append(yi)
+                    out_c.append(cy)
+                yield pd.DataFrame(
+                    {"id": np.concatenate(out_id), "pc": np.concatenate(out_c)}
+                )
+
+    partials = pairs.mapInPandas(kernel, "id long, pc long")
+    return partials.groupBy("id").agg(F.sum("pc").alias("n_neighbors"))
+
+
+def block_components_and_borders(
+    points_flagged: DataFrame, eps: float, block_rows: int = 2048
+) -> DataFrame:
+    """Block-mode twin of ``local_components_and_borders``. Input
+    ``(id, xs, is_core)``; output rows ``(kind, a, b)``:
+
+    * kind=0: raw core-core eps-edges (u < v) — fed straight to the
+      global connected-components pass (no per-cell contraction is
+      possible without a cell-complete neighborhood view).
+    * kind=1: (non-core id, adjacent core id) border candidates.
+    """
+    eps2 = float(eps) * float(eps)
+    n = points_flagged.count()
+    pairs, _m = _pack_blocks(
+        points_flagged.select("id", "xs", "is_core"), n, block_rows, extra=["is_core"]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("kind", T.IntegerType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                xi = np.asarray(list(row.ids_), dtype=np.int64)
+                X = np.asarray([np.asarray(v) for v in row.xss_], dtype=np.float64)
+                xc = np.asarray(list(row.is_cores_), dtype=bool)
+                yi = np.asarray(list(row.yids_), dtype=np.int64)
+                Y = np.asarray([np.asarray(v) for v in row.yxss_], dtype=np.float64)
+                yc = np.asarray(list(row.yis_cores_), dtype=bool)
+                same = row.blk == row.yblk
+                ka, kb, kk = [], [], []
+                step = _block_rows(Y.shape[0])
+                for lo in range(0, X.shape[0], step):
+                    hit = _dist2_block(X[lo : lo + step], Y) <= eps2
+                    ai, bi = np.nonzero(hit)
+                    ga, gb = xi[lo + ai], yi[bi]
+                    ca, cb = xc[lo + ai], yc[bi]
+                    # core-core edges, each unordered pair once
+                    cc = ca & cb & (ga < gb if same else ga != gb)
+                    u, v = ga[cc], gb[cc]
+                    kk.append(np.zeros(u.size, dtype=np.int32))
+                    ka.append(np.minimum(u, v))
+                    kb.append(np.maximum(u, v))
+                    # border candidates in both directions
+                    xb = ~ca & cb
+                    kk.append(np.ones(xb.sum(), dtype=np.int32))
+                    ka.append(ga[xb])
+                    kb.append(gb[xb])
+                    if not same:
+                        yb = ca & ~cb
+                        kk.append(np.ones(yb.sum(), dtype=np.int32))
+                        ka.append(gb[yb])
+                        kb.append(ga[yb])
+                yield pd.DataFrame(
+                    {
+                        "kind": np.concatenate(kk) if kk else np.array([], dtype=np.int32),
+                        "a": np.concatenate(ka) if ka else np.array([], dtype=np.int64),
+                        "b": np.concatenate(kb) if kb else np.array([], dtype=np.int64),
+                    }
+                )
+
+    # no dedup needed: a given point pair lives in exactly one block
+    # pair, and same-block emission is orientation-filtered
+    return pairs.mapInPandas(kernel, schema)
+
+
 def local_components_and_borders(celled_flagged: DataFrame, eps: float) -> DataFrame:
     """Per-cell DBSCAN phase 2 (op 9's union half + edge emission for
     op 10). Input: ghost-expanded frame with ``is_core`` —
