@@ -34,18 +34,30 @@ def _entry_module():
     return mod
 
 
-def bench_clus50k(spark):
-    """The reference baseline workload: full DBSCAN on clus50k.bin."""
+def _bench_ref(spark, fname, eps, min_pts, want_k, want_noise):
+    """A reference-repo workload: full DBSCAN with validated output."""
     from cs533_big_data_data_mining_spark import dbscan, dbscan_stats, read_points_bin
 
-    pts = read_points_bin(spark, REFERENCE_BIN).repartition(32).cache()
+    pts = read_points_bin(spark, f"/root/reference/{fname}").cache()
     pts.count()
     t0 = time.time()
-    stats = dbscan_stats(dbscan(pts, eps=25.0, min_pts=5)).head()
+    stats = dbscan_stats(dbscan(pts, eps=eps, min_pts=min_pts)).head()
     dt = time.time() - t0
-    assert stats["n_clusters"] == 51 and stats["noise_count"] == 3086, f"clus50k wrong: {stats}"
+    assert stats["n_clusters"] == want_k and stats["noise_count"] == want_noise, (
+        f"{fname} wrong: {stats}"
+    )
     pts.unpersist()
     return dt
+
+
+# (bench key, file, eps, minPts, clusters, noise) — expected values are
+# the sequential-DBSCAN oracle's; where the reference published a
+# validated number it agrees (clus50k: 51/3086 @ manyTests.py:258-266;
+# part64 eps=0.02: 6 clusters @ Progress-5-Nov-19.txt:31-52)
+REF_WORKLOADS = [
+    ("dbscan_clus50k_ref", "clus50k.bin", 25.0, 5, 51, 3086),
+    ("dbscan_part64_ref", "part64.bin", 0.02, 5, 6, 28585),
+]
 
 
 def main() -> None:
@@ -66,10 +78,11 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     if os.path.exists(REFERENCE_BIN):
-        t0 = time.time()
-        bench_clus50k(spark)
-        timings["dbscan_clus50k_ref"] = round(time.time() - t0, 3)
-        print(f"# dbscan_clus50k_ref: {timings['dbscan_clus50k_ref']}s", file=sys.stderr)
+        for key, fname, eps, mp, k, noise in REF_WORKLOADS:
+            t0 = time.time()
+            _bench_ref(spark, fname, eps, mp, k, noise)
+            timings[key] = round(time.time() - t0, 3)
+            print(f"# {key}: {timings[key]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
