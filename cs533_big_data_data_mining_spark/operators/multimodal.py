@@ -143,3 +143,51 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.col("source"),
     )
+
+
+def byte_histogram_features(
+    df: DataFrame, bins: int = 64, batch_rows: int = 1024
+) -> DataFrame:
+    """Feature extraction over opaque payloads — a REAL extractor (no
+    codec needed): the L1-normalized byte-value histogram, the
+    classic content-signature feature for modality/type detection and
+    corruption screening. Output ``(media_id, modality, features
+    ARRAY<DOUBLE>[bins])`` plugs straight into
+    ``operators/similarity`` (cosine top-k / near-dup) as the
+    embedding column.
+
+    256 must divide into ``bins`` evenly-sized buckets.
+    """
+    if 256 % bins:
+        raise ValueError("bins must divide 256")
+    shift = (256 // bins).bit_length() - 1  # byte >> shift -> bucket
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size:
+                    h = np.bincount(arr >> shift, minlength=bins)
+                    feats.append((h / arr.size).astype(np.float64))
+                else:
+                    feats.append(np.zeros(bins, dtype=np.float64))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "features": feats,
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    src = df.select("media_id", "modality", "payload")
+    return src.mapInPandas(kernel, schema=out_schema)

@@ -64,3 +64,47 @@ def test_documents_adapter(spark, sf_dir):
     import pyspark.sql.functions as F  # noqa
     for r in joined[:20]:
         assert r["n_bytes"] == len(r["text"].encode("utf-8"))
+
+
+def test_byte_histogram_features(spark):
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        byte_histogram_features,
+        documents_as_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa", "t"), (2, "zzzz", "t"), (3, "", "t")], ["doc_id", "text", "source"]
+    )
+    out = byte_histogram_features(documents_as_media(docs), bins=64).collect()
+    by_id = {r["media_id"]: np.asarray(r["features"]) for r in out}
+    # 'a' = 97 -> bucket 97 >> 2 = 24; all mass in one bucket, L1-normalized
+    assert by_id[1][24] == 1.0 and by_id[1].sum() == 1.0
+    assert by_id[2][ord("z") >> 2] == 1.0
+    assert by_id[3].sum() == 0.0
+    assert all(len(r["features"]) == 64 for r in out)
+
+
+def test_byte_histogram_feeds_similarity(spark):
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        byte_histogram_features,
+        documents_as_media,
+    )
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "t"), (2, "hello worlds", "t"), (3, "qqqq xyz 123", "t")],
+        ["doc_id", "text", "source"],
+    )
+    feats = byte_histogram_features(documents_as_media(docs)).filter(
+        F.size("features") > 0
+    )
+    top = cosine_topk_bruteforce(
+        feats, feats.filter("media_id = 1"), k=1, id_col="media_id", vec_col="features"
+    ).collect()
+    assert top[0]["neighbor_id"] == 2  # near-identical byte profile wins
