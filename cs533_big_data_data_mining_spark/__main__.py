@@ -1,0 +1,78 @@
+"""CLI driver — the reference's ``mpi_dbscan`` interface on Spark.
+
+Reference usage (``README:39-43``):
+    mpiexec -n P ./mpi_dbscan -i file.bin -b -m minPts -e eps [-o out.nc]
+
+Here (no process-count flag — parallelism is the Spark master's job,
+and there is no power-of-2 restriction, ``mpi_main.cpp:113-123``):
+
+    python -m cs533_big_data_data_mining_spark \\
+        -i clus50k.bin -b -e 25 -m 5 [-o out_parquet] [-p 0.5] [-k 42]
+
+``-p`` (sample fraction) and ``-k`` (seed) exist in the reference's
+getopt (``mpi_main.cpp:88-93``) but were never wired to anything;
+here they actually sample. Output is the reference's column layout
+(``position_col_X{j}`` + ``cluster_id``) as Parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="cs533_big_data_data_mining_spark",
+        description="Distributed DBSCAN (PySpark) - reference-compatible driver",
+    )
+    ap.add_argument("-i", "--input", required=True, help="input file (.bin with -b, else parquet)")
+    ap.add_argument("-b", "--binary", action="store_true", help="input is the reference's .bin format")
+    ap.add_argument("-e", "--eps", type=float, required=True)
+    ap.add_argument("-m", "--min-pts", type=int, required=True)
+    ap.add_argument("-o", "--output", default=None, help="output parquet path (optional)")
+    ap.add_argument("-p", "--sample", type=float, default=None, help="sample fraction (0,1]")
+    ap.add_argument("-k", "--seed", type=int, default=None, help="sampling seed")
+    ap.add_argument("--master", default=None, help="spark master (default local[ncpus])")
+    args = ap.parse_args(argv)
+
+    from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
+    from cs533_big_data_data_mining_spark.session import get_spark
+    from cs533_big_data_data_mining_spark.sources.points import (
+        read_points_bin,
+        read_points_parquet,
+        write_clusters,
+    )
+
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_dbscan_cli", master=args.master)
+    t0 = time.time()
+    pts = (
+        read_points_bin(spark, args.input)
+        if args.binary
+        else read_points_parquet(spark, args.input)
+    )
+    labeled = dbscan(
+        pts, eps=args.eps, min_pts=args.min_pts, sample=args.sample, seed=args.seed
+    )
+    st = dbscan_stats(labeled).head().asDict()
+    dt = time.time() - t0
+    # same report the reference prints (dbscan.cpp:344-367)
+    print(
+        f"Points in clusters {st['points_in_clusters']} noise {st['noise_count']} "
+        f"total points {st['total_points']}; number of clusters {st['n_clusters']}"
+    )
+    print(f"Total time taken {dt:.4f} seconds")
+    if args.output:
+        write_clusters(labeled, args.output)
+        print(f"wrote {args.output}")
+    if not preexisting:  # don't tear down a session we joined
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

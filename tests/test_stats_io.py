@@ -102,3 +102,18 @@ def test_as_points_flat_and_array(spark):
     df2 = spark.createDataFrame([(7, [1.0, 2.0])], "pk long, emb array<float>")
     p2 = as_points(df2, id_col="pk", array_col="emb").head()
     assert p2["id"] == 7 and p2["xs"] == [1.0, 2.0]
+
+
+def test_cli_main(spark, tmp_path):
+    """The reference-compatible CLI driver end to end (uses the
+    session fixture's already-running Spark via getOrCreate)."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(
+        ["-i", "/root/reference/t8.8k.bin", "-b", "-e", "10", "-m", "10", "-o", out]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 8000
+    assert set(got.columns) == {"position_col_X0", "position_col_X1", "cluster_id"}
