@@ -15,12 +15,24 @@ cluster count degrades with parallelism — is fixed by construction).
 """
 
 from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
+from cs533_big_data_data_mining_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash64,
+)
+from cs533_big_data_data_mining_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_neardup_pairs,
+    ivf_topk,
+)
+from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
 from cs533_big_data_data_mining_spark.sources.points import (
     as_points,
     read_points_bin,
     read_points_parquet,
     write_clusters,
 )
+from cs533_big_data_data_mining_spark.streaming.sessions import sessionize
 
 __version__ = "0.1.0"
 
@@ -31,5 +43,13 @@ __all__ = [
     "read_points_bin",
     "read_points_parquet",
     "write_clusters",
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "simhash64",
+    "cosine_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "ivf_topk",
+    "tf_idf",
+    "sessionize",
     "__version__",
 ]
