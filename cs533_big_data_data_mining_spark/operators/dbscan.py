@@ -98,10 +98,14 @@ def dbscan(
     celled = None
     if not use_blocks:
         celled = ghost_expand(points, spec).cache()
-        biggest = celled.groupBy("cell").count().agg(F.max("count")).head()[0]
-        if biggest is not None and biggest > block_fallback_rows:
-            use_blocks = True
-            celled.unpersist()
+        # max-cell probe only when a degenerate cell is even possible:
+        # with n <= block_fallback_rows no cell can exceed the gate
+        # (points is cached, so the count is one cheap pass)
+        if points.count() > block_fallback_rows:
+            biggest = celled.groupBy("cell").count().agg(F.max("count")).head()[0]
+            if biggest is not None and biggest > block_fallback_rows:
+                use_blocks = True
+                celled.unpersist()
 
     if use_blocks:
         counts = block_neighbor_counts(points, eps)
