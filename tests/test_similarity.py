@@ -72,3 +72,20 @@ def test_ivf_recall(spark, sf_dir):
     # nprobe 3/8 of a random-vector corpus: recall must beat the
     # scanned fraction and be meaningfully high
     assert mean_recall > 0.5, f"mean recall {mean_recall}"
+
+
+def test_lsh_neardup_matches_exact(spark):
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    # sf0.01: the planted near-dups sit around cosine 0.4-0.5, so the
+    # band width is tuned down (r=4) per the docstring's recall math:
+    # recall at cos=0.4 with r=4, b=32 is 1-(1-0.159)^32 ~ 0.996
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in embedding_neardup_pairs(emb, 0.4).collect()}
+    got = {(r["a"], r["b"]) for r in lsh_neardup_pairs(emb, 0.4, num_bits=128, bands=32).collect()}
+    assert got <= exact            # exact verification => precision 1.0
+    assert len(exact) > 0
+    assert len(got) >= 0.9 * len(exact)
