@@ -205,10 +205,14 @@ def _q_cluster_stats(spark, sf_dir):
 
 
 def _q_dense_ids(spark, sf_dir):
+    # distinct FIRST: the serial global window then sorts |suppliers|
+    # rows, not |lineitem| (round-1 verdict finding #2 — the original
+    # windowed every lineitem row through a single partition)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li.createOrReplaceTempView("_li_dense")
     return spark.sql(
-        "SELECT DISTINCT l_suppkey, CAST(dense_rank() OVER (ORDER BY l_suppkey) AS BIGINT) AS dense_id FROM _li_dense"
+        "SELECT l_suppkey, CAST(dense_rank() OVER (ORDER BY l_suppkey) AS BIGINT) AS dense_id "
+        "FROM (SELECT DISTINCT l_suppkey FROM _li_dense)"
     )
 
 

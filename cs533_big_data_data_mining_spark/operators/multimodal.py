@@ -72,18 +72,28 @@ def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) ->
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
-                rows = []
-                for mid, mod, payload in zip(chunk["media_id"], chunk["modality"], chunk["payload"]):
-                    buf = bytes(payload) if payload is not None else b""
-                    ok = len(buf) >= 9 and buf[:4] == b"FAKE"
-                    if ok:
-                        w, h, c = struct.unpack("<HHB", buf[4:9])
-                    else:
-                        w = h = c = 0
-                    rows.append((mid, mod, w, h, c, len(buf), ok))
+                bufs = [bytes(p) if p is not None else b"" for p in chunk["payload"]]
+                n = len(bufs)
+                lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+                # pack the (padded) 9-byte headers into one (n, 9)
+                # uint8 matrix; all field decoding is then vectorized
+                heads = np.frombuffer(
+                    b"".join(b[:9].ljust(9, b"\0") for b in bufs), dtype=np.uint8
+                ).reshape(n, 9)
+                ok = (lens >= 9) & (heads[:, :4] == np.frombuffer(b"FAKE", dtype=np.uint8)).all(axis=1)
+                w = np.where(ok, heads[:, 4].astype(np.int32) | (heads[:, 5].astype(np.int32) << 8), 0)
+                h = np.where(ok, heads[:, 6].astype(np.int32) | (heads[:, 7].astype(np.int32) << 8), 0)
+                c = np.where(ok, heads[:, 8].astype(np.int32), 0)
                 yield pd.DataFrame(
-                    rows,
-                    columns=["media_id", "modality", "width", "height", "channels", "n_bytes", "payload_ok"],
+                    {
+                        "media_id": chunk["media_id"].to_numpy(),
+                        "modality": chunk["modality"].to_numpy(),
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "n_bytes": lens,
+                        "payload_ok": ok,
+                    }
                 )
 
     return df.mapInPandas(kernel, schema=DECODED_SCHEMA)
@@ -121,14 +131,19 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mids, frames = [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n_frames = (len(bytes(payload)) if payload is not None else 0) // 1024 + 1
-                for fi in range(0, n_frames, every_n):
-                    mids.append(mid)
-                    frames.append(fi)
-            yield pd.DataFrame({"media_id": np.asarray(mids, dtype=np.int64),
-                                "frame_index": np.asarray(frames, dtype=np.int32)})
+            lens = np.fromiter(
+                (len(p) if p is not None else 0 for p in pdf["payload"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            n_frames = lens // 1024 + 1
+            counts = (n_frames + every_n - 1) // every_n  # frames sampled per row
+            total = int(counts.sum())
+            mids = np.repeat(pdf["media_id"].to_numpy(), counts)
+            # per-row ramp 0..counts-1, scaled by the stride
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            frames = ((np.arange(total, dtype=np.int64) - starts) * every_n).astype(np.int32)
+            yield pd.DataFrame({"media_id": mids, "frame_index": frames})
 
     return df.select("media_id", "payload").mapInPandas(kernel, schema=schema)
 

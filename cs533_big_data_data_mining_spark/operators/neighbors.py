@@ -7,17 +7,34 @@ runs fixed-radius queries (``r_nearest_around_point``,
 detail of one ``applyInPandas`` stage: each grid cell arrives as a
 pandas DataFrame (home + ghost rows), and a vectorized NumPy kernel
 does the neighbor math. No scipy in this container, so the kernel is
-blockwise exact distance accumulation — O(n_home * n) per cell with
-bounded memory, fully vectorized, float64.
+a **sort-sweep**: rows are sorted by the cell's widest coordinate and
+each block of query points only measures candidates inside the
+``[min - eps, max + eps]`` window of that coordinate — the same
+branch-and-bound pruning the reference's kd-tree descent does
+(``kdtree2.cpp:434-499``), expressed as one ``searchsorted`` per
+block instead of a tree walk. Worst case (all points within eps on
+the sweep axis) degrades to the exact blockwise scan, never worse.
 
 Exactness contract: squared distance is accumulated per dimension in
 ascending order, in float64 — bit-identical to the DuckDB oracle's
 ``(a.x0-b.x0)^2 + (a.x1-b.x1)^2 + ...`` left-to-right sum, so the
-``<= eps^2`` boundary predicate agrees exactly.
+``<= eps^2`` boundary predicate agrees exactly. The sweep window is
+padded by ``eps * 1e-9`` so float rounding can never prune a pair
+the exact test would keep.
+
+Oversized cells (skew): a cell whose population exceeds the caller's
+gate is NOT allowed to serialize one giant task, and it must not flip
+the whole job to all-pairs either (round-1 verdict finding #1).
+``cell_block_neighbor_counts`` / ``cell_block_components_and_borders``
+re-spread each oversized cell over ``m*(m+1)/2`` block-pair tasks —
+the reference's RCB rebalancing spirit (``geometric_partitioning.cpp:
+243-497``) applied only where the data is actually dense. Memory per
+task is bounded by ``2 * block_rows`` rows regardless of cell size.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -28,6 +45,8 @@ from pyspark.sql import types as T
 
 # Memory budget per distance block: rows_per_block * n * 8 bytes <= ~128 MB
 _BLOCK_BYTES = 128 * 1024 * 1024
+
+_EMPTY = np.empty(0, dtype=np.int64)
 
 
 def _block_rows(n: int) -> int:
@@ -44,6 +63,60 @@ def _dist2_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         d = a[:, j : j + 1] - b[None, :, j]
         out += d * d
     return out
+
+
+def _sweep_order(A: np.ndarray, B: np.ndarray):
+    """Shared sweep setup: pick B's widest dim, sort both sides by it."""
+    d = int(np.argmax(np.ptp(B, axis=0))) if B.shape[0] > 1 else 0
+    bo = np.argsort(B[:, d], kind="stable")
+    ao = np.argsort(A[:, d], kind="stable")
+    As, Bs = A[ao], B[bo]
+    return ao, As, As[:, d], bo, Bs, Bs[:, d]
+
+
+def _eps_counts_sweep(A: np.ndarray, B: np.ndarray, eps2: float, eps: float) -> np.ndarray:
+    """Per-A-row count of B rows within eps (self counts if present in B)."""
+    counts = np.zeros(A.shape[0], dtype=np.int64)
+    if A.shape[0] == 0 or B.shape[0] == 0:
+        return counts
+    ao, As, ac, _bo, Bs, bc = _sweep_order(A, B)
+    pad = eps * 1e-9
+    step = _block_rows(B.shape[0])
+    for lo in range(0, As.shape[0], step):
+        hi = min(lo + step, As.shape[0])
+        w0 = int(np.searchsorted(bc, ac[lo] - eps - pad, side="left"))
+        w1 = int(np.searchsorted(bc, ac[hi - 1] + eps + pad, side="right"))
+        if w0 >= w1:
+            continue
+        d2 = _dist2_block(As[lo:hi], Bs[w0:w1])
+        counts[ao[lo:hi]] = (d2 <= eps2).sum(axis=1)
+    return counts
+
+
+def _eps_pairs_sweep(A: np.ndarray, B: np.ndarray, eps2: float, eps: float):
+    """All index pairs (i, j) with ``||A[i]-B[j]||^2 <= eps2``, as two
+    int64 arrays in original (unsorted) index space. When A is B every
+    ordered pair appears exactly once (including i == j)."""
+    if A.shape[0] == 0 or B.shape[0] == 0:
+        return _EMPTY, _EMPTY
+    ao, As, ac, bo, Bs, bc = _sweep_order(A, B)
+    pad = eps * 1e-9
+    step = _block_rows(B.shape[0])
+    out_a, out_b = [], []
+    for lo in range(0, As.shape[0], step):
+        hi = min(lo + step, As.shape[0])
+        w0 = int(np.searchsorted(bc, ac[lo] - eps - pad, side="left"))
+        w1 = int(np.searchsorted(bc, ac[hi - 1] + eps + pad, side="right"))
+        if w0 >= w1:
+            continue
+        d2 = _dist2_block(As[lo:hi], Bs[w0:w1])
+        ai, bi = np.nonzero(d2 <= eps2)
+        if ai.size:
+            out_a.append(ao[lo + ai])
+            out_b.append(bo[w0 + bi])
+    if not out_a:
+        return _EMPTY, _EMPTY
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 
 def _cell_matrix(pdf: pd.DataFrame) -> np.ndarray:
@@ -68,12 +141,7 @@ def neighbor_counts(celled: DataFrame, eps: float) -> DataFrame:
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         x = _cell_matrix(pdf)
         home = pdf["is_home"].to_numpy(dtype=bool)
-        hx = x[home]
-        counts = np.empty(hx.shape[0], dtype=np.int64)
-        step = _block_rows(x.shape[0])
-        for lo in range(0, hx.shape[0], step):
-            d2 = _dist2_block(hx[lo : lo + step], x)
-            counts[lo : lo + step] = (d2 <= eps2).sum(axis=1)
+        counts = _eps_counts_sweep(x[home], x, eps2, float(eps))
         return pd.DataFrame({"id": pdf["id"].to_numpy()[home], "n_neighbors": counts})
 
     return celled.groupBy("cell").applyInPandas(kernel, schema=schema)
@@ -96,17 +164,8 @@ def epsilon_self_join(celled: DataFrame, eps: float) -> DataFrame:
         ids = pdf["id"].to_numpy()
         home = pdf["is_home"].to_numpy(dtype=bool)
         hx, hid = x[home], ids[home]
-        out_a, out_b = [], []
-        step = _block_rows(x.shape[0])
-        for lo in range(0, hx.shape[0], step):
-            d2 = _dist2_block(hx[lo : lo + step], x)
-            ai, bi = np.nonzero(d2 <= eps2)
-            out_a.append(hid[lo : lo + step][ai])
-            out_b.append(ids[bi])
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
-             "b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)}
-        )
+        ai, bi = _eps_pairs_sweep(hx, x, eps2, float(eps))
+        return pd.DataFrame({"a": hid[ai], "b": ids[bi]})
 
     return celled.groupBy("cell").applyInPandas(kernel, schema=schema)
 
@@ -131,62 +190,80 @@ def brute_force_neighbor_counts(points: DataFrame, eps: float, dims: int) -> Dat
     )
 
 
-def _pack_blocks(points: DataFrame, n: int, block_rows: int, extra: list[str] | None = None):
-    """Hash-pack a point frame into ~``n/block_rows`` single-row
-    blocks and join the unordered block pairs (i <= j). Each output
-    row carries two whole blocks — task memory is bounded by
-    2*block_rows regardless of N, and the m(m+1)/2 pairs are the unit
-    of parallelism."""
-    import math
-
-    m = max(1, math.ceil(n / block_rows))
-    cols = ["id", "xs"] + (extra or [])
+def _pack_cell_blocks(
+    big_celled: DataFrame, sizes: dict[int, int], block_rows: int, cols: list[str]
+) -> DataFrame:
+    """Pack each oversized cell's rows into ``m_c = ceil(n_c /
+    block_rows)`` single-row blocks (hash-assigned by id) and join the
+    unordered same-cell block pairs (blk <= yblk). Each output row
+    carries two whole blocks — task memory is bounded by 2*block_rows
+    regardless of cell size, and the sum of per-cell m_c*(m_c+1)/2
+    pairs is the unit of parallelism. ``sizes`` (cell -> rowcount)
+    comes from the caller's single probe aggregation, so per-cell
+    block counts cost no extra pass."""
+    spark = big_celled.sparkSession
+    mdf = spark.createDataFrame(
+        [(int(c), max(1, math.ceil(n / block_rows))) for c, n in sizes.items()],
+        "cell long, m int",
+    )
     aggs = [F.collect_list(c).alias(f"{c}s_") for c in cols]
     packed = (
-        points.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(m)).cast("int"))
-        .groupBy("blk")
+        big_celled.join(F.broadcast(mdf), "cell")
+        .withColumn("blk", F.pmod(F.xxhash64("id"), F.col("m").cast("long")).cast("int"))
+        .groupBy("cell", "blk")
         .agg(*aggs)
     )
     right = packed.select(
-        F.col("blk").alias("yblk"), *[F.col(f"{c}s_").alias(f"y{c}s_") for c in cols]
+        F.col("cell").alias("ycell"),
+        F.col("blk").alias("yblk"),
+        *[F.col(f"{c}s_").alias(f"y{c}s_") for c in cols],
     )
-    pairs = packed.join(right, F.col("blk") <= F.col("yblk"))
-    return pairs.repartition(max(m * (m + 1) // 2, 1)), m
+    pairs = packed.join(right, (F.col("cell") == F.col("ycell")) & (F.col("blk") <= F.col("yblk")))
+    npairs = sum(
+        max(1, math.ceil(n / block_rows)) * (max(1, math.ceil(n / block_rows)) + 1) // 2
+        for n in sizes.values()
+    )
+    return pairs.repartition(min(max(npairs, 1), 2048))
 
 
-def block_neighbor_counts(points: DataFrame, eps: float, block_rows: int = 2048) -> DataFrame:
-    """``(id, n_neighbors)`` via block nested-loop — the fallback for
-    data the grid cannot partition (high-dimensional or ultra-dense:
-    SURVEY §7 Phase D(i)/(ii)). The O(N^2) distance work is exact and
-    unavoidable; this spreads it over m(m+1)/2 block-pair tasks
-    instead of one degenerate cell, then sums per-point partials with
-    one map-side-combinable groupBy."""
+def _unpack_pair(row, flagged: bool):
+    xi = np.asarray(list(row.ids_), dtype=np.int64)
+    X = np.asarray([np.asarray(v) for v in row.xss_], dtype=np.float64)
+    xh = np.asarray(list(row.is_homes_), dtype=bool)
+    xc = np.asarray(list(row.is_cores_), dtype=bool) if flagged else None
+    if row.blk == row.yblk:
+        return True, xi, X, xh, xc, xi, X, xh, xc
+    yi = np.asarray(list(row.yids_), dtype=np.int64)
+    Y = np.asarray([np.asarray(v) for v in row.yxss_], dtype=np.float64)
+    yh = np.asarray(list(row.yis_homes_), dtype=bool)
+    yc = np.asarray(list(row.yis_cores_), dtype=bool) if flagged else None
+    return False, xi, X, xh, xc, yi, Y, yh, yc
+
+
+def cell_block_neighbor_counts(
+    big_celled: DataFrame, sizes: dict[int, int], eps: float, block_rows: int = 2048
+) -> DataFrame:
+    """``(id, n_neighbors)`` for the HOME points of oversized cells.
+
+    Exactly the per-cell work of ``neighbor_counts``, re-spread over
+    same-cell block pairs: each pair task counts cross-block hits and
+    emits per-point partials; one map-side-combinable groupBy sums
+    them. Only home rows get counts (ghost rows are home elsewhere),
+    so the union with the small-cell kernel's output covers every
+    point exactly once."""
     eps2 = float(eps) * float(eps)
-    n = points.count()
-    pairs, _m = _pack_blocks(points.select("id", "xs"), n, block_rows)
+    pairs = _pack_cell_blocks(big_celled, sizes, block_rows, ["id", "xs", "is_home"])
 
-    def kernel(batches):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                xi = np.asarray(list(row.ids_), dtype=np.int64)
-                X = np.asarray([np.asarray(v) for v in row.xss_], dtype=np.float64)
-                yi = np.asarray(list(row.yids_), dtype=np.int64)
-                Y = np.asarray([np.asarray(v) for v in row.yxss_], dtype=np.float64)
-                same = row.blk == row.yblk
-                out_id, out_c = [], []
-                step = _block_rows(Y.shape[0])
-                cx = np.zeros(X.shape[0], dtype=np.int64)
-                cy = np.zeros(Y.shape[0], dtype=np.int64)
-                for lo in range(0, X.shape[0], step):
-                    hit = _dist2_block(X[lo : lo + step], Y) <= eps2
-                    cx[lo : lo + step] = hit.sum(axis=1)
-                    if not same:
-                        cy += hit.sum(axis=0)
-                out_id.append(xi)
-                out_c.append(cx)
+                same, xi, X, xh, _, yi, Y, yh, _ = _unpack_pair(row, flagged=False)
+                ai, bi = _eps_pairs_sweep(X, Y, eps2, float(eps))
+                out_id = [xi[xh]]
+                out_c = [np.bincount(ai, minlength=X.shape[0]).astype(np.int64)[xh]]
                 if not same:
-                    out_id.append(yi)
-                    out_c.append(cy)
+                    out_id.append(yi[yh])
+                    out_c.append(np.bincount(bi, minlength=Y.shape[0]).astype(np.int64)[yh])
                 yield pd.DataFrame(
                     {"id": np.concatenate(out_id), "pc": np.concatenate(out_c)}
                 )
@@ -195,22 +272,24 @@ def block_neighbor_counts(points: DataFrame, eps: float, block_rows: int = 2048)
     return partials.groupBy("id").agg(F.sum("pc").alias("n_neighbors"))
 
 
-def block_components_and_borders(
-    points_flagged: DataFrame, eps: float, block_rows: int = 2048
+def cell_block_components_and_borders(
+    big_flagged: DataFrame, sizes: dict[int, int], eps: float, block_rows: int = 2048
 ) -> DataFrame:
-    """Block-mode twin of ``local_components_and_borders``. Input
-    ``(id, xs, is_core)``; output rows ``(kind, a, b)``:
+    """Block-pair twin of ``local_components_and_borders`` for
+    oversized cells. Input ``(cell, id, xs, is_home, is_core)``;
+    output rows ``(kind, a, b)``:
 
-    * kind=0: raw core-core eps-edges (u < v) — fed straight to the
-      global connected-components pass (no per-cell contraction is
-      possible without a cell-complete neighborhood view).
-    * kind=1: (non-core id, adjacent core id) border candidates.
-    """
+    * kind=0: raw core-core eps-edges (a < b) — fed straight to the
+      global connected-components pass (no per-cell contraction
+      without a cell-complete view; CC absorbs raw edges fine).
+    * kind=1: (non-core HOME id, adjacent core id) border candidates.
+
+    Each unordered point pair lives in exactly one same-cell block
+    pair (id -> block is a function), so no within-cell dedup is
+    needed; cross-cell duplicates are absorbed by CC's distinct and
+    the border min-root aggregate."""
     eps2 = float(eps) * float(eps)
-    n = points_flagged.count()
-    pairs, _m = _pack_blocks(
-        points_flagged.select("id", "xs", "is_core"), n, block_rows, extra=["is_core"]
-    )
+    pairs = _pack_cell_blocks(big_flagged, sizes, block_rows, ["id", "xs", "is_home", "is_core"])
     schema = T.StructType(
         [
             T.StructField("kind", T.IntegerType()),
@@ -219,49 +298,40 @@ def block_components_and_borders(
         ]
     )
 
-    def kernel(batches):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                xi = np.asarray(list(row.ids_), dtype=np.int64)
-                X = np.asarray([np.asarray(v) for v in row.xss_], dtype=np.float64)
-                xc = np.asarray(list(row.is_cores_), dtype=bool)
-                yi = np.asarray(list(row.yids_), dtype=np.int64)
-                Y = np.asarray([np.asarray(v) for v in row.yxss_], dtype=np.float64)
-                yc = np.asarray(list(row.yis_cores_), dtype=bool)
-                same = row.blk == row.yblk
+                same, xi, X, xh, xc, yi, Y, yh, yc = _unpack_pair(row, flagged=True)
+                ai, bi = _eps_pairs_sweep(X, Y, eps2, float(eps))
+                ga, gb = xi[ai], yi[bi]
+                ca, cb = xc[ai], yc[bi]
                 ka, kb, kk = [], [], []
-                step = _block_rows(Y.shape[0])
-                for lo in range(0, X.shape[0], step):
-                    hit = _dist2_block(X[lo : lo + step], Y) <= eps2
-                    ai, bi = np.nonzero(hit)
-                    ga, gb = xi[lo + ai], yi[bi]
-                    ca, cb = xc[lo + ai], yc[bi]
-                    # core-core edges, each unordered pair once
-                    cc = ca & cb & (ga < gb if same else ga != gb)
-                    u, v = ga[cc], gb[cc]
-                    kk.append(np.zeros(u.size, dtype=np.int32))
-                    ka.append(np.minimum(u, v))
-                    kb.append(np.maximum(u, v))
-                    # border candidates in both directions
-                    xb = ~ca & cb
-                    kk.append(np.ones(xb.sum(), dtype=np.int32))
-                    ka.append(ga[xb])
-                    kb.append(gb[xb])
-                    if not same:
-                        yb = ca & ~cb
-                        kk.append(np.ones(yb.sum(), dtype=np.int32))
-                        ka.append(gb[yb])
-                        kb.append(ga[yb])
+                # core-core edges: same-block enumerates both orders ->
+                # keep i < j; cross-block pairs appear once already
+                ccm = ca & cb & ((ai < bi) if same else (ga != gb))
+                u, v = ga[ccm], gb[ccm]
+                kk.append(np.zeros(u.size, dtype=np.int32))
+                ka.append(np.minimum(u, v))
+                kb.append(np.maximum(u, v))
+                # border candidates: home non-core -> adjacent core
+                # (same-block both orders covered by full enumeration)
+                xb = xh[ai] & ~ca & cb
+                kk.append(np.ones(int(xb.sum()), dtype=np.int32))
+                ka.append(ga[xb])
+                kb.append(gb[xb])
+                if not same:
+                    yb = yh[bi] & ~cb & ca
+                    kk.append(np.ones(int(yb.sum()), dtype=np.int32))
+                    ka.append(gb[yb])
+                    kb.append(ga[yb])
                 yield pd.DataFrame(
                     {
-                        "kind": np.concatenate(kk) if kk else np.array([], dtype=np.int32),
-                        "a": np.concatenate(ka) if ka else np.array([], dtype=np.int64),
-                        "b": np.concatenate(kb) if kb else np.array([], dtype=np.int64),
+                        "kind": np.concatenate(kk),
+                        "a": np.concatenate(ka),
+                        "b": np.concatenate(kb),
                     }
                 )
 
-    # no dedup needed: a given point pair lives in exactly one block
-    # pair, and same-block emission is orientation-filtered
     return pairs.mapInPandas(kernel, schema)
 
 
@@ -294,7 +364,6 @@ def local_components_and_borders(celled_flagged: DataFrame, eps: float) -> DataF
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
         ids = pdf["id"].to_numpy()
         core = pdf["is_core"].to_numpy(dtype=bool)
         home = pdf["is_home"].to_numpy(dtype=bool)
@@ -305,21 +374,12 @@ def local_components_and_borders(celled_flagged: DataFrame, eps: float) -> DataF
         frames = []
 
         if nc:
-            # core-core adjacency -> local min-label union (ids sorted, so
-            # min label index == min id)
+            # core-core adjacency -> local min-label union
+            u, v = _eps_pairs_sweep(cx, cx, eps2, float(eps))
+            keep = u < v
+            u, v = u[keep], v[keep]
             labels = np.arange(nc, dtype=np.int64)
-            step = _block_rows(nc)
-            pairs_u, pairs_v = [], []
-            for lo in range(0, nc, step):
-                d2 = _dist2_block(cx[lo : lo + step], cx)
-                ui, vi = np.nonzero(d2 <= eps2)
-                ui = ui + lo
-                keep = ui < vi
-                pairs_u.append(ui[keep])
-                pairs_v.append(vi[keep])
-            if pairs_u:
-                u = np.concatenate(pairs_u)
-                v = np.concatenate(pairs_v)
+            if u.size:
                 while True:
                     before = labels.copy()
                     np.minimum.at(labels, u, labels[v])
@@ -327,24 +387,22 @@ def local_components_and_borders(celled_flagged: DataFrame, eps: float) -> DataF
                     labels = labels[labels]  # pointer jump
                     if np.array_equal(labels, before):
                         break
-            frames.append(pd.DataFrame({"kind": 0, "a": cid, "b": cid[labels]}))
+            # component label -> min member id (rows arrive in arbitrary
+            # order, so index-min is not id-min; reduce explicitly)
+            minid = np.full(nc, np.iinfo(np.int64).max)
+            np.minimum.at(minid, labels, cid)
+            root_ids = minid[labels]
+            frames.append(pd.DataFrame({"kind": 0, "a": cid, "b": root_ids}))
 
             # border candidates: non-core HOME points adjacent to a core
             bmask = home & ~core
             bx, bid = x[bmask], ids[bmask]
             if bx.shape[0]:
-                root_ids = cid[labels]
-                step_b = _block_rows(nc)
-                rows_a, rows_b = [], []
-                for lo in range(0, bx.shape[0], step_b):
-                    d2 = _dist2_block(bx[lo : lo + step_b], cx)
-                    ai, ci = np.nonzero(d2 <= eps2)
-                    rows_a.append(bid[lo : lo + step_b][ai])
-                    rows_b.append(root_ids[ci])
-                if rows_a:
-                    ba = np.concatenate(rows_a)
-                    bb = np.concatenate(rows_b)
-                    uniq = pd.DataFrame({"kind": 1, "a": ba, "b": bb}).drop_duplicates()
+                ai, ci = _eps_pairs_sweep(bx, cx, eps2, float(eps))
+                if ai.size:
+                    uniq = pd.DataFrame(
+                        {"kind": 1, "a": bid[ai], "b": root_ids[ci]}
+                    ).drop_duplicates()
                     frames.append(uniq)
 
         if not frames:
