@@ -41,11 +41,15 @@ def _bench_ref(spark, fname, eps, min_pts, want_k, want_noise):
     pts = read_points_bin(spark, f"/root/reference/{fname}").cache()
     pts.count()
     t0 = time.time()
-    stats = dbscan_stats(dbscan(pts, eps=eps, min_pts=min_pts)).head()
+    stages: dict = {}
+    labeled = dbscan(pts, eps=eps, min_pts=min_pts, stage_times=stages)
+    stats = dbscan_stats(labeled).head()
     dt = time.time() - t0
+    print(f"#   stages {fname}: {stages}", file=sys.stderr)
     assert stats["n_clusters"] == want_k and stats["noise_count"] == want_noise, (
         f"{fname} wrong: {stats}"
     )
+    labeled.unpersist()
     pts.unpersist()
     return dt
 

@@ -181,26 +181,35 @@ def ghost_expand(points: DataFrame, spec: GridSpec) -> DataFrame:
     idx = _cell_index_cols(spec)
     pts = points.select("id", "xs", *[ix.alias(f"_c{i}") for i, ix in enumerate(idx)])
 
+    # Explode a constant offset table (3^k rows of per-axis deltas)
+    # and keep the eps-touching combinations with ONE compact filter.
+    # The naive alternative — 3^k conditional struct builders — makes
+    # an O(3^k) expression tree that Catalyst re-analyzes and
+    # re-codegens on every action of every dbscan() call; this
+    # formulation keeps the tree O(k) and the transient 3^k-row
+    # inflation lives entirely inside one codegen stage, before the
+    # shuffle.
     k = len(spec.dims)
-    candidates = []
-    for delta in product((-1, 0, 1), repeat=k):
-        cell = F.lit(0).cast("long")
-        cond = F.lit(True)
-        for i, d in enumerate(delta):
-            ci = F.col(f"_c{i}") + F.lit(d)
-            cell = cell + ci * F.lit(strides[i])
-            xj = F.col("xs")[spec.dims[i]]
-            low = F.lit(spec.origin[i]) + F.col(f"_c{i}") * F.lit(spec.width[i])
-            if d == -1:
-                cond = cond & (F.col(f"_c{i}") > 0) & ((xj - low) <= F.lit(spec.eps))
-            elif d == 1:
-                cond = cond & (F.col(f"_c{i}") < F.lit(spec.ncells[i] - 1)) & (
-                    (low + F.lit(spec.width[i]) - xj) <= F.lit(spec.eps)
-                )
-        is_home = all(d == 0 for d in delta)
-        candidates.append(F.when(cond, F.struct(cell.alias("cell"), F.lit(is_home).alias("is_home"))))
+    offsets = F.array(*[F.array(*[F.lit(d) for d in delta]) for delta in product((-1, 0, 1), repeat=k)])
+    ex = pts.withColumn("_d", F.explode(offsets))
 
-    exploded = pts.select(
-        "id", "xs", F.explode(F.filter(F.array(*candidates), lambda s: s.isNotNull())).alias("g")
-    )
-    return exploded.select(F.col("g.cell").alias("cell"), "id", "xs", F.col("g.is_home").alias("is_home"))
+    cell = F.lit(0).cast("long")
+    cond = F.lit(True)
+    is_home = F.lit(True)
+    for i in range(k):
+        di = F.col("_d")[i]
+        ci = F.col(f"_c{i}") + di
+        cell = cell + ci * F.lit(strides[i])
+        xj = F.col("xs")[spec.dims[i]]
+        low = F.lit(spec.origin[i]) + F.col(f"_c{i}") * F.lit(spec.width[i])
+        cond = cond & (
+            (di == 0)
+            | ((di == -1) & (F.col(f"_c{i}") > 0) & ((xj - low) <= F.lit(spec.eps)))
+            | (
+                (di == 1)
+                & (F.col(f"_c{i}") < F.lit(spec.ncells[i] - 1))
+                & ((low + F.lit(spec.width[i]) - xj) <= F.lit(spec.eps))
+            )
+        )
+        is_home = is_home & (di == 0)
+    return ex.filter(cond).select(cell.alias("cell"), "id", "xs", is_home.alias("is_home"))

@@ -55,9 +55,9 @@ def _block_rows(n: int) -> int:
 
 def _dist2_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Exact squared distances, per-dim accumulation (dim-ascending,
-    float64) — matches SQL left-to-right sum bit-for-bit. The
-    (a^2 + b^2 - 2ab) BLAS trick is deliberately NOT used: its
-    rounding can flip points sitting exactly on the eps boundary."""
+    float64) — matches SQL left-to-right sum bit-for-bit. Used by the
+    boundary-band recheck and by tests; the bulk path is the BLAS
+    Gram form in ``_blas_hit_pairs``."""
     out = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
     for j in range(a.shape[1]):
         d = a[:, j : j + 1] - b[None, :, j]
@@ -65,13 +65,131 @@ def _dist2_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
-def _sweep_order(A: np.ndarray, B: np.ndarray):
-    """Shared sweep setup: pick B's widest dim, sort both sides by it."""
-    d = int(np.argmax(np.ptp(B, axis=0))) if B.shape[0] > 1 else 0
-    bo = np.argsort(B[:, d], kind="stable")
-    ao = np.argsort(A[:, d], kind="stable")
+def _exact_d2_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise exact squared distance (same dim-ascending f64 order)."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for j in range(a.shape[1]):
+        d = a[:, j] - b[:, j]
+        acc += d * d
+    return acc
+
+
+def _blas_hit_pairs(A: np.ndarray, B: np.ndarray, a2, b2, eps2: float, margin: float):
+    """Hit pairs of one (query block x candidate window) tile.
+
+    ``d2 = |a|^2 + |b|^2 - 2 a.b`` via dgemm — one O(n*m*d) BLAS call
+    plus two elementwise passes, instead of d strided passes. Pairs
+    landing inside ``eps2 +- margin`` (float-rounding band, ~1e-13
+    relative) are re-tested with the exact per-dim accumulation, so
+    the boundary predicate is bit-identical to the SQL oracle's
+    left-to-right sum.
+    """
+    g = A @ B.T
+    d2 = (a2[:, None] + b2[None, :]) - (g + g)
+    ai, bi = np.nonzero(d2 <= eps2 + margin)
+    if ai.size:
+        band = d2[ai, bi] > eps2 - margin
+        if band.any():
+            nb = np.nonzero(band)[0]
+            keep = _exact_d2_rows(A[ai[nb]], B[bi[nb]]) <= eps2
+            if not keep.all():
+                drop = nb[~keep]
+                mask = np.ones(ai.size, dtype=bool)
+                mask[drop] = False
+                ai, bi = ai[mask], bi[mask]
+    return ai, bi
+
+
+# queries per sweep chunk: small enough that the second-dim window
+# stays tight, big enough that the dgemm amortizes the Python loop
+_CHUNK = 256
+
+
+def _eps_pairs_sweep(A: np.ndarray, B: np.ndarray, eps2: float, eps: float):
+    """All index pairs (i, j) with ``||A[i]-B[j]||^2 <= eps2``, as two
+    int64 arrays in original (unsorted) index space. When A is B every
+    ordered pair appears exactly once (including i == j).
+
+    Strip-sweep pruning (the Spark-kernel analog of the reference
+    kd-tree's branch-and-bound descent, ``kdtree2.cpp:434-499``):
+    rows are bucketed into eps-width strips along the widest
+    dimension and sorted by the second-widest inside each strip. A
+    query chunk only measures candidates in its 3 adjacent strips
+    AND inside the chunk's ``[min-eps, max+eps]`` window of the
+    second dimension — near-linear when eps is small relative to the
+    cell, never worse than the full blockwise scan.
+    """
+    na, nb = A.shape[0], B.shape[0]
+    if na == 0 or nb == 0:
+        return _EMPTY, _EMPTY
+    a2 = np.einsum("ij,ij->i", A, A)
+    b2 = np.einsum("ij,ij->i", B, B)
+    # rounding band around eps^2: generous multiple of the worst-case
+    # f64 error of either distance formulation at this coordinate scale
+    scale = max(float(a2.max()), float(b2.max()), eps2)
+    margin = 64.0 * A.shape[1] * np.finfo(np.float64).eps * scale
+
+    if na * nb <= _CHUNK * _CHUNK:
+        return _blas_hit_pairs(A, B, a2, b2, eps2, margin)
+
+    spans = np.ptp(B, axis=0)
+    order = np.argsort(spans)
+    d0 = int(order[-1])
+    d1 = int(order[-2]) if A.shape[1] > 1 else d0
+    # strip width slightly over eps so floor() rounding can never push
+    # a true <=eps neighbor beyond the +-1 adjacent strip
+    w = eps * (1.0 + 1e-9)
+    lo0 = min(float(A[:, d0].min()), float(B[:, d0].min()))
+    sa = np.floor((A[:, d0] - lo0) / w).astype(np.int64)
+    sb = np.floor((B[:, d0] - lo0) / w).astype(np.int64)
+    ao = np.lexsort((A[:, d1], sa))
+    bo = np.lexsort((B[:, d1], sb))
     As, Bs = A[ao], B[bo]
-    return ao, As, As[:, d], bo, Bs, Bs[:, d]
+    a2s, b2s = a2[ao], b2[bo]
+    sas, sbs = sa[ao], sb[bo]
+    ac1, bc1 = As[:, d1], Bs[:, d1]
+    pad = eps * 1e-9
+
+    out_a, out_b = [], []
+    # nonempty query strips: [q0, q1) ranges over the sorted A
+    strip_ids, strip_starts = np.unique(sas, return_index=True)
+    strip_bounds = np.append(strip_starts, na)
+    for s, q0, q1 in zip(strip_ids, strip_bounds[:-1], strip_bounds[1:]):
+        # candidate rows of the 3 adjacent strips: contiguous in Bs
+        c0 = int(np.searchsorted(sbs, s - 1, side="left"))
+        c1_ = int(np.searchsorted(sbs, s + 1, side="right"))
+        if c0 >= c1_:
+            continue
+        # within the strip pair, candidates of each adjacent strip are
+        # sorted by c1 — but the 3-strip concat is not globally sorted.
+        # Windowing needs sorted keys, so handle each strip separately.
+        for t0, t1 in _strip_ranges(sbs, s, c0, c1_):
+            if t0 >= t1:
+                continue
+            tb1 = bc1[t0:t1]
+            for qlo in range(q0, q1, _CHUNK):
+                qhi = min(qlo + _CHUNK, q1)
+                w0 = t0 + int(np.searchsorted(tb1, ac1[qlo] - eps - pad, side="left"))
+                w1 = t0 + int(np.searchsorted(tb1, ac1[qhi - 1] + eps + pad, side="right"))
+                if w0 >= w1:
+                    continue
+                ai, bi = _blas_hit_pairs(
+                    As[qlo:qhi], Bs[w0:w1], a2s[qlo:qhi], b2s[w0:w1], eps2, margin
+                )
+                if ai.size:
+                    out_a.append(ao[qlo + ai])
+                    out_b.append(bo[w0 + bi])
+    if not out_a:
+        return _EMPTY, _EMPTY
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def _strip_ranges(sbs: np.ndarray, s: int, c0: int, c1_: int):
+    """Sorted-row ranges of candidate strips s-1, s, s+1 within
+    [c0, c1_). Each range is sorted by the sweep dimension."""
+    m1 = int(np.searchsorted(sbs, s, side="left"))
+    m2 = int(np.searchsorted(sbs, s, side="right"))
+    return ((c0, m1), (m1, m2), (m2, c1_))
 
 
 def _eps_counts_sweep(A: np.ndarray, B: np.ndarray, eps2: float, eps: float) -> np.ndarray:
@@ -79,44 +197,10 @@ def _eps_counts_sweep(A: np.ndarray, B: np.ndarray, eps2: float, eps: float) -> 
     counts = np.zeros(A.shape[0], dtype=np.int64)
     if A.shape[0] == 0 or B.shape[0] == 0:
         return counts
-    ao, As, ac, _bo, Bs, bc = _sweep_order(A, B)
-    pad = eps * 1e-9
-    step = _block_rows(B.shape[0])
-    for lo in range(0, As.shape[0], step):
-        hi = min(lo + step, As.shape[0])
-        w0 = int(np.searchsorted(bc, ac[lo] - eps - pad, side="left"))
-        w1 = int(np.searchsorted(bc, ac[hi - 1] + eps + pad, side="right"))
-        if w0 >= w1:
-            continue
-        d2 = _dist2_block(As[lo:hi], Bs[w0:w1])
-        counts[ao[lo:hi]] = (d2 <= eps2).sum(axis=1)
+    ai, _bi = _eps_pairs_sweep(A, B, eps2, eps)
+    if ai.size:
+        counts += np.bincount(ai, minlength=counts.size)
     return counts
-
-
-def _eps_pairs_sweep(A: np.ndarray, B: np.ndarray, eps2: float, eps: float):
-    """All index pairs (i, j) with ``||A[i]-B[j]||^2 <= eps2``, as two
-    int64 arrays in original (unsorted) index space. When A is B every
-    ordered pair appears exactly once (including i == j)."""
-    if A.shape[0] == 0 or B.shape[0] == 0:
-        return _EMPTY, _EMPTY
-    ao, As, ac, bo, Bs, bc = _sweep_order(A, B)
-    pad = eps * 1e-9
-    step = _block_rows(B.shape[0])
-    out_a, out_b = [], []
-    for lo in range(0, As.shape[0], step):
-        hi = min(lo + step, As.shape[0])
-        w0 = int(np.searchsorted(bc, ac[lo] - eps - pad, side="left"))
-        w1 = int(np.searchsorted(bc, ac[hi - 1] + eps + pad, side="right"))
-        if w0 >= w1:
-            continue
-        d2 = _dist2_block(As[lo:hi], Bs[w0:w1])
-        ai, bi = np.nonzero(d2 <= eps2)
-        if ai.size:
-            out_a.append(ao[lo + ai])
-            out_b.append(bo[w0 + bi])
-    if not out_a:
-        return _EMPTY, _EMPTY
-    return np.concatenate(out_a), np.concatenate(out_b)
 
 
 def _cell_matrix(pdf: pd.DataFrame) -> np.ndarray:

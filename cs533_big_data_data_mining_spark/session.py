@@ -34,6 +34,19 @@ def _package_zip() -> str:
     return out
 
 
+def _local_dir() -> str:
+    """Scratch dir for shuffle/spill files — tmpfs if present."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "cs533_spark_engine",
     master: str | None = None,
@@ -59,6 +72,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # shuffle/spill files: executor threads serialize on shuffle
+        # index-file commits, so a slow local disk stalls every map
+        # stage (threads sit BLOCKED in writeMetadataFileAndCommit).
+        # Use memory-backed storage when available; on a real cluster
+        # point SPARK_GRAFT_LOCAL_DIR at the fast local SSDs.
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the driver's events table carries TIMESTAMP(NANOS) parquet
