@@ -211,7 +211,7 @@ def _q_dense_ids(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li.createOrReplaceTempView("_li_dense")
     return spark.sql(
-        "SELECT l_suppkey, CAST(dense_rank() OVER (ORDER BY l_suppkey) AS BIGINT) AS dense_id "
+        "SELECT l_suppkey, CAST(dense_rank() OVER (PARTITION BY 1 ORDER BY l_suppkey) AS BIGINT) AS dense_id "
         "FROM (SELECT DISTINCT l_suppkey FROM _li_dense)"
     )
 
@@ -431,6 +431,18 @@ def _q_sim_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, nprobe=3)
 
 
+def _q_sim_topk_ivf_full(spark, sf_dir):
+    # full-probe IVF (nprobe = n_centroids) must equal brute force
+    # bit-for-bit — scored by the same order-deterministic column
+    # fold — so it shares sim_topk's SQL oracle (round-1 verdict #5)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, nprobe=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_text_stats(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.functions.text import (
@@ -531,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
+        "sim_topk_ivf_full": _q_sim_topk_ivf_full,
         "text_stats": _q_text_stats,
         "tfidf": _q_tfidf,
         "multimodal_meta": _q_multimodal_meta,
@@ -540,7 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _with_aliases({
         "scan_project_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5"
         ),
@@ -712,4 +725,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-    }
+    })
+
+
+def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
+    # full-probe IVF is defined to equal brute force exactly, so it
+    # shares sim_topk's oracle verbatim
+    oracles["sim_topk_ivf_full"] = oracles["sim_topk"]
+    return oracles

@@ -54,13 +54,21 @@ def _bench_ref(spark, fname, eps, min_pts, want_k, want_noise):
     return dt
 
 
-# (bench key, file, eps, minPts, clusters, noise) — expected values are
-# the sequential-DBSCAN oracle's; where the reference published a
-# validated number it agrees (clus50k: 51/3086 @ manyTests.py:258-266;
-# part64 eps=0.02: 6 clusters @ Progress-5-Nov-19.txt:31-52)
+# (bench key, file, eps, minPts, clusters, noise) — all 8 reference
+# datasets, mirroring the reference's own sweep (manyTests.py:29-55).
+# Expected values are the sequential-DBSCAN oracle's; where the
+# reference published a validated number it agrees (clus50k: 51/3086 @
+# manyTests.py:258-266; part64 eps=0.02: 6 clusters @
+# Progress-5-Nov-19.txt:31-52)
 REF_WORKLOADS = [
     ("dbscan_clus50k_ref", "clus50k.bin", 25.0, 5, 51, 3086),
     ("dbscan_part64_ref", "part64.bin", 0.02, 5, 6, 28585),
+    ("dbscan_t4_ref", "t4.8k.bin", 10.0, 20, 6, 653),
+    ("dbscan_t5_ref", "t5.8k.bin", 8.0, 21, 6, 850),
+    ("dbscan_t7_ref", "t7.10k.bin", 10.0, 12, 10, 740),
+    ("dbscan_t8_ref", "t8.8k.bin", 10.0, 10, 23, 459),
+    ("dbscan_texture_ref", "texture17695.bin", 3.0, 2, 47, 1443),
+    ("dbscan_edge_ref", "edge17695.bin", 3.0, 2, 9, 97),
 ]
 
 

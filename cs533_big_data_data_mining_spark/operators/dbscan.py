@@ -170,8 +170,13 @@ def dbscan(
 
     t0 = time.time()
     cores = flags.filter("is_core").select("id")
-    core_roots = cores.join(cc, cores["id"] == cc["node"], "left").select(
-        cores["id"].alias("id"), F.coalesce("component", cores["id"]).alias("root")
+    # cached: consumed by border_roots, dense AND labels — without it
+    # the CC-result join (whose lineage may be the whole star fixpoint)
+    # re-executes per consumer
+    core_roots = (
+        cores.join(cc, cores["id"] == cc["node"], "left")
+        .select(cores["id"].alias("id"), F.coalesce("component", cores["id"]).alias("root"))
+        .cache()
     )
 
     border_roots = (
@@ -184,10 +189,13 @@ def dbscan(
     # row per cluster, so the window sort is negligible)
     from pyspark.sql import Window
 
+    # the window runs over K distinct roots (small by construction);
+    # the constant partition key makes the single-partition execution
+    # explicit instead of warned-about
     dense = (
         core_roots.select("root")
         .distinct()
-        .withColumn("cluster_id", F.row_number().over(Window.orderBy("root")))
+        .withColumn("cluster_id", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("root")))
     )
 
     labels = core_roots.union(border_roots).join(dense, "root").select("id", "cluster_id")
@@ -199,7 +207,7 @@ def dbscan(
     # materialize, then drop every intermediate cache (labeled is the
     # only cache that survives the call — caller-owned)
     labeled.count()
-    for frame in (lb, flags, points):
+    for frame in (lb, flags, core_roots, points):
         frame.unpersist()
     t["label"] = round(time.time() - t0, 3)
     return labeled

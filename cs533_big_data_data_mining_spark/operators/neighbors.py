@@ -184,6 +184,29 @@ def _eps_pairs_sweep(A: np.ndarray, B: np.ndarray, eps2: float, eps: float):
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
+def _np_components(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
+    """Min-label components over local index pairs: ``lab[i]`` = the
+    smallest index reachable from i. Sort-based grouped-min rounds +
+    pointer halving — vectorized, no ufunc.at in the hot loop."""
+    lab = np.arange(n, dtype=np.int64)
+    if u.size == 0:
+        return lab
+    k = np.concatenate([u, v])
+    order = np.argsort(k, kind="stable")
+    ks = k[order]
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    keys = ks[starts]
+    while True:
+        before = lab
+        val = np.concatenate([lab[v], lab[u]])[order]
+        gmin = np.minimum.reduceat(val, starts)
+        lab = lab.copy()
+        lab[keys] = np.minimum(lab[keys], gmin)
+        lab = lab[lab]
+        if np.array_equal(lab, before):
+            return lab
+
+
 def _strip_ranges(sbs: np.ndarray, s: int, c0: int, c1_: int):
     """Sorted-row ranges of candidate strips s-1, s, s+1 within
     [c0, c1_). Each range is sorted by the sweep dimension."""
@@ -363,9 +386,12 @@ def cell_block_components_and_borders(
     oversized cells. Input ``(cell, id, xs, is_home, is_core)``;
     output rows ``(kind, a, b)``:
 
-    * kind=0: raw core-core eps-edges (a < b) — fed straight to the
-      global connected-components pass (no per-cell contraction
-      without a cell-complete view; CC absorbs raw edges fine).
+    * kind=0: task-contracted core connectivity (a < b): each block
+      pair runs a local min-label union over its core-core eps-hits
+      and emits only (node, local root) edges — <= |task nodes| rows
+      instead of the raw hit list. Any spanning structure of the task
+      subgraph preserves global connectivity; the global CC pass
+      stitches tasks and assigns min-id labels.
     * kind=1: (non-core HOME id, adjacent core id) border candidates.
 
     Each unordered point pair lives in exactly one same-cell block
@@ -390,13 +416,26 @@ def cell_block_components_and_borders(
                 ga, gb = xi[ai], yi[bi]
                 ca, cb = xc[ai], yc[bi]
                 ka, kb, kk = [], [], []
-                # core-core edges: same-block enumerates both orders ->
-                # keep i < j; cross-block pairs appear once already
+                # core-core connectivity, CONTRACTED within the task:
+                # a local min-label union over the pair's core-core
+                # hits replaces the raw edge list with <= |nodes|
+                # (node -> local root) edges — raw emission made the
+                # global CC ingest O(sum of per-task hit counts),
+                # which for dense graphs (e.g. minPts=2 feature sets)
+                # is millions of rows per task
                 ccm = ca & cb & ((ai < bi) if same else (ga != gb))
-                u, v = ga[ccm], gb[ccm]
-                kk.append(np.zeros(u.size, dtype=np.int32))
-                ka.append(np.minimum(u, v))
-                kb.append(np.maximum(u, v))
+                if same:
+                    nodes = xi
+                    u, v = ai[ccm], bi[ccm]
+                else:
+                    nodes = np.concatenate([xi, yi])
+                    u, v = ai[ccm], X.shape[0] + bi[ccm]
+                lab = _np_components(u, v, nodes.size)
+                contracted = lab != np.arange(nodes.size)
+                cu, cv = nodes[contracted], nodes[lab[contracted]]
+                kk.append(np.zeros(cu.size, dtype=np.int32))
+                ka.append(np.minimum(cu, cv))
+                kb.append(np.maximum(cu, cv))
                 # border candidates: home non-core -> adjacent core
                 # (same-block both orders covered by full enumeration)
                 xb = xh[ai] & ~ca & cb

@@ -122,6 +122,13 @@ def embedding_neardup_pairs(
 
     thr = float(threshold)
 
+    def _ltr_sq_norm(X):
+        # left-to-right per-dim accumulation, same fold as the oracle
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for j in range(X.shape[1]):
+            acc += X[:, j] * X[:, j]
+        return np.sqrt(acc)
+
     def gram(batches):
         for pdf in batches:
             for row in pdf.itertuples(index=False):
@@ -129,16 +136,30 @@ def embedding_neardup_pairs(
                 X = np.array(list(row.vecs), dtype=np.float64)
                 yi = np.asarray(list(row.yids), dtype=np.int64)
                 Y = np.array(list(row.yvecs), dtype=np.float64)
-                X /= np.linalg.norm(X, axis=1, keepdims=True)
-                Y /= np.linalg.norm(Y, axis=1, keepdims=True)
-                G = np.round(X @ Y.T, 6)
-                ii, jj = np.nonzero(G >= thr)
+                # BLAS gram on normalized copies generates CANDIDATES
+                # (margin = one rounding step below the threshold);
+                # each candidate's reported cosine is then recomputed
+                # with the oracle's exact left-to-right accumulation —
+                # dot/(|a|*|b|), per-dim ascending — so a pair on a
+                # 6th-decimal rounding boundary can't flip inclusion
+                # vs the SQL twin.
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+                G = Xn @ Yn.T
+                ii, jj = np.nonzero(G >= thr - 1e-6)
                 a, b = xi[ii], yi[jj]
                 if row.blk == row.yblk:
                     keep = a < b
                 else:
                     keep = a != b
-                a, b, c = a[keep], b[keep], G[ii[keep], jj[keep]]
+                ii, jj, a, b = ii[keep], jj[keep], a[keep], b[keep]
+                Xc, Yc = X[ii], Y[jj]
+                dotab = np.zeros(Xc.shape[0], dtype=np.float64)
+                for j in range(Xc.shape[1]):
+                    dotab += Xc[:, j] * Yc[:, j]
+                c = np.round(dotab / (_ltr_sq_norm(Xc) * _ltr_sq_norm(Yc)), 6)
+                final = c >= thr
+                a, b, c = a[final], b[final], c[final]
                 lo, hi = np.minimum(a, b), np.maximum(a, b)
                 yield pd.DataFrame({"a": lo, "b": hi, "cosine": c})
 
@@ -252,34 +273,34 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest IVF buckets per
     query. Scanned work ~= nprobe/n_centroids of brute force.
 
-    Physical shape: one corpus pass assigns cids (NumPy argmax), one
-    query pass fans each query out to its nprobe buckets, an equi-join
-    on cid pairs queries with candidates, one vectorized pass scores
-    the pairs, and a per-query window takes the top k. Shuffles touch
-    only (cid) keys + candidate rows — never the full cross product.
+    Pass ``index`` (the ``(centroids, assignments)`` pair from
+    ``ivf_index``) to reuse a prebuilt index across query batches —
+    otherwise one is built here with the same code path (no duplicated
+    fit/assign kernels, one centroid fit per index).
+
+    Physical shape: one query pass fans each query out to its nprobe
+    buckets (centroids are driver-held, KB-scale), an equi-join on cid
+    pairs queries with candidates, a codegen'd column fold scores the
+    pairs (the SAME order-deterministic ``dot/norm2`` expressions as
+    ``cosine_topk_bruteforce``, so with ``nprobe >= n_centroids`` the
+    result is bit-identical to brute force — the oracle-checkable
+    full-probe mode), and a per-query window takes the top k. Shuffles
+    touch only (cid) keys + candidate rows — never the full cross
+    product.
     """
     import numpy as np
     import pandas as pd
 
-    C = _centroid_matrix(corpus, n_centroids, id_col, vec_col, iters=2, seed=seed)
-
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    vec_type = c.schema["vec"].dataType.simpleString()
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(list(pdf["vec"]), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cid = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
-            yield pd.DataFrame({"id": pdf["id"], "vec": pdf["vec"], "cid": cid})
-
-    assigned = c.mapInPandas(assign, f"id long, vec {vec_type}, cid int")
+    if index is None:
+        index = ivf_index(corpus, n_centroids, id_col, vec_col, iters=2, seed=seed)
+    cent, assigned = index
+    crows = sorted(cent.collect(), key=lambda r: r["cid"])  # KB-scale by design
+    C = np.asarray([r["cvec"] for r in crows], dtype=np.float64)
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     qvec_type = q.schema["qvec"].dataType.simpleString()
@@ -293,11 +314,11 @@ def ivf_topk(
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             S = Xn @ C.T
             top = np.argsort(-S, kind="stable", axis=1)[:, :npb]
-            nq = len(pdf)
+            nq, width = len(pdf), top.shape[1]
             yield pd.DataFrame(
                 {
-                    "qid": np.repeat(pdf["qid"].to_numpy(), npb),
-                    "qvec": pdf["qvec"].iloc[np.repeat(np.arange(nq), npb)].to_numpy(),
+                    "qid": np.repeat(pdf["qid"].to_numpy(), width),
+                    "qvec": pdf["qvec"].iloc[np.repeat(np.arange(nq), width)].to_numpy(),
                     "cid": top.ravel().astype(np.int32),
                 }
             )
@@ -305,19 +326,10 @@ def ivf_topk(
     probes = q.mapInPandas(probe, f"qid long, qvec {qvec_type}, cid int")
 
     paired = probes.join(assigned, "cid").filter(F.col("qid") != F.col("id"))
-
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.array(list(pdf["qvec"]), dtype=np.float64)
-            X = np.array(list(pdf["vec"]), dtype=np.float64)
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cos = np.round(np.einsum("ij,ij->i", Qn, Xn), 6)
-            yield pd.DataFrame({"qid": pdf["qid"], "id": pdf["id"], "cosine": cos})
-
-    scored = paired.mapInPandas(score, "qid long, id long, cosine double")
+    qv, cv = as_double_array("qvec"), as_double_array("vec")
+    scored = paired.select(
+        "qid", "id", F.round(dot(qv, cv) / (norm2(qv) * norm2(cv)), 6).alias("cosine")
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

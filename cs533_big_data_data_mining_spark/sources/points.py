@@ -71,9 +71,13 @@ def read_points_bin(spark: SparkSession, path: str, batch_rows: int = 65536) -> 
     processed in parallel across executors) and unpacks the
     ``(int32 N, int32 D)`` header + N*D float32 payload
     (reference ``clusters.cpp:148-150``) inside ``mapInPandas`` so the
-    bytes never pass through the driver. Point ids are the global row
-    index within the file, matching the reference's ``start_pos + idx``
-    global ordering (``dbscan.cpp:950-977``).
+    bytes never pass through the driver. Point ids are the row index
+    within the file, matching the reference's ``start_pos + idx``
+    global ordering (``dbscan.cpp:950-977``); when the path matches
+    several files, each file's ids are salted with its path-ordinal
+    (``ordinal << 40``) so ids stay globally unique — without this,
+    every downstream id join (labels, flags, borders) silently
+    corrupts on multi-file loads.
 
     Scale note: ``binaryFile`` holds one whole file per row (2 GB
     cap); the production path for big data is a one-time
@@ -81,6 +85,10 @@ def read_points_bin(spark: SparkSession, path: str, batch_rows: int = 65536) -> 
     column-pruned, and predicate-pushed.
     """
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    # per-file id salt: ordinal (by sorted path) << 40 — a metadata-only
+    # driver pass; 2^40 rows per file is far above the format's int32 N
+    paths = sorted(r["path"] for r in files.select("path").collect())
+    base = {p: i << 40 for i, p in enumerate(paths)}
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -90,15 +98,16 @@ def read_points_bin(spark: SparkSession, path: str, batch_rows: int = 65536) -> 
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for content in pdf["content"]:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
                 buf = bytes(content)
                 n, d = _bin_header(buf)
+                lo0 = base[fpath]
                 mat = np.frombuffer(buf, dtype="<f4", offset=8, count=n * d).reshape(n, d)
                 for lo in range(0, n, batch_rows):
                     hi = min(lo + batch_rows, n)
                     block = mat[lo:hi].astype(np.float64)
                     yield pd.DataFrame(
-                        {"id": np.arange(lo, hi, dtype=np.int64), "xs": list(block)}
+                        {"id": np.arange(lo0 + lo, lo0 + hi, dtype=np.int64), "xs": list(block)}
                     )
 
     pts = files.mapInPandas(unpack, schema=out_schema)

@@ -66,6 +66,22 @@ def test_bin_reader_roundtrip(spark, tmp_path):
     assert np.array_equal(got, mat.astype(np.float64))
 
 
+def test_bin_reader_multifile_unique_ids(spark, tmp_path):
+    """Loading a directory of .bin files must not mint duplicate ids
+    (per-file path-ordinal salt) — duplicate ids silently corrupt
+    every downstream id join."""
+    rng = np.random.default_rng(7)
+    for i, n in enumerate((300, 500)):
+        mat = rng.normal(size=(n, 2)).astype(np.float32)
+        with open(tmp_path / f"part{i}.bin", "wb") as f:
+            f.write(struct.pack("<ii", n, 2))
+            f.write(mat.tobytes())
+    df = read_points_bin(spark, str(tmp_path))
+    ids = [r["id"] for r in df.select("id").collect()]
+    assert len(ids) == 800
+    assert len(set(ids)) == 800
+
+
 def test_reference_dataset_reads(spark):
     """The engine reads the reference's own shipped datasets."""
     path = "/root/reference/t4.8k.bin"
