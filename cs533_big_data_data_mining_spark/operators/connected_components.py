@@ -86,14 +86,28 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_every: int = 1,
     driver_fastpath_edges: int = DRIVER_FASTPATH_EDGES,
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """Edge list ``(src, dst)`` -> ``(node, component)`` with
     ``component`` = min node id in the component. Nodes appearing only
     as isolated (no edges) must be handled by the caller (self-label).
+
+    ``edge_count_hint``: an UPPER BOUND on the edge count the caller
+    already knows (e.g. from materializing the frame the edges came
+    from). Supplying it skips the counting job; the bound is
+    conservative for the fastpath gate (pre-distinct count >= distinct
+    count).
     """
-    e = edges.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
-    if driver_fastpath_edges and e.count() <= driver_fastpath_edges:
-        return _driver_union(e)
+    e = edges.filter(F.col("src") != F.col("dst")).distinct()
+    cnt = edge_count_hint if edge_count_hint is not None else None
+    if driver_fastpath_edges:
+        if cnt is None:
+            cnt = e.count()
+        if cnt <= driver_fastpath_edges:
+            # no checkpoint needed: _driver_union's toPandas is the
+            # only consumer of this lineage
+            return _driver_union(e)
+    e = e.localCheckpoint(eager=True)
     prev_sig = None
     for it in range(max_iterations):
         e = _small_star(_large_star(e))

@@ -151,10 +151,14 @@ def dbscan(
     else:
         lb = local_components_and_borders(celled_flagged, spec.eps)
     lb = lb.cache()
-    # materialize the (small) edge frame eagerly, then release the
-    # ghost-expanded cache — it is ~3.4x the input and every
-    # downstream op needs only lb/flags.
-    lb.count()
+    # materialize the (small) edge frame eagerly — counting BY KIND so
+    # the star-edge total doubles as the CC fastpath gate (no separate
+    # counting job) — then release the ghost-expanded cache: it is
+    # ~3.4x the input and every downstream op needs only lb/flags.
+    kind_counts = {
+        int(r["kind"]): int(r["n"])
+        for r in lb.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     celled.unpersist()
     t["local"] = round(time.time() - t0, 3)
 
@@ -162,7 +166,7 @@ def dbscan(
     star_edges = lb.filter(F.col("kind") == 0).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     border_pairs = lb.filter(F.col("kind") == 1).select("a", "b")
 
-    cc_kwargs = {}
+    cc_kwargs = {"edge_count_hint": kind_counts.get(0, 0)}
     if cc_driver_fastpath_edges is not None:
         cc_kwargs["driver_fastpath_edges"] = cc_driver_fastpath_edges
     cc = connected_components(star_edges, **cc_kwargs)
