@@ -211,7 +211,7 @@ def _q_dense_ids(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li.createOrReplaceTempView("_li_dense")
     return spark.sql(
-        "SELECT l_suppkey, CAST(dense_rank() OVER (PARTITION BY 1 ORDER BY l_suppkey) AS BIGINT) AS dense_id "
+        "SELECT l_suppkey, CAST(dense_rank() OVER (PARTITION BY l_suppkey % 1 ORDER BY l_suppkey) AS BIGINT) AS dense_id "
         "FROM (SELECT DISTINCT l_suppkey FROM _li_dense)"
     )
 

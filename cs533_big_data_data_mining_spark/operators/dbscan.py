@@ -194,12 +194,17 @@ def dbscan(
     from pyspark.sql import Window
 
     # the window runs over K distinct roots (small by construction);
-    # the constant partition key makes the single-partition execution
-    # explicit instead of warned-about
+    # the constant-valued but non-foldable partition key (root % 1 = 0)
+    # makes the single-partition execution explicit instead of
+    # warned-about (a plain literal is constant-folded to an empty
+    # partition spec, which re-triggers the warning)
     dense = (
         core_roots.select("root")
         .distinct()
-        .withColumn("cluster_id", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("root")))
+        .withColumn(
+            "cluster_id",
+            F.row_number().over(Window.partitionBy(F.pmod(F.col("root"), F.lit(1))).orderBy("root")),
+        )
     )
 
     labels = core_roots.union(border_roots).join(dense, "root").select("id", "cluster_id")

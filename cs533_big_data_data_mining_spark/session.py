@@ -60,7 +60,10 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+    # one task wave per stage: AQE splits genuinely large partitions
+    # (skew join) and coalesces small ones, so over-provisioning the
+    # initial count only adds scheduling overhead per reduce stage
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
 
     builder = (
         SparkSession.builder.master(master)
