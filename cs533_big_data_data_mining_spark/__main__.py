@@ -12,7 +12,9 @@ and there is no power-of-2 restriction, ``mpi_main.cpp:113-123``):
 ``-p`` (sample fraction) and ``-k`` (seed) exist in the reference's
 getopt (``mpi_main.cpp:88-93``) but were never wired to anything;
 here they actually sample. Output is the reference's column layout
-(``position_col_X{j}`` + ``cluster_id``) as Parquet.
+(``position_col_X{j}`` + ``cluster_id``): a ``-o`` path ending in
+``.nc`` writes a real single-file netCDF-3 (the reference's exact
+artifact, ``dbscan.cpp:510-632``), anything else writes Parquet.
 """
 
 from __future__ import annotations
@@ -67,7 +69,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     print(f"Total time taken {dt:.4f} seconds")
     if args.output:
-        write_clusters(labeled, args.output)
+        if args.output.endswith(".nc"):
+            from cs533_big_data_data_mining_spark.sources.netcdf import write_clusters_netcdf
+
+            write_clusters_netcdf(labeled, args.output, single_file=True)
+        else:
+            write_clusters(labeled, args.output)
         print(f"wrote {args.output}")
     if not preexisting:  # don't tear down a session we joined
         spark.stop()

@@ -1,3 +1,9 @@
+from cs533_big_data_data_mining_spark.sources.netcdf import (
+    netcdf3_decode,
+    netcdf3_encode,
+    read_clusters_netcdf,
+    write_clusters_netcdf,
+)
 from cs533_big_data_data_mining_spark.sources.points import (
     as_points,
     bin_to_parquet,
@@ -17,4 +23,8 @@ __all__ = [
     "write_clusters",
     "load_table",
     "load_tables",
+    "netcdf3_decode",
+    "netcdf3_encode",
+    "read_clusters_netcdf",
+    "write_clusters_netcdf",
 ]

@@ -133,3 +133,101 @@ def test_cli_main(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 8000
     assert set(got.columns) == {"position_col_X0", "position_col_X1", "cluster_id"}
+
+
+def test_netcdf3_encode_binary_layout():
+    """The classic-format bytes match the public spec field-for-field
+    (magic, big-endian header, 4-byte padded contiguous variables)."""
+    from cs533_big_data_data_mining_spark.sources.netcdf import netcdf3_encode
+
+    pos = np.array([1.5, -2.0, 3.25], dtype=np.float32)
+    cid = np.array([1, 0, 2], dtype=np.int32)
+    buf = netcdf3_encode([("position_col_X0", pos), ("cluster_id", cid)])
+    assert buf[:4] == b"CDF\x01"
+    assert struct.unpack(">i", buf[4:8]) == (0,)  # numrecs
+    assert struct.unpack(">ii", buf[8:16]) == (0x0A, 1)  # NC_DIMENSION, 1 dim
+    assert struct.unpack(">i", buf[16:20]) == (10,)  # len("num_points")
+    assert buf[20:30] == b"num_points"
+    # two bytes pad to 4-byte boundary, then the dim length
+    assert struct.unpack(">i", buf[32:36]) == (3,)
+    # payloads: 3 float32 (12 bytes, already aligned) then 3 int32
+    np.testing.assert_array_equal(
+        np.frombuffer(buf[-24:-12], dtype=">f4"), pos.astype(">f4")
+    )
+    np.testing.assert_array_equal(np.frombuffer(buf[-12:], dtype=">i4"), cid)
+
+
+def test_netcdf_decode_inverts_encode():
+    from cs533_big_data_data_mining_spark.sources.netcdf import (
+        netcdf3_decode,
+        netcdf3_encode,
+    )
+
+    cols = [
+        ("position_col_X0", np.linspace(-5, 5, 101, dtype=np.float32)),
+        ("position_col_X1", np.linspace(0, 1, 101, dtype=np.float32)),
+        ("cluster_id", (np.arange(101) % 7).astype(np.int32)),
+    ]
+    back = netcdf3_decode(netcdf3_encode(cols))
+    assert list(back) == [n for n, _ in cols]
+    for name, arr in cols:
+        np.testing.assert_array_equal(back[name], arr)
+
+
+def test_netcdf_sink_roundtrip(spark, tmp_path):
+    """Single-file and partitioned sinks both survive a Spark read-back."""
+    from cs533_big_data_data_mining_spark.sources.netcdf import (
+        read_clusters_netcdf,
+        write_clusters_netcdf,
+    )
+
+    x = make_blobs(400, 2, grid_centers(2, 2, 10.0), 1.0, seed=9)
+    df = to_points_df(spark, x).withColumn("cluster_id", (F.col("id") % 3).cast("long"))
+    want = sorted(
+        (round(float(r["xs"][0]), 4), round(float(r["xs"][1]), 4), r["cluster_id"])
+        for r in df.collect()
+    )
+
+    single = str(tmp_path / "out_single.nc")
+    paths = write_clusters_netcdf(df, single, single_file=True)
+    assert paths == [single] and os.path.getsize(single) > 0
+    back1 = read_clusters_netcdf(spark, single)
+    got1 = sorted(
+        (round(float(r["xs"][0]), 4), round(float(r["xs"][1]), 4), r["cluster_id"])
+        for r in back1.collect()
+    )
+    assert got1 == want
+
+    part_dir = str(tmp_path / "out_parts")
+    paths = write_clusters_netcdf(df.repartition(4), part_dir)
+    assert 1 <= len(paths) <= 4 and all(p.endswith(".nc") for p in paths)
+    back2 = read_clusters_netcdf(spark, part_dir)
+    got2 = sorted(
+        (round(float(r["xs"][0]), 4), round(float(r["xs"][1]), 4), r["cluster_id"])
+        for r in back2.collect()
+    )
+    assert got2 == want
+
+
+def test_netcdf_single_file_row_cap(spark):
+    from cs533_big_data_data_mining_spark.sources.netcdf import write_clusters_netcdf
+
+    df = to_points_df(spark, np.zeros((10, 2))).withColumn("cluster_id", F.lit(0))
+    try:
+        write_clusters_netcdf(df, "/tmp/never.nc", single_file=True, driver_row_cap=5)
+        assert False, "expected row-cap refusal"
+    except ValueError as e:
+        assert "driver_row_cap" in str(e)
+
+
+def test_cli_netcdf_output(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.__main__ import main
+    from cs533_big_data_data_mining_spark.sources.netcdf import netcdf3_decode
+
+    out = str(tmp_path / "cli_out.nc")
+    rc = main(["-i", "/root/reference/t8.8k.bin", "-b", "-e", "10", "-m", "10", "-o", out])
+    assert rc == 0
+    with open(out, "rb") as f:
+        vars = netcdf3_decode(f.read())
+    assert set(vars) == {"position_col_X0", "position_col_X1", "cluster_id"}
+    assert len(vars["cluster_id"]) == 8000
