@@ -230,6 +230,22 @@ def _cell_matrix(pdf: pd.DataFrame) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["xs"]], dtype=np.float64)
 
 
+def _by_cell(celled: DataFrame):
+    """``groupBy("cell")`` behind an EXPLICIT hash repartition.
+
+    The kernel shuffle is small in bytes (a few MB at test scale) but
+    heavy in CPU per row, so AQE's byte-based partition coalescing —
+    correct for relational stages — collapses it to 1-2 partitions and
+    serializes the NumPy kernels onto as many cores (measured: the
+    part64 local phase ran 2-wide, 10 s instead of ~1 s). A
+    user-specified ``repartition(n, "cell")`` is exempt from AQE
+    coalescing, and its HashPartitioning satisfies the groupBy's
+    ClusteredDistribution, so no second exchange is inserted.
+    """
+    par = celled.sparkSession.sparkContext.defaultParallelism
+    return celled.repartition(par, "cell").groupBy("cell")
+
+
 def neighbor_counts(celled: DataFrame, eps: float) -> DataFrame:
     """Per-point eps-neighborhood size, self inclusive (ops 7+8 and the
     count half of op 9). Input: ghost-expanded frame
@@ -251,7 +267,7 @@ def neighbor_counts(celled: DataFrame, eps: float) -> DataFrame:
         counts = _eps_counts_sweep(x[home], x, eps2, float(eps))
         return pd.DataFrame({"id": pdf["id"].to_numpy()[home], "n_neighbors": counts})
 
-    return celled.groupBy("cell").applyInPandas(kernel, schema=schema)
+    return _by_cell(celled).applyInPandas(kernel, schema=schema)
 
 
 def epsilon_self_join(celled: DataFrame, eps: float) -> DataFrame:
@@ -274,7 +290,7 @@ def epsilon_self_join(celled: DataFrame, eps: float) -> DataFrame:
         ai, bi = _eps_pairs_sweep(hx, x, eps2, float(eps))
         return pd.DataFrame({"a": hid[ai], "b": ids[bi]})
 
-    return celled.groupBy("cell").applyInPandas(kernel, schema=schema)
+    return _by_cell(celled).applyInPandas(kernel, schema=schema)
 
 
 def brute_force_neighbor_counts(points: DataFrame, eps: float, dims: int) -> DataFrame:
@@ -431,8 +447,18 @@ def cell_block_components_and_borders(
                     nodes = np.concatenate([xi, yi])
                     u, v = ai[ccm], X.shape[0] + bi[ccm]
                 lab = _np_components(u, v, nodes.size)
-                contracted = lab != np.arange(nodes.size)
-                cu, cv = nodes[contracted], nodes[lab[contracted]]
+                if same:
+                    # the diagonal task emits EVERY core of its block
+                    # (including singletons, as (c, c)) — each core
+                    # lives in exactly one diagonal task per cell, so
+                    # the union of kind=0 rows covers the full core
+                    # set; the driver label fastpath relies on this
+                    # (dbscan._driver_labels derives cores from kind=0
+                    # nodes instead of re-collecting the flags frame)
+                    emit = xc
+                else:
+                    emit = lab != np.arange(nodes.size)
+                cu, cv = nodes[emit], nodes[lab[emit]]
                 kk.append(np.zeros(cu.size, dtype=np.int32))
                 ka.append(np.minimum(cu, cv))
                 kb.append(np.maximum(cu, cv))
@@ -534,4 +560,4 @@ def local_components_and_borders(celled_flagged: DataFrame, eps: float) -> DataF
                                  "b": pd.Series(dtype="int64")})
         return pd.concat(frames, ignore_index=True)
 
-    return celled_flagged.groupBy("cell").applyInPandas(kernel, schema=schema)
+    return _by_cell(celled_flagged).applyInPandas(kernel, schema=schema)
