@@ -205,23 +205,40 @@ def _q_cluster_stats(spark, sf_dir):
 
 
 def _q_dense_ids(spark, sf_dir):
-    # distinct FIRST: the serial global window then sorts |suppliers|
-    # rows, not |lineitem| (round-1 verdict finding #2 — the original
-    # windowed every lineitem row through a single partition)
+    # range-partitioned zipWithIndex (operators/dbscan.dense_index):
+    # the dense numbering never funnels through a one-partition window
+    # (round-3 verdict finding #4)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dbscan import dense_index
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    li.createOrReplaceTempView("_li_dense")
-    return spark.sql(
-        "SELECT l_suppkey, CAST(dense_rank() OVER (PARTITION BY l_suppkey % 1 ORDER BY l_suppkey) AS BIGINT) AS dense_id "
-        "FROM (SELECT DISTINCT l_suppkey FROM _li_dense)"
-    )
+    return dense_index(li.select("l_suppkey"), "l_suppkey", "dense_id")
+
+
+SAMPLE_P = 0.25
 
 
 def _q_sample_count(spark, sf_dir):
+    # Bernoulli sampling has no deterministic SQL twin, but its COUNT
+    # concentration does: (n_total, sample count within mean +- 6 sigma
+    # of Binomial(n_total, p)). The oracle emits (count(*), TRUE), so a
+    # sampler that drifts out of binomial bounds hash-mismatches.
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.operators.stats import sample_points
 
     pts = _points3(spark, sf_dir)
-    return sample_points(pts, 0.25, seed=42).select("id")
+    samp = sample_points(pts, SAMPLE_P, seed=42)
+    tot = pts.agg(F.count(F.lit(1)).alias("n_total"))
+    ns = samp.agg(F.count(F.lit(1)).alias("n_sample"))
+    mean = F.col("n_total") * F.lit(SAMPLE_P)
+    sd = F.sqrt(F.col("n_total") * F.lit(SAMPLE_P * (1.0 - SAMPLE_P)))
+    return tot.crossJoin(ns).select(
+        "n_total",
+        (
+            (F.col("n_sample") >= mean - F.lit(6.0) * sd)
+            & (F.col("n_sample") <= mean + F.lit(6.0) * sd)
+        ).alias("within_6sigma"),
+    )
 
 
 def _q_agg_q1(spark, sf_dir):
@@ -374,6 +391,27 @@ FROM scored
 """
 
 
+# DuckDB twin of simhash_poly31: token hash = the fingerprint
+# recurrence (same as text_stats' fp oracle), then 31 weighted bit
+# votes and a sign pack — generated, not hand-written, so bit count
+# and weights cannot drift from the Spark side.
+_FP_TOK_SQL = (
+    "list_reduce(list_prepend(0, range(1, length(tok) + 1)), "
+    "(acc, i) -> (acc * 31 + ascii(substring(tok, CAST(i AS INT), 1))) % 2147483647)"
+)
+_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT id, tok, count(*) AS w FROM toks GROUP BY id, tok),
+h AS (SELECT id, w, {_FP_TOK_SQL} AS th FROM tf),
+v AS (SELECT id,
+  {", ".join(f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN w ELSE -w END) AS v{b}" for b in range(31))}
+  FROM h GROUP BY id)
+SELECT id,
+  CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(31))} AS BIGINT) AS simhash
+FROM v
+"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.operators.dedup import exact_dedup_groups
@@ -399,11 +437,15 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    # the poly31 variant: token hash = the fingerprint recurrence, so
+    # the ENTIRE signature (hash -> weighted bit votes -> sign pack)
+    # has an exact DuckDB twin. simhash64 (xxhash64 tokens) shares the
+    # vote/pack machinery and stays covered by tests/test_dedup.py.
     _ensure_shipped(spark)
-    from cs533_big_data_data_mining_spark.operators.dedup import simhash64
+    from cs533_big_data_data_mining_spark.operators.dedup import simhash_poly31
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash64(docs, "doc_id", "text")
+    return simhash_poly31(docs, "doc_id", "text")
 
 
 def _q_embed_neardup(spark, sf_dir):
@@ -423,12 +465,31 @@ def _q_sim_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+IVF_RECALL_BOUND = 0.5  # measured 0.68 @ sf0.01 nprobe=3/8; bound leaves drift margin
+
+
 def _q_sim_topk_ivf(spark, sf_dir):
+    # Partial-probe IVF is approximate by design; its checkable
+    # property is recall against the full-probe twin (which itself is
+    # oracle-checked bit-exact vs brute force in sim_topk_ivf_full).
+    # Returns (n_full, recall_ok); the oracle emits (50, TRUE).
     _ensure_shipped(spark)
-    from cs533_big_data_data_mining_spark.operators.similarity import ivf_topk
+    from cs533_big_data_data_mining_spark.operators.similarity import ivf_index, ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, nprobe=3)
+    q = emb.filter("vec_id < 10")
+    idx = ivf_index(emb, 8)  # ONE centroid fit shared by both probes
+    part = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3, index=idx)
+    full = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8, index=idx)
+    hits = part.select("query_id", "neighbor_id").join(
+        full.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    n_full = full.agg(F.count(F.lit(1)).alias("n_full"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_full.crossJoin(n_hits).select(
+        "n_full",
+        (F.col("n_hits") >= F.col("n_full") * F.lit(IVF_RECALL_BOUND)).alias("recall_ok"),
+    )
 
 
 def _q_sim_topk_ivf_full(spark, sf_dir):
@@ -646,6 +707,11 @@ def oracle_sql() -> dict[str, str]:
               FROM orders)
             WHERE rn <= 2
         """,
+        "sample_count": (
+            "SELECT count(*) AS n_total, TRUE AS within_6sigma FROM embeddings"
+        ),
+        "simhash_sigs": _SIMHASH_SQL,
+        "sim_topk_ivf": "SELECT CAST(50 AS BIGINT) AS n_full, TRUE AS recall_ok",
         "dedup_exact": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text"
         ),

@@ -35,7 +35,8 @@ def _entry_module():
 
 
 def _bench_ref(spark, fname, eps, min_pts, want_k, want_noise):
-    """A reference-repo workload: full DBSCAN with validated output."""
+    """A reference-repo workload: full DBSCAN with validated output.
+    Returns (wall_seconds, per-stage seconds dict)."""
     from cs533_big_data_data_mining_spark import dbscan, dbscan_stats, read_points_bin
 
     pts = read_points_bin(spark, f"/root/reference/{fname}").cache()
@@ -51,7 +52,7 @@ def _bench_ref(spark, fname, eps, min_pts, want_k, want_noise):
     )
     labeled.unpersist()
     pts.unpersist()
-    return dt
+    return dt, stages
 
 
 # (bench key, file, eps, minPts, clusters, noise) — all 8 reference
@@ -81,32 +82,55 @@ def main() -> None:
     # queries, not session spin-up
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # Fault isolation: one broken query must not erase the round's
+    # entire perf record (round 3 lost all 36 timings to a single
+    # AnalysisException). Errors are recorded per-key; the JSON line
+    # is always emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     if os.path.exists(REFERENCE_BIN):
         # untimed warm-up: the first dbscan of a session pays one-time
         # JVM JIT + codegen costs (~5-7 s) that would otherwise be
         # charged to whichever workload happens to run first
-        _bench_ref(spark, "t8.8k.bin", 10.0, 10, 23, 459)
+        try:
+            _bench_ref(spark, "t8.8k.bin", 10.0, 10, 23, 459)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warmup: ERROR {exc}", file=sys.stderr)
         for key, fname, eps, mp, k, noise in REF_WORKLOADS:
             t0 = time.time()
-            _bench_ref(spark, fname, eps, mp, k, noise)
-            timings[key] = round(time.time() - t0, 3)
-            print(f"# {key}: {timings[key]}s", file=sys.stderr)
+            try:
+                _, stages = _bench_ref(spark, fname, eps, mp, k, noise)
+                timings[key] = round(time.time() - t0, 3)
+                for sname, sdt in stages.items():
+                    timings[f"{key}.{sname}"] = round(sdt, 3)
+                print(f"# {key}: {timings[key]}s", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                errors[key] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {key}: ERROR {errors[key]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
     except ValueError:
         pass
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({"metric": "total_runtime", "value": total, "unit": "sec", "queries": timings, "sf": sf}))
+    # total excludes the per-stage sub-keys ("<workload>.<stage>") so it
+    # stays diffable against prior rounds' totals
+    total = round(sum(v for k, v in timings.items() if "." not in k), 3)
+    out = {"metric": "total_runtime", "value": total, "unit": "sec", "queries": timings, "sf": sf}
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

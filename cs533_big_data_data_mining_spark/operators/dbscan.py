@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 import time
@@ -125,6 +125,30 @@ def _driver_labels(lb_pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {"id": np.concatenate(out_id), "cluster_id": np.concatenate(out_cl).astype(np.int32)}
     )
+
+
+def dense_index(values: DataFrame, value_col: str, index_col: str = "dense_id") -> DataFrame:
+    """Dense 1..K ids for the distinct values of ``value_col``, ordered
+    ascending — SURVEY §2 op 12's prefix-sum dense numbering
+    (``dbscan.cpp:376-407``: Allgather per-rank root counts, prefix-sum
+    offsets) without the reference's message rounds AND without a
+    single-partition window: range-repartition the distinct values
+    (ascending partition ranges), sort within each partition, and
+    ``zipWithIndex`` (one lightweight partition-size count job, then a
+    per-partition offset — the exact prefix-sum the reference computes
+    with MPI_Allgather). No stage funnels all K rows through one task,
+    so the labeling path stays parallel when K itself is huge.
+    """
+    spark = values.sparkSession
+    distinct = values.select(F.col(value_col).alias("_v")).distinct()
+    indexed = (
+        distinct.repartitionByRange("_v")
+        .sortWithinPartitions("_v")
+        .rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .map(lambda t: (t[0], t[1] + 1))
+    )
+    return spark.createDataFrame(indexed, schema=f"{value_col} long, {index_col} long")
 
 
 def core_flags(points: DataFrame, eps: float, min_pts: int, spec: GridSpec) -> DataFrame:
@@ -319,20 +343,11 @@ def dbscan(
         .agg(F.min("root").alias("root"))
     )
 
-    # dense ids 1..K ordered by cluster min core id (K is small: one
-    # row per cluster, so the window sort is negligible).
-    # the window runs over K distinct roots (small by construction);
-    # the constant-valued but non-foldable partition key (root % 1 = 0)
-    # makes the single-partition execution explicit instead of
-    # warned-about (a plain literal is constant-folded to an empty
-    # partition spec, which re-triggers the warning)
-    dense = (
-        core_roots.select("root")
-        .distinct()
-        .withColumn(
-            "cluster_id",
-            F.row_number().over(Window.partitionBy(F.pmod(F.col("root"), F.lit(1))).orderBy("root")),
-        )
+    # dense ids 1..K ordered by cluster min core id — range-partitioned
+    # zipWithIndex, no single-partition window: the labeling path has
+    # no serial point even when K is millions of fine-grained clusters
+    dense = dense_index(core_roots.select("root"), "root", "cluster_id").withColumn(
+        "cluster_id", F.col("cluster_id").cast("int")
     )
 
     labels = core_roots.union(border_roots).join(dense, "root").select("id", "cluster_id")

@@ -220,29 +220,57 @@ def minhash_dedup_pairs(
     )
 
 
+def _term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok, w): per-document term frequencies — the weighted-vote
+    input shared by every simhash variant."""
+    from cs533_big_data_data_mining_spark.functions.text import tokenize
+
+    toks = _spread(df).select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok"))
+    return toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("w"))
+
+
+def _simhash_from_token_hash(tf_hashed: DataFrame, nbits: int) -> DataFrame:
+    """(id, simhash) from a (id, w, th) frame: per-bit weighted vote
+    sums (map-side-combinable conditional aggregates, all JVM-side),
+    sign of each vote becomes the signature bit. At most 63 bits are
+    packed so the sign bit stays clear (ANSI-safe BIGINT)."""
+    used = min(nbits, 63)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"v{b}")
+        for b in range(used)
+    ]
+    agg = tf_hashed.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(used):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b)).otherwise(F.lit(0))
+    return agg.select("id", sig.alias("simhash"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash BIGINT): 64-bit weighted bit-vote over token
     hashes (Charikar). Tokens vote +1/-1 per bit weighted by their
     term frequency; bit b of the result is the vote sign.
 
-    Vectorized as 64 conditional-sum aggregates over one exploded
+    Vectorized as conditional-sum aggregates over one exploded
     token frame — all JVM-side."""
-    from cs533_big_data_data_mining_spark.functions.text import tokenize
+    tf = _term_freqs(df, id_col, text_col)
+    return _simhash_from_token_hash(tf.withColumn("th", F.xxhash64("tok")), 64)
 
-    toks = _spread(df).select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok"))
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("w"))
-    h = tf.withColumn("th", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    agg = h.groupBy("id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(63):  # bit 63 excluded: keep sign bit clear (ANSI-safe)
-        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * F.lit(2 ** b)).otherwise(F.lit(0))
-    return agg.select("id", sig.alias("simhash"))
+
+def simhash_poly31(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """31-bit simhash whose token hash is the cross-engine polynomial
+    rolling hash (the ``functions/text.fingerprint`` recurrence,
+    ``acc*31 + codepoint mod 2^31-1``) instead of xxhash64 — every step
+    is reproducible in ANSI SQL, so the full signature has an exact
+    DuckDB oracle twin. Same vote machinery and scale shape as
+    ``simhash64``; fewer bits, so use that one when 64-bit Hamming
+    resolution matters and this one when verifiability does."""
+    from cs533_big_data_data_mining_spark.functions.text import fingerprint
+
+    tf = _term_freqs(df, id_col, text_col)
+    return _simhash_from_token_hash(tf.withColumn("th", fingerprint("tok")), 31)
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:

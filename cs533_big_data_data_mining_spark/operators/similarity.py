@@ -77,6 +77,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    max_block_pairs: int | None = 10_000,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding-space
     near-dup detection, exact.
@@ -88,9 +89,16 @@ def embedding_neardup_pairs(
     X @ Y.T gram in NumPy. Shuffle volume is O(N*D) (the packing
     groupBy) + O(m^2 * block_rows * D) for the block-pair join —
     each task holds exactly two blocks, so memory is bounded by
-    ``block_rows`` regardless of N. For corpora where even m^2
-    block pairs is too much, route through ``ivf_index`` buckets
-    first and run this per-bucket.
+    ``block_rows`` regardless of N.
+
+    Scale gate (the dbscan skew-gate pattern): block-gram work is
+    quadratic in m, so when m*(m+1)/2 exceeds ``max_block_pairs``
+    (~0.57 B vectors at the defaults) the call auto-routes to
+    ``lsh_neardup_pairs`` — banded random-hyperplane LSH that shuffles
+    (band, key) signatures instead of block pairs, with exact cosine
+    verification of candidates (precision 1.0; recall per the band
+    analysis in its docstring). Pass ``max_block_pairs=None`` to force
+    the exact path regardless of size.
     """
     import math
 
@@ -105,6 +113,8 @@ def embedding_neardup_pairs(
     if n == 0:
         return df.sparkSession.createDataFrame([], "a long, b long, cosine double")
     m = max(1, math.ceil(n / block_rows))
+    if max_block_pairs is not None and m * (m + 1) // 2 > max_block_pairs:
+        return lsh_neardup_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
 
     packed = (
         v.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(m)).cast("int"))
@@ -413,14 +423,22 @@ def lsh_neardup_pairs(
     thr = float(threshold)
 
     def score(batches):
+        # the exact oracle fold: per-dim left-to-right accumulation on
+        # the RAW vectors, dot/(|a|*|b|) — bit-identical to
+        # embedding_neardup_pairs' verification step and the SQL twin,
+        # so the two routes report the same cosine for a shared pair
+        def ltr_dot(X, Y):
+            acc = np.zeros(X.shape[0], dtype=np.float64)
+            for j in range(X.shape[1]):
+                acc += X[:, j] * Y[:, j]
+            return acc
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.array(list(pdf["avec"]), dtype=np.float64)
             B = np.array(list(pdf["bvec"]), dtype=np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            B /= np.linalg.norm(B, axis=1, keepdims=True)
-            cos = np.round(np.einsum("ij,ij->i", A, B), 6)
+            cos = np.round(ltr_dot(A, B) / (np.sqrt(ltr_dot(A, A)) * np.sqrt(ltr_dot(B, B))), 6)
             keep = cos >= thr
             yield pd.DataFrame(
                 {"a": pdf["a"].to_numpy()[keep], "b": pdf["b"].to_numpy()[keep], "cosine": cos[keep]}

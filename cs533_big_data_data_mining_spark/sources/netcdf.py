@@ -2,8 +2,8 @@
 
 The reference writes its clustering output as a real netCDF file with
 one ``position_col_X{j}`` float variable per coordinate plus an int
-``cluster_id`` variable over a single ``num_points`` dimension
-(``dbscan.cpp:510-632``).  The container has no netCDF library, so this
+``cluster_id`` variable over a single ``num_particles`` dimension
+(``dbscan.cpp:510-632``, dim defined at ``dbscan.cpp:520-545``).  The container has no netCDF library, so this
 module implements the classic file format directly from its public
 specification (NetCDF User's Guide, Appendix B: "File Format
 Specification") in pure NumPy: magic ``CDF\\x01``, big-endian header
@@ -54,13 +54,35 @@ def _pad4(n: int) -> int:
     return (n + 3) & ~3
 
 
+def _commit_bytes(buf: bytes, path: str) -> None:
+    """Write-then-rename commit: a reader never observes a torn file,
+    and a failed/respeculated task leaves only a ``.tmp`` orphan
+    instead of a half-written ``.nc`` (the same publish protocol as
+    Spark's file output committers)."""
+    tmp = f"{path}.tmp-{os.getpid()}-{id(buf) & 0xFFFF:x}"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, path)
+
+
 def _name_bytes(name: str) -> bytes:
     raw = name.encode("utf-8")
     return struct.pack(">i", len(raw)) + raw + b"\x00" * (_pad4(len(raw)) - len(raw))
 
 
-def netcdf3_encode(columns: list[tuple[str, np.ndarray]], dim_name: str = "num_points") -> bytes:
-    """Serialize equal-length 1-D arrays as one classic netCDF-3 file."""
+def netcdf3_encode(
+    columns: list[tuple[str, np.ndarray]],
+    dim_name: str = "num_particles",
+    force_wide: bool = False,
+) -> bytes:
+    """Serialize equal-length 1-D arrays as one classic netCDF file.
+
+    Default dim name matches the reference's output exactly
+    (``num_particles``, ``dbscan.cpp:520-545``). Files whose variable
+    data would push a begin offset past the CDF-1 signed-32-bit limit
+    are written as CDF-2 (magic ``CDF\\x02``, 64-bit begin offsets) —
+    the spec's own large-file escape hatch; a single variable larger
+    than the 32-bit vsize field is an error."""
     if not columns:
         raise ValueError("netcdf3_encode: need at least one variable")
     n = len(columns[0][1])
@@ -73,10 +95,16 @@ def netcdf3_encode(columns: list[tuple[str, np.ndarray]], dim_name: str = "num_p
         if nc_type is None:
             raise ValueError(f"variable {name}: unsupported dtype {arr.dtype}")
         raw = arr.astype(_NC_TYPES[nc_type][0]).tobytes()
-        specs.append((name, nc_type, raw, _pad4(len(raw))))
+        vsize = _pad4(len(raw))
+        if vsize > 2**31 - 1:
+            raise ValueError(
+                f"variable {name}: {vsize} bytes overflows the classic format's "
+                "32-bit vsize field — split the frame across more partitions"
+            )
+        specs.append((name, nc_type, raw, vsize))
 
-    def header(begins: list[int]) -> bytes:
-        h = [b"CDF\x01", struct.pack(">i", 0)]  # magic, numrecs
+    def header(begins: list[int], wide: bool) -> bytes:
+        h = [b"CDF\x02" if wide else b"CDF\x01", struct.pack(">i", 0)]  # magic, numrecs
         h.append(struct.pack(">ii", NC_DIMENSION, 1))
         h.append(_name_bytes(dim_name) + struct.pack(">i", n))
         h.append(struct.pack(">ii", 0, 0))  # ABSENT global atts
@@ -85,18 +113,23 @@ def netcdf3_encode(columns: list[tuple[str, np.ndarray]], dim_name: str = "num_p
             h.append(_name_bytes(name))
             h.append(struct.pack(">ii", 1, 0))  # ndims=1, dimid=0
             h.append(struct.pack(">ii", 0, 0))  # ABSENT var atts
-            h.append(struct.pack(">iii", nc_type, vsize, begin))
+            h.append(struct.pack(">ii", nc_type, vsize))
+            h.append(struct.pack(">q" if wide else ">i", begin))
         return b"".join(h)
 
-    hlen = len(header([0] * len(specs)))  # begin values don't change header size
-    begins, off = [], hlen
-    for _name, _t, _raw, vsize in specs:
-        begins.append(off)
-        off += vsize
-    out = [header(begins)]
-    for _name, _t, raw, vsize in specs:
-        out.append(raw + b"\x00" * (vsize - len(raw)))
-    return b"".join(out)
+    for wide in ((True,) if force_wide else (False, True)):
+        hlen = len(header([0] * len(specs), wide))  # begin values don't change header size
+        begins, off = [], hlen
+        for _name, _t, _raw, vsize in specs:
+            begins.append(off)
+            off += vsize
+        if not wide and begins and begins[-1] > 2**31 - 1:
+            continue  # CDF-1 begin offset overflow -> retry as CDF-2
+        out = [header(begins, wide)]
+        for _name, _t, raw, vsize in specs:
+            out.append(raw + b"\x00" * (vsize - len(raw)))
+        return b"".join(out)
+    raise AssertionError("unreachable")
 
 
 def netcdf3_decode(buf: bytes) -> dict[str, np.ndarray]:
@@ -129,7 +162,14 @@ def netcdf3_decode(buf: bytes) -> dict[str, np.ndarray]:
             nc_type, nelems = i4(), i4()
             pos += _pad4(nelems * _NC_TYPES[nc_type][1])
 
-    i4()  # numrecs
+    numrecs = i4()
+    if numrecs != 0:
+        # record variables interleave along the unlimited dimension;
+        # the fixed-variable reader below would silently mis-slice them
+        raise ValueError(
+            f"netcdf3_decode: file has {numrecs} records along an unlimited "
+            "dimension — only fixed-dimension classic files are supported"
+        )
     tag, ndims = i4(), i4()
     dims = []
     if tag == NC_DIMENSION:
@@ -192,8 +232,7 @@ def write_clusters_netcdf(
                 f"{driver_row_cap}; use the partitioned sink (single_file=False)"
             )
         buf = netcdf3_encode(to_cols(flat.toPandas()))
-        with open(path, "wb") as f:
-            f.write(buf)
+        _commit_bytes(buf, path)
         return [path]
 
     os.makedirs(path, exist_ok=True)
@@ -205,8 +244,7 @@ def write_clusters_netcdf(
         pdf = pd.concat(parts, ignore_index=True)
         pid = TaskContext.get().partitionId()
         fpath = os.path.join(path, f"part-{pid:05d}.nc")
-        with open(fpath, "wb") as f:
-            f.write(netcdf3_encode(to_cols(pdf)))
+        _commit_bytes(netcdf3_encode(to_cols(pdf)), fpath)
         yield pd.DataFrame({"path": [fpath], "rows": [np.int64(len(pdf))]})
 
     summary = flat.mapInPandas(

