@@ -123,34 +123,29 @@ def ngram_jaccard_pairs(
     return jac
 
 
+def _signatures_from_index(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) from a prebuilt (id, shingle) index — lets callers
+    that also need the index for verification reuse ONE cached scan."""
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
     """(id, sig ARRAY<BIGINT>[num_hashes]): sig[i] = min over shingles
     of xxhash64(i, shingle). One explode + one groupBy — the min per
     seed is a map-side-combinable aggregate."""
-    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None)
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
-    sigs = sh.groupBy("id").agg(*aggs)
-    return sigs.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    return _signatures_from_index(
+        _shingle_index(df, id_col, text_col, n, max_doc_freq=None), num_hashes
+    )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-) -> DataFrame:
-    """Candidate near-dup pairs ``(a, b)``: docs agreeing on at least
-    one LSH band (rows-per-band = num_hashes/bands). For threshold t,
-    P[candidate] ≈ 1-(1-t^r)^b — with 64/16x4, t=0.5 catches ~66%,
-    t=0.7 ~99%. Distinct equi-join keys only; no quadratic work."""
+def _lsh_candidates_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     bucketed = sigs.select(
         "id",
         F.explode(
@@ -178,6 +173,23 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(a, b)``: docs agreeing on at least
+    one LSH band (rows-per-band = num_hashes/bands). For threshold t,
+    P[candidate] ≈ 1-(1-t^r)^b — with 64/16x4, t=0.5 catches ~66%,
+    t=0.7 ~99%. Distinct equi-join keys only; no quadratic work."""
+    return _lsh_candidates_from_sigs(
+        minhash_signatures(df, id_col, text_col, n, num_hashes), num_hashes, bands
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -188,9 +200,14 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (candidate set only,
-    so verification cost is linear in candidates, not N^2)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None)
+    so verification cost is linear in candidates, not N^2).
+
+    The (id, shingle) index is built ONCE and cached: signatures,
+    intersection counts, and sizes all read the same materialized
+    index instead of re-tokenizing/re-shingling the corpus per
+    consumer (three scans of the text column collapsed to one)."""
+    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None).cache()
+    cands = _lsh_candidates_from_sigs(_signatures_from_index(sh, num_hashes), num_hashes, bands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     # intersections recomputed only for candidate pairs (linear in

@@ -51,16 +51,22 @@ def cosine_topk_bruteforce(
     top-k, which aggregates only k rows per query and partition.
     Self-matches (same id) are excluded.
     """
+    # norms are per-VECTOR, not per-pair: computing them before the
+    # join evaluates one fold per row instead of two extra folds per
+    # (query x corpus) pair — same norm2 expression over the same
+    # values, so every cosine is bit-identical to the fused form
     q = queries.select(
         F.col(query_id_col or id_col).alias("qid"),
         as_double_array(query_vec_col or vec_col).alias("qvec"),
+    ).withColumn("qnorm", norm2("qvec"))
+    c = corpus.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("nvec")).withColumn(
+        "nnorm", norm2("nvec")
     )
-    c = corpus.select(F.col(id_col).alias("nid"), as_double_array(vec_col).alias("nvec"))
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
         .withColumn(
             "cosine",
-            F.round(dot("qvec", "nvec") / (norm2("qvec") * norm2("nvec")), 6),
+            F.round(dot("qvec", "nvec") / (F.col("qnorm") * F.col("nnorm")), 6),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
@@ -335,10 +341,16 @@ def ivf_topk(
 
     probes = q.mapInPandas(probe, f"qid long, qvec {qvec_type}, cid int")
 
-    paired = probes.join(assigned, "cid").filter(F.col("qid") != F.col("id"))
+    # per-vector norms computed BEFORE the cid join (one fold per
+    # probe/corpus row, not two per candidate pair); the dot fold stays
+    # per-pair. Same norm2 expression over the same values -> cosines
+    # bit-identical to the fused form, so full-probe == brute force holds
+    probes_n = probes.withColumn("qnorm", norm2(as_double_array("qvec")))
+    assigned_n = assigned.withColumn("vnorm", norm2(as_double_array("vec")))
+    paired = probes_n.join(assigned_n, "cid").filter(F.col("qid") != F.col("id"))
     qv, cv = as_double_array("qvec"), as_double_array("vec")
     scored = paired.select(
-        "qid", "id", F.round(dot(qv, cv) / (norm2(qv) * norm2(cv)), 6).alias("cosine")
+        "qid", "id", F.round(dot(qv, cv) / (F.col("qnorm") * F.col("vnorm")), 6).alias("cosine")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
     return (

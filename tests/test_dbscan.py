@@ -47,12 +47,29 @@ def test_dbscan_matches_oracle(spark, name, n, d, k, spacing, std, eps, min_pts,
 
 
 def test_distributed_cc_path(spark):
-    """Force the star-algorithm CC path (driver fast path disabled) —
-    must produce identical labels."""
+    """Force the star-algorithm CC path: BOTH driver fast paths
+    disabled (driver_label_rows=0 keeps the label fastpath from
+    returning before CC runs — without it the cc_driver_fastpath_edges
+    knob is never reached) — must produce identical labels."""
     x = make_blobs(1200, 2, grid_centers(5, 2, 40.0), 0.6, seed=17, noise_frac=0.08)
-    a = run_and_compare(spark, x, 0.4, 8, cc_driver_fastpath_edges=0)
+    a = run_and_compare(spark, x, 0.4, 8, cc_driver_fastpath_edges=0, driver_label_rows=0)
     b = run_and_compare(spark, x, 0.4, 8)
     assert np.array_equal(a, b)
+
+
+def test_distributed_label_path_no_serial_stage(spark):
+    """The distributed labeling path must contain no single-partition
+    exchange and no global window (round-3 verdict #4: dense ids were
+    a row_number over one partition; now a range-partitioned
+    zipWithIndex)."""
+    from cs533_big_data_data_mining_spark.plans.audit import _plan_text
+
+    x = make_blobs(1000, 2, grid_centers(4, 2, 40.0), 0.6, seed=23, noise_frac=0.05)
+    labeled = dbscan(to_points_df(spark, x), 0.4, 8, driver_label_rows=0)
+    txt = _plan_text(labeled, "formatted")
+    assert "SinglePartition" not in txt
+    assert "Window" not in txt
+    labeled.unpersist()
 
 
 def test_partition_invariance(spark):

@@ -101,6 +101,38 @@ def test_simhash_properties(spark):
     assert (0, 1) in cands
 
 
+def test_simhash_poly31_matches_python_reference(spark):
+    """simhash_poly31 pinned against a from-scratch Python
+    implementation of its spec: token hash = acc*31+codepoint mod
+    2^31-1, per-bit tf-weighted votes, sign pack over 31 bits."""
+    from cs533_big_data_data_mining_spark.operators.dedup import simhash_poly31
+
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r["simhash"] for r in simhash_poly31(df, "doc_id", "text").collect()}
+
+    def polyhash(tok):
+        acc = 0
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % 2147483647
+        return acc
+
+    for doc_id, text in docs:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        votes = [0] * 31
+        for t, w in tf.items():
+            h = polyhash(t)
+            for b in range(31):
+                votes[b] += w if (h >> b) & 1 else -w
+        want = sum(2**b for b in range(31) if votes[b] > 0)
+        assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
+
+
 def test_dedup_on_documents_table(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
