@@ -350,30 +350,16 @@ _LANG_SCORE_COLS = ",\n  ".join(
     f"len(list_intersect(list_distinct(t), {arr})) AS s_{lang}"
     for lang, arr in sorted(_LANG_MARKERS_SQL.items())
 )
-_TEXT_STATS_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents
-),
-scored AS (
-  SELECT doc_id, text, t,
-  {_LANG_SCORE_COLS},
-  greatest(len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['de']})),
-           len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['en']})),
-           len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['es']})),
-           len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['fr']})),
-           len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL['zh']}))) AS best
-  FROM toks
-)
-SELECT doc_id,
-  CAST(len(t) AS BIGINT) AS n_tokens,
-  CAST(len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS BIGINT) AS n_subwords,
-  CASE WHEN best = 0 THEN 'und'
+
+# shared by text_stats and curate_docs oracles: referenced columns are
+# t (token list), text, best / s_<lang> (marker scores)
+_LANG_CASE_SQL = """CASE WHEN best = 0 THEN 'und'
        WHEN s_de = best THEN 'de'
        WHEN s_en = best THEN 'en'
        WHEN s_es = best THEN 'es'
        WHEN s_fr = best THEN 'fr'
-       ELSE 'zh' END AS lang_guess,
-  round(
+       ELSE 'zh' END"""
+_QUALITY_EXPR_SQL = f"""round(
     0.25 * least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
     + 0.25 * (CASE WHEN len(t) > 0
               THEN CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
@@ -384,7 +370,26 @@ SELECT doc_id,
     + 0.25 * least((CASE WHEN len(t) > 0
               THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
                    / CAST(len(t) AS DOUBLE) ELSE 0.0 END) / 8.0, 1.0),
-  6) AS quality,
+  6)"""
+_GREATEST_LANGS_SQL = "greatest(" + ",\n           ".join(
+    f"len(list_intersect(list_distinct(t), {_LANG_MARKERS_SQL[lang]}))"
+    for lang in sorted(_LANG_MARKERS_SQL)
+) + ")"
+_TEXT_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents
+),
+scored AS (
+  SELECT doc_id, text, t,
+  {_LANG_SCORE_COLS},
+  {_GREATEST_LANGS_SQL} AS best
+  FROM toks
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS BIGINT) AS n_subwords,
+  {_LANG_CASE_SQL} AS lang_guess,
+  {_QUALITY_EXPR_SQL} AS quality,
   list_reduce(list_prepend(0, range(1, length(text) + 1)),
               (acc, i) -> (acc * 31 + ascii(substring(text, CAST(i AS INT), 1))) % 2147483647) AS fp
 FROM scored
@@ -546,6 +551,69 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+CURATE_MINQ = 0.5  # keeps ~82% at sf0.01 — the filter does real work
+CURATE_JACCARD = 0.8
+
+
+def _q_curate_docs(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.curate import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_documents(
+        docs, min_quality=CURATE_MINQ, jaccard_threshold=CURATE_JACCARD
+    )
+
+
+# full curation pipeline as one recursive-CTE oracle: score -> filter
+# -> exact dedup (min-id keeper) -> near-dup CC closure -> survivors
+_CURATE_SQL = f"""
+WITH RECURSIVE
+tt AS (SELECT doc_id AS id, text, {_TOKS_SQL} AS t FROM documents),
+ls AS (SELECT id, text, t,
+  {_LANG_SCORE_COLS},
+  {_GREATEST_LANGS_SQL} AS best
+  FROM tt),
+scored AS (SELECT id, text, t, {_LANG_CASE_SQL} AS lang_guess, {_QUALITY_EXPR_SQL} AS quality FROM ls),
+kept AS (SELECT * FROM scored WHERE quality >= {CURATE_MINQ}),
+uniq AS (
+  SELECT k.* FROM kept k
+  JOIN (SELECT min(id) AS id FROM kept GROUP BY text) m ON k.id = m.id
+),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         ELSE [] END)) AS shingle
+  FROM uniq
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+jp AS (
+  SELECT ia AS a, ib AS b
+  FROM inter JOIN sizes sa ON inter.ia = sa.id JOIN sizes sb ON inter.ib = sb.id
+  WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= {CURATE_JACCARD}
+),
+e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+mins AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u)
+SELECT u.id, u.lang_guess, u.quality
+FROM uniq u LEFT JOIN mins m ON u.id = m.id
+-- reach contains u itself (any edge closes a 2-cycle), so the
+-- group survivor has mn == its own id: keep mn >= id, drop mn < id
+WHERE m.id IS NULL OR m.mn >= u.id
+"""
+
+
 def _q_sessionize(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.streaming.events import load_events
@@ -608,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "tfidf": _q_tfidf,
         "multimodal_meta": _q_multimodal_meta,
+        "curate_docs": _q_curate_docs,
         "sessionize": _q_sessionize,
         "stream_windowed_counts": _q_stream_windowed_counts,
     }
@@ -745,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "text_stats": _TEXT_STATS_SQL,
+        "curate_docs": _CURATE_SQL,
         "tfidf": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents

@@ -1,0 +1,83 @@
+"""End-to-end corpus curation — the canonical pretraining-data
+pipeline, composed from this engine's own operators:
+
+    quality score + language id        (functions/text, Column exprs)
+    -> rule filter                     (pushdown-friendly WHERE)
+    -> exact dedup                     (min-id keeper per content)
+    -> near-dup dedup                  (shingle-Jaccard pairs
+                                        -> connected components
+                                        -> min-id survivor per group)
+
+The reference has nothing like this (it is a clustering engine); this
+is the Phase-E north-star composition (SURVEY §7) that makes the
+ε-join / CC machinery useful for 100 TB document corpora. Every stage
+reuses an already-oracle-checked operator, and the whole pipeline has
+an exact DuckDB twin (recursive-CTE closure over the near-dup pair
+graph, mirroring the DBSCAN labels oracle).
+
+Scale shape: two text scans (score+filter fused into one, shingling
+one), the shingle-index self-join from ``ngram_jaccard_pairs``
+(inverted-index bucketed, never all-pairs), and a CC fixpoint whose
+edge count is the number of near-dup pairs — tiny relative to the
+corpus. Survivor selection is a min-aggregate + anti-join, both
+map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.functions.text import lang_id, quality_score
+from cs533_big_data_data_mining_spark.operators.connected_components import (
+    connected_components,
+)
+from cs533_big_data_data_mining_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    langs: tuple[str, ...] | None = None,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Surviving documents ``(id, lang_guess, quality)`` after the full
+    curation pipeline. Deterministic: the survivor of every duplicate
+    group (exact or near) is the minimum id, so output is independent
+    of partitioning and arrival order.
+
+    Near-dup groups are the connected components of the Jaccard-pair
+    graph (threshold ``jaccard_threshold``): if A~B and B~C, only one
+    of {A,B,C} survives even when A~C itself is below threshold —
+    the same transitive-closure semantics cluster labeling uses.
+    """
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        lang_id(text_col).alias("lang_guess"),
+        quality_score(text_col).alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= F.lit(float(min_quality)))
+    if langs is not None:
+        kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+
+    # exact dedup first: it is O(N) and shrinks the quadratic-risk
+    # input of the shingle join
+    uniq = exact_dedup(kept, "id", "text")
+
+    pairs = ngram_jaccard_pairs(uniq, "id", "text", n=ngram, threshold=jaccard_threshold)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    # one survivor (min id == the component label, by the min-label
+    # convention) per near-dup group; every non-survivor is dropped
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("id")
+    )
+    survivors = uniq.join(losers, "id", "left_anti")
+    return survivors.select("id", "lang_guess", "quality")

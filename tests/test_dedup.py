@@ -140,3 +140,27 @@ def test_dedup_on_documents_table(spark, sf_dir):
     # jaccard self-join returns (a<b) pairs only
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, max_doc_freq=200).collect()
     assert all(r["a"] < r["b"] for r in pairs)
+
+
+def test_curate_documents_pipeline(spark):
+    """curate_documents: quality filter, exact-dup removal, and
+    TRANSITIVE near-dup removal (0~2, 2~3 but 0!~3 -> one survivor of
+    {0,1,2,3}); the unrelated doc and nothing else survives with it."""
+    from cs533_big_data_data_mining_spark.operators.curate import curate_documents
+
+    base = [a + b for a in "abcdef" for b in "abcdef"][:30]
+    other = [a + b for a in "uvwxyz" for b in "uvwxyz"][:30]
+    d2 = base[:-1] + ["zz"]            # 1 shingle off base  -> J(0,2)=27/29~0.93
+    d3 = ["zx", "zy", "zw"] + d2[3:]   # 3 shingles off d2   -> J(2,3)=25/31~0.81
+    #                                    4 shingles off base -> J(0,3)=24/32=0.75
+    docs = [
+        (0, " ".join(base)),
+        (1, " ".join(base)),       # exact dup of 0
+        (2, " ".join(d2)),         # near-dup of 0
+        (3, " ".join(d3)),         # near-dup of 2, NOT of 0
+        (4, " ".join(other)),      # unrelated
+        (5, "1 2 3"),              # low quality (no alpha, no stopwords)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = curate_documents(df, min_quality=0.3, jaccard_threshold=0.8)
+    assert sorted(r["id"] for r in out.collect()) == [0, 4]
