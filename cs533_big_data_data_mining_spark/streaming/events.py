@@ -100,6 +100,28 @@ def user_activity(events: DataFrame, window: str = "1 day", watermark: str = "2 
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact dedup of an event stream (at-least-once sources re-deliver):
+    drop rows whose key was already seen within the watermark horizon.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state per key is
+    evicted once the watermark passes, so memory is O(keys per
+    horizon), not O(stream history); the dedup guarantee holds for
+    re-deliveries arriving closer than the watermark, which is the
+    at-least-once delivery window in practice. Batch: plain
+    ``dropDuplicates`` — one shuffle, map-side partial dedup; the same
+    call works in both modes (unified API, like the window aggs above).
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_s: int = 120, output_mode: str = "complete"
 ) -> None:

@@ -47,3 +47,25 @@ def test_watermark_present_in_plan(spark, events_dir):
     assert stream.isStreaming
     # event-time watermark node must exist for bounded state
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
+
+
+def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
+    """A doubled event stream dedups back to the original id set, in
+    streaming mode (watermark-bounded state) and in batch mode, with
+    identical results."""
+    from cs533_big_data_data_mining_spark.streaming.events import dedup_events
+
+    out = str(tmp_path / "dup_events")
+    ev = load_events(spark, f"{sf_dir}/events.parquet").limit(500)
+    ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(out)
+
+    batch = dedup_events(spark.read.parquet(out))
+    assert batch.count() == 500
+    assert batch.select("event_id").distinct().count() == 500
+
+    stream = dedup_events(read_events_stream(spark, out, max_files_per_trigger=2))
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
+    run_stream_to_memory(stream, "dedup_ev", output_mode="append")
+    got = spark.sql("SELECT event_id FROM dedup_ev").collect()
+    assert len(got) == 500
+    assert len({r["event_id"] for r in got}) == 500
