@@ -164,3 +164,8 @@ def test_curate_documents_pipeline(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = curate_documents(df, min_quality=0.3, jaccard_threshold=0.8)
     assert sorted(r["id"] for r in out.collect()) == [0, 4]
+
+    # unreachable threshold -> empty near-dup graph (empty-edge CC
+    # path): only the exact dup and the low-quality doc drop
+    out2 = curate_documents(df, min_quality=0.3, jaccard_threshold=1.01)
+    assert sorted(r["id"] for r in out2.collect()) == [0, 2, 3, 4]
