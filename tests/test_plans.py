@@ -85,3 +85,14 @@ def test_minhash_band_join_is_equi_join(spark):
     p = _plan(cands)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_curate_plan_has_no_cartesian(spark):
+    """The curation composition must stay bucketed end to end: no
+    cartesian/nested-loop join anywhere in the pipeline's plan."""
+    from cs533_big_data_data_mining_spark.operators.curate import curate_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = curate_documents(docs, min_quality=0.5, jaccard_threshold=0.8)
+    p = _plan(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
