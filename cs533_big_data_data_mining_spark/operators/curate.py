@@ -68,8 +68,12 @@ def curate_documents(
         kept = kept.filter(F.col("lang_guess").isin(list(langs)))
 
     # exact dedup first: it is O(N) and shrinks the quadratic-risk
-    # input of the shingle join
-    uniq = exact_dedup(kept, "id", "text")
+    # input of the shingle join. Cached: uniq feeds BOTH the shingle
+    # join and the final survivor anti-join — without the cache the
+    # text scan + scoring + dedup join execute twice. MEMORY_AND_DISK
+    # (the default) spills the text column rather than evicting it, so
+    # at corpus scale this is one local-disk write, not an OOM.
+    uniq = exact_dedup(kept, "id", "text").cache()
 
     pairs = ngram_jaccard_pairs(uniq, "id", "text", n=ngram, threshold=jaccard_threshold)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
