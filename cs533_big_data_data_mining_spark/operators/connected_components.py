@@ -78,7 +78,16 @@ def _driver_union(e: DataFrame) -> DataFrame:
     out = pd.DataFrame({"node": nodes, "component": nodes[lab]})
     # explicit schema: with zero edges the frame is empty and schema
     # inference would fail
-    return e.sparkSession.createDataFrame(out, "node long, component long")
+    df = e.sparkSession.createDataFrame(out, "node long, component long")
+    if len(out) > 100_000:
+        # a driver-created DataFrame is re-serialized from the driver
+        # into EVERY job that scans it; one eager localCheckpoint
+        # ships the rows to executor block storage once, and the
+        # downstream core-root join reads local blocks instead
+        # (measured at 3M nodes: join 22.3s -> ~2s). Skipped for
+        # small results where the extra job is pure latency.
+        df = df.localCheckpoint(eager=True)
+    return df
 
 
 def connected_components(
@@ -98,16 +107,19 @@ def connected_components(
     conservative for the fastpath gate (pre-distinct count >= distinct
     count).
     """
-    e = edges.filter(F.col("src") != F.col("dst")).distinct()
+    e_raw = edges.filter(F.col("src") != F.col("dst"))
     cnt = edge_count_hint if edge_count_hint is not None else None
     if driver_fastpath_edges:
         if cnt is None:
-            cnt = e.count()
+            cnt = e_raw.count()
         if cnt <= driver_fastpath_edges:
-            # no checkpoint needed: _driver_union's toPandas is the
-            # only consumer of this lineage
-            return _driver_union(e)
-    e = e.localCheckpoint(eager=True)
+            # no distinct and no checkpoint: duplicate edges are
+            # harmless to the local union (np.unique dedups node ids;
+            # repeated (u, v) rows are idempotent min-updates), so the
+            # fastpath skips the whole dedup shuffle and toPandas pulls
+            # the raw filtered edges
+            return _driver_union(e_raw)
+    e = e_raw.distinct().localCheckpoint(eager=True)
     prev_sig = None
     for it in range(max_iterations):
         e = _small_star(_large_star(e))
