@@ -119,6 +119,37 @@ def main() -> None:
                 errors[key] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {key}: ERROR {errors[key]}", file=sys.stderr)
 
+    if os.environ.get("SPARK_GRAFT_SCALE_SMOKE"):
+        # optional 3M-point distributed-path workload (exceeds the 2M
+        # driver-label gate and drives the 4M-edge CC fastpath) —
+        # off by default so the per-round bench stays quick; the
+        # expected stats pin determinism at scale (SCALE.md)
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cs533_big_data_data_mining_spark import dbscan, dbscan_stats
+
+        n = 3_000_000
+        pts = spark.range(n).select(
+            F.col("id"),
+            F.array(
+                *[
+                    (F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(1_000_000)).cast("double") / 1e4)
+                    for j in range(3)
+                ]
+            ).alias("xs"),
+        )
+        t0 = time.time()
+        try:
+            labeled = dbscan(pts, eps=1.0, min_pts=10)
+            stats = dbscan_stats(labeled).head()
+            assert (stats["n_clusters"], stats["noise_count"]) == (52, 6771), f"scale smoke wrong: {stats}"
+            labeled.unpersist()
+            timings["dbscan_scale3m"] = round(time.time() - t0, 3)
+            print(f"# dbscan_scale3m: {timings['dbscan_scale3m']}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors["dbscan_scale3m"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# dbscan_scale3m: ERROR {errors['dbscan_scale3m']}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)

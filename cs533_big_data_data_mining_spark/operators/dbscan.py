@@ -387,9 +387,12 @@ def dbscan(
         .persist()
     )
     # materialize, then drop every intermediate cache (labeled is the
-    # only cache that survives the call — caller-owned)
+    # only cache that survives the call — caller-owned). cc included:
+    # above the checkpoint gate its executor blocks would otherwise
+    # outlive the call (unpersist is a no-op for the small driver-local
+    # form)
     labeled.count()
-    for frame in (lb, flags, core_roots, points):
+    for frame in (lb, flags, core_roots, cc, points):
         frame.unpersist()
     t["label"] = round(time.time() - t0, 3)
     return labeled
