@@ -63,13 +63,6 @@ from cs533_big_data_data_mining_spark.operators.stats import cluster_stats, samp
 DRIVER_LABEL_FASTPATH_ROWS = 2_000_000
 
 
-def _infer_dims(points: DataFrame) -> int:
-    head = points.select(F.size("xs").alias("d")).head()
-    if head is None:
-        raise ValueError("empty point frame")
-    return int(head["d"])
-
-
 def _np_min_label(src: np.ndarray, dst: np.ndarray):
     """Min-label components over an edge list: ``(nodes, root_of_node)``
     — same pointer-doubling loop as connected_components._driver_union."""

@@ -25,7 +25,7 @@ buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cs533_big_data_data_mining_spark.functions.text import word_shingles
