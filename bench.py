@@ -76,7 +76,12 @@ REF_WORKLOADS = [
 def main() -> None:
     mod = _entry_module()
     qs = mod.queries()
-    spark = get_spark(app_name="cs533_bench")
+    # no console progress bars: their \r-spam inflates the driver's
+    # combined-output tail capture and truncated BENCH_r04's JSON line
+    spark = get_spark(
+        app_name="cs533_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     # warm the JVM/Python-worker pools so per-query times measure the
     # queries, not session spin-up
@@ -161,7 +166,14 @@ def main() -> None:
     out = {"metric": "total_runtime", "value": total, "unit": "sec", "queries": timings, "sf": sf}
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    # the full record also lands in-repo: the driver's tail capture has
+    # a fixed window and lost the head of round 4's (one-line, ~4 KB)
+    # JSON — BENCH_local.json survives regardless of capture size
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
+        fh.write(payload + "\n")
+    print(payload, flush=True)
     spark.stop()
 
 

@@ -158,7 +158,8 @@ def dense_index(values: DataFrame, value_col: str, index_col: str = "dense_id") 
 
     def number(batches):
         pid = TaskContext.get().partitionId()
-        nxt = offsets.get(pid, 0) + 1
+        base = offsets.get(pid, 0)
+        nxt = base + 1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -167,6 +168,19 @@ def dense_index(values: DataFrame, value_col: str, index_col: str = "dense_id") 
             idx = np.arange(nxt, nxt + len(pdf), dtype=np.int64)
             nxt += len(pdf)
             yield pdf.assign(**{index_col: idx})
+        # invariant: the numbering execution must observe the SAME
+        # partition sizes the counts job recorded (both read one
+        # range-exchange; the sampler and AQE coalescing are
+        # deterministic). If anything ever diverges, fail the task
+        # loudly instead of silently emitting wrong dense ids.
+        seen = nxt - 1 - base
+        want = sizes.get(pid, 0)
+        if seen != want:
+            raise RuntimeError(
+                f"dense_index: partition {pid} numbered {seen} rows but the "
+                f"counts job recorded {want} — range partitioning diverged "
+                "between the two executions"
+            )
 
     vtype = parts.schema["_v"].dataType.simpleString()
     return parts.mapInPandas(number, f"_v {vtype}, {index_col} long").withColumnRenamed(

@@ -99,12 +99,16 @@ def embedding_neardup_pairs(
 
     Scale gate (the dbscan skew-gate pattern): block-gram work is
     quadratic in m, so when m*(m+1)/2 exceeds ``max_block_pairs``
-    (~0.57 B vectors at the defaults) the call auto-routes to
-    ``lsh_neardup_pairs`` — banded random-hyperplane LSH that shuffles
-    (band, key) signatures instead of block pairs, with exact cosine
-    verification of candidates (precision 1.0; recall per the band
-    analysis in its docstring). Pass ``max_block_pairs=None`` to force
-    the exact path regardless of size.
+    the call auto-routes to ``lsh_neardup_pairs`` — banded
+    random-hyperplane LSH that shuffles (band, key) signatures instead
+    of block pairs, with exact cosine verification of candidates
+    (precision 1.0; recall per the band analysis in its docstring).
+    At the defaults (max_block_pairs=10_000, block_rows=4096) the gate
+    trips at m=141 blocks ≈ **0.58 M vectors** — above that the result
+    is no longer guaranteed exhaustive (recall < 1 is possible), and a
+    ``UserWarning`` says so. Pass ``max_block_pairs=None`` to force
+    the exact path regardless of size, or raise it to move the gate
+    (cost grows as max_block_pairs * block_rows^2 dot products).
     """
     import math
 
@@ -120,6 +124,15 @@ def embedding_neardup_pairs(
         return df.sparkSession.createDataFrame([], "a long, b long, cosine double")
     m = max(1, math.ceil(n / block_rows))
     if max_block_pairs is not None and m * (m + 1) // 2 > max_block_pairs:
+        import warnings
+
+        warnings.warn(
+            f"embedding_neardup_pairs: {n} vectors -> {m * (m + 1) // 2} block pairs "
+            f"> max_block_pairs={max_block_pairs}; auto-routing to banded LSH "
+            "(exact-verified candidates, recall < 1 possible). "
+            "Pass max_block_pairs=None to force the exact path.",
+            stacklevel=2,
+        )
         return lsh_neardup_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
 
     packed = (

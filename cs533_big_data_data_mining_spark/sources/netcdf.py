@@ -207,7 +207,8 @@ def write_clusters_netcdf(
     """netCDF sink for the canonical labeled frame ``(id, xs, cluster_id)``.
 
     Reference parity: ``dbscan.cpp:546-569`` writes ``position_col_X{j}``
-    (float) + ``cluster_id`` (int) over ``num_points``.  Distributed mode
+    (float) + ``cluster_id`` (int) over the ``num_particles`` dimension
+    (``dbscan.cpp:540``; ``netcdf3_encode``'s default).  Distributed mode
     writes ``part-NNNNN.nc`` per partition (rows never touch the driver);
     ``single_file=True`` writes the reference's exact one-file shape,
     refusing above ``driver_row_cap``.  Returns the written file paths.
