@@ -56,6 +56,11 @@ def curate_documents(
     graph (threshold ``jaccard_threshold``): if A~B and B~C, only one
     of {A,B,C} survives even when A~C itself is below threshold —
     the same transitive-closure semantics cluster labeling uses.
+
+    The result is **materialized** (cached + counted; caller-owned
+    cache, same contract as ``dbscan``): every intermediate cache —
+    the deduped text frame and the shingle index — is released before
+    returning, so repeated calls don't stack executor storage.
     """
     scored = docs.select(
         F.col(id_col).alias("id"),
@@ -75,7 +80,13 @@ def curate_documents(
     # at corpus scale this is one local-disk write, not an OOM.
     uniq = exact_dedup(kept, "id", "text").cache()
 
-    pairs = ngram_jaccard_pairs(uniq, "id", "text", n=ngram, threshold=jaccard_threshold)
+    # the shingle join inherits ngram_jaccard_pairs' PPJoin prefix
+    # filter, so hot boilerplate shingles cannot blow up candidate
+    # counts; its internal index cache lands in `caches` for release
+    caches: list = []
+    pairs = ngram_jaccard_pairs(
+        uniq, "id", "text", n=ngram, threshold=jaccard_threshold, caches=caches
+    )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     comp = connected_components(edges)
     # one survivor (min id == the component label, by the min-label
@@ -83,5 +94,12 @@ def curate_documents(
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("id")
     )
-    survivors = uniq.join(losers, "id", "left_anti")
-    return survivors.select("id", "lang_guess", "quality")
+    survivors = (
+        uniq.join(losers, "id", "left_anti")
+        .select("id", "lang_guess", "quality")
+        .persist()
+    )
+    survivors.count()
+    for frame in (uniq, *caches):
+        frame.unpersist()
+    return survivors

@@ -69,6 +69,62 @@ def _shingle_index(
     return sh
 
 
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin prefix-filtered candidate pairs ``(a, b)`` from a
+    ``(id, shingle)`` index (Bayardo/Xiao prefix filtering, public
+    all-pairs-similarity literature).
+
+    Shingles get a global total order — ascending document frequency,
+    ties by shingle (rare-first, the order that minimizes candidates)
+    — and only each doc's first ``|A| - ceil(t*|A|) + 1`` shingles are
+    indexed for candidate generation. Correctness: J(A,B) >= t forces
+    |A ∩ B| >= ceil(t*(|A|+|B|)/(1+t)) >= max(ceil(t|A|), ceil(t|B|)),
+    and two sets whose overlap is >= alpha must intersect within their
+    (|X| - alpha + 1)-prefixes under ANY shared total order — so the
+    prefix join loses no qualifying pair (it is a pure candidate
+    reduction, verified exactly downstream).
+
+    This is the structural hot-shingle guard: a boilerplate shingle
+    shared by 10^5 docs has maximal df, sorts LAST, and lands in a
+    prefix only for docs so small that nearly all their shingles are
+    prefix — so its df^2 pair blowup never reaches the join. (The
+    opt-in ``max_doc_freq`` drop remains available on top.)
+    """
+    t = float(threshold)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    # one groupBy(id) builds the per-doc globally-ordered shingle array
+    # AND its size (|A| = array length; shingles are distinct)
+    docs = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "shingle"))).alias("ord"))
+        .select("id", F.size("ord").alias("sz"), "ord")
+    )
+    # clamp at 0: an unreachable threshold (> 1) makes every prefix
+    # empty — the correct "no pair can qualify" degenerate, not an
+    # error from slice() seeing a negative length
+    plen = F.greatest(
+        F.lit(0), (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)).cast("int")
+    )
+    prefix = docs.select(
+        "id", "sz", F.explode(F.slice("ord", F.lit(1), plen)).alias("ps")
+    ).select("id", "sz", F.col("ps.shingle").alias("shingle"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # PPJoin length filter: t*|A| <= |B| <= |A|/t, pruned
+            # inside the join before the distinct
+            & (F.col("b.sz") * F.lit(t) <= F.col("a.sz"))
+            & (F.col("a.sz") * F.lit(t) <= F.col("b.sz")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -76,39 +132,42 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs ``(a, b, jaccard)`` with a < b.
 
-    |A ∩ B| comes from the shingle-index self-join (only docs sharing
-    a shingle are ever compared — no cross join); |A ∪ B| from the
-    per-doc distinct-shingle counts.
+    Candidates come from the PPJoin prefix-filtered self-join
+    (``_prefix_candidates`` — only docs sharing a PREFIX shingle are
+    ever paired, so hot boilerplate shingles cannot produce a df^2
+    blowup); |A ∩ B| is then counted exactly over the full index for
+    candidate pairs only (linear in candidates), |A ∪ B| from the
+    per-doc distinct-shingle counts. Results are identical to the
+    unfiltered join — prefix filtering is lossless for J >= t.
+
+    ``caches`` (optional): the internally cached (id, shingle) index
+    is appended so callers that materialize the result can unpersist
+    it; without it the cache lives until session end.
     """
     sh = _shingle_index(df, id_col, text_col, n, max_doc_freq).cache()
+    if caches is not None:
+        caches.append(sh)
+    t = float(threshold)
+    cands = _prefix_candidates(sh, t)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
-    # size carried on every index row: jaccard >= t forces
-    # t*|A| <= |B| <= |A|/t, so mismatched-size pairs are pruned
-    # inside the shingle join, before they ever reach the groupBy
-    # (PPJoin's length filter).
-    shz = sh.join(sizes, "id").select("id", "shingle", "sz")
-    a, b = shz.alias("a"), shz.alias("b")
-    t = float(threshold)
+    # exact intersection counts for candidate pairs only
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.sz") * F.lit(t) <= F.col("a.sz"))
-            & (F.col("a.sz") * F.lit(t) <= F.col("b.sz")),
-        )
-        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(cands, "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("ia"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("id").alias("ib"), F.col("sz").alias("szb"))
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
     jac = (
-        inter.join(sa, "ia")
-        .join(sb, "ib")
+        inter.join(sa, "a")
+        .join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(
@@ -118,7 +177,7 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select(F.col("ia").alias("a"), F.col("ib").alias("b"), "jaccard")
+        .select("a", "b", "jaccard")
     )
     return jac
 
@@ -198,6 +257,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    caches: list | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (candidate set only,
     so verification cost is linear in candidates, not N^2).
@@ -205,8 +265,12 @@ def minhash_dedup_pairs(
     The (id, shingle) index is built ONCE and cached: signatures,
     intersection counts, and sizes all read the same materialized
     index instead of re-tokenizing/re-shingling the corpus per
-    consumer (three scans of the text column collapsed to one)."""
+    consumer (three scans of the text column collapsed to one).
+    ``caches`` (optional) receives the cached index so callers that
+    materialize the result can unpersist it."""
     sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None).cache()
+    if caches is not None:
+        caches.append(sh)
     cands = _lsh_candidates_from_sigs(_signatures_from_index(sh, num_hashes), num_hashes, bands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 

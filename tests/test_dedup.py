@@ -133,6 +133,62 @@ def test_simhash_poly31_matches_python_reference(spark):
         assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
 
 
+def test_prefix_filter_bounds_hot_shingle_candidates(spark):
+    """One boilerplate shingle shared by EVERY doc must not produce the
+    df^2 candidate blowup: with rare-first prefix ordering the hot
+    shingle sorts last and stays out of every (1-t)-prefix, so the
+    candidate count stays near the true near-dup count instead of
+    N*(N-1)/2. Results must still match brute force exactly (prefix
+    filtering is lossless)."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        _prefix_candidates,
+        _shingle_index,
+    )
+
+    n_docs = 40
+    boiler = "click here to subscribe"  # two shared 3-gram shingles
+    docs = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e unique{i}f")
+        for i in range(n_docs)
+    ]
+    # one genuine near-dup pair on top of the boilerplate corpus
+    docs.append((100, docs[0][1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = _shingle_index(df, "doc_id", "text", 3, None)
+    n_cands = _prefix_candidates(sh, 0.8).count()
+    # every doc pairs with every other through the hot shingles if the
+    # guard is broken: 41*40/2 = 820 candidates. The prefix filter must
+    # keep it at the handful of same-size boilerplate collisions.
+    assert n_cands <= n_docs, f"hot-shingle blowup: {n_cands} candidates"
+
+    got = {
+        (r["a"], r["b"]) for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert got == _exact_pairs(docs, 3, 0.8) == {(0, 100)}
+
+
+def test_prefix_filter_exactness_random(spark):
+    """Prefix-filtered pairs == brute-force pairs on a randomized
+    overlapping corpus, across thresholds (the lossless-ness claim)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=t).collect()
+        }
+        want = _exact_pairs(docs, 2, t)
+        assert set(got) == want, f"t={t}: {set(got) ^ want}"
+
+
 def test_dedup_on_documents_table(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
