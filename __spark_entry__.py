@@ -404,16 +404,33 @@ _FP_TOK_SQL = (
     "list_reduce(list_prepend(0, range(1, length(tok) + 1)), "
     "(acc, i) -> (acc * 31 + ascii(substring(tok, CAST(i AS INT), 1))) % 2147483647)"
 )
-_SIMHASH_SQL = f"""
-WITH toks AS (SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents),
+_SIMHASH_CTES = f"""
+toks AS (SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents),
 tf AS (SELECT id, tok, count(*) AS w FROM toks GROUP BY id, tok),
 h AS (SELECT id, w, {_FP_TOK_SQL} AS th FROM tf),
 v AS (SELECT id,
   {", ".join(f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN w ELSE -w END) AS v{b}" for b in range(31))}
-  FROM h GROUP BY id)
-SELECT id,
+  FROM h GROUP BY id),
+sigs AS (SELECT id,
   CAST({" + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(31))} AS BIGINT) AS simhash
-FROM v
+  FROM v)"""
+
+_SIMHASH_SQL = f"WITH {_SIMHASH_CTES.strip()}\nSELECT id, simhash FROM sigs"
+
+# d=1 on the synthetic corpus: its docs are short, so 31-bit sigs
+# concentrate at low distances (d<=4 already pairs 21% of sf0.01);
+# the planted exact/near dups all land at d=0
+SIMHASH_MAX_HAMMING = 1
+
+# verified near-dup pairs: the band-candidate step has recall 1 at
+# bands = d+1 (pigeonhole), so the oracle is the clean all-pairs
+# Hamming predicate — band bucketing is a pure physical optimization
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTES.strip()}
+SELECT a.id AS a, b.id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -451,6 +468,19 @@ def _q_simhash(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_poly31(docs, "doc_id", "text")
+
+
+def _q_simhash_neardup(spark, sf_dir):
+    # poly31 variant: signature AND the Hamming verify are both exact
+    # in DuckDB, so candidates -> bit_count(xor) <= d is fully
+    # oracle-checked (round-4 verdict "next round" #6)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING, token_hash="poly31"
+    )
 
 
 def _q_embed_neardup(spark, sf_dir):
@@ -680,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "simhash_sigs": _q_simhash,
+        "simhash_neardup": _q_simhash_neardup,
         "embed_neardup": _q_embed_neardup,
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
@@ -791,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_total, TRUE AS within_6sigma FROM embeddings"
         ),
         "simhash_sigs": _SIMHASH_SQL,
+        "simhash_neardup": _SIMHASH_PAIRS_SQL,
         "sim_topk_ivf": "SELECT CAST(50 AS BIGINT) AS n_full, TRUE AS recall_ok",
         "dedup_exact": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text"

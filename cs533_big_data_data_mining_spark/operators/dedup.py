@@ -354,12 +354,17 @@ def simhash_poly31(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _simhash_from_token_hash(tf.withColumn("th", fingerprint("tok")), 31)
 
 
-def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:
-    """Near-dup candidates: pairs agreeing on >= 1 of ``bands`` 16-bit
-    slices of the simhash (catches all pairs with Hamming distance
-    < bands by pigeonhole)."""
-    sigs = simhash64(df, id_col, text_col)
-    width = 64 // bands
+def _simhash_band_candidates(sigs: DataFrame, nbits: int, bands: int) -> DataFrame:
+    """Band-collision candidate pairs ``(a, b)`` from an
+    ``(id, simhash)`` frame: the signature splits into ``bands``
+    near-equal bit slices (width base or base+1 when bands doesn't
+    divide nbits) and pairs agreeing on >= 1 slice become candidates —
+    an equi-join on (band, bkey), never all-pairs. Pigeonhole: any
+    pair with Hamming distance < bands shares at least one slice, so
+    recall is 1 for distance <= bands - 1."""
+    base, rem = divmod(nbits, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    starts = [sum(widths[:i]) for i in range(bands)]
     bucketed = sigs.select(
         "id",
         F.explode(
@@ -367,8 +372,8 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), bi * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftright(F.col("simhash"), starts[bi])
+                        .bitwiseAND(F.lit((1 << widths[bi]) - 1))
                         .alias("bkey"),
                     )
                     for bi in range(bands)
@@ -386,4 +391,62 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4
         )
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
+    )
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str, bands: int = 4) -> DataFrame:
+    """Near-dup candidates: pairs agreeing on >= 1 of ``bands`` 16-bit
+    slices of the simhash (catches all pairs with Hamming distance
+    < bands by pigeonhole)."""
+    return _simhash_band_candidates(simhash64(df, id_col, text_col), 64, bands)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    token_hash: str = "xxhash64",
+    caches: list | None = None,
+) -> DataFrame:
+    """Verified simhash near-dup pairs ``(a, b, hamming)`` with a < b
+    and ``hamming <= max_hamming`` — band candidates followed by an
+    exact Hamming check (``bit_count(sig_a XOR sig_b)``, pure Column),
+    the same candidates-then-verify shape as MinHash (exact Jaccard)
+    and hyperplane LSH (exact cosine).
+
+    With the default ``bands = max_hamming + 1`` the pigeonhole bound
+    makes recall EXACTLY 1: a pair within distance d cannot differ in
+    every one of d+1 slices. Fewer bands than that would be lossy;
+    more bands raise candidate counts for no recall gain.
+
+    ``token_hash``: "xxhash64" (64-bit signature, best Hamming
+    resolution) or "poly31" (31-bit, every step ANSI-SQL reproducible,
+    so the full pipeline has an exact DuckDB oracle twin).
+    """
+    if token_hash == "xxhash64":
+        sigs, nbits = simhash64(df, id_col, text_col), 64
+    elif token_hash == "poly31":
+        sigs, nbits = simhash_poly31(df, id_col, text_col), 31
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+    if bands is None:
+        bands = max_hamming + 1
+    if bands > nbits:
+        raise ValueError(f"bands={bands} exceeds signature width {nbits}")
+    # one signature aggregation feeds band bucketing AND both verify
+    # sides (3 consumers)
+    sigs = sigs.cache()
+    if caches is not None:
+        caches.append(sigs)
+    cands = _simhash_band_candidates(sigs, nbits, bands)
+    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("a", "b", "hamming")
     )

@@ -101,6 +101,36 @@ def test_simhash_properties(spark):
     assert (0, 1) in cands
 
 
+def test_simhash_neardup_pairs_exact_recall(spark):
+    """simhash_neardup_pairs (bands = d+1) must equal the brute-force
+    all-pairs Hamming-<= d set — the pigeonhole recall-1 guarantee —
+    with the verified distance exact, for both token hashes."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        simhash64,
+        simhash_neardup_pairs,
+        simhash_poly31,
+    )
+
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for token_hash, sig_fn, d in (("xxhash64", simhash64, 6), ("poly31", simhash_poly31, 4)):
+        sigs = {r["id"]: r["simhash"] for r in sig_fn(df, "doc_id", "text").collect()}
+        want = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= d
+        }
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in simhash_neardup_pairs(
+                df, "doc_id", "text", max_hamming=d, token_hash=token_hash
+            ).collect()
+        }
+        assert got == want, f"{token_hash}: {set(got) ^ set(want)}"
+        assert (0, 1) in got and got[(0, 1)] == 0  # exact dups at distance 0
+
+
 def test_simhash_poly31_matches_python_reference(spark):
     """simhash_poly31 pinned against a from-scratch Python
     implementation of its spec: token hash = acc*31+codepoint mod
