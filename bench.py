@@ -56,7 +56,11 @@ def _bench_ref(spark, fname, eps, min_pts, want_k, want_noise):
 
 
 # (bench key, file, eps, minPts, clusters, noise) — all 8 reference
-# datasets, mirroring the reference's own sweep (manyTests.py:29-55).
+# datasets, mirroring the reference's own sweep (manyTests.py:29-55),
+# plus part64 at the reference's published-timing config (eps=0.01,
+# minPts=5 — BASELINE.md row 5: 0.6607 s mean on 2 cores over a 96%
+# sample; we run 100% of the data, whose deterministic golden is
+# 113 clusters / 60143 noise, vs the sampled runs' 113-116 / ~60165).
 # Expected values are the sequential-DBSCAN oracle's; where the
 # reference published a validated number it agrees (clus50k: 51/3086 @
 # manyTests.py:258-266; part64 eps=0.02: 6 clusters @
@@ -64,6 +68,7 @@ def _bench_ref(spark, fname, eps, min_pts, want_k, want_noise):
 REF_WORKLOADS = [
     ("dbscan_clus50k_ref", "clus50k.bin", 25.0, 5, 51, 3086),
     ("dbscan_part64_ref", "part64.bin", 0.02, 5, 6, 28585),
+    ("dbscan_part64_e001_ref", "part64.bin", 0.01, 5, 113, 60143),
     ("dbscan_t4_ref", "t4.8k.bin", 10.0, 20, 6, 653),
     ("dbscan_t5_ref", "t5.8k.bin", 8.0, 21, 6, 850),
     ("dbscan_t7_ref", "t7.10k.bin", 10.0, 12, 10, 740),
@@ -112,14 +117,26 @@ def main() -> None:
             _bench_ref(spark, "t8.8k.bin", 10.0, 10, 23, 459)
         except Exception as exc:  # noqa: BLE001
             print(f"# warmup: ERROR {exc}", file=sys.stderr)
+        # Each workload runs twice: the first (cold) run pays one-time
+        # whole-stage-codegen compilation for ITS literal-specialized
+        # plans (eps/minPts are embedded in generated code, so every
+        # config recompiles — up to 3x noise, see README); the second
+        # (warm) run measures the engine. Headline key = warm wall
+        # (ALL stages: read-from-cache through labeling + stats, which
+        # the baseline's numbers exclude); `.cold` preserves the first
+        # run, per-stage subkeys come from the warm run.
         for key, fname, eps, mp, k, noise in REF_WORKLOADS:
-            t0 = time.time()
             try:
+                t0 = time.time()
+                _bench_ref(spark, fname, eps, mp, k, noise)
+                cold = round(time.time() - t0, 3)
+                t0 = time.time()
                 _, stages = _bench_ref(spark, fname, eps, mp, k, noise)
                 timings[key] = round(time.time() - t0, 3)
+                timings[f"{key}.cold"] = cold
                 for sname, sdt in stages.items():
                     timings[f"{key}.{sname}"] = round(sdt, 3)
-                print(f"# {key}: {timings[key]}s", file=sys.stderr)
+                print(f"# {key}: {timings[key]}s (cold {cold}s)", file=sys.stderr)
             except Exception as exc:  # noqa: BLE001
                 errors[key] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {key}: ERROR {errors[key]}", file=sys.stderr)

