@@ -671,6 +671,69 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+SESS_EQ_COVERAGE = 0.5  # only watermark-open tail sessions may be unemitted
+
+
+def _q_sessionize_stream_eq(spark, sf_dir):
+    # Stream-vs-batch sessionize equivalence as an oracle-checkable
+    # property (round-4 verdict "next round" #8): the stateful
+    # streaming operator (applyInPandasWithState) emits only sessions
+    # CLOSED by the advancing watermark, so the checkable property is
+    # (1) every emitted session equals a batch session field-for-field
+    # and (2) emitted count covers >= 50% of batch sessions (only the
+    # watermark-open tail may be missing). The oracle emits the batch
+    # session count (from the same recursive gaps-and-islands SQL the
+    # sessionize oracle uses) + TRUE + TRUE.
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from cs533_big_data_data_mining_spark.streaming.events import (
+        load_events,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from cs533_big_data_data_mining_spark.streaming.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="sess_eq_")
+    try:
+        # range-partition by time: the file source processes parts in
+        # ascending ts ranges, keeping event-time disorder within the
+        # 1h watermark so nothing is late-dropped
+        ev.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = sessionize_stream(read_events_stream(spark, src, max_files_per_trigger=2))
+        run_stream_to_memory(stream, "sessions_eq", output_mode="append")
+        got = spark.sql("SELECT * FROM sessions_eq")
+        batch = sessionize(ev)
+        n_batch = batch.count()
+        n_got = got.count()
+        # field-exact on keys/counts; value_sum within 1e-6 (stream
+        # accumulates float64 in (ts, event_id) order, batch sums
+        # DECIMAL — both exact to 6 dp on this data, joined with
+        # tolerance so a last-bit difference can't flip the property)
+        joined = got.alias("g").join(
+            batch.alias("b"),
+            ["user_id", "session_start", "session_end", "n_events"],
+        )
+        n_match = joined.filter(
+            F.abs(F.col("g.value_sum") - F.col("b.value_sum")) <= F.lit(1e-6)
+        ).count()
+        subset_ok = bool(n_match == n_got)
+        coverage_ok = bool(n_got >= SESS_EQ_COVERAGE * n_batch)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_batch, subset_ok, coverage_ok)],
+        "n_batch long, subset_ok boolean, coverage_ok boolean",
+    )
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.streaming.events import (
@@ -720,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "curate_docs": _q_curate_docs,
         "sessionize": _q_sessionize,
+        "sessionize_stream_eq": _q_sessionize_stream_eq,
         "stream_windowed_counts": _q_stream_windowed_counts,
     }
 
@@ -896,6 +960,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
             FROM sess GROUP BY user_id, sid
+        """,
+        "sessionize_stream_eq": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_batch,
+                   TRUE AS subset_ok, TRUE AS coverage_ok
+            FROM (SELECT DISTINCT user_id, sid FROM sess)
         """,
         "stream_windowed_counts": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
