@@ -354,19 +354,18 @@ def simhash_poly31(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _simhash_from_token_hash(tf.withColumn("th", fingerprint("tok")), 31)
 
 
-def _simhash_band_candidates(sigs: DataFrame, nbits: int, bands: int) -> DataFrame:
-    """Band-collision candidate pairs ``(a, b)`` from an
-    ``(id, simhash)`` frame: the signature splits into ``bands``
-    near-equal bit slices (width base or base+1 when bands doesn't
-    divide nbits) and pairs agreeing on >= 1 slice become candidates —
-    an equi-join on (band, bkey), never all-pairs. Pigeonhole: any
-    pair with Hamming distance < bands shares at least one slice, so
-    recall is 1 for distance <= bands - 1."""
+def _simhash_banded(sigs: DataFrame, nbits: int, bands: int) -> DataFrame:
+    """``(id, simhash, band, bkey)``: the signature split into
+    ``bands`` near-equal bit slices (width base or base+1 when bands
+    doesn't divide nbits). An equi-join on (band, bkey) yields
+    candidate pairs without ever going all-pairs; pigeonhole: any
+    pair with Hamming distance < bands shares at least one slice."""
     base, rem = divmod(nbits, bands)
     widths = [base + (1 if i < rem else 0) for i in range(bands)]
     starts = [sum(widths[:i]) for i in range(bands)]
-    bucketed = sigs.select(
+    return sigs.select(
         "id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -380,7 +379,13 @@ def _simhash_band_candidates(sigs: DataFrame, nbits: int, bands: int) -> DataFra
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.bkey")
+    ).select("id", "simhash", "bk.band", "bk.bkey")
+
+
+def _simhash_band_candidates(sigs: DataFrame, nbits: int, bands: int) -> DataFrame:
+    """Band-collision candidate pairs ``(a, b)`` (recall 1 for
+    Hamming distance <= bands - 1 by pigeonhole)."""
+    bucketed = _simhash_banded(sigs, nbits, bands)
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (
         l.join(
@@ -435,18 +440,25 @@ def simhash_neardup_pairs(
         bands = max_hamming + 1
     if bands > nbits:
         raise ValueError(f"bands={bands} exceeds signature width {nbits}")
-    # one signature aggregation feeds band bucketing AND both verify
-    # sides (3 consumers)
+    # one signature aggregation feeds both sides of the band self-join
     sigs = sigs.cache()
     if caches is not None:
         caches.append(sigs)
-    cands = _simhash_band_candidates(sigs, nbits, bands)
-    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
-    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    # the signature rides through the band explode (2 extra longs per
+    # row), so the Hamming verify is a predicate INSIDE the band join
+    # — no separate candidate-to-signature joins, and non-matching
+    # collisions die before the distinct
+    bucketed = _simhash_banded(sigs, nbits, bands)
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("long")
     return (
-        cands.join(sa, "a")
-        .join(sb, "b")
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
-        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
-        .select("a", "b", "hamming")
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (ham <= F.lit(int(max_hamming))),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), ham.alias("hamming"))
+        .distinct()
     )
