@@ -38,7 +38,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
 )
 
 
-def curate_documents(
+def curate_plan(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -46,22 +46,13 @@ def curate_documents(
     langs: tuple[str, ...] | None = None,
     ngram: int = 3,
     jaccard_threshold: float = 0.8,
-) -> DataFrame:
-    """Surviving documents ``(id, lang_guess, quality)`` after the full
-    curation pipeline. Deterministic: the survivor of every duplicate
-    group (exact or near) is the minimum id, so output is independent
-    of partitioning and arrival order.
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The UNmaterialized curation pipeline: ``(survivors, cached)``.
 
-    Near-dup groups are the connected components of the Jaccard-pair
-    graph (threshold ``jaccard_threshold``): if A~B and B~C, only one
-    of {A,B,C} survives even when A~C itself is below threshold —
-    the same transitive-closure semantics cluster labeling uses.
-
-    The result is **materialized** (cached + counted; caller-owned
-    cache, same contract as ``dbscan``): every intermediate cache —
-    the deduped text frame and the shingle index — is released before
-    returning, so repeated calls don't stack executor storage.
-    """
+    ``survivors`` is the lazy result frame — audit it with
+    ``plans.audit`` or compose it further; ``cached`` lists the
+    internally cache-registered frames the caller must unpersist once
+    done. ``curate_documents`` is the materializing wrapper."""
     scored = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
@@ -94,12 +85,46 @@ def curate_documents(
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("id")
     )
-    survivors = (
-        uniq.join(losers, "id", "left_anti")
-        .select("id", "lang_guess", "quality")
-        .persist()
+    survivors = uniq.join(losers, "id", "left_anti").select("id", "lang_guess", "quality")
+    return survivors, [uniq, *caches]
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    langs: tuple[str, ...] | None = None,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Surviving documents ``(id, lang_guess, quality)`` after the full
+    curation pipeline. Deterministic: the survivor of every duplicate
+    group (exact or near) is the minimum id, so output is independent
+    of partitioning and arrival order.
+
+    Near-dup groups are the connected components of the Jaccard-pair
+    graph (threshold ``jaccard_threshold``): if A~B and B~C, only one
+    of {A,B,C} survives even when A~C itself is below threshold —
+    the same transitive-closure semantics cluster labeling uses.
+
+    The result is **materialized** (cached + counted; caller-owned
+    cache, same contract as ``dbscan``): every intermediate cache —
+    the deduped text frame and the shingle index — is released before
+    returning, so repeated calls don't stack executor storage. Use
+    ``curate_plan`` for the lazy, auditable form.
+    """
+    survivors, cached = curate_plan(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_quality=min_quality,
+        langs=langs,
+        ngram=ngram,
+        jaccard_threshold=jaccard_threshold,
     )
+    survivors = survivors.persist()
     survivors.count()
-    for frame in (uniq, *caches):
+    for frame in cached:
         frame.unpersist()
     return survivors

@@ -89,10 +89,45 @@ def test_minhash_band_join_is_equi_join(spark):
 
 def test_curate_plan_has_no_cartesian(spark):
     """The curation composition must stay bucketed end to end: no
-    cartesian/nested-loop join anywhere in the pipeline's plan."""
-    from cs533_big_data_data_mining_spark.operators.curate import curate_documents
+    cartesian/nested-loop join anywhere in the pipeline's plan.
+    Audits the LAZY plan (curate_plan) — curate_documents itself
+    materializes, so explaining its return would only show the
+    in-memory scan."""
+    from cs533_big_data_data_mining_spark.operators.curate import curate_plan
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    out = curate_documents(docs, min_quality=0.5, jaccard_threshold=0.8)
+    out, cached = curate_plan(docs, min_quality=0.5, jaccard_threshold=0.8)
     p = _plan(out)
+    for frame in cached:
+        frame.unpersist()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_prefix_join_plan_shape(spark):
+    """The prefix-filtered Jaccard join must plan as equi-joins on
+    shingle keys — no cartesian/nested-loop anywhere."""
+    from cs533_big_data_data_mining_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    caches: list = []
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, caches=caches)
+    p = _plan(pairs)
+    for frame in caches:
+        frame.unpersist()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
+def test_simhash_neardup_plan_shape(spark):
+    """The fused band join + Hamming verify must stay an equi-join on
+    (band, bkey) with the distance check as a join predicate."""
+    from cs533_big_data_data_mining_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    caches: list = []
+    pairs = simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=1, caches=caches)
+    p = _plan(pairs)
+    for frame in caches:
+        frame.unpersist()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
