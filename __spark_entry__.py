@@ -185,6 +185,17 @@ def _q_eps_join(spark, sf_dir):
     return pairs.filter(F.col("a") < F.col("b"))
 
 
+def _q_eps_join_2t(spark, sf_dir):
+    """Bipartite eps-join: probe points (id < 100) against the rest —
+    the two-table generalization of the eps self-join, same cell/ghost
+    machinery, never a cross join."""
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
+
+    pts = _points3(spark, sf_dir)
+    return epsilon_join(pts.filter("id < 100"), pts.filter("id >= 100"), EPS3)
+
+
 def _q_core_points(spark, sf_dir):
     return (
         _q_neighbor_count(spark, sf_dir)
@@ -762,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_count": _q_neighbor_count,
         "core_points": _q_core_points,
         "eps_join": _q_eps_join,
+        "eps_join_2t": _q_eps_join_2t,
         "cluster_labels": _q_cluster_labels,
         "cluster_stats": _q_cluster_stats,
         "dense_ids": _q_dense_ids,
@@ -841,6 +853,12 @@ def oracle_sql() -> dict[str, str]:
             WITH {_PTS_SQL.strip()}
             SELECT a.id AS a, b.id AS b
             FROM pts a JOIN pts b ON a.id < b.id AND {_D2_SQL} <= {EPS3_SQL}
+        """,
+        "eps_join_2t": f"""
+            WITH {_PTS_SQL.strip()}
+            SELECT a.id AS a, b.id AS b
+            FROM pts a JOIN pts b
+            ON a.id < 100 AND b.id >= 100 AND {_D2_SQL} <= {EPS3_SQL}
         """,
         "cluster_labels": _LABELS_SQL + "\nSELECT id, cluster_id FROM labels",
         "cluster_stats": _LABELS_SQL

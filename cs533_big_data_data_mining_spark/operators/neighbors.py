@@ -293,6 +293,66 @@ def epsilon_self_join(celled: DataFrame, eps: float) -> DataFrame:
     return _by_cell(celled).applyInPandas(kernel, schema=schema)
 
 
+def epsilon_join_two(l_celled: DataFrame, r_celled: DataFrame, eps: float) -> DataFrame:
+    """Bipartite ε-join: all pairs ``(a, b)`` with
+    ``dist(left a, right b) <= eps`` — the two-table generalization of
+    ``epsilon_self_join`` (e.g. "events within ε of any hub").
+
+    Inputs: ``l_celled`` = ``ghost_expand(left, spec)`` (each left
+    point visits its home cell plus every adjacent cell slab it
+    eps-touches); ``r_celled`` = ``assign_cells(right, spec)`` (home
+    cells only). Closure: a qualifying pair differs by <= eps per
+    grid axis, so the left point reaches the right point's home cell
+    exactly once (home or ghost row) — each pair is emitted exactly
+    once, no distinct needed. Shuffle = one union exchange on cell;
+    the per-cell kernel is the same strip-sweep used everywhere else.
+    """
+    eps2 = float(eps) * float(eps)
+    schema = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.LongType())])
+
+    u = l_celled.select("cell", "id", "xs", F.lit(0).alias("side")).unionByName(
+        r_celled.select("cell", "id", "xs", F.lit(1).alias("side"))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return pd.DataFrame({"a": _EMPTY, "b": _EMPTY})
+        x = _cell_matrix(pdf)
+        ids = pdf["id"].to_numpy()
+        A, B = x[lmask], x[~lmask]
+        ai, bi = _eps_pairs_sweep(A, B, eps2, float(eps))
+        return pd.DataFrame({"a": ids[lmask][ai], "b": ids[~lmask][bi]})
+
+    return _by_cell(u).applyInPandas(kernel, schema=schema)
+
+
+def epsilon_join(left: DataFrame, right: DataFrame, eps: float, dims: int | None = None) -> DataFrame:
+    """Convenience bipartite ε-join over canonical ``(id, xs)`` frames:
+    chooses one grid over the UNION extent (so both sides share cell
+    geometry), ghost-expands the left side, and runs the cell kernel.
+    One stats pass + one shuffle; never a cross join.
+
+    Note on skew: like ``epsilon_self_join`` this trusts the caller's
+    grid for cell sizing; the dbscan pipeline's oversized-cell probe /
+    block-pair routing applies to the self-join flagship. For a
+    standing two-table workload, pick ``spec`` accordingly or
+    pre-filter dense regions.
+    """
+    from cs533_big_data_data_mining_spark.operators.cells import (
+        assign_cells,
+        choose_grid,
+        ghost_expand,
+    )
+
+    both = left.select("id", "xs").unionByName(right.select("id", "xs"))
+    if dims is None:
+        dims = len(left.select("xs").head()["xs"])
+    spec = choose_grid(both, dims, eps)
+    return epsilon_join_two(ghost_expand(left, spec), assign_cells(right, spec), eps)
+
+
 def brute_force_neighbor_counts(points: DataFrame, eps: float, dims: int) -> DataFrame:
     """Oracle-shaped O(N^2) fallback: declarative crossJoin + filter.
 

@@ -45,6 +45,22 @@ def test_epsilon_self_join_exact_pairs(spark):
     assert got == want
 
 
+def test_epsilon_join_bipartite_exact_pairs(spark):
+    """Two-table eps-join == brute-force cross filter, each pair
+    exactly once (ghost closure across two frames)."""
+    from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
+
+    x, df, _spec = _setup(spark, n=300)
+    left = df.filter("id < 120")
+    right = df.filter("id >= 120")
+    rows = epsilon_join(left, right, EPS).collect()
+    got = [(r["a"], r["b"]) for r in rows]
+    d2 = pairwise_d2(x[:120], x[120:])
+    want = {(int(a), int(b) + 120) for a, b in zip(*np.nonzero(d2 <= EPS * EPS))}
+    assert set(got) == want
+    assert len(got) == len(want), "a pair was emitted more than once"
+
+
 def test_every_point_has_exactly_one_home_cell(spark):
     x, df, spec = _setup(spark)
     ghosted = ghost_expand(df, spec)
