@@ -14,12 +14,16 @@ invariance are hard requirements (the reference's known bug —
 cluster count degrades with parallelism — is fixed by construction).
 """
 
+from cs533_big_data_data_mining_spark.operators.curate import curate_documents
 from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
 from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
+    ngram_jaccard_pairs,
     simhash64,
+    simhash_neardup_pairs,
 )
+from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
 from cs533_big_data_data_mining_spark.operators.similarity import (
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
@@ -45,7 +49,11 @@ __all__ = [
     "write_clusters",
     "exact_dedup",
     "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
     "simhash64",
+    "simhash_neardup_pairs",
+    "curate_documents",
+    "epsilon_join",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
     "ivf_topk",
