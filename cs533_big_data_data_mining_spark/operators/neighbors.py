@@ -348,7 +348,10 @@ def epsilon_join(left: DataFrame, right: DataFrame, eps: float, dims: int | None
 
     both = left.select("id", "xs").unionByName(right.select("id", "xs"))
     if dims is None:
-        dims = len(left.select("xs").head()["xs"])
+        head = left.select("xs").head() or right.select("xs").head()
+        if head is None:  # both sides empty -> no pairs, no grid to fit
+            return left.sparkSession.createDataFrame([], "a long, b long")
+        dims = len(head["xs"])
     spec = choose_grid(both, dims, eps)
     return epsilon_join_two(ghost_expand(left, spec), assign_cells(right, spec), eps)
 

@@ -146,3 +146,20 @@ def test_skewed_dense_cell_keeps_grid(spark):
 def test_min_pts_one_all_core(spark):
     x = make_blobs(100, 2, grid_centers(2, 2, 20.0), 0.3, seed=13)
     run_and_compare(spark, x, 0.5, 1)
+
+
+def test_degenerate_inputs(spark):
+    """Single point and all-identical points: the grid degenerates to
+    one cell (no usable axes) and the pipeline must still produce
+    standard-DBSCAN answers, not crash."""
+    one = spark.createDataFrame([(0, [1.0, 2.0])], "id long, xs array<double>")
+    st = dbscan_stats(dbscan(one, eps=0.5, min_pts=2)).head()
+    assert (st["total_points"], st["n_clusters"], st["noise_count"]) == (1, 0, 1)
+    st = dbscan_stats(dbscan(one, eps=0.5, min_pts=1)).head()
+    assert (st["total_points"], st["n_clusters"], st["noise_count"]) == (1, 1, 0)
+
+    same = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(50)], "id long, xs array<double>"
+    )
+    st = dbscan_stats(dbscan(same, eps=0.5, min_pts=5)).head()
+    assert (st["total_points"], st["n_clusters"], st["noise_count"]) == (50, 1, 0)

@@ -61,6 +61,21 @@ def test_epsilon_join_bipartite_exact_pairs(spark):
     assert len(got) == len(want), "a pair was emitted more than once"
 
 
+def test_epsilon_join_degenerate_inputs(spark):
+    """Empty either side (or both) -> empty result, no crash; dims
+    inference must not assume the left frame has rows."""
+    from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
+
+    one = spark.createDataFrame([(0, [0.0, 0.0])], "id long, xs array<double>")
+    empty = spark.createDataFrame([], "id long, xs array<double>")
+    assert epsilon_join(one, empty, 0.5).count() == 0
+    assert epsilon_join(empty, one, 0.5).count() == 0
+    assert epsilon_join(empty, empty, 0.5).count() == 0
+    # within-eps singleton pair still found
+    two = spark.createDataFrame([(7, [0.1, 0.0])], "id long, xs array<double>")
+    assert [(r["a"], r["b"]) for r in epsilon_join(one, two, 0.5).collect()] == [(0, 7)]
+
+
 def test_every_point_has_exactly_one_home_cell(spark):
     x, df, spec = _setup(spark)
     ghosted = ghost_expand(df, spec)
