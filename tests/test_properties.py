@@ -132,3 +132,42 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, seed, n_docs):
     # verification makes MinHash precise: candidates are filtered by
     # exact jaccard, so the result is always a subset of exact pairs
     assert mh <= exact
+
+
+def test_empty_inputs_yield_empty_results(spark):
+    """Every batch operator must return an empty frame (not raise) on
+    an empty input — the shape a filter-everything upstream stage
+    produces at the head of a real pipeline."""
+    from cs533_big_data_data_mining_spark.operators.curate import curate_documents
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+    from cs533_big_data_data_mining_spark.operators.dbscan import dense_index
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        embedding_neardup_pairs,
+    )
+    from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
+    from cs533_big_data_data_mining_spark.streaming.sessions import sessionize
+
+    ed = spark.createDataFrame([], "doc_id long, text string")
+    ee = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    vv = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    eev = spark.createDataFrame([], "user_id long, ts timestamp, value double, event_id long")
+
+    assert exact_dedup(ed, "doc_id", "text").count() == 0
+    assert ngram_jaccard_pairs(ed, "doc_id", "text").count() == 0
+    assert minhash_dedup_pairs(ed, "doc_id", "text").count() == 0
+    assert simhash_neardup_pairs(ed, "doc_id", "text").count() == 0
+    assert curate_documents(ed).count() == 0
+    assert tf_idf(ed, "doc_id", "text").count() == 0
+    assert dense_index(spark.createDataFrame([], "v long"), "v").count() == 0
+    assert cosine_topk_bruteforce(vv, ee, 5).count() == 0
+    assert cosine_topk_bruteforce(ee, vv, 5).count() == 0
+    assert embedding_neardup_pairs(ee, 0.5).count() == 0
+    assert sessionize(eev).count() == 0
