@@ -328,22 +328,93 @@ def epsilon_join_two(l_celled: DataFrame, r_celled: DataFrame, eps: float) -> Da
     return _by_cell(u).applyInPandas(kernel, schema=schema)
 
 
-def epsilon_join(left: DataFrame, right: DataFrame, eps: float, dims: int | None = None) -> DataFrame:
+def cell_block_epsilon_join_two(
+    l_big: DataFrame,
+    r_big: DataFrame,
+    l_sizes: dict[int, int],
+    r_sizes: dict[int, int],
+    eps: float,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Bipartite ε-join for OVERSIZED cells, re-spread over
+    (left-block x right-block) tasks — the two-table twin of
+    ``cell_block_neighbor_counts``'s skew routing. Each side's rows
+    hash-assign to ``ceil(n_side / block_rows)`` single-row blocks per
+    cell; the per-cell block cross joins on cell, and every task holds
+    exactly one block per side — memory bounded by ``2 * block_rows``
+    regardless of cell size. Each (left, right) pair lives in exactly
+    one block pair (id -> block is a function per side), so no dedup
+    is needed."""
+    eps2 = float(eps) * float(eps)
+    spark = l_big.sparkSession
+    cells = sorted(set(l_sizes) | set(r_sizes))
+    mdf = spark.createDataFrame(
+        [
+            (
+                int(c),
+                max(1, math.ceil(l_sizes.get(c, 0) / block_rows)),
+                max(1, math.ceil(r_sizes.get(c, 0) / block_rows)),
+            )
+            for c in cells
+        ],
+        "cell long, ml int, mr int",
+    )
+    lp = (
+        l_big.join(F.broadcast(mdf.select("cell", "ml")), "cell")
+        .withColumn("blk", F.pmod(F.xxhash64("id"), F.col("ml").cast("long")).cast("int"))
+        .groupBy("cell", "blk")
+        .agg(F.collect_list("id").alias("ids_"), F.collect_list("xs").alias("xss_"))
+    )
+    rp = (
+        r_big.join(F.broadcast(mdf.select("cell", "mr")), "cell")
+        .withColumn("yblk", F.pmod(F.xxhash64("id"), F.col("mr").cast("long")).cast("int"))
+        .groupBy("cell", "yblk")
+        .agg(F.collect_list("id").alias("yids_"), F.collect_list("xs").alias("yxss_"))
+    )
+    npairs = sum(
+        max(1, math.ceil(l_sizes.get(c, 0) / block_rows))
+        * max(1, math.ceil(r_sizes.get(c, 0) / block_rows))
+        for c in cells
+    )
+    pairs = lp.join(rp, "cell").repartition(min(max(npairs, 1), 2048))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                xi = np.asarray(list(row.ids_), dtype=np.int64)
+                X = np.asarray([np.asarray(v) for v in row.xss_], dtype=np.float64)
+                yi = np.asarray(list(row.yids_), dtype=np.int64)
+                Y = np.asarray([np.asarray(v) for v in row.yxss_], dtype=np.float64)
+                ai, bi = _eps_pairs_sweep(X, Y, eps2, float(eps))
+                yield pd.DataFrame({"a": xi[ai], "b": yi[bi]})
+
+    return pairs.mapInPandas(kernel, "a long, b long")
+
+
+def epsilon_join(
+    left: DataFrame,
+    right: DataFrame,
+    eps: float,
+    dims: int | None = None,
+    block_fallback_rows: int = 8192,
+) -> DataFrame:
     """Convenience bipartite ε-join over canonical ``(id, xs)`` frames:
     chooses one grid over the UNION extent (so both sides share cell
     geometry), ghost-expands the left side, and runs the cell kernel.
     One stats pass + one shuffle; never a cross join.
 
-    Note on skew: like ``epsilon_self_join`` this trusts the caller's
-    grid for cell sizing; the dbscan pipeline's oversized-cell probe /
-    block-pair routing applies to the self-join flagship. For a
-    standing two-table workload, pick ``spec`` accordingly or
-    pre-filter dense regions.
-    """
+    Skew routing (the dbscan pipeline's probe pattern): one count-only
+    aggregation finds cells whose combined (left + right) population
+    exceeds ``block_fallback_rows``; those cells — and only those —
+    re-spread over (left-block x right-block) tasks via
+    ``cell_block_epsilon_join_two``, so one dense region cannot
+    serialize a giant task while everything else keeps the one-task-
+    per-cell kernel."""
     from cs533_big_data_data_mining_spark.operators.cells import (
         assign_cells,
-        choose_grid,
         ghost_expand,
+        grid_from_stats,
+        grid_stats,
     )
 
     both = left.select("id", "xs").unionByName(right.select("id", "xs"))
@@ -352,8 +423,41 @@ def epsilon_join(left: DataFrame, right: DataFrame, eps: float, dims: int | None
         if head is None:  # both sides empty -> no pairs, no grid to fit
             return left.sparkSession.createDataFrame([], "a long, b long")
         dims = len(head["xs"])
-    spec = choose_grid(both, dims, eps)
-    return epsilon_join_two(ghost_expand(left, spec), assign_cells(right, spec), eps)
+    n_rows, mins, maxs = grid_stats(both, dims)
+    spec = grid_from_stats(
+        n_rows, mins, maxs, eps, both.sparkSession.sparkContext.defaultParallelism
+    )
+    l_celled = ghost_expand(left, spec)
+    r_celled = assign_cells(right, spec).select("cell", "id", "xs")
+
+    big_cells: dict[int, tuple[int, int]] = {}
+    if n_rows > block_fallback_rows:
+        u = l_celled.select("cell", F.lit(0).alias("side")).unionByName(
+            r_celled.select("cell", F.lit(1).alias("side"))
+        )
+        per_cell = (
+            u.groupBy("cell")
+            .agg(
+                F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ln"),
+                F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("rn"),
+            )
+            .filter((F.col("ln") + F.col("rn")) > F.lit(int(block_fallback_rows)))
+            .collect()
+        )
+        big_cells = {int(r["cell"]): (int(r["ln"]), int(r["rn"])) for r in per_cell}
+
+    if not big_cells:
+        return epsilon_join_two(l_celled, r_celled, eps)
+    is_big = F.col("cell").isin(list(big_cells))
+    small = epsilon_join_two(l_celled.filter(~is_big), r_celled.filter(~is_big), eps)
+    big = cell_block_epsilon_join_two(
+        l_celled.filter(is_big),
+        r_celled.filter(is_big),
+        {c: ln for c, (ln, _rn) in big_cells.items()},
+        {c: rn for c, (_ln, rn) in big_cells.items()},
+        eps,
+    )
+    return small.unionByName(big)
 
 
 def brute_force_neighbor_counts(points: DataFrame, eps: float, dims: int) -> DataFrame:

@@ -61,6 +61,30 @@ def test_epsilon_join_bipartite_exact_pairs(spark):
     assert len(got) == len(want), "a pair was emitted more than once"
 
 
+def test_epsilon_join_skew_block_routing(spark):
+    """A dense region must trigger the (left-block x right-block)
+    fallback for its cells only, with results identical to the
+    unrouted kernel and to brute force."""
+    from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
+
+    rng = np.random.default_rng(31)
+    dense = rng.normal(5.0, 0.2, size=(900, 2))
+    sparse = rng.uniform(0.0, 100.0, size=(300, 2))
+    x = np.concatenate([dense, sparse])
+    df = to_points_df(spark, x)
+    left = df.filter("id % 2 = 0")
+    right = df.filter("id % 2 = 1")
+
+    routed = {(r["a"], r["b"]) for r in epsilon_join(left, right, EPS, block_fallback_rows=400).collect()}
+    plain = {(r["a"], r["b"]) for r in epsilon_join(left, right, EPS, block_fallback_rows=10**9).collect()}
+    lmask = np.arange(len(x)) % 2 == 0
+    d2 = pairwise_d2(x[lmask], x[~lmask])
+    li = np.flatnonzero(lmask)
+    ri = np.flatnonzero(~lmask)
+    want = {(int(li[a]), int(ri[b])) for a, b in zip(*np.nonzero(d2 <= EPS * EPS))}
+    assert routed == plain == want
+
+
 def test_epsilon_join_degenerate_inputs(spark):
     """Empty either side (or both) -> empty result, no crash; dims
     inference must not assume the left frame has rows."""
