@@ -80,13 +80,14 @@ def test_neardup_auto_route_gate(spark):
     direct LSH output exactly, and every routed pair reports the SAME
     cosine as the exact path (both verify with the identical
     left-to-right fold)."""
+    import pytest
+
     from cs533_big_data_data_mining_spark.operators.similarity import lsh_neardup_pairs
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    routed = {
-        (r["a"], r["b"]): r["cosine"]
-        for r in embedding_neardup_pairs(emb, 0.4, max_block_pairs=0).collect()
-    }
+    with pytest.warns(UserWarning, match="auto-routing to banded LSH"):
+        routed_df = embedding_neardup_pairs(emb, 0.4, max_block_pairs=0)
+    routed = {(r["a"], r["b"]): r["cosine"] for r in routed_df.collect()}
     direct = {
         (r["a"], r["b"]): r["cosine"] for r in lsh_neardup_pairs(emb, 0.4).collect()
     }
