@@ -603,6 +603,70 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_multimodal_features(spark, sf_dir):
+    # byte_histogram_features is a REAL extractor (no codec needed):
+    # L1-normalized byte-value histogram over the opaque payload.
+    # Emitted as (media_id, bin, frac) scalar rows — same float64
+    # count/size division on both engines, so values are bit-identical.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        byte_histogram_features,
+        documents_as_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = byte_histogram_features(documents_as_media(docs), bins=64)
+    return (
+        feats.select("media_id", F.posexplode("features").alias("bin", "frac"))
+        .filter(F.col("frac") > 0)
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    # frame-sample plumbing: deterministic stub frame count
+    # (n_bytes // 1024 + 1), sampled every 2nd index — exactly
+    # SQL-reproducible from octet lengths
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample_stub,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = frame_sample_stub(documents_as_media(docs), every_n=2)
+    return out.withColumn("frame_index", F.col("frame_index").cast("long"))
+
+
+# DuckDB twin of byte_histogram_features: bytes recovered from the
+# hex encoding of the utf-8 payload, bucketed by value >> 2 (64 bins),
+# counted per (doc, bin) and divided by the byte count — the same two
+# integers in the same float64 division the kernel performs
+_MM_FEATURES_SQL = """
+WITH hexed AS (
+  SELECT doc_id, upper(to_hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+bytes AS (
+  SELECT doc_id, n,
+         unnest(list_transform(range(0, n), i ->
+           (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+2 AS INT), 1)) - 1))) AS v
+  FROM hexed
+)
+SELECT doc_id AS media_id, CAST(v // 4 AS BIGINT) AS bin,
+       CAST(count(*) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) AS frac
+FROM bytes GROUP BY doc_id, v // 4
+"""
+
+_MM_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, octet_length(encode(text)) // 1024 + 1, 2)) AS BIGINT) AS frame_index
+FROM documents
+"""
+
+
 CURATE_MINQ = 0.5  # keeps ~82% at sf0.01 — the filter does real work
 CURATE_JACCARD = 0.8
 
@@ -793,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "tfidf": _q_tfidf,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
         "curate_docs": _q_curate_docs,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
@@ -958,6 +1024,8 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS payload_ok
             FROM documents
         """,
+        "multimodal_features": _MM_FEATURES_SQL,
+        "multimodal_frames": _MM_FRAMES_SQL,
         "sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, value, event_id,
