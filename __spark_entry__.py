@@ -730,6 +730,43 @@ WHERE m.id IS NULL OR m.mn >= u.id
 """
 
 
+EMBED_CURATE_T = 0.35  # reuses embed_neardup's validated threshold
+
+
+def _q_curate_embeds(spark, sf_dir):
+    # semantic-dedup twin of curate_docs: cosine near-dup pairs ->
+    # transitive closure -> min-id survivors, oracle = recursive CTE
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.curate import curate_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return curate_embeddings(emb, threshold=EMBED_CURATE_T)
+
+
+_CURATE_EMBEDS_SQL = f"""
+WITH RECURSIVE
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+jp AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE round({_dot_sql('a.v', 'b.v')}
+              / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6)
+        >= {EMBED_CURATE_T}
+),
+e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+mins AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u)
+SELECT emb.vec_id AS id
+FROM emb LEFT JOIN mins m ON emb.vec_id = m.id
+WHERE m.id IS NULL OR m.mn >= emb.vec_id
+"""
+
+
 def _q_sessionize(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.streaming.events import load_events
@@ -860,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "curate_docs": _q_curate_docs,
+        "curate_embeds": _q_curate_embeds,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
         "stream_windowed_counts": _q_stream_windowed_counts,
@@ -1006,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _TEXT_STATS_SQL,
         "curate_docs": _CURATE_SQL,
+        "curate_embeds": _CURATE_EMBEDS_SQL,
         "tfidf": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents

@@ -14,7 +14,7 @@ invariance are hard requirements (the reference's known bug —
 cluster count degrades with parallelism — is fixed by construction).
 """
 
-from cs533_big_data_data_mining_spark.operators.curate import curate_documents
+from cs533_big_data_data_mining_spark.operators.curate import curate_documents, curate_embeddings
 from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
 from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
@@ -53,6 +53,7 @@ __all__ = [
     "simhash64",
     "simhash_neardup_pairs",
     "curate_documents",
+    "curate_embeddings",
     "epsilon_join",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",

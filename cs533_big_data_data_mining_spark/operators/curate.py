@@ -36,6 +36,9 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
     ngram_jaccard_pairs,
 )
+from cs533_big_data_data_mining_spark.operators.similarity import (
+    embedding_neardup_pairs,
+)
 
 
 def curate_plan(
@@ -87,6 +90,35 @@ def curate_plan(
     )
     survivors = uniq.join(losers, "id", "left_anti").select("id", "lang_guess", "quality")
     return survivors, [uniq, *caches]
+
+
+def curate_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    max_block_pairs: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-space near-dup curation: surviving ``(id)`` rows after
+    dropping all but the minimum id of every cosine-similarity
+    connected component — the semantic-dedup twin of
+    ``curate_documents`` (same transitive-closure semantics: if A~B
+    and B~C, one survivor of {A,B,C} even when A!~C).
+
+    Composition: ``embedding_neardup_pairs`` (exact block-gram, or
+    banded hyperplane LSH past the ``max_block_pairs`` gate) →
+    connected components → min-id anti-join. Lazy and cache-free —
+    compose or materialize as needed.
+    """
+    pairs = embedding_neardup_pairs(
+        emb, threshold, id_col=id_col, vec_col=vec_col, max_block_pairs=max_block_pairs
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("id")
+    )
+    return emb.select(F.col(id_col).alias("id")).join(losers, "id", "left_anti")
 
 
 def curate_documents(

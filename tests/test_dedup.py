@@ -228,6 +228,25 @@ def test_dedup_on_documents_table(spark, sf_dir):
     assert all(r["a"] < r["b"] for r in pairs)
 
 
+def test_curate_embeddings_transitive(spark):
+    """Embedding-space curation drops all but the min id of each
+    cosine connected component, TRANSITIVELY: v0~v1~v2 (chain, v0!~v2)
+    keeps only v0; the orthogonal vector survives."""
+    import math
+
+    from cs533_big_data_data_mining_spark.operators.curate import curate_embeddings
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(0, rot(0)), (1, rot(20)), (2, rot(40)), (3, rot(90))]
+    # cos(0,1)=cos20~.94, cos(1,2)=.94 >= .9; cos(0,2)=cos40~.77 < .9
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(r["id"] for r in curate_embeddings(df, threshold=0.9).collect())
+    assert got == [0, 3]
+
+
 def test_curate_documents_pipeline(spark):
     """curate_documents: quality filter, exact-dup removal, and
     TRANSITIVE near-dup removal (0~2, 2~3 but 0!~3 -> one survivor of
