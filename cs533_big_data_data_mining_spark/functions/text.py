@@ -111,7 +111,10 @@ def quality_score(col: str | Column) -> Column:
         + F.lit(0.25) * alpha_ratio
         + F.lit(0.25) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
     )
-    return F.round(score, 6)
+    # NULL text scores 0.0 explicitly: without the guard the length
+    # term becomes least(NULL, 1.0) = 1.0 (least IGNORES nulls), so a
+    # missing document would outscore a short real one
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(F.round(score, 6))
 
 
 # GPT-2-flavored pretokenizer regex, restricted to the syntax subset

@@ -41,9 +41,22 @@ def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFram
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Deduplicated rows (keeper = min id per content). Expressed as a
     min-id semi-join rather than a window sort: the groupBy gets
-    map-side partial aggregation, a window over content would not."""
+    map-side partial aggregation, a window over content would not.
+
+    NULL content forms its own group (matching groupBy and ANSI
+    GROUP BY): the join key is null-safe equality — still an
+    equi-join (EqualNullSafe is a supported hash-join key) — so
+    null-content rows keep their min-id representative instead of
+    being silently dropped by a never-matching null equality."""
     keepers = df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
-    return df.join(keepers, [content_col, id_col], "left_semi")
+    k = keepers.select(
+        F.col(content_col).alias("__edk_content"), F.col(id_col).alias("__edk_id")
+    )
+    return df.join(
+        k,
+        df[content_col].eqNullSafe(k["__edk_content"]) & (df[id_col] == k["__edk_id"]),
+        "left_semi",
+    )
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -163,6 +163,25 @@ def test_simhash_poly31_matches_python_reference(spark):
         assert got[doc_id] == want, f"doc {doc_id}: {got[doc_id]} != {want}"
 
 
+def test_null_text_rows_not_silently_dropped(spark):
+    """NULL content must behave like its own dedup group (ANSI GROUP
+    BY semantics), not vanish through a never-matching null equality;
+    quality_score(NULL) must be 0.0, not the 0.25 that least()'s
+    null-ignoring gave it."""
+    from cs533_big_data_data_mining_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, None), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect())
+    assert kept == [0, 1, 3]  # null group keeps min id 1; 2 is its dup
+    q = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert q[1] == 0.0 and q[2] == 0.0
+    assert q[0] > 0.0
+
+
 def test_prefix_filter_bounds_hot_shingle_candidates(spark):
     """One boilerplate shingle shared by EVERY doc must not produce the
     df^2 candidate blowup: with rare-first prefix ordering the hot
