@@ -846,6 +846,25 @@ def _q_sessionize_stream_eq(spark, sf_dir):
     )
 
 
+HLL_RSD = 0.05
+
+
+def _q_sketch_distinct(spark, sf_dir):
+    # Sketch coverage: HyperLogLog++ distinct counting — at 100 TB the
+    # map-side-mergeable sketch replaces the full distinct shuffle.
+    # Checkable property: |approx - exact| within 5x the configured
+    # relative standard deviation. Oracle emits (n_exact, TRUE).
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("n_approx"),
+    ).head()
+    ok = abs(row["n_approx"] - row["n_exact"]) <= 5.0 * HLL_RSD * row["n_exact"]
+    return spark.createDataFrame(
+        [(row["n_exact"], bool(ok))], "n_exact long, within_bounds boolean"
+    )
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.streaming.events import (
@@ -900,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_embeds": _q_curate_embeds,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
+        "sketch_distinct": _q_sketch_distinct,
         "stream_windowed_counts": _q_stream_windowed_counts,
     }
 
@@ -1086,6 +1106,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
             FROM sess GROUP BY user_id, sid
         """,
+        "sketch_distinct": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, "
+            "TRUE AS within_bounds FROM events"
+        ),
         "sessionize_stream_eq": """
             WITH flagged AS (
               SELECT user_id, ts, event_id,
