@@ -730,6 +730,24 @@ WHERE m.id IS NULL OR m.mn >= u.id
 """
 
 
+def _q_curate_corpus(spark, sf_dir):
+    # cross-modal flagship: lexical (Jaccard) UNION semantic (cosine)
+    # near-dup edges over quality-filtered, exactly-deduped docs, one
+    # transitive closure, min-id survivors
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return curate_corpus(
+        docs,
+        embs,
+        min_quality=CURATE_MINQ,
+        jaccard_threshold=CURATE_JACCARD,
+        cosine_threshold=EMBED_CURATE_T,
+    )
+
+
 EMBED_CURATE_T = 0.35  # reuses embed_neardup's validated threshold
 
 
@@ -765,6 +783,28 @@ SELECT emb.vec_id AS id
 FROM emb LEFT JOIN mins m ON emb.vec_id = m.id
 WHERE m.id IS NULL OR m.mn >= emb.vec_id
 """
+
+
+# corpus oracle = the curate_docs recursive-CTE oracle with the edge
+# set widened to the UNION of lexical and semantic pairs (cosine pairs
+# computed over embeddings of exactly-deduped survivors only, same
+# restriction the engine applies)
+_CURATE_CORPUS_SQL = _CURATE_SQL.replace(
+    "e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),",
+    f"""embk AS (
+  SELECT e.vec_id AS id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings e JOIN uniq u ON e.vec_id = u.id
+),
+jc AS (
+  SELECT a.id AS a, b.id AS b
+  FROM embk a JOIN embk b ON a.id < b.id
+  WHERE round({_dot_sql('a.v', 'b.v')}
+              / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6)
+        >= {EMBED_CURATE_T}
+),
+alledges AS (SELECT a, b FROM jp UNION SELECT a, b FROM jc),
+e AS (SELECT a AS u, b AS v FROM alledges UNION ALL SELECT b AS u, a AS v FROM alledges),""",
+)
 
 
 def _q_sessionize(spark, sf_dir):
@@ -917,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "curate_docs": _q_curate_docs,
         "curate_embeds": _q_curate_embeds,
+        "curate_corpus": _q_curate_corpus,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
         "sketch_distinct": _q_sketch_distinct,
@@ -1065,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "curate_docs": _CURATE_SQL,
         "curate_embeds": _CURATE_EMBEDS_SQL,
+        "curate_corpus": _CURATE_CORPUS_SQL,
         "tfidf": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents

@@ -14,7 +14,11 @@ invariance are hard requirements (the reference's known bug —
 cluster count degrades with parallelism — is fixed by construction).
 """
 
-from cs533_big_data_data_mining_spark.operators.curate import curate_documents, curate_embeddings
+from cs533_big_data_data_mining_spark.operators.curate import (
+    curate_corpus,
+    curate_documents,
+    curate_embeddings,
+)
 from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
 from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
@@ -52,6 +56,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_neardup_pairs",
+    "curate_corpus",
     "curate_documents",
     "curate_embeddings",
     "epsilon_join",

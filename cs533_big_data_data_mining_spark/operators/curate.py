@@ -56,23 +56,7 @@ def curate_plan(
     ``plans.audit`` or compose it further; ``cached`` lists the
     internally cache-registered frames the caller must unpersist once
     done. ``curate_documents`` is the materializing wrapper."""
-    scored = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        lang_id(text_col).alias("lang_guess"),
-        quality_score(text_col).alias("quality"),
-    )
-    kept = scored.filter(F.col("quality") >= F.lit(float(min_quality)))
-    if langs is not None:
-        kept = kept.filter(F.col("lang_guess").isin(list(langs)))
-
-    # exact dedup first: it is O(N) and shrinks the quadratic-risk
-    # input of the shingle join. Cached: uniq feeds BOTH the shingle
-    # join and the final survivor anti-join — without the cache the
-    # text scan + scoring + dedup join execute twice. MEMORY_AND_DISK
-    # (the default) spills the text column rather than evicting it, so
-    # at corpus scale this is one local-disk write, not an OOM.
-    uniq = exact_dedup(kept, "id", "text").cache()
+    uniq = _score_filter_dedup(docs, id_col, text_col, min_quality, langs)
 
     # the shingle join inherits ngram_jaccard_pairs' PPJoin prefix
     # filter, so hot boilerplate shingles cannot blow up candidate
@@ -90,6 +74,91 @@ def curate_plan(
     )
     survivors = uniq.join(losers, "id", "left_anti").select("id", "lang_guess", "quality")
     return survivors, [uniq, *caches]
+
+
+def _score_filter_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float,
+    langs: tuple[str, ...] | None,
+) -> DataFrame:
+    """Shared curation front half: fused score scan -> rule filter ->
+    exact dedup. Returns the CACHED deduped frame (id, text,
+    lang_guess, quality) — uniq feeds both the near-dup join(s) and
+    the final survivor anti-join; without the cache the text scan +
+    scoring + dedup join execute twice. MEMORY_AND_DISK (the default)
+    spills the text column rather than evicting it, so at corpus
+    scale this is one local-disk write, not an OOM. Callers own the
+    unpersist."""
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        lang_id(text_col).alias("lang_guess"),
+        quality_score(text_col).alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= F.lit(float(min_quality)))
+    if langs is not None:
+        kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+    return exact_dedup(kept, "id", "text").cache()
+
+
+def curate_corpus(
+    docs: DataFrame,
+    embs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_quality: float = 0.0,
+    langs: tuple[str, ...] | None = None,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.8,
+    cosine_threshold: float = 0.35,
+    max_block_pairs: int | None = 10_000,
+) -> DataFrame:
+    """Cross-modal corpus curation — the full pretraining-data shape:
+    documents carry text AND an embedding row (joined on id). Quality/
+    language filter -> exact dedup -> near-dup graph = UNION of
+    lexical (shingle-Jaccard) and semantic (embedding-cosine) pair
+    sets over the surviving docs -> one transitive closure -> min-id
+    survivor per component. A pair connected through EITHER modality
+    (or a chain alternating between them) collapses to one survivor.
+
+    Scale shape: every stage is an already-oracle-checked operator;
+    the two pair generators are both bucketed (PPJoin prefix index;
+    block-gram / banded LSH), the CC edge count is the near-dup pair
+    count, and the embedding side is semi-join-restricted to docs
+    that survived the O(N) stages first. Materialized on return
+    (caller-owned cache), intermediates released.
+    """
+    uniq = _score_filter_dedup(docs, id_col, text_col, min_quality, langs)
+    caches: list = [uniq]
+    jpairs = ngram_jaccard_pairs(
+        uniq, "id", "text", n=ngram, threshold=jaccard_threshold, caches=caches
+    )
+    embk = embs.select(F.col(vec_id_col).alias("id"), F.col(vec_col).alias("vec")).join(
+        uniq.select("id"), "id", "left_semi"
+    )
+    cpairs = embedding_neardup_pairs(
+        embk, cosine_threshold, id_col="id", vec_col="vec", max_block_pairs=max_block_pairs
+    )
+    edges = jpairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        cpairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("id")
+    )
+    survivors = (
+        uniq.join(losers, "id", "left_anti")
+        .select("id", "lang_guess", "quality")
+        .persist()
+    )
+    survivors.count()
+    for frame in caches:
+        frame.unpersist()
+    return survivors
 
 
 def curate_embeddings(

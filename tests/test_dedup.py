@@ -247,6 +247,39 @@ def test_dedup_on_documents_table(spark, sf_dir):
     assert all(r["a"] < r["b"] for r in pairs)
 
 
+def test_curate_corpus_cross_modal_closure(spark):
+    """A chain that ALTERNATES modalities — doc0 ~lexical~ doc1,
+    doc1 ~semantic~ doc2 — must collapse to one survivor even though
+    no single modality connects 0 and 2."""
+    from cs533_big_data_data_mining_spark.operators.curate import curate_corpus
+
+    base = [a + b for a in "abcdef" for b in "abcdef"][:30]
+    d1 = base[:-1] + ["zz"]  # near-dup of base lexically (J ~ 0.93)
+    docs = [
+        (0, " ".join(base)),
+        (1, " ".join(d1)),
+        (2, " ".join(w + w for w in reversed(base))),  # lexically unrelated
+        (3, " ".join(a + b for a in "uvwxyz" for b in "uvwxyz")),  # unrelated
+    ]
+    embs = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),   # semantically unrelated to everything
+        (2, [0.05, 1.0]),  # semantic near-dup of... nothing yet
+        (3, [-1.0, 0.1]),
+    ]
+    # link 1~2 semantically: cos([0,1],[0.05,1]) ~ 0.9988
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(embs, "vec_id long, embedding array<double>")
+    out = sorted(
+        r["id"]
+        for r in curate_corpus(
+            ddf, edf, min_quality=0.0, jaccard_threshold=0.8, cosine_threshold=0.95
+        ).collect()
+    )
+    # component {0,1,2}: 0-1 lexical, 1-2 semantic -> survivor 0; 3 alone
+    assert out == [0, 3]
+
+
 def test_curate_embeddings_transitive(spark):
     """Embedding-space curation drops all but the min id of each
     cosine connected component, TRANSITIVELY: v0~v1~v2 (chain, v0!~v2)
