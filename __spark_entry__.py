@@ -923,6 +923,74 @@ def _q_stream_windowed_counts(spark, sf_dir):
     )
 
 
+DECON_N = 5  # 5-gram overlap: at the corpus vocab (~30 words) 3-grams
+# collide by chance; 5-grams flag only genuine shared passages
+DECON_BENCH_MOD = 37  # "benchmark" = every 37th doc (deterministic holdout)
+
+
+def _q_decontaminate(spark, sf_dir):
+    # benchmark decontamination: drop corpus docs sharing verbatim
+    # word 5-grams with a held-out benchmark set (here: a deterministic
+    # doc_id % 37 slice standing in for an eval suite)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return decontaminate(docs, bench, "doc_id", "text", n=DECON_N, min_overlap=1)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition signals (type-token ratio, top-token and
+    # top-2-gram shares) — the quality dimension length/stopword stats
+    # (text_stats) can't see
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+BALANCE_CAP = 10  # sf0.01 has 25 docs/source, so the cap actually binds
+
+
+def _q_balance_sources(spark, sf_dir):
+    # per-source document cap with a cross-engine-deterministic
+    # priority (poly31 fingerprint of the id string, same recurrence
+    # as functions/text.fingerprint)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import fingerprint
+    from cs533_big_data_data_mining_spark.operators.quality import balance_sources
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return balance_sources(
+        docs, "doc_id", "source", BALANCE_CAP, priority=fingerprint("CAST(doc_id AS STRING)")
+    )
+
+
+def _q_asof_purchase_click(spark, sf_dir):
+    # as-of join: each purchase matched to the user's most recent
+    # click at-or-before it (same-instant clicks visible; ties among
+    # clicks resolve to the largest event_id)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.asof import asof_join
+    from cs533_big_data_data_mining_spark.streaming.events import load_events
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases, clicks, "user_id", "ts", "event_id", ["event_id", "value"], prefix="click_"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("click_event_id").cast("long").alias("click_event_id"),
+        "click_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project_filter": _q_scan_project_filter,
@@ -958,6 +1026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": _q_curate_docs,
         "curate_embeds": _q_curate_embeds,
         "curate_corpus": _q_curate_corpus,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "balance_sources": _q_balance_sources,
+        "asof_purchase_click": _q_asof_purchase_click,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
         "sketch_distinct": _q_sketch_distinct,
@@ -1127,6 +1199,86 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_frames": _MM_FRAMES_SQL,
+        # decontaminate: 5-gram shingles (Spark sequence(1, len-4)
+        # inclusive == DuckDB range(1, len-3) exclusive)
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= {DECON_N}
+                     THEN list_transform(range(1, len(t) - {DECON_N - 2}),
+                          i -> concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(DECON_N))}))
+                     ELSE [] END)) AS shingle
+              FROM toks),
+            bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0),
+            hits AS (SELECT s.doc_id AS id, count(*) AS n_hits
+                     FROM sh s JOIN bsh USING (shingle) GROUP BY s.doc_id)
+            SELECT d.doc_id AS id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) < 1 AS keep
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+            tstat AS (SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct, max(c) AS max_tok
+                      FROM tc GROUP BY doc_id),
+            g2 AS (SELECT doc_id, unnest(
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)), i -> concat_ws(' ', t[i], t[i+1]))
+                          ELSE [] END) AS g FROM toks),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+            gstat AS (SELECT doc_id, sum(c) AS n_g2, max(c) AS max_g2 FROM gc GROUP BY doc_id)
+            SELECT tk.doc_id AS id,
+                   CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                   round(CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS distinct_ratio,
+                   round(CAST(max_tok AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS top_token_frac,
+                   round(CAST(max_g2 AS DOUBLE) / CAST(n_g2 AS DOUBLE), 6) AS top_2gram_frac
+            FROM toks tk
+            LEFT JOIN tstat ON tk.doc_id = tstat.doc_id
+            LEFT JOIN gstat ON tk.doc_id = gstat.doc_id
+        """,
+        "balance_sources": f"""
+            WITH pri AS (
+              SELECT doc_id, source,
+                     list_reduce(list_prepend(0, range(1, length(CAST(doc_id AS VARCHAR)) + 1)),
+                       (acc, i) -> (acc * 31 + ascii(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
+                                   % 2147483647) AS fp
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source ORDER BY fp ASC, doc_id ASC) AS BIGINT) AS rk
+              FROM pri)
+            SELECT doc_id AS id, source, rk FROM ranked WHERE rk <= {BALANCE_CAP}
+        """,
+        # as-of twin: the same union + running last_value(IGNORE NULLS)
+        # construction (payload packed in ONE struct so both carried
+        # fields come from the same click row)
+        "asof_purchase_click": """
+            WITH u AS (
+              SELECT user_id, ts, 0 AS tag, event_id AS ord,
+                     struct_pack(eid := event_id, val := value) AS pay,
+                     NULL::BIGINT AS l_eid
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, 1 AS tag, event_id AS ord,
+                     NULL AS pay, event_id AS l_eid
+              FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT user_id, ts, tag, l_eid,
+                     last_value(pay IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, tag, ord
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+              FROM u
+            )
+            SELECT l_eid AS event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   CAST(m.eid AS BIGINT) AS click_event_id,
+                   m.val AS click_value
+            FROM c WHERE tag = 1
+        """,
         "sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, value, event_id,

@@ -19,7 +19,9 @@ from cs533_big_data_data_mining_spark.operators.curate import (
     curate_documents,
     curate_embeddings,
 )
+from cs533_big_data_data_mining_spark.operators.asof import asof_join
 from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
+from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
 from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
@@ -28,6 +30,10 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
+from cs533_big_data_data_mining_spark.operators.quality import (
+    balance_sources,
+    repetition_stats,
+)
 from cs533_big_data_data_mining_spark.operators.similarity import (
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
@@ -64,6 +70,10 @@ __all__ = [
     "embedding_neardup_pairs",
     "ivf_topk",
     "tf_idf",
+    "asof_join",
+    "decontaminate",
+    "repetition_stats",
+    "balance_sources",
     "sessionize",
     "__version__",
 ]

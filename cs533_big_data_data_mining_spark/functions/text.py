@@ -55,6 +55,18 @@ def word_shingles(col: str | Column, n: int) -> Column:
     )
 
 
+def word_ngrams(col: str | Column, n: int) -> Column:
+    """ALL word n-grams in order (duplicates kept) — the frequency
+    unit for repetition statistics, unlike ``word_shingles`` whose
+    distinct sets feed Jaccard. Same short-input empty-array guard."""
+    toks = tokenize(col)
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
 def char_shingles(col: str | Column, n: int) -> Column:
     """Distinct character n-grams (same short-input guard)."""
     c = F.col(col) if isinstance(col, str) else col

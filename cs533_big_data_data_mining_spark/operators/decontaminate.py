@@ -1,0 +1,75 @@
+"""Benchmark decontamination for training-data pipelines.
+
+Before pretraining, any document that shares verbatim word n-grams
+with a held-out evaluation/benchmark set must be dropped — otherwise
+the benchmark leaks into the training corpus (the standard "n-gram
+overlap decontamination" from the GPT-3/PaLM appendices, public
+methodology).
+
+Scale shape (the part that matters at 100 TB): the benchmark side is
+tiny relative to the corpus (millions of n-grams vs ~10^11 documents),
+so its distinct shingle set is **broadcast** and the contamination
+test is a broadcast semi-join inside the corpus scan — the corpus is
+read exactly once, never shuffled on content. The per-doc hit count
+is a map-side-combinable groupBy on the already-filtered (rare)
+matches only.
+
+No counterpart exists in the reference (it has no text surface,
+SURVEY.md §2 checklist) — this is a Phase-E extension operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.functions.text import word_shingles
+
+
+def benchmark_shingles(bench: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams of the benchmark set — the (small)
+    broadcast side of the contamination join."""
+    return (
+        bench.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    docs: DataFrame, bench: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """``(id, n_hits)``: per corpus document, how many of its DISTINCT
+    word n-grams also occur in the benchmark set. Docs with zero hits
+    are absent (join semantics); callers left-join + coalesce."""
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    hits = doc_sh.join(F.broadcast(benchmark_shingles(bench, text_col, n)), "shingle")
+    return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """``(id, n_hits, keep)`` for EVERY corpus document: ``n_hits`` =
+    shared distinct n-grams with the benchmark (0 when none, including
+    null/short texts), ``keep`` = n_hits < min_overlap.
+
+    The corpus survivors are ``filter(keep)``; the full frame is
+    returned so audits can rank near-miss documents by ``n_hits``.
+    """
+    hits = contamination_hits(docs, bench, id_col, text_col, n)
+    base = docs.select(F.col(id_col).alias("id"))
+    return (
+        base.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) < F.lit(int(min_overlap))).alias("keep"),
+        )
+    )

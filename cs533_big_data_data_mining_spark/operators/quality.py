@@ -1,0 +1,110 @@
+"""Repetition-based quality filters and corpus balancing.
+
+Gopher-style (Rae et al. 2021, public) repetition statistics: highly
+repetitive documents (boilerplate, keyword stuffing, generation loops)
+are low-quality training data even when their token-level stats look
+fine. ``repetition_stats`` computes the standard signals; callers
+filter on thresholds.
+
+``balance_sources`` caps documents per source/domain — the classic
+"don't let one crawl domain dominate the corpus" rebalancing — with a
+deterministic fingerprint-based priority so results are reproducible
+across runs and engines (no RNG).
+
+Scale shape: repetition stats are explode -> map-side-combinable
+groupBys keyed by (doc, gram) — no joins between large sides, fully
+distributed, no per-doc quadratic array work. Balancing is one
+window per source group (each group streams through a single task;
+source cardinality is ~domains, far below executor count pressure).
+
+No counterpart in the reference (no text surface, SURVEY.md §2);
+Phase-E extension operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.functions.text import tokenize, word_ngrams
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals:
+
+    * ``n_tokens``     — whitespace token count (null text -> null,
+      matching ``len(NULL)`` in the SQL twin);
+    * ``distinct_ratio`` — distinct tokens / tokens (type-token ratio;
+      ~1 = varied, -> 0 = repetitive);
+    * ``top_token_frac`` — most frequent token's share of all tokens
+      (Gopher's "fraction of most common word");
+    * ``top_2gram_frac`` — most frequent word 2-gram's share of all
+      2-grams.
+
+    Fractions are null for docs where the denominator is empty
+    (null text, or < 2 tokens for the 2-gram stat) — left-join
+    semantics mirrored exactly by the oracle.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+
+    tok = base.select("id", F.explode(tokenize("__text")).alias("tok"))
+    tok_stats = (
+        tok.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_tok"),
+        )
+    )
+
+    g2 = base.select("id", F.explode(word_ngrams("__text", 2)).alias("g"))
+    g2_stats = (
+        g2.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_g2"), F.max("c").alias("max_g2"))
+    )
+
+    return (
+        base.join(tok_stats, "id", "left")
+        .join(g2_stats, "id", "left")
+        .select(
+            "id",
+            F.size(tokenize("__text")).cast("long").alias("n_tokens"),
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tok").cast("double"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("max_tok").cast("double") / F.col("n_tok").cast("double"), 6).alias(
+                "top_token_frac"
+            ),
+            F.round(F.col("max_g2").cast("double") / F.col("n_g2").cast("double"), 6).alias(
+                "top_2gram_frac"
+            ),
+        )
+    )
+
+
+def balance_sources(
+    df: DataFrame, id_col: str, source_col: str, cap: int, priority: F.Column | None = None
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source, deterministically.
+
+    Priority within a source defaults to ``(xxhash64(id), id)`` — a
+    stable pseudo-random order, so the survivors are an unbiased
+    sample yet identical across runs/engines (callers needing a
+    SQL-reproducible order pass ``priority``, e.g. a poly31
+    fingerprint). Returns ``(id, source, rk)`` for survivors.
+    """
+    pri = priority if priority is not None else F.xxhash64(F.col(id_col))
+    w = Window.partitionBy(source_col).orderBy(pri.asc_nulls_first(), F.col(id_col).asc())
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= F.lit(int(cap)))
+        .withColumn("rk", F.col("rk").cast("long"))
+    )

@@ -1,0 +1,168 @@
+"""Decontamination, repetition/balancing quality ops, and the as-of
+join vs brute-force Python oracles (plus edge/degenerate inputs)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.operators.asof import asof_join
+from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+from cs533_big_data_data_mining_spark.operators.quality import (
+    balance_sources,
+    repetition_stats,
+)
+
+# ------------------------------------------------------ decontaminate
+
+BENCH_DOC = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, BENCH_DOC),                                # the benchmark doc itself
+            (1, "prefix words then alpha beta gamma delta epsilon trailing bits"),  # shares one 5-gram
+            (2, "totally unrelated content with no overlap at all whatsoever"),
+            (3, "alpha beta gamma delta"),                 # < 5 tokens of overlap: no 5-gram
+            (4, None),                                     # null text: keep
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    out = {r["id"]: (r["n_hits"], r["keep"]) for r in
+           decontaminate(docs, bench, "doc_id", "text", n=5).collect()}
+    assert out[0][0] == 6 and not out[0][1]      # 10 tokens -> 6 distinct 5-grams, all shared
+    assert out[1][0] == 1 and not out[1][1]
+    assert out[2] == (0, True)
+    assert out[3] == (0, True)
+    assert out[4] == (0, True)
+
+
+def test_decontaminate_empty_benchmark(spark):
+    docs = spark.createDataFrame([(0, BENCH_DOC)], "doc_id long, text string")
+    bench = docs.filter("doc_id < 0")
+    out = decontaminate(docs, bench, "doc_id", "text", n=5).collect()
+    assert [(r["n_hits"], r["keep"]) for r in out] == [(0, True)]
+
+
+# --------------------------------------------------- repetition_stats
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),            # 4 tokens, 1 distinct; 2-grams: 'a a' x3
+            (1, "w x y z"),            # all distinct; each 2-gram unique
+            (2, "one"),                # 1 token: no 2-grams -> null fraction
+            (3, None),                 # null text -> all null
+            (4, ""),                   # empty: tokenize -> [] -> 0 tokens, null ratios
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert rows[0]["n_tokens"] == 4
+    assert rows[0]["distinct_ratio"] == 0.25
+    assert rows[0]["top_token_frac"] == 1.0
+    assert rows[0]["top_2gram_frac"] == 1.0
+    assert rows[1]["distinct_ratio"] == 1.0
+    assert rows[1]["top_token_frac"] == 0.25
+    assert rows[1]["top_2gram_frac"] == round(1 / 3, 6)
+    assert rows[2]["n_tokens"] == 1 and rows[2]["top_2gram_frac"] is None
+    assert rows[3]["n_tokens"] is None and rows[3]["distinct_ratio"] is None
+    assert rows[4]["n_tokens"] == 0 and rows[4]["distinct_ratio"] is None
+
+
+# ---------------------------------------------------- balance_sources
+
+
+def test_balance_sources_cap_and_determinism(spark):
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = balance_sources(docs, "doc_id", "source", cap=4)
+    got = out.collect()
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r["source"], []).append(r["id"])
+    assert all(len(v) == 4 for v in per_src.values())
+    assert {r["rk"] for r in got} == {1, 2, 3, 4}
+    # deterministic across runs and partitionings
+    again = balance_sources(docs.repartition(7), "doc_id", "source", cap=4).collect()
+    assert sorted((r["id"], r["rk"]) for r in got) == sorted((r["id"], r["rk"]) for r in again)
+
+
+def test_balance_sources_under_cap_keeps_all(spark):
+    docs = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
+    assert balance_sources(docs, "doc_id", "source", cap=10).count() == 3
+
+
+# ----------------------------------------------------------- asof_join
+
+
+def _ts(m, s=0):
+    return datetime.datetime(2024, 1, 1, 0, m, s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (100, 1, _ts(10)),   # matches click 11 (newest at-or-before)
+            (101, 1, _ts(3)),    # before any click -> null
+            (102, 1, _ts(5)),    # same instant as click 11 -> inclusive match
+            (103, 2, _ts(30)),   # other user, matches its own click only
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, _ts(4), 1.0),
+            (11, 1, _ts(5), 2.0),
+            (12, 1, _ts(11), 3.0),   # after every purchase of user 1
+            (20, 2, _ts(29), 4.0),
+            (21, 3, _ts(1), 5.0),    # user with no purchases
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: (r["m_event_id"], r["m_value"])
+        for r in asof_join(
+            left, right, "user_id", "ts", "event_id", ["event_id", "value"], prefix="m_"
+        ).collect()
+    }
+    assert out[100] == (11, 2.0)
+    assert out[101] == (None, None)
+    assert out[102] == (11, 2.0)
+    assert out[103] == (20, 4.0)
+
+
+def test_asof_join_tie_among_right_rows(spark):
+    # two right rows at the same ts: the larger order_col wins, and
+    # BOTH payload fields come from that same row (struct carry)
+    left = spark.createDataFrame([(1, 7, _ts(10))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(50, 7, _ts(9), 1.0), (51, 7, _ts(9), 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    r = asof_join(left, right, "user_id", "ts", "event_id", ["event_id", "value"]).head()
+    assert (r["r_event_id"], r["r_value"]) == (51, 2.0)
+
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame([(1, 7, _ts(1))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    r = asof_join(left, right, "user_id", "ts", "event_id", ["event_id", "value"]).collect()
+    assert len(r) == 1 and r[0]["r_event_id"] is None
+
+
+def test_asof_join_is_single_shuffle(spark):
+    # plan shape: the union + window construction shuffles ONCE on the
+    # key — no join node, no cartesian
+    left = spark.createDataFrame([(1, 7, _ts(1))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(2, 7, _ts(0), 1.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = asof_join(left, right, "user_id", "ts", "event_id", ["event_id", "value"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
