@@ -65,8 +65,13 @@ def curate_plan(
     pairs = ngram_jaccard_pairs(
         uniq, "id", "text", n=ngram, threshold=jaccard_threshold, caches=caches
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    comp = connected_components(edges)
+    # materialize the (expensive) pair join ONCE: the CC fastpath gate
+    # counts the edges and the driver/distributed union reads them
+    # again — without the cache the whole shingle self-join re-executes
+    # per consumer (measured 2x ~4 s at sf0.1)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).cache()
+    caches.append(edges)
+    comp = connected_components(edges, edge_count_hint=edges.count())
     # one survivor (min id == the component label, by the min-label
     # convention) per near-dup group; every non-survivor is dropped
     losers = comp.filter(F.col("node") != F.col("component")).select(
@@ -143,10 +148,16 @@ def curate_corpus(
     cpairs = embedding_neardup_pairs(
         embk, cosine_threshold, id_col="id", vec_col="vec", max_block_pairs=max_block_pairs
     )
-    edges = jpairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        cpairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    # one materialization of the union of both pair joins: CC's gate
+    # count and the union pass both read the cache instead of
+    # re-running the shingle and block-gram joins
+    edges = (
+        jpairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(cpairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        .cache()
     )
-    comp = connected_components(edges)
+    caches.append(edges)
+    comp = connected_components(edges, edge_count_hint=edges.count())
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("id")
     )
@@ -176,14 +187,18 @@ def curate_embeddings(
 
     Composition: ``embedding_neardup_pairs`` (exact block-gram, or
     banded hyperplane LSH past the ``max_block_pairs`` gate) →
-    connected components → min-id anti-join. Lazy and cache-free —
-    compose or materialize as needed.
+    connected components → min-id anti-join. The pair join is
+    materialized once for CC (cache released before returning — CC's
+    output doesn't reference it: the fastpath result is driver-built,
+    the distributed path reads its own checkpoint); the final
+    anti-join stays lazy.
     """
     pairs = embedding_neardup_pairs(
         emb, threshold, id_col=id_col, vec_col=vec_col, max_block_pairs=max_block_pairs
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    comp = connected_components(edges)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).cache()
+    comp = connected_components(edges, edge_count_hint=edges.count())
+    edges.unpersist()
     losers = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("id")
     )

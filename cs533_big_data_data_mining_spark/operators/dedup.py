@@ -43,20 +43,14 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     min-id semi-join rather than a window sort: the groupBy gets
     map-side partial aggregation, a window over content would not.
 
-    NULL content forms its own group (matching groupBy and ANSI
-    GROUP BY): the join key is null-safe equality — still an
-    equi-join (EqualNullSafe is a supported hash-join key) — so
-    null-content rows keep their min-id representative instead of
-    being silently dropped by a never-matching null equality."""
-    keepers = df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
-    k = keepers.select(
-        F.col(content_col).alias("__edk_content"), F.col(id_col).alias("__edk_id")
-    )
-    return df.join(
-        k,
-        df[content_col].eqNullSafe(k["__edk_content"]) & (df[id_col] == k["__edk_id"]),
-        "left_semi",
-    )
+    The semi-join key is the **id alone**: keeper ids are unique (one
+    min per group), so joining back on the narrow id column selects
+    exactly one row per distinct content without shuffling the wide
+    content column a second time. NULL content forms its own group
+    (groupBy semantics), so null-content rows keep their min-id
+    representative too."""
+    keepers = df.groupBy(content_col).agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keepers, id_col, "left_semi")
 
 
 def _spread(df: DataFrame) -> DataFrame:
