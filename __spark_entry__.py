@@ -991,6 +991,52 @@ def _q_asof_purchase_click(spark, sf_dir):
     )
 
 
+PACK_SEQ_LEN = 2048
+
+
+def _q_pack_sequences(spark, sf_dir):
+    # sequence-packing shard planner: global token offsets + first/
+    # last 2048-token bin per doc, via the range-partitioned
+    # distributed prefix sum (no single-partition window)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, "doc_id", PACK_SEQ_LEN)
+
+
+# deterministic synthetic PII injected per doc (the corpus itself is
+# clean word soup): exercises every pattern class on both engines
+_PII_SUFFIX = (
+    " contact user{id}@mail.example.com or https://ex.example/d/{id}"
+    " tel 555-123-4567 host 10.0.0.1"
+)
+
+
+def _q_redact_pii(spark, sf_dir):
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), ids, F.lit("@mail.example.com or https://ex.example/d/"),
+        ids, F.lit(" tel 555-123-4567 host 10.0.0.1"),
+    )
+    return docs.select("doc_id", redact_pii(injected).alias("clean"))
+
+
+def _q_knn_classify(spark, sf_dir):
+    # embedding-space k-NN majority-vote labeling (k=5, cosine,
+    # ties to the smallest label)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import knn_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_classify(emb, emb.filter("vec_id < 20"), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project_filter": _q_scan_project_filter,
@@ -1026,6 +1072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": _q_curate_docs,
         "curate_embeds": _q_curate_embeds,
         "curate_corpus": _q_curate_corpus,
+        "pack_sequences": _q_pack_sequences,
+        "redact_pii": _q_redact_pii,
+        "knn_classify": _q_knn_classify,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "balance_sources": _q_balance_sources,
@@ -1199,6 +1248,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_frames": _MM_FRAMES_SQL,
+        "pack_sequences": f"""
+            WITH n AS (
+              SELECT doc_id,
+                     COALESCE(CAST(len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}')) AS BIGINT), 0) AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+              FROM n
+            )
+            SELECT doc_id AS id, n_tokens, start_offset,
+                   start_offset // {PACK_SEQ_LEN} AS bin_start,
+                   (start_offset + greatest(n_tokens - 1, 0)) // {PACK_SEQ_LEN} AS bin_end
+            FROM o
+        """,
+        "redact_pii": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     concat(COALESCE(text, ''), ' contact user', CAST(doc_id AS VARCHAR),
+                            '@mail.example.com or https://ex.example/d/', CAST(doc_id AS VARCHAR),
+                            ' tel 555-123-4567 host 10.0.0.1'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     'https?://[^\\s]+', '<URL>', 'g'),
+                     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
+            FROM documents
+        """,
+        "knn_classify": f"""
+            WITH emb AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                         FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                     round({_dot_sql('q.v', 'c.v')}
+                           / (sqrt({_dot_sql('q.v', 'q.v')}) * sqrt({_dot_sql('c.v', 'c.v')})), 6) AS cosine
+              FROM emb q JOIN emb c ON q.vec_id < 20 AND q.vec_id != c.vec_id
+            ),
+            nn AS (
+              SELECT query_id, neighbor_id, label FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM pairs)
+              WHERE rank <= 5
+            ),
+            votes AS (
+              SELECT query_id, CAST(label AS BIGINT) AS label, count(*) AS votes
+              FROM nn GROUP BY query_id, label
+            )
+            SELECT query_id, label AS pred_label, votes FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY votes DESC, label ASC) AS rn
+              FROM votes)
+            WHERE rn = 1
+        """,
         # decontaminate: 5-gram shingles (Spark sequence(1, len-4)
         # inclusive == DuckDB range(1, len-3) exclusive)
         "decontaminate": f"""

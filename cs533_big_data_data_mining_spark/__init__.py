@@ -30,15 +30,18 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
+from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
 from cs533_big_data_data_mining_spark.operators.quality import (
     balance_sources,
     repetition_stats,
 )
 from cs533_big_data_data_mining_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    knn_classify,
     embedding_neardup_pairs,
     ivf_topk,
 )
+from cs533_big_data_data_mining_spark.functions.text import redact_pii
 from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
 from cs533_big_data_data_mining_spark.sources.points import (
     as_points,
@@ -71,6 +74,9 @@ __all__ = [
     "ivf_topk",
     "tf_idf",
     "asof_join",
+    "pack_sequences",
+    "knn_classify",
+    "redact_pii",
     "decontaminate",
     "repetition_stats",
     "balance_sources",

@@ -147,6 +147,29 @@ def subword_count(col: str | Column) -> Column:
     return F.size(subword_tokens(col))
 
 
+# PII patterns restricted to the Java-regex ∩ RE2 syntax subset (no
+# lookaround), applied longest-structure-first so an email's host part
+# isn't half-eaten by the URL rule. Public C4-style scrubbing.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace emails, URLs, phone numbers, and IPv4 addresses with
+    typed placeholder tokens — the standard pre-training scrub pass.
+    Pure chained ``regexp_replace`` (JVM-side, codegen'd); patterns
+    live in the regex subset DuckDB's RE2 also accepts, so the op has
+    an exact SQL twin."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(col: str) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash
     over characters, ``acc*31 + codepoint (mod 2^31-1)`` — the

@@ -77,6 +77,39 @@ def cosine_topk_bruteforce(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding column:
+    ``(query_id, pred_label, votes)`` — each query labeled by the
+    modal label of its k cosine neighbors (ties break to the smallest
+    label; deterministic). The neighbor search is
+    ``cosine_topk_bruteforce`` (broadcast queries, no shuffle until
+    the per-query top-k); swap in ``ivf_topk`` for corpus-scale query
+    sets. The vote is a groupBy on k*|queries| rows — negligible.
+    """
+    nn = cosine_topk_bruteforce(corpus, queries, k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).cast("long").alias("label")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,

@@ -155,6 +155,76 @@ def test_asof_join_empty_right(spark):
     assert len(r) == 1 and r[0]["r_event_id"] is None
 
 
+def test_pack_sequences_offsets(spark):
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e"), (4, ""), (5, "f g h i")],
+        "doc_id long, text string",
+    )
+    cnt = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    rows = {r["id"]: r for r in pack_sequences(docs, "doc_id", 4, count_expr=cnt).collect()}
+    # id order: 1(3 toks) 2(0) 3(2) 4(0) 5(4) -> offsets 0,3,3,5,5
+    assert [rows[i]["start_offset"] for i in (1, 2, 3, 4, 5)] == [0, 3, 3, 5, 5]
+    assert (rows[1]["bin_start"], rows[1]["bin_end"]) == (0, 0)
+    assert (rows[3]["bin_start"], rows[3]["bin_end"]) == (0, 1)   # spans the 4-token boundary
+    assert (rows[5]["bin_start"], rows[5]["bin_end"]) == (1, 2)
+    # partition-count invariance of the distributed prefix sum
+    again = {
+        r["id"]: r["start_offset"]
+        for r in pack_sequences(docs.repartition(5), "doc_id", 4, count_expr=cnt).collect()
+    }
+    assert again == {i: rows[i]["start_offset"] for i in rows}
+
+
+def test_redact_pii(spark):
+    from cs533_big_data_data_mining_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org now"),
+            (2, "see https://x.io/p?q=1 and http://y.z/"),
+            (3, "call 555-123-4567 or 555.987.6543"),
+            (4, "host 192.168.0.1 up"),
+            (5, "clean text stays untouched"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", redact_pii("text").alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "see <URL> and <URL>"
+    assert got[3] == "call <PHONE> or <PHONE>"
+    assert got[4] == "host <IP> up"
+    assert got[5] == "clean text stays untouched"
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from cs533_big_data_data_mining_spark.operators.similarity import knn_classify
+
+    # 2-D embeddings: two tight clusters on the axes; labels follow
+    # clusters except one flipped corpus point, which majority vote
+    # overrules
+    rows = [
+        (0, [1.0, 0.05], 7), (1, [1.0, 0.1], 7), (2, [1.0, 0.0], 7), (3, [0.9, 0.1], 3),
+        (10, [0.05, 1.0], 9), (11, [0.1, 1.0], 9), (12, [0.0, 0.9], 9), (13, [0.1, 0.9], 9),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(emb, emb.filter("vec_id IN (0, 10)"), k=3).collect()
+    }
+    assert out[0] == (7, 2)    # neighbors 1,2,3 -> labels 7,7,3
+    assert out[10] == (9, 3)
+    # tie-break: equal votes -> smallest label (neighbors are 2 then
+    # 1; one vote each for labels 5 and 8)
+    tie = spark.createDataFrame(
+        [(0, [1.0, 0.0], 9), (1, [1.0, 0.01], 8), (2, [0.99, 0.0], 5)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    r = knn_classify(tie, tie.filter("vec_id = 0"), k=2).head()
+    assert r["pred_label"] == 5 and r["votes"] == 1
+
+
 def test_asof_join_is_single_shuffle(spark):
     # plan shape: the union + window construction shuffles ONCE on the
     # key — no join node, no cartesian
