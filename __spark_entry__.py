@@ -860,7 +860,16 @@ def _q_sessionize_stream_eq(spark, sf_dir):
             "overwrite"
         ).parquet(src)
         stream = sessionize_stream(read_events_stream(spark, src, max_files_per_trigger=2))
-        run_stream_to_memory(stream, "sessions_eq", output_mode="append")
+        # scope the STATE partition count to the workload: 20k events
+        # over 3 micro-batches doesn't need 32 state tasks per batch —
+        # 8 cuts ~2/3 of the per-batch Python-worker scheduling. The
+        # conf is read at stream start; restored for later queries.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_stream_to_memory(stream, "sessions_eq", output_mode="append")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         got = spark.sql("SELECT * FROM sessions_eq")
         batch = sessionize(ev)
         n_batch = batch.count()
@@ -1027,6 +1036,16 @@ def _q_redact_pii(spark, sf_dir):
     return docs.select("doc_id", redact_pii(injected).alias("clean"))
 
 
+def _q_label_centroids(spark, sf_dir):
+    # class centroids over the embedding column: DECIMAL-exact
+    # component sums -> order-independent, ANSI-reproducible means
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb)
+
+
 def _q_knn_classify(spark, sf_dir):
     # embedding-space k-NN majority-vote labeling (k=5, cosine,
     # ties to the smallest label)
@@ -1075,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "redact_pii": _q_redact_pii,
         "knn_classify": _q_knn_classify,
+        "label_centroids": _q_label_centroids,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "balance_sources": _q_balance_sources,
@@ -1248,6 +1268,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _MM_FEATURES_SQL,
         "multimodal_frames": _MM_FRAMES_SQL,
+        "label_centroids": """
+            WITH e AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     unnest(list_transform(range(1, len(embedding) + 1),
+                            i -> struct_pack(pos := i - 1, v := CAST(embedding[i] AS DOUBLE)))) AS s
+              FROM embeddings
+            )
+            SELECT label, CAST(s.pos AS BIGINT) AS pos,
+                   round(CAST(sum(CAST(s.v AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS centroid,
+                   count(*) AS n
+            FROM e GROUP BY label, s.pos
+        """,
         "pack_sequences": f"""
             WITH n AS (
               SELECT doc_id,

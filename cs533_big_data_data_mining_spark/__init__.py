@@ -38,6 +38,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
 from cs533_big_data_data_mining_spark.operators.similarity import (
     cosine_topk_bruteforce,
     knn_classify,
+    label_centroids,
     embedding_neardup_pairs,
     ivf_topk,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "asof_join",
     "pack_sequences",
     "knn_classify",
+    "label_centroids",
     "redact_pii",
     "decontaminate",
     "repetition_stats",

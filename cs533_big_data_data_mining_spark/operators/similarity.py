@@ -110,6 +110,43 @@ def knn_classify(
     )
 
 
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean embedding (class centroids / prototype vectors)
+    as flat ``(label, pos, centroid, n)`` rows — ``pos`` is the
+    0-based component index.
+
+    One ``posexplode`` + one map-side-combinable groupBy on
+    (label, pos): the canonical distributed centroid shape (the same
+    partial-sum pass a Lloyd iteration makes, here SQL-visible).
+    Components are summed as DECIMAL — exact, so the result is
+    independent of partitioning/summation order and reproducible in
+    the ANSI oracle — then divided in float64 and rounded to 6 dp.
+    Pivot back to array form with ``collect_list(struct(pos, c))`` +
+    ``array_sort`` when a vector column is needed.
+    """
+    e = emb.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(as_double_array(vec_col)).alias("pos", "v"),
+    )
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(27,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
+            "n",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,

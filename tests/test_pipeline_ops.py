@@ -225,6 +225,23 @@ def test_knn_classify_majority_and_ties(spark):
     assert r["pred_label"] == 5 and r["votes"] == 1
 
 
+def test_label_centroids_exact_and_partition_invariant(spark):
+    from cs533_big_data_data_mining_spark.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0], 1), (1, [3.0, 4.0], 1), (2, [10.0, 0.5], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["label"], r["pos"]): (r["centroid"], r["n"]) for r in label_centroids(emb).collect()}
+    assert got[(1, 0)] == (2.0, 2) and got[(1, 1)] == (3.0, 2)
+    assert got[(2, 0)] == (10.0, 1) and got[(2, 1)] == (0.5, 1)
+    again = {
+        (r["label"], r["pos"]): (r["centroid"], r["n"])
+        for r in label_centroids(emb.repartition(5)).collect()
+    }
+    assert got == again
+
+
 def test_asof_join_is_single_shuffle(spark):
     # plan shape: the union + window construction shuffles ONCE on the
     # key — no join node, no cartesian
