@@ -977,6 +977,21 @@ def _q_balance_sources(spark, sf_dir):
     )
 
 
+KEEP_FRAC = 0.6
+
+
+def _q_quantile_filter(spark, sf_dir):
+    # keep the top 60% of documents by quality score (threshold = the
+    # exact 0.4-quantile; ties at the threshold survive)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import quality_score
+    from cs533_big_data_data_mining_spark.operators.quality import quantile_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select("doc_id", quality_score("text").alias("q"))
+    return quantile_filter(scored, "q", keep_frac=KEEP_FRAC)
+
+
 def _q_asof_purchase_click(spark, sf_dir):
     # as-of join: each purchase matched to the user's most recent
     # click at-or-before it (same-instant clicks visible; ties among
@@ -1098,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "balance_sources": _q_balance_sources,
+        "quantile_filter": _q_quantile_filter,
         "asof_purchase_click": _q_asof_purchase_click,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
@@ -1387,6 +1403,12 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY source ORDER BY fp ASC, doc_id ASC) AS BIGINT) AS rk
               FROM pri)
             SELECT doc_id AS id, source, rk FROM ranked WHERE rk <= {BALANCE_CAP}
+        """,
+        "quantile_filter": f"""
+            WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+            scored AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS q FROM toks),
+            thr AS (SELECT quantile_cont(q, {1.0 - KEEP_FRAC}) AS t FROM scored)
+            SELECT doc_id, q FROM scored, thr WHERE q >= t
         """,
         # as-of twin: the same union + running last_value(IGNORE NULLS)
         # construction (payload packed in ONE struct so both carried

@@ -33,6 +33,7 @@ from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
 from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
 from cs533_big_data_data_mining_spark.operators.quality import (
     balance_sources,
+    quantile_filter,
     repetition_stats,
 )
 from cs533_big_data_data_mining_spark.operators.similarity import (
@@ -82,6 +83,7 @@ __all__ = [
     "decontaminate",
     "repetition_stats",
     "balance_sources",
+    "quantile_filter",
     "sessionize",
     "__version__",
 ]

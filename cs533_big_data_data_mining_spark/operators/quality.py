@@ -86,6 +86,36 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quantile_filter(
+    df: DataFrame,
+    score_col: str | F.Column,
+    keep_frac: float,
+    exact: bool = True,
+    approx_error: float = 0.001,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows by ``score_col``: rows with
+    score >= the (1 - keep_frac) quantile (ties at the threshold all
+    survive, so the kept fraction can exceed ``keep_frac``).
+
+    ``exact=True`` computes the true percentile (one full-sort
+    aggregate — fine up to ~billions of rows); ``exact=False`` uses
+    ``percentile_approx`` (Greenwald-Khanna sketch, one map-side-
+    combinable pass — the 100 TB path, threshold within
+    ``approx_error`` rank error). The scalar threshold is broadcast
+    into the filter via a crossJoin of a 1-row frame — no driver
+    round-trip, whole plan stays lazy.
+    """
+    c = F.col(score_col) if isinstance(score_col, str) else score_col
+    p = 1.0 - float(keep_frac)
+    thr = (
+        F.expr(f"percentile({score_col}, {p})")
+        if exact and isinstance(score_col, str)
+        else F.percentile_approx(c, F.lit(p), F.lit(int(1.0 / approx_error)))
+    )
+    t = df.agg(thr.alias("__thr"))
+    return df.crossJoin(F.broadcast(t)).filter(c >= F.col("__thr")).drop("__thr")
+
+
 def balance_sources(
     df: DataFrame, id_col: str, source_col: str, cap: int, priority: F.Column | None = None
 ) -> DataFrame:

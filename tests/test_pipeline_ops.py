@@ -90,6 +90,24 @@ def test_balance_sources_cap_and_determinism(spark):
     assert sorted((r["id"], r["rk"]) for r in got) == sorted((r["id"], r["rk"]) for r in again)
 
 
+def test_quantile_filter_exact_and_ties(spark):
+    from cs533_big_data_data_mining_spark.operators.quality import quantile_filter
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, s double")
+    kept = sorted(r["id"] for r in quantile_filter(df, "s", keep_frac=0.3).collect())
+    # 0.7-quantile of 0..9 = 6.3 -> keep scores >= 6.3 -> {7,8,9}
+    assert kept == [7, 8, 9]
+    # ties at the threshold all survive
+    tied = spark.createDataFrame([(i, 1.0 if i < 8 else 2.0) for i in range(10)], "id long, s double")
+    kept2 = sorted(r["id"] for r in quantile_filter(tied, "s", keep_frac=0.2).collect())
+    assert kept2 == [8, 9]
+    # approx path: GK returns an OBSERVED value at the quantile rank
+    # (6.0, not the interpolated 6.3), so the kept set may include the
+    # threshold element itself — never fewer than the exact set
+    kept3 = sorted(r["id"] for r in quantile_filter(df, "s", keep_frac=0.3, exact=False).collect())
+    assert set(kept3) >= {7, 8, 9} and kept3[0] >= 6
+
+
 def test_balance_sources_under_cap_keeps_all(spark):
     docs = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
     assert balance_sources(docs, "doc_id", "source", cap=10).count() == 3
