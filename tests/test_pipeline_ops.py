@@ -260,6 +260,30 @@ def test_label_centroids_exact_and_partition_invariant(spark):
     assert got == again
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark side must reach the corpus scan as a broadcast
+    # (the corpus is never shuffled on content at 100 TB)
+    docs = spark.createDataFrame([(0, BENCH_DOC), (1, "x y z a b c d")], "doc_id long, text string")
+    out = decontaminate(docs, docs.filter("doc_id = 0"), "doc_id", "text", n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the shingle join builds the benchmark side as a broadcast; the
+    # remaining joins (hits -> base left outer) are narrow-id equi-
+    # joins, fine as shuffle joins at scale
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_no_serial_stage(spark):
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(i, "a b c") for i in range(50)], "doc_id long, text string")
+    out = pack_sequences(docs, "doc_id", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the prefix sum must not funnel all rows through one task: the
+    # window is keyed on the partition id, never a global sort
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_asof_join_is_single_shuffle(spark):
     # plan shape: the union + window construction shuffles ONCE on the
     # key — no join node, no cartesian
