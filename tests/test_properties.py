@@ -171,3 +171,72 @@ def test_empty_inputs_yield_empty_results(spark):
     assert cosine_topk_bruteforce(ee, vv, 5).count() == 0
     assert embedding_neardup_pairs(ee, 0.5).count() == 0
     assert sessionize(eev).count() == 0
+
+
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_left=st.integers(1, 30),
+    n_right=st.integers(0, 30),
+    n_keys=st.integers(1, 4),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_asof_join_matches_bruteforce(spark, seed, n_left, n_right, n_keys, parts):
+    """asof_join == per-row brute force: the right row with the max
+    (ts, order) among same-key rows with ts <= left.ts."""
+    import datetime
+
+    from cs533_big_data_data_mining_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(seed)
+    base = datetime.datetime(2024, 1, 1)
+    # coarse second grid so ts collisions actually happen
+    lrows = [
+        (i, int(rng.integers(0, n_keys)), base + datetime.timedelta(seconds=int(rng.integers(0, 15))))
+        for i in range(n_left)
+    ]
+    rrows = [
+        (100 + j, int(rng.integers(0, n_keys)),
+         base + datetime.timedelta(seconds=int(rng.integers(0, 15))), float(j))
+        for j in range(n_right)
+    ]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp").repartition(parts)
+    right = spark.createDataFrame(
+        rrows or [], "event_id long, user_id long, ts timestamp, value double"
+    ).repartition(parts)
+    got = {
+        r["event_id"]: r["r_event_id"]
+        for r in asof_join(left, right, "user_id", "ts", "event_id", ["event_id", "value"]).collect()
+    }
+    for lid, lkey, lts in lrows:
+        cands = [(rts, rid) for rid, rkey, rts, _ in rrows if rkey == lkey and rts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 60),
+    seq_len=st.integers(1, 20),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_pack_sequences_matches_cumsum(spark, seed, n, seq_len, parts):
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, 12, size=n)
+    rows = [(int(i), int(c)) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(parts)
+    out = {
+        r["id"]: (r["start_offset"], r["bin_start"], r["bin_end"])
+        for r in pack_sequences(df, "doc_id", seq_len, count_expr=F.col("n")).collect()
+    }
+    start = 0
+    for i, c in enumerate(counts):
+        bs = start // seq_len
+        be = (start + max(int(c) - 1, 0)) // seq_len
+        assert out[i] == (start, bs, be), (i, out[i], (start, bs, be))
+        start += int(c)
