@@ -109,6 +109,23 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
+    # Warm re-run for the slow queries: their plans are literal-
+    # specialized, so the first run pays one-time whole-stage-codegen
+    # compilation (up to 3x, same policy as the REF workloads below).
+    # Headline key = warm run; `.cold` preserves the first run.
+    for name, fn in qs.items():
+        if timings.get(name, 0.0) <= 2.0:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).count()
+            warm = round(time.time() - t0, 3)
+            timings[f"{name}.cold"] = timings[name]
+            timings[name] = warm
+            print(f"# {name}: {warm}s warm (cold {timings[f'{name}.cold']}s)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# {name}: warm rerun ERROR {exc}", file=sys.stderr)
+
     if os.path.exists(REFERENCE_BIN):
         # untimed warm-up: the first dbscan of a session pays one-time
         # JVM JIT + codegen costs (~5-7 s) that would otherwise be

@@ -45,6 +45,11 @@ from cs533_big_data_data_mining_spark.operators.similarity import (
 )
 from cs533_big_data_data_mining_spark.functions.text import redact_pii
 from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
+from cs533_big_data_data_mining_spark.sources.documents import (
+    jsonl_to_parquet,
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
 from cs533_big_data_data_mining_spark.sources.points import (
     as_points,
     read_points_bin,
@@ -62,6 +67,9 @@ __all__ = [
     "read_points_bin",
     "read_points_parquet",
     "write_clusters",
+    "read_documents_jsonl",
+    "write_documents_jsonl",
+    "jsonl_to_parquet",
     "exact_dedup",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",

@@ -240,3 +240,42 @@ def test_pack_sequences_matches_cumsum(spark, seed, n, seq_len, parts):
         be = (start + max(int(c) - 1, 0)) // seq_len
         assert out[i] == (start, bs, be), (i, out[i], (start, bs, be))
         start += int(c)
+
+
+def test_empty_inputs_round5_ops(spark):
+    """Round-5 operators on empty / degenerate inputs: empty frames
+    out, no exceptions (filter-everything upstream shape)."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.asof import asof_join
+    from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        balance_sources,
+        quantile_filter,
+        repetition_stats,
+    )
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        knn_classify,
+        label_centroids,
+    )
+
+    ed = spark.createDataFrame([], "doc_id long, text string")
+    es = spark.createDataFrame([], "doc_id long, source string")
+    ee = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    ve = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1)], "vec_id long, embedding array<double>, label int"
+    )
+    eev = spark.createDataFrame([], "event_id long, user_id long, ts timestamp, value double")
+
+    assert decontaminate(ed, ed, "doc_id", "text").count() == 0
+    assert repetition_stats(ed, "doc_id", "text").count() == 0
+    assert balance_sources(es, "doc_id", "source", 5).count() == 0
+    assert quantile_filter(spark.createDataFrame([], "id long, s double"), "s", 0.5).count() == 0
+    assert pack_sequences(ed, "doc_id", 128).count() == 0
+    assert label_centroids(ee).count() == 0
+    assert knn_classify(ve, ee, 3).count() == 0      # no queries
+    assert knn_classify(ee, ve, 3).count() == 0      # empty corpus
+    assert asof_join(
+        eev.select("event_id", "user_id", "ts"), eev, "user_id", "ts", "event_id", ["value"]
+    ).count() == 0

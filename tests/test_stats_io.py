@@ -268,3 +268,48 @@ def test_cli_netcdf_output(spark, tmp_path):
         vars = netcdf3_decode(f.read())
     assert set(vars) == {"position_col_X0", "position_col_X1", "cluster_id"}
     assert len(vars["cluster_id"]) == 8000
+
+
+def test_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
+    import json
+    import os
+
+    from cs533_big_data_data_mining_spark.sources.documents import (
+        jsonl_to_parquet,
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1", "n_chars": 11},
+        {"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s2", "n_chars": 7},
+        {"doc_id": 3, "text": None, "lang": None, "source": "s1", "n_chars": None},
+    ]
+    with open(f"{src}/part-0.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+        fh.write("{not valid json at all\n")
+
+    # default mode: corrupt lines silently dropped, clean frame
+    docs = read_documents_jsonl(spark, src)
+    got = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert got == {1: "hello world", 2: "bonjour", 3: None}
+
+    # audit mode: corrupt line surfaced in _corrupt (cache() first:
+    # Spark disallows corrupt-only queries on the raw scan)
+    audit = read_documents_jsonl(spark, src, keep_corrupt=True).cache()
+    assert audit.count() == 4
+    assert audit.filter("_corrupt IS NOT NULL").count() == 1
+    audit.unpersist()
+
+    # converter drops the corrupt line; parquet output readable
+    dst = str(tmp_path / "out.parquet")
+    assert jsonl_to_parquet(spark, src, dst) == 3
+
+    # sink -> source roundtrip preserves rows
+    back_dir = str(tmp_path / "back")
+    write_documents_jsonl(docs, back_dir)
+    again = read_documents_jsonl(spark, back_dir)
+    assert {r["doc_id"] for r in again.collect()} == {1, 2, 3}
