@@ -895,6 +895,67 @@ def _q_sessionize_stream_eq(spark, sf_dir):
     )
 
 
+def _q_curate_stream_eq(spark, sf_dir):
+    # Streaming ingest-time curation (score -> filter -> redact ->
+    # watermarked exact dedup) checked against its own batch twin:
+    # the unified function runs in both modes, and the invariant is
+    # the surviving TEXT SET (batch keeps min-id, stream keeps
+    # first-arrival — representatives may differ, texts may not).
+    # Watermark is set above the synthetic ts span so no dedup state
+    # evicts mid-stream; the oracle emits the batch survivor count.
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    src = tempfile.mkdtemp(prefix="curate_eq_")
+    try:
+        docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        stream_docs = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_stream_to_memory(
+                curate_ingest(stream_docs, watermark="365 days"),
+                "curate_eq",
+                output_mode="append",
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        got = spark.sql("SELECT * FROM curate_eq")
+        batch = curate_ingest(docs)
+        n_batch = batch.count()
+        n_got = got.count()
+        # null-safe set equality of surviving texts via exceptAll
+        extra = got.select("clean").exceptAll(batch.select("clean")).count()
+        missing = batch.select("clean").exceptAll(got.select("clean")).count()
+        ok = bool(n_got == n_batch and extra == 0 and missing == 0)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_batch, ok)], "n_batch long, stream_matches boolean"
+    )
+
+
 HLL_RSD = 0.05
 
 
@@ -1117,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
+        "curate_stream_eq": _q_curate_stream_eq,
         "sketch_distinct": _q_sketch_distinct,
         "stream_windowed_counts": _q_stream_windowed_counts,
     }
@@ -1457,6 +1519,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
             FROM sess GROUP BY user_id, sid
+        """,
+        "curate_stream_eq": """
+            SELECT CAST(count(*) AS BIGINT) AS n_batch, TRUE AS stream_matches FROM (
+              SELECT DISTINCT
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  'https?://[^\\s]+', '<URL>', 'g'),
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
+              FROM documents
+            )
         """,
         "sketch_distinct": (
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, "

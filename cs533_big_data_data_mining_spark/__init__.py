@@ -56,6 +56,7 @@ from cs533_big_data_data_mining_spark.sources.points import (
     read_points_parquet,
     write_clusters,
 )
+from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
 from cs533_big_data_data_mining_spark.streaming.sessions import sessionize
 
 __version__ = "0.1.0"
@@ -93,5 +94,6 @@ __all__ = [
     "balance_sources",
     "quantile_filter",
     "sessionize",
+    "curate_ingest",
     "__version__",
 ]

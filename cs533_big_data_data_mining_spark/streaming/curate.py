@@ -1,0 +1,57 @@
+"""Streaming document curation — the ingest-time half of the corpus
+pipeline, unified batch/stream (Structured Streaming's one-API
+property, like ``events.windowed_event_counts``).
+
+At 100 TB, curation isn't a one-shot batch job: new crawl shards
+arrive continuously, and the cheap per-document stages — quality
+scoring, PII redaction, exact dedup — belong at ingest, so the
+expensive batch stages (near-dup graph, closure) only ever see
+already-thinned data. This module is that ingest stage:
+
+    score (Column exprs) -> rule filter -> redact ->
+    exact dedup on the redacted text (streaming:
+    ``dropDuplicatesWithinWatermark`` — state O(keys/horizon))
+
+Everything before the dedup is stateless (full pipelining, no
+shuffle); the dedup is the only stateful operator and its state is
+watermark-evicted. The SAME function runs on a batch frame (watermark
+no-op, ``dropDuplicates``), which is what makes the stream checkable
+against a batch twin (see ``__spark_entry__._q_curate_stream_eq``).
+
+Batch/stream semantic note: batch ``exact_dedup`` keeps the MIN id
+per text; streaming keeps the first-arrived row (state insertion
+order). The invariant shared by both — and the one downstream
+consumers may rely on — is the surviving TEXT SET, not the chosen
+representative ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.functions.text import quality_score, redact_pii
+
+
+def curate_ingest(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_quality: float = 0.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """``(id, ts, clean, quality)``: scored, filtered, redacted,
+    exact-deduped documents. Works on a stream (watermark-bounded
+    dedup state) and a batch frame (plain dropDuplicates) — one
+    definition, two execution modes."""
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        redact_pii(text_col).alias("clean"),
+        quality_score(text_col).alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= F.lit(float(min_quality)))
+    if kept.isStreaming:
+        return kept.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["clean"])
+    return kept.dropDuplicates(["clean"])

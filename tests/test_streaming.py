@@ -69,3 +69,57 @@ def test_dedup_stream_drops_redeliveries(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_ev").collect()
     assert len(got) == 500
     assert len({r["event_id"] for r in got}) == 500
+
+
+def test_curate_ingest_batch_semantics(spark):
+    import datetime
+
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, "good text with the and of tokens here", base),
+        (2, "good text with the and of tokens here", base),   # exact dup
+        (3, "mail me: a@b.co now", base),
+        (4, "mail me: x@y.org now", base),                    # dup AFTER redaction
+        (5, None, base),                                      # null text: quality 0, kept at min 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    out = curate_ingest(docs)
+    texts = sorted((r["clean"] or "") for r in out.collect())
+    assert len(texts) == 3
+    assert "mail me: <EMAIL> now" in texts          # 3 and 4 collapse post-redaction
+    assert "" in texts                               # null survives as its own group
+    # quality floor drops the null/scored-low docs
+    assert curate_ingest(docs, min_quality=0.1).count() == 2
+
+
+def test_curate_ingest_stream_matches_batch(spark, tmp_path):
+    import datetime
+
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, f"doc body {i % 7} with the and of words", base + datetime.timedelta(seconds=i))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "stream_src")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_stream_to_memory(curate_ingest(stream, watermark="1 hour"), "curate_ingest_t", output_mode="append")
+    got = spark.sql("SELECT clean FROM curate_ingest_t")
+    batch = curate_ingest(docs).select("clean")
+    assert got.count() == batch.count() == 7
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
