@@ -469,6 +469,22 @@ def _q_dedup_minhash(spark, sf_dir):
     return minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+def _q_dedup_minhash_2t(spark, sf_dir):
+    # incremental dedup: the even-id half ("new shard") checked
+    # against the odd-id half ("historical corpus") — band join only
+    # ACROSS the two tables, verified with exact Jaccard
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        minhash_dedup_pairs_bipartite,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs_bipartite(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+        "doc_id", "text", n=3, threshold=0.8,
+    )
+
+
 def _q_simhash(spark, sf_dir):
     # the poly31 variant: token hash = the fingerprint recurrence, so
     # the ENTIRE signature (hash -> weighted bit votes -> sign pack)
@@ -1153,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_minhash_2t": _q_dedup_minhash_2t,
         "simhash_sigs": _q_simhash,
         "simhash_neardup": _q_simhash_neardup,
         "embed_neardup": _q_embed_neardup,
@@ -1294,6 +1311,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text"
         ),
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "dedup_minhash_2t": f"""
+WITH {_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ia AS a, ib AS b,
+       round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.ia = sa.doc_id
+JOIN sizes sb ON inter.ib = sb.doc_id
+WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= 0.8
+        """,
+
         # LSH recall at the planted-dup similarity (~0.97+) is 1-1e-10,
         # so verified MinHash pairs == exact Jaccard pairs
         "dedup_minhash": _JACCARD_PAIRS_SQL,

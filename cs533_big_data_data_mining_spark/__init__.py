@@ -25,6 +25,7 @@ from cs533_big_data_data_mining_spark.operators.decontaminate import decontamina
 from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
+    minhash_dedup_pairs_bipartite,
     ngram_jaccard_pairs,
     simhash64,
     simhash_neardup_pairs,
@@ -73,6 +74,7 @@ __all__ = [
     "jsonl_to_parquet",
     "exact_dedup",
     "minhash_dedup_pairs",
+    "minhash_dedup_pairs_bipartite",
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_neardup_pairs",

@@ -308,6 +308,95 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_pairs_bipartite(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    caches: list | None = None,
+) -> DataFrame:
+    """Near-dup pairs ``(a, b, jaccard)`` BETWEEN two corpora (a from
+    ``left``, b from ``right``) — incremental dedup: check a new crawl
+    shard against the historical corpus without re-pairing the
+    history against itself.
+
+    Same candidates-then-verify shape as ``minhash_dedup_pairs``: both
+    sides get signatures from the same seeded hash family (so equal
+    shingle sets collide deterministically), the band join pairs only
+    (band, bhash) matches ACROSS the two tables, and candidates are
+    verified with exact Jaccard over the two shingle indexes. At
+    100 TB the right side's signatures/index are computed once per
+    shard cycle and reused; per-shard cost is the left side (small)
+    plus one equi-join against the banded history.
+
+    Pairs where both ids are equal are dropped (the same document
+    present in both corpora is not a "near duplicate" finding).
+    """
+    shl = _shingle_index(left, id_col, text_col, n, max_doc_freq=None).cache()
+    shr = _shingle_index(right, id_col, text_col, n, max_doc_freq=None).cache()
+    if caches is not None:
+        caches.extend([shl, shr])
+    r = num_hashes // bands
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+
+    def banded(sigs):
+        return sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(*[F.col("sig")[bi * r + j] for j in range(r)]).alias("bhash"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "bk.band", "bk.bhash")
+
+    bl = banded(_signatures_from_index(shl, num_hashes)).alias("l")
+    br = banded(_signatures_from_index(shr, num_hashes)).alias("r")
+    cands = (
+        bl.join(
+            br,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    sizes_l = shl.groupBy("id").agg(F.count(F.lit(1)).alias("sza"))
+    sizes_r = shr.groupBy("id").agg(F.count(F.lit(1)).alias("szb"))
+    inter = (
+        shl.withColumnRenamed("id", "a")
+        .join(cands, "a")
+        .join(shr.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes_l.withColumnRenamed("id", "a"), "a")
+        .join(sizes_r.withColumnRenamed("id", "b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
 def _term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, tok, w): per-document term frequencies — the weighted-vote
     input shared by every simhash variant."""

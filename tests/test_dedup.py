@@ -326,3 +326,28 @@ def test_curate_documents_pipeline(spark):
     # path): only the exact dup and the low-quality doc drop
     out2 = curate_documents(df, min_quality=0.3, jaccard_threshold=1.01)
     assert sorted(r["id"] for r in out2.collect()) == [0, 2, 3, 4]
+
+
+def test_minhash_bipartite_matches_bruteforce(spark):
+    """Bipartite (incremental) dedup: even-id docs vs odd-id docs ==
+    the cross-table subset of the exact all-pairs result."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        minhash_dedup_pairs_bipartite,
+    )
+
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    left, right = df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1")
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_dedup_pairs_bipartite(left, right, "doc_id", "text", n=3, threshold=0.7).collect()
+    }
+    want = set()
+    for (i, a) in docs:
+        for (j, b) in docs:
+            if i % 2 == 0 and j % 2 == 1 and i != j and _jaccard(a, b, 3) >= 0.7:
+                want.add((i, j))
+    assert got == want
+    # self-id overlap: the same doc id on both sides is not a finding
+    both = spark.createDataFrame([(1, "same text here ok"), ], "doc_id long, text string")
+    assert minhash_dedup_pairs_bipartite(both, both, "doc_id", "text", threshold=0.1).count() == 0
