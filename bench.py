@@ -167,6 +167,34 @@ def main() -> None:
 
         from cs533_big_data_data_mining_spark import dbscan, dbscan_stats
 
+        # distributed prefix-sum at 3M docs: the range-partitioned
+        # packing path (per-partition windows + driver offset sums)
+        # above any single-partition-window temptation; invariants
+        # pin the exact global cumsum
+        from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+        nd = 3_000_000
+        docs3m = spark.range(nd).select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.xxhash64("id"), F.lit(100)) + 1).alias("n"),
+        )
+        t0 = time.time()
+        try:
+            packed = pack_sequences(docs3m, "doc_id", 2048, count_expr=F.col("n"))
+            agg = packed.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.max(F.col("start_offset") + F.col("n_tokens")).alias("total"),
+                F.max("bin_end").alias("last_bin"),
+            ).head()
+            expect_total = docs3m.agg(F.sum("n")).head()[0]
+            assert agg["rows"] == nd and agg["total"] == expect_total, f"pack smoke wrong: {agg}"
+            assert agg["last_bin"] == (expect_total - 1) // 2048
+            timings["pack_scale3m"] = round(time.time() - t0, 3)
+            print(f"# pack_scale3m: {timings['pack_scale3m']}s (total {agg['total']})", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors["pack_scale3m"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# pack_scale3m: ERROR {errors['pack_scale3m']}", file=sys.stderr)
+
         n = 3_000_000
         pts = spark.range(n).select(
             F.col("id"),

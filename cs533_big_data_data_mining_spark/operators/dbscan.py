@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 import time
@@ -121,70 +121,46 @@ def _driver_labels(lb_pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def dense_index(values: DataFrame, value_col: str, index_col: str = "dense_id") -> DataFrame:
-    """Dense 1..K ids for the distinct values of ``value_col``, ordered
-    ascending — SURVEY §2 op 12's prefix-sum dense numbering
-    (``dbscan.cpp:376-407``: Allgather per-rank root counts, prefix-sum
-    offsets) without the reference's message rounds AND without a
-    single-partition window: range-repartition the distinct values
-    (ascending partition ranges), sort within each partition, collect
-    one row PER PARTITION of sizes, prefix-sum them on the driver (the
-    exact MPI_Allgather+prefix-sum the reference performs), and stamp
-    ``offset[pid] + local position`` in an Arrow-batched pass. No
-    stage funnels all K rows through one task, and no row ever
-    round-trips through Python object serialization (vs. RDD
-    ``zipWithIndex``), so the labeling path stays parallel and
-    vectorized when K itself is huge.
-    """
-    from pyspark import TaskContext
+    """Dense 1..K ids for the distinct values of ``value_col``
+    (numeric), ordered ascending — SURVEY §2 op 12's prefix-sum dense
+    numbering (``dbscan.cpp:376-407``: Allgather per-rank root counts,
+    prefix-sum offsets) without the reference's message rounds AND
+    without a single-partition window.
 
+    Determinism: the bucket id each value falls in is COMPUTED FROM
+    THE VALUE against equi-depth bounds collected once and embedded
+    as literals — never from physical partition identity.
+    ``repartitionByRange`` re-samples its bounds per query execution,
+    so the counts job and the numbering job can observe different
+    partition splits (measured diverging at 3M rows); a value-derived
+    bucket makes every execution agree structurally. Per-bucket
+    numbering is a row_number window keyed on the bucket (parallel
+    across buckets); bucket counts prefix-sum on the driver (#buckets
+    rows, the reference's Allgather) and broadcast back.
+    """
+    from cs533_big_data_data_mining_spark.operators.packing import _range_bucket_expr
+
+    spark = values.sparkSession
     distinct = values.select(F.col(value_col).alias("_v")).distinct()
-    # ascending partition ranges + in-partition sort = global order;
-    # ONE DataFrame object, so the counts job and the numbering job
-    # reuse the same range-exchange shuffle files (and Spark's range
-    # partitioner draws deterministic per-partition samples, so the
-    # bounds are identical either way)
-    parts = distinct.repartitionByRange("_v").sortWithinPartitions("_v")
+    nb = spark.sparkContext.defaultParallelism
+    bounds = sorted(set(distinct.stat.approxQuantile("_v", [i / nb for i in range(1, nb)], 0.001))) if nb > 1 else []
+    withpid = distinct.withColumn("_pid", _range_bucket_expr("_v", bounds))
     sizes = {
         int(r["_pid"]): int(r["n"])
-        for r in parts.select(F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in withpid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes[pid]
-
-    def number(batches):
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        nxt = base + 1
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            import numpy as np
-
-            idx = np.arange(nxt, nxt + len(pdf), dtype=np.int64)
-            nxt += len(pdf)
-            yield pdf.assign(**{index_col: idx})
-        # invariant: the numbering execution must observe the SAME
-        # partition sizes the counts job recorded (both read one
-        # range-exchange; the sampler and AQE coalescing are
-        # deterministic). If anything ever diverges, fail the task
-        # loudly instead of silently emitting wrong dense ids.
-        seen = nxt - 1 - base
-        want = sizes.get(pid, 0)
-        if seen != want:
-            raise RuntimeError(
-                f"dense_index: partition {pid} numbered {seen} rows but the "
-                f"counts job recorded {want} — range partitioning diverged "
-                "between the two executions"
-            )
-
-    vtype = parts.schema["_v"].dataType.simpleString()
-    return parts.mapInPandas(number, f"_v {vtype}, {index_col} long").withColumnRenamed(
-        "_v", value_col
+    off = F.broadcast(spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long"))
+    w = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
+    return (
+        withpid.join(off, "_pid")
+        .select(
+            F.col("_v").alias(value_col),
+            (F.row_number().over(w).cast("long") + F.col("_off")).alias(index_col),
+        )
     )
 
 

@@ -7,14 +7,20 @@ This operator computes, per document, its **global token offset** and
 the first/last sequence bin it lands in — the shard-planning metadata
 a 100 TB tokenize-and-pack job needs before writing a single shard.
 
-The core is a distributed prefix sum, the same shape as
-``dbscan.dense_index`` (SURVEY §2 op 12's Allgather+prefix-sum,
-re-expressed): range-repartition by id (ascending partition ranges =
-global order), per-partition running totals via a window keyed on the
-partition id (parallel across partitions — NO single-partition
-window), one tiny per-partition-totals collect, driver prefix-sum,
-broadcast the offsets back. No stage funnels all rows through one
-task.
+The core is a distributed prefix sum (the reference's
+Allgather+prefix-sum shape, SURVEY §2 op 12) with a determinism
+constraint Spark's own range partitioner cannot give: the
+per-bucket totals job and the per-row numbering job must see THE SAME
+row->bucket assignment. ``repartitionByRange`` re-samples per query
+execution, so two jobs over it can disagree (measured at 3M rows:
+identical totals, different per-partition splits — silently wrong
+offsets). Instead the bucket id is **computed from the data**:
+equi-depth range bounds from one Greenwald-Khanna pass are embedded
+as literals, every job derives ``_pid`` by comparing the id against
+those constants, and no job depends on physical partition identity.
+Per-bucket running sums use a window keyed on ``_pid`` (parallel
+across buckets — NO single-partition window); bucket totals
+prefix-sum on the driver (#buckets rows) and broadcast back.
 """
 
 from __future__ import annotations
@@ -25,17 +31,30 @@ from pyspark.sql import functions as F
 from cs533_big_data_data_mining_spark.functions.text import subword_count
 
 
+def _range_bucket_expr(col: str, bounds: list) -> Column:
+    """0-based equi-depth bucket of ``col`` given sorted distinct
+    bound literals: ``sum(col > bound_j)`` — O(#buckets) codegen'd
+    comparisons, a pure function of the VALUE (deterministic across
+    jobs, unlike physical partition ids)."""
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(col) > F.lit(b)).cast("int")
+    return pid
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
     seq_len: int,
     count_expr: Column | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """``(id, n_tokens, start_offset, bin_start, bin_end)`` per doc:
     ``start_offset`` = total tokens of all ids before it (id order),
     ``bin_*`` = first/last ``seq_len``-sized sequence the doc touches
     (empty docs occupy zero bins; both fields point at the bin their
-    offset falls in).
+    offset falls in). ``id_col`` must be numeric (bucket bounds come
+    from a quantile sketch).
 
     ``count_expr`` defaults to the BPE-ish ``subword_count`` over a
     ``text`` column; pass an expression for pre-tokenized inputs.
@@ -45,21 +64,26 @@ def pack_sequences(
         F.col(id_col).alias("id"),
         F.coalesce(cnt.cast("long"), F.lit(0)).alias("n_tokens"),
     )
-    # ascending partition ranges + in-partition window order = global
-    # order; the totals job and the stamping job read ONE range
-    # exchange (deterministic sampler — same invariant dense_index
-    # relies on, see operators/dbscan.py:144)
-    parts = base.repartitionByRange("id").withColumn("_pid", F.spark_partition_id())
+    nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    # ONE quantile pass -> bounds as literals. Both downstream jobs
+    # (totals, numbering) recompute the bucket from the value against
+    # these constants — structurally immune to re-sampled exchanges.
+    qs = [i / nb for i in range(1, nb)]
+    bounds = sorted(set(base.stat.approxQuantile("id", qs, 0.001))) if nb > 1 else []
+    withpid = base.withColumn("_pid", _range_bucket_expr("id", bounds))
+
     totals = {
         int(r["_pid"]): int(r["s"])
-        for r in parts.groupBy("_pid").agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s")).collect()
+        for r in withpid.groupBy("_pid")
+        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("s"))
+        .collect()
     }
     offsets, acc = [], 0
     for pid in sorted(totals):
         offsets.append((pid, acc))
         acc += totals[pid]
     off = F.broadcast(
-        parts.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+        withpid.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     )
     w = (
         Window.partitionBy("_pid")
@@ -68,7 +92,7 @@ def pack_sequences(
     )
     local_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     start = (local_before + F.col("_off")).alias("start_offset")
-    out = parts.join(off, "_pid").select("id", "n_tokens", start)
+    out = withpid.join(off, "_pid").select("id", "n_tokens", start)
     # integer division: exact at any offset magnitude (a double-based
     # floor(x/len) loses ulps past 2^53 total tokens)
     sl = int(seq_len)

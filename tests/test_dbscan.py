@@ -67,8 +67,9 @@ def test_distributed_label_path_no_serial_stage(spark):
     x = make_blobs(1000, 2, grid_centers(4, 2, 40.0), 0.6, seed=23, noise_frac=0.05)
     labeled = dbscan(to_points_df(spark, x), 0.4, 8, driver_label_rows=0)
     txt = _plan_text(labeled, "formatted")
+    # dense numbering may use a WINDOW, but only keyed on the
+    # value-derived bucket — never a single-partition exchange
     assert "SinglePartition" not in txt
-    assert "Window" not in txt
     labeled.unpersist()
 
 
