@@ -285,6 +285,29 @@ def _q_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _q_rollup_revenue(spark, sf_dir):
+    # grouping-sets coverage: revenue at (region, nation), per-region
+    # subtotal, and grand total in ONE pass (Catalyst expands the
+    # rollup into a single shuffle with grouping-id). DECIMAL sums.
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("r_name", "n_name", "revenue", "n_orders")
+    )
+
+
 def _q_window_topk(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     o.createOrReplaceTempView("_orders_w")
@@ -1203,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_q1": _q_agg_q1,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "window_topk": _q_window_topk,
+        "rollup_revenue": _q_rollup_revenue,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -1338,6 +1362,16 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
               FROM orders)
             WHERE rn <= 2
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
         """,
         "sample_count": (
             "SELECT count(*) AS n_total, TRUE AS within_6sigma FROM embeddings"
