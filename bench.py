@@ -195,6 +195,46 @@ def main() -> None:
             errors["pack_scale3m"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# pack_scale3m: ERROR {errors['pack_scale3m']}", file=sys.stderr)
 
+        # LSH auto-route above its documented ~0.58M-vector gate:
+        # 600k random 16-dim vectors + 1000 planted exact duplicates.
+        # Identical vectors share every band key, so ALL planted pairs
+        # must surface (candidates exact-verified => precision 1);
+        # occupancy-adaptive r keeps candidate counts ~O(N*bands)
+        # where a fixed r=8 would mean ~10^10 pairs per band.
+        from cs533_big_data_data_mining_spark.operators.similarity import (
+            embedding_neardup_pairs,
+        )
+
+        ne, dims = 600_000, 16
+        vec = F.array(
+            *[
+                ((F.pmod(F.xxhash64(F.col("base_id"), F.lit(j)), F.lit(2001)) - 1000).cast("double") / 1000.0)
+                for j in range(dims)
+            ]
+        )
+        base6 = spark.range(ne).select("id", F.col("id").alias("base_id")).select(
+            "id", vec.alias("embedding")
+        )
+        dups6 = spark.range(1000).select(
+            (F.col("id") + ne).alias("id"), F.col("id").alias("base_id")
+        ).select("id", vec.alias("embedding"))
+        t0 = time.time()
+        try:
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # the expected auto-route warning
+                pairs6 = embedding_neardup_pairs(
+                    base6.unionByName(dups6), 0.999, id_col="id", vec_col="embedding"
+                )
+                planted = pairs6.filter(F.col("b") - F.col("a") == ne).count()
+            assert planted == 1000, f"lsh smoke: planted pairs found {planted} != 1000"
+            timings["lsh_scale600k"] = round(time.time() - t0, 3)
+            print(f"# lsh_scale600k: {timings['lsh_scale600k']}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors["lsh_scale600k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# lsh_scale600k: ERROR {errors['lsh_scale600k']}", file=sys.stderr)
+
         n = 3_000_000
         pts = spark.range(n).select(
             F.col("id"),

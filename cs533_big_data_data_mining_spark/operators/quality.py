@@ -107,9 +107,14 @@ def quantile_filter(
     """
     c = F.col(score_col) if isinstance(score_col, str) else score_col
     p = 1.0 - float(keep_frac)
+    if exact and not isinstance(score_col, str):
+        raise ValueError(
+            "exact=True needs a column NAME (percentile is spelled via expr); "
+            "pass exact=False for Column expressions"
+        )
     thr = (
         F.expr(f"percentile({score_col}, {p})")
-        if exact and isinstance(score_col, str)
+        if exact
         else F.percentile_approx(c, F.lit(p), F.lit(int(1.0 / approx_error)))
     )
     t = df.agg(thr.alias("__thr"))

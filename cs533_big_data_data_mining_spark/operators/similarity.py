@@ -203,7 +203,7 @@ def embedding_neardup_pairs(
             "Pass max_block_pairs=None to force the exact path.",
             stacklevel=2,
         )
-        return lsh_neardup_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
+        return lsh_neardup_pairs(df, threshold, id_col=id_col, vec_col=vec_col, n_rows=n)
 
     packed = (
         v.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(m)).cast("int"))
@@ -448,9 +448,10 @@ def lsh_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_bits: int = 128,
+    num_bits: int | None = None,
     bands: int = 16,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via random-hyperplane (cosine) LSH —
     the banding scale path when even block-gram m^2 is too much.
@@ -461,22 +462,37 @@ def lsh_neardup_pairs(
     candidate generation shuffles only (band, key) — never pairs.
     Candidates are verified with exact cosine (vectorized), so
     precision is 1.0; recall per pair at angle theta is
-    1 - (1 - (1-theta/pi)^r)^bands. With the defaults, cosine 0.9 ->
-    ~99.8% recall; lower thresholds need more bands or fewer bits per
-    band. Output matches ``embedding_neardup_pairs``:
-    ``(a, b, cosine)`` with a < b.
+    1 - (1 - (1-theta/pi)^r)^bands.
+
+    ``num_bits=None`` (default) sizes r TO THE CORPUS:
+    r = max(8, ceil(log2 N) + 2), i.e. expected bucket occupancy
+    N/2^r <= ~1/4. A fixed r is a quadratic trap at scale — r=8 gives
+    only 256 keys per band, so 600k vectors mean ~2,300-row buckets
+    and ~10^10 candidate pairs PER BAND; occupancy-targeted r keeps
+    candidates ~O(N * bands). The recall trade-off is explicit: at
+    r=22 a cosine-0.99 pair still collides somewhere with p ~1, a
+    cosine-0.9 pair ~40% — raise ``bands`` (more, narrower bands at
+    the same r) when hunting lower-similarity pairs. ``n_rows``
+    skips the sizing count when the caller already knows it.
+    Output matches ``embedding_neardup_pairs``: ``(a, b, cosine)``
+    with a < b.
     """
+    import math
+
     import numpy as np
     import pandas as pd
-
-    if num_bits % bands:
-        raise ValueError("bands must divide num_bits")
-    r = num_bits // bands
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     head = v.head()
     if head is None:
         return df.sparkSession.createDataFrame([], "a long, b long, cosine double")
+    if num_bits is None:
+        n = n_rows if n_rows is not None else v.count()
+        r = max(8, int(math.ceil(math.log2(max(n, 2)))) + 2)
+        num_bits = bands * r
+    if num_bits % bands:
+        raise ValueError("bands must divide num_bits")
+    r = num_bits // bands
     dims = len(head["vec"])
     P = np.random.default_rng(seed).standard_normal((num_bits, dims))
     weights = (1 << np.arange(r, dtype=np.int64))
