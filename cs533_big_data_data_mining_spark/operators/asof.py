@@ -40,17 +40,27 @@ def asof_join(
     order_col: str,
     payload_cols: list[str],
     prefix: str = "r_",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left rows + columns ``{prefix}{payload_col}`` from the matched
     right row (null when no right row precedes). ``order_col`` breaks
     ties among right rows at the same timestamp (largest wins).
+
+    ``tolerance`` (e.g. ``"1 hour"``): maximum age of the match — a
+    right row older than ``left.ts - tolerance`` yields null payloads
+    instead (standard ASOF tolerance semantics). Applied AFTER the
+    running last_value, as a pure Column guard on the carried match
+    timestamp — no change to the shuffle shape.
     """
     lcols = left.columns
     # payloads ride in ONE struct (non-null exactly for right rows):
     # a single last(ignorenulls) then guarantees every carried field
     # comes from the SAME matched right row, even when some payload
     # fields are themselves null
-    pay_struct = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    # the matched row's own ts rides along for the tolerance guard
+    pay_struct = F.struct(
+        *[F.col(c).alias(c) for c in payload_cols], F.col(ts_col).alias("__mts")
+    )
     r = right.select(
         F.col(key_col).alias("__k"),
         F.col(ts_col).alias("__ts"),
@@ -60,7 +70,9 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
     )
     null_struct = F.lit(None).cast(
-        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols) + ">"
+        "struct<"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols)
+        + f",__mts:{right.schema[ts_col].dataType.simpleString()}>"
     )
     l = left.select(
         F.col(key_col).alias("__k"),
@@ -78,9 +90,13 @@ def asof_join(
     )
     carried = u.select(
         "__tag",
+        "__ts",
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         F.last(F.col("__pay"), ignorenulls=True).over(w).alias("__m"),
     )
+    if tolerance is not None:
+        fresh = F.col("__m.__mts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        carried = carried.withColumn("__m", F.when(fresh, F.col("__m")))
     return carried.filter(F.col("__tag") == 1).select(
         *lcols, *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in payload_cols]
     )

@@ -295,3 +295,22 @@ def test_asof_join_is_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(30)), (2, 7, _ts(31))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(50, 7, _ts(29), 1.0), (51, 7, _ts(5), 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["r_event_id"]
+        for r in asof_join(
+            left, right, "user_id", "ts", "event_id", ["event_id", "value"],
+            tolerance="90 seconds",
+        ).collect()
+    }
+    assert out[1] == 50          # 60s old: within tolerance
+    assert out[2] is None        # 120s old: match exists but is too stale

@@ -279,3 +279,24 @@ def test_empty_inputs_round5_ops(spark):
     assert asof_join(
         eev.select("event_id", "user_id", "ts"), eev, "user_id", "ts", "event_id", ["value"]
     ).count() == 0
+
+
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(0, 400),
+    spread=st.integers(1, 10**9),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_dense_index_matches_rank(spark, seed, n, spread, parts):
+    """dense_index == 1-based rank of the distinct values in ascending
+    order, for any input partitioning (value-derived buckets: no
+    dependence on physical partition identity)."""
+    from cs533_big_data_data_mining_spark.operators.dbscan import dense_index
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(-spread, spread, size=n).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals] or [], "v long").repartition(parts)
+    got = {r["v"]: r["dense_id"] for r in dense_index(df, "v").collect()}
+    want = {v: i + 1 for i, v in enumerate(sorted(set(vals)))}
+    assert got == want
