@@ -24,7 +24,65 @@ import sys
 import time
 
 
+def _curate_main(argv: list[str]) -> int:
+    """``python -m cs533_big_data_data_mining_spark curate ...`` —
+    the corpus-curation pipeline from the shell: quality/lang filter
+    -> exact dedup -> near-dup dedup [-> benchmark decontamination],
+    survivors written as Parquet with text re-attached."""
+    ap = argparse.ArgumentParser(
+        prog="cs533_big_data_data_mining_spark curate",
+        description="Corpus curation: filter -> dedup -> near-dedup [-> decontaminate]",
+    )
+    ap.add_argument("-i", "--input", required=True, help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("-o", "--output", required=True, help="output parquet for survivors")
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--langs", default=None, help="comma-separated lang_guess allowlist")
+    ap.add_argument("--ngram", type=int, default=3, help="shingle size for near-dup Jaccard")
+    ap.add_argument("--jaccard", type=float, default=0.8, help="near-dup threshold")
+    ap.add_argument("--bench", default=None, help="benchmark parquet to decontaminate against")
+    ap.add_argument("--decontam-ngram", type=int, default=5)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.curate import curate_documents
+    from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_curate_cli", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    if args.bench:
+        bench = spark.read.parquet(args.bench)
+        flags = decontaminate(docs, bench, "doc_id", "text", n=args.decontam_ngram)
+        keep_ids = flags.filter("keep").select(F.col("id").alias("doc_id"))
+        docs = docs.join(keep_ids, "doc_id", "left_semi")
+    langs = tuple(args.langs.split(",")) if args.langs else None
+    survivors = curate_documents(
+        docs,
+        min_quality=args.min_quality,
+        langs=langs,
+        ngram=args.ngram,
+        jaccard_threshold=args.jaccard,
+    )
+    out = survivors.withColumnRenamed("id", "doc_id").join(docs, "doc_id")
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    survivors.unpersist()
+    print(f"curated {n_in} -> {n_out} documents ({time.time() - t0:.1f}s); wrote {args.output}")
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "curate":
+        return _curate_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",

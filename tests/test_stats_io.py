@@ -313,3 +313,31 @@ def test_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
     write_documents_jsonl(docs, back_dir)
     again = read_documents_jsonl(spark, back_dir)
     assert {r["doc_id"] for r in again.collect()} == {1, 2, 3}
+
+
+def test_cli_curate(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "curated.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup
+            (3, "completely different content about engines and shuffles in the sky"),
+            (4, "held out benchmark text that must be decontaminated away from training"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    docs.filter("doc_id = 4").write.parquet(bench)
+    rc = main([
+        "curate", "-i", src, "-o", out, "--bench", bench, "--decontam-ngram", "5",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    # 4 removed by decontamination, 2 by exact dedup (min-id keeper)
+    assert ids == [1, 3]
+    assert {"doc_id", "text", "lang_guess", "quality"} <= set(got.columns)
