@@ -195,6 +195,44 @@ def main() -> None:
             errors["pack_scale3m"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# pack_scale3m: ERROR {errors['pack_scale3m']}", file=sys.stderr)
 
+        # full curation pipeline at 310k docs: 300k unique + 10k
+        # planted NEAR duplicates (one word mutated, J ~ 0.85 > 0.8).
+        # The PPJoin prefix join + CC + min-id anti-join must remove
+        # EXACTLY the 10k mutated docs — exercises the quadratic-risk
+        # near-dup stage at volume, not just exact dedup.
+        from cs533_big_data_data_mining_spark.operators.curate import curate_documents
+
+        ncd, ncdup = 300_000, 10_000
+
+        def _w(j):
+            return F.conv(F.pmod(F.xxhash64(F.col("base_id"), j), F.lit(5000)).cast("string"), 10, 36)
+
+        _text = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(40)), _w))
+        _text_mut = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda j: F.when(j == 20, F.lit("zzmutzz")).otherwise(_w(j)),
+            ),
+        )
+        basec = spark.range(ncd).select("id", F.col("id").alias("base_id")).select(
+            F.col("id").alias("doc_id"), _text.alias("text")
+        )
+        dupsc = spark.range(ncdup).select(
+            (F.col("id") + ncd).alias("id"), F.col("id").alias("base_id")
+        ).select(F.col("id").alias("doc_id"), _text_mut.alias("text"))
+        t0 = time.time()
+        try:
+            surv = curate_documents(basec.unionByName(dupsc), jaccard_threshold=0.8)
+            n_surv = surv.count()
+            surv.unpersist()
+            assert n_surv == ncd, f"curate smoke: survivors {n_surv} != {ncd}"
+            timings["curate_scale310k"] = round(time.time() - t0, 3)
+            print(f"# curate_scale310k: {timings['curate_scale310k']}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors["curate_scale310k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# curate_scale310k: ERROR {errors['curate_scale310k']}", file=sys.stderr)
+
         # LSH auto-route above its documented ~0.58M-vector gate:
         # 600k random 16-dim vectors + 1000 planted exact duplicates.
         # Identical vectors share every band key, so ALL planted pairs
