@@ -73,12 +73,18 @@ def heavy_hitters(
     threshold_frac: float,
     depth: int = 4,
     width: int = 8192,
+    verify: bool = False,
 ) -> DataFrame:
     """Items whose CMS-estimated frequency is >= ``threshold_frac`` of
     all rows: ``(item, est)``. Never misses a true heavy hitter (CMS
-    never undercounts); may include borderline items pushed over the
-    threshold by collisions — shrink with a wider sketch, or verify
-    the (small) candidate set exactly with one filtered groupBy.
+    never undercounts); without ``verify`` it may include borderline
+    items pushed over the threshold by collisions.
+
+    ``verify=True`` makes the result EXACT at sketch-bounded cost:
+    the (small) candidate set broadcast-semi-joins back into one
+    filtered groupBy, so only candidate rows are counted exactly —
+    the full-distinct shuffle never happens, and ``est`` becomes the
+    true count.
 
     Scale shape: sketch build = one combinable groupBy to depth*width
     rows; candidates come from the distinct items joined against the
@@ -90,8 +96,18 @@ def heavy_hitters(
     thr = int(total * float(threshold_frac))
     sketch = cms_build(df, c, depth, width)
     items = df.select(c.alias("__item")).distinct()
-    return (
+    cands = (
         cms_estimates(items, "__item", sketch, depth, width)
         .filter(F.col("est") >= F.lit(thr))
         .select(F.col("item"), "est")
+    )
+    if not verify:
+        return cands
+    hits = df.select(c.alias("item")).join(
+        F.broadcast(cands.select("item")), "item", "left_semi"
+    )
+    return (
+        hits.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("est"))
+        .filter(F.col("est") >= F.lit(thr))
     )

@@ -384,3 +384,17 @@ def test_cms_heavy_hitters_guarantees(spark):
     # tiny width forces collisions: superset property must still hold
     hh_narrow = {r["item"] for r in heavy_hitters(df, "v", 0.2, depth=2, width=4).collect()}
     assert {"a", "b"} <= hh_narrow
+
+
+def test_cms_heavy_hitters_verified_exact(spark):
+    """verify=True: collision-induced false positives are removed and
+    est equals the true count — even with a sketch narrow enough to
+    collide everything."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(f"x{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "v string")
+    hh = {r["item"]: r["est"] for r in heavy_hitters(df, "v", 0.25, depth=2, width=2, verify=True).collect()}
+    assert hh == {"a": 50, "b": 30}

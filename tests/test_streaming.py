@@ -123,3 +123,4 @@ def test_curate_ingest_stream_matches_batch(spark, tmp_path):
     batch = curate_ingest(docs).select("clean")
     assert got.count() == batch.count() == 7
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
