@@ -30,6 +30,11 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     simhash64,
     simhash_neardup_pairs,
 )
+from cs533_big_data_data_mining_spark.operators.joins import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
 from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
 from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
 from cs533_big_data_data_mining_spark.operators.sketches import (
@@ -87,6 +92,9 @@ __all__ = [
     "curate_documents",
     "curate_embeddings",
     "epsilon_join",
+    "salted_join",
+    "write_bucketed",
+    "bucketed_join",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
     "ivf_topk",

@@ -314,3 +314,51 @@ def test_asof_join_tolerance(spark):
     }
     assert out[1] == 50          # 60s old: within tolerance
     assert out[2] is None        # 120s old: match exists but is too stale
+
+
+# -------------------------------------------------- scale-join toolkit
+
+
+def test_salted_join_equals_plain_join(spark):
+    from cs533_big_data_data_mining_spark.operators.joins import salted_join
+
+    # skewed large side: 80% of rows share key 0
+    large = spark.createDataFrame(
+        [(i, 0 if i % 5 else i % 3) for i in range(200)], "id long, k long"
+    )
+    small = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")], "k long, name string")
+    got = sorted(
+        (r["id"], r["k"], r["name"]) for r in salted_join(large, small, "k", salt=4).collect()
+    )
+    want = sorted((r["id"], r["k"], r["name"]) for r in large.join(small, "k").collect())
+    assert got == want
+    # left join keeps unmatched large rows
+    small2 = small.filter("k = 0")
+    got_l = sorted(
+        (r["id"], r["name"]) for r in salted_join(large, small2, "k", salt=4, how="left").collect()
+    )
+    want_l = sorted((r["id"], r["name"]) for r in large.join(small2, "k", "left").collect())
+    assert got_l == want_l
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    from cs533_big_data_data_mining_spark.operators.joins import bucketed_join, write_bucketed
+
+    a = spark.createDataFrame([(i, i * 10) for i in range(100)], "k long, va long")
+    b = spark.createDataFrame([(i, i * 100) for i in range(0, 100, 2)], "k long, vb long")
+    write_bucketed(a, "t_bkt_a", "k", 4)
+    write_bucketed(b, "t_bkt_b", "k", 4)
+    # force the non-broadcast planner path: broadcast joins ignore
+    # bucketing (tiny test tables would otherwise broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_bkt_a", "t_bkt_b", "k")
+        assert j.count() == 50
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the whole point: no shuffle on either side
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
