@@ -285,6 +285,20 @@ def _q_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_profile_lineitem(spark, sf_dir):
+    # data-profiling pass: per-column n/null/distinct/min/max/mean in
+    # ONE aggregate over the table (exact distinct for the oracle;
+    # approx_distinct=True is the fully-combinable 100 TB mode)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.profile import profile_numeric
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile_numeric(li, PROFILE_COLS)
+
+
 def _q_rollup_revenue(spark, sf_dir):
     # grouping-sets coverage: revenue at (region, nation), per-region
     # subtotal, and grand total in ONE pass (Catalyst expands the
@@ -1227,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "window_topk": _q_window_topk,
         "rollup_revenue": _q_rollup_revenue,
+        "profile_lineitem": _q_profile_lineitem,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -1362,6 +1377,43 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
               FROM orders)
             WHERE rn <= 2
+        """,
+        "profile_lineitem": """
+SELECT 'l_quantity' AS "column", count(*) AS n,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(min(l_quantity) AS DOUBLE) AS vmin, CAST(max(l_quantity) AS DOUBLE) AS vmax,
+       CASE WHEN count(l_quantity) > 0
+            THEN round(CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity), 6)
+       END AS vmean
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS "column", count(*) AS n,
+       CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS n_distinct,
+       CAST(min(l_extendedprice) AS DOUBLE) AS vmin, CAST(max(l_extendedprice) AS DOUBLE) AS vmax,
+       CASE WHEN count(l_extendedprice) > 0
+            THEN round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / count(l_extendedprice), 6)
+       END AS vmean
+FROM lineitem
+UNION ALL
+SELECT 'l_discount' AS "column", count(*) AS n,
+       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+       CAST(min(l_discount) AS DOUBLE) AS vmin, CAST(max(l_discount) AS DOUBLE) AS vmax,
+       CASE WHEN count(l_discount) > 0
+            THEN round(CAST(sum(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / count(l_discount), 6)
+       END AS vmean
+FROM lineitem
+UNION ALL
+SELECT 'l_tax' AS "column", count(*) AS n,
+       CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT l_tax) AS BIGINT) AS n_distinct,
+       CAST(min(l_tax) AS DOUBLE) AS vmin, CAST(max(l_tax) AS DOUBLE) AS vmax,
+       CASE WHEN count(l_tax) > 0
+            THEN round(CAST(sum(CAST(l_tax AS DECIMAL(27,6))) AS DOUBLE) / count(l_tax), 6)
+       END AS vmean
+FROM lineitem
         """,
         "rollup_revenue": """
             SELECT r_name, n_name,

@@ -42,6 +42,7 @@ from cs533_big_data_data_mining_spark.operators.sketches import (
     cms_estimates,
     heavy_hitters,
 )
+from cs533_big_data_data_mining_spark.operators.profile import profile_numeric
 from cs533_big_data_data_mining_spark.operators.quality import (
     balance_sources,
     quantile_filter,
@@ -111,6 +112,7 @@ __all__ = [
     "cms_build",
     "cms_estimates",
     "heavy_hitters",
+    "profile_numeric",
     "sessionize",
     "curate_ingest",
     "__version__",

@@ -362,3 +362,24 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_profile_numeric_with_nulls_and_approx(spark):
+    from cs533_big_data_data_mining_spark.operators.profile import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, None), (2.0, 30), (None, 40)], "a double, b int"
+    )
+    rows = {r["column"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    ra, rb = rows["a"], rows["b"]
+    assert (ra["n"], ra["n_null"], ra["n_distinct"]) == (4, 1, 2)
+    assert (ra["vmin"], ra["vmax"], ra["vmean"]) == (1.0, 2.0, round(5.0 / 3, 6))
+    assert (rb["n"], rb["n_null"], rb["n_distinct"]) == (4, 1, 3)
+    assert rb["vmean"] == round(80 / 3, 6)
+    # all-null column: mean is null, min/max null
+    dn = spark.createDataFrame([(None,), (None,)], "c double")
+    rc = profile_numeric(dn, ["c"]).head()
+    assert rc["n_null"] == 2 and rc["vmean"] is None and rc["vmin"] is None
+    # approx mode: distinct within HLL error, everything else exact
+    rapx = {r["column"]: r for r in profile_numeric(df, ["a"], approx_distinct=True).collect()}
+    assert abs(rapx["a"]["n_distinct"] - 2) <= 1 and rapx["a"]["vmean"] == ra["vmean"]
