@@ -299,6 +299,25 @@ def _q_profile_lineitem(spark, sf_dir):
     return profile_numeric(li, PROFILE_COLS)
 
 
+def _q_expectations(spark, sf_dir):
+    # one-pass data-quality gate over lineitem: every rule a
+    # conditional-count aggregate; null predicate results count as
+    # violations
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.profile import check_expectations
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return check_expectations(
+        li,
+        {
+            "quantity_positive": F.col("l_quantity") > 0,
+            "discount_in_range": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.3),
+            "price_not_null": F.col("l_extendedprice").isNotNull(),
+            "returnflag_valid": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
 def _q_rollup_revenue(spark, sf_dir):
     # grouping-sets coverage: revenue at (region, nation), per-region
     # subtotal, and grand total in ONE pass (Catalyst expands the
@@ -1242,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": _q_window_topk,
         "rollup_revenue": _q_rollup_revenue,
         "profile_lineitem": _q_profile_lineitem,
+        "expectations": _q_expectations,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -1413,6 +1433,27 @@ SELECT 'l_tax' AS "column", count(*) AS n,
        CASE WHEN count(l_tax) > 0
             THEN round(CAST(sum(CAST(l_tax AS DECIMAL(27,6))) AS DOUBLE) / count(l_tax), 6)
        END AS vmean
+FROM lineitem
+        """,
+        "expectations": """
+SELECT 'discount_in_range' AS rule,
+       CAST(sum(CASE WHEN COALESCE(l_discount >= 0 AND l_discount <= 0.3, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       sum(CASE WHEN COALESCE(l_discount >= 0 AND l_discount <= 0.3, FALSE) THEN 0 ELSE 1 END) = 0 AS ok
+FROM lineitem
+UNION ALL
+SELECT 'price_not_null' AS rule,
+       CAST(sum(CASE WHEN COALESCE(l_extendedprice IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       sum(CASE WHEN COALESCE(l_extendedprice IS NOT NULL, FALSE) THEN 0 ELSE 1 END) = 0 AS ok
+FROM lineitem
+UNION ALL
+SELECT 'quantity_positive' AS rule,
+       CAST(sum(CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       sum(CASE WHEN COALESCE(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) = 0 AS ok
+FROM lineitem
+UNION ALL
+SELECT 'returnflag_valid' AS rule,
+       CAST(sum(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       sum(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) = 0 AS ok
 FROM lineitem
         """,
         "rollup_revenue": """

@@ -42,7 +42,10 @@ from cs533_big_data_data_mining_spark.operators.sketches import (
     cms_estimates,
     heavy_hitters,
 )
-from cs533_big_data_data_mining_spark.operators.profile import profile_numeric
+from cs533_big_data_data_mining_spark.operators.profile import (
+    check_expectations,
+    profile_numeric,
+)
 from cs533_big_data_data_mining_spark.operators.quality import (
     balance_sources,
     quantile_filter,
@@ -113,6 +116,7 @@ __all__ = [
     "cms_estimates",
     "heavy_hitters",
     "profile_numeric",
+    "check_expectations",
     "sessionize",
     "curate_ingest",
     "__version__",

@@ -15,8 +15,37 @@ to use HLL++ and keep the pass fully combinable at 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Data-quality expectations in ONE pass: ``rules`` maps a rule
+    name to a boolean Column that should hold for every row; returns
+    ``(rule, n_violations, ok)`` per rule, counting rows where the
+    predicate is false OR null (a null check result is a violation —
+    unknown is not acceptable).
+
+    All conditional-count aggregates — one map-side-combinable job
+    regardless of rule count; gate a 100 TB ingest on
+    ``filter("NOT ok").count() == 0`` without rescanning per rule.
+    """
+    aggs = [
+        F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)).alias(f"__v_{i}")
+        for i, (name, pred) in enumerate(sorted(rules.items()))
+    ]
+    row = df.agg(*aggs) if aggs else df.sparkSession.range(1).agg(F.lit(0).alias("__z"))
+    per_rule = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(f"__v_{i}").cast("long").alias("n_violations"),
+            (F.col(f"__v_{i}") == 0).alias("ok"),
+        )
+        for i, (name, pred) in enumerate(sorted(rules.items()))
+    ]
+    if not per_rule:
+        return df.sparkSession.createDataFrame([], "rule string, n_violations long, ok boolean")
+    return row.select(F.explode(F.array(*per_rule)).alias("s")).select("s.*")
 
 
 def profile_numeric(

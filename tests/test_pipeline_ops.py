@@ -383,3 +383,18 @@ def test_profile_numeric_with_nulls_and_approx(spark):
     # approx mode: distinct within HLL error, everything else exact
     rapx = {r["column"]: r for r in profile_numeric(df, ["a"], approx_distinct=True).collect()}
     assert abs(rapx["a"]["n_distinct"] - 2) <= 1 and rapx["a"]["vmean"] == ra["vmean"]
+
+
+def test_check_expectations(spark):
+    from cs533_big_data_data_mining_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    out = {r["rule"]: (r["n_violations"], r["ok"]) for r in check_expectations(
+        df, {"v_positive": F.col("v") > 0, "id_nonnull": F.col("id").isNotNull()}
+    ).collect()}
+    # null predicate result counts as a violation
+    assert out["v_positive"] == (2, False)
+    assert out["id_nonnull"] == (0, True)
+    assert check_expectations(df, {}).count() == 0
