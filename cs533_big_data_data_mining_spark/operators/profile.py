@@ -55,6 +55,12 @@ def profile_numeric(
     vmax, vmean)``. ``vmean`` sums as DECIMAL(27,6) then divides in
     float64 (order-independent, oracle-reproducible, rounded 6dp).
     ``approx_distinct`` swaps exact count(DISTINCT) for HLL++."""
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "column string, n long, n_null long, n_distinct long, "
+            "vmin double, vmax double, vmean double",
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         col = F.col(c)

@@ -398,3 +398,5 @@ def test_check_expectations(spark):
     assert out["v_positive"] == (2, False)
     assert out["id_nonnull"] == (0, True)
     assert check_expectations(df, {}).count() == 0
+    from cs533_big_data_data_mining_spark.operators.profile import profile_numeric
+    assert profile_numeric(df, []).count() == 0
