@@ -52,3 +52,41 @@ def test_audit_sees_python_stages(spark):
     a = audit(counts)
     assert a.n_python_stages >= 1
     assert_scalable(counts)
+
+
+def test_audit_sweep_over_query_surface(spark):
+    """assert_scalable over every lazily-planned driver query: no
+    cartesian products, no unpruned wide scans — mechanically, for
+    the whole SQL-expressible surface (eager harness queries that
+    return driver-built frames are skipped; quantile_filter's 1-row
+    threshold crossJoin is a benign BroadcastNestedLoopJoin and is
+    audited for its OTHER red flags)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_audit", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+
+    lazy = [
+        "scan_project_filter", "bbox", "median_dim", "grid_cells", "ghost_rows",
+        "agg_q1", "join_revenue_by_nation", "window_topk", "rollup_revenue",
+        "profile_lineitem", "expectations", "dedup_exact", "text_stats", "tfidf",
+        "simhash_sigs", "simhash_neardup", "repetition_stats", "balance_sources",
+        "decontaminate", "asof_purchase_click", "redact_pii", "multimodal_meta",
+        "multimodal_frames", "sessionize", "stream_windowed_counts",
+        "dedup_ngram_jaccard", "dedup_minhash", "dedup_minhash_2t",
+    ]
+    for name in lazy:
+        df = qs[name](spark, SF_DIR)
+        assert_scalable(df)
+
+    # benign nested-loop joins by design: the 1-row quantile threshold
+    # broadcast, block-pair fan-outs over KB-scale packed frames, and
+    # brute-force top-k, which IS a broadcast nested loop of a small
+    # query set against the corpus (the scale path is sim_topk_ivf)
+    benign_bnlj = ["quantile_filter", "embed_neardup", "sim_topk"]
+    for name in benign_bnlj:
+        a = audit(qs[name](spark, SF_DIR))
+        flags = [f for f in a.red_flags if "cartesian" not in f and "nested-loop" not in f]
+        assert not flags, f"{name}: {flags}"
