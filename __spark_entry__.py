@@ -1150,6 +1150,19 @@ def _q_balance_sources(spark, sf_dir):
 KEEP_FRAC = 0.6
 
 
+def _q_assign_split(spark, sf_dir):
+    # deterministic train/val/test assignment from the poly31 id hash
+    # — reproducible across engines/runs/partitionings (no RNG)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import assign_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # binary-exact weights (0.875 + 0.0625 + 0.0625): the cumulative
+    # thresholds have exact float representations on both engines, so
+    # a boundary u can never fall between two engines' cutoffs
+    return assign_split(docs, "doc_id", weights={"train": 0.875, "val": 0.0625, "test": 0.0625})
+
+
 def _q_quantile_filter(spark, sf_dir):
     # keep the top 60% of documents by quality score (threshold = the
     # exact 0.4-quantile; ties at the threshold survive)
@@ -1288,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "balance_sources": _q_balance_sources,
         "quantile_filter": _q_quantile_filter,
+        "assign_split": _q_assign_split,
         "asof_purchase_click": _q_asof_purchase_click,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
@@ -1611,6 +1625,20 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                         ORDER BY votes DESC, label ASC) AS rn
               FROM votes)
             WHERE rn = 1
+        """,
+        "assign_split": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST((list_reduce(list_prepend(0, range(1, length(CAST(doc_id AS VARCHAR)) + 1)),
+                       (acc, i) -> (acc * 31 + ascii(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
+                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
+                     / 2147483647.0 AS u
+              FROM documents)
+            SELECT doc_id AS id,
+                   CASE WHEN u < 0.875 THEN 'train'
+                        WHEN u < 0.9375 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
         """,
         # decontaminate: 5-gram shingles (Spark sequence(1, len-4)
         # inclusive == DuckDB range(1, len-3) exclusive)

@@ -47,6 +47,7 @@ from cs533_big_data_data_mining_spark.operators.profile import (
     profile_numeric,
 )
 from cs533_big_data_data_mining_spark.operators.quality import (
+    assign_split,
     balance_sources,
     quantile_filter,
     repetition_stats,
@@ -111,6 +112,7 @@ __all__ = [
     "decontaminate",
     "repetition_stats",
     "balance_sources",
+    "assign_split",
     "quantile_filter",
     "cms_build",
     "cms_estimates",

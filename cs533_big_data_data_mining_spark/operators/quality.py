@@ -121,6 +121,54 @@ def quantile_filter(
     return df.crossJoin(F.broadcast(t)).filter(c >= F.col("__thr")).drop("__thr")
 
 
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    priority: F.Column | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``(id, split)``.
+
+    Each row hashes to a point in [0, 1) and falls into the split
+    whose cumulative weight range contains it — no RNG, so the split
+    is reproducible across runs, engines, and partitionings, and a
+    document keeps its split when the corpus is re-processed (the
+    property that prevents silent train/test contamination between
+    dataset versions). ``priority`` defaults to the cross-engine
+    poly31 fingerprint of the id string (ANSI-reproducible); pass
+    ``F.xxhash64(id)``-style expressions when oracle parity is not
+    needed. Weights are normalized; iteration order is insertion
+    order of ``weights``.
+
+    Pure Column expression — zero shuffle, composes into any scan.
+    """
+    from cs533_big_data_data_mining_spark.functions.text import (
+        FINGERPRINT_MOD,
+        fingerprint,
+    )
+
+    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = float(sum(w.values()))
+    pri = priority if priority is not None else fingerprint(f"CAST({id_col} AS STRING)")
+    # Knuth multiplicative scatter: the raw polynomial hash of a SHORT
+    # id string is numerically small (not uniform); one integer
+    # multiply + mod spreads it over the full range while staying
+    # exactly reproducible in ANSI SQL (fp < 2^31 so the product fits
+    # BIGINT on every engine)
+    scattered = F.pmod(pri.cast("long") * F.lit(2654435761) + F.lit(12345), F.lit(FINGERPRINT_MOD))
+    u = scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
+    expr = None
+    acc = 0.0
+    names = list(w)
+    for name in names[:-1]:
+        acc += w[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.select(F.col(id_col).alias("id"), split.alias("split"))
+
+
 def balance_sources(
     df: DataFrame, id_col: str, source_col: str, cap: int, priority: F.Column | None = None
 ) -> DataFrame:

@@ -400,3 +400,24 @@ def test_check_expectations(spark):
     assert check_expectations(df, {}).count() == 0
     from cs533_big_data_data_mining_spark.operators.profile import profile_numeric
     assert profile_numeric(df, []).count() == 0
+
+
+def test_assign_split_deterministic_and_weighted(spark):
+    from cs533_big_data_data_mining_spark.operators.quality import assign_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    got = {r["id"]: r["split"] for r in assign_split(docs, "doc_id").collect()}
+    # reproducible across partitionings AND across corpus versions:
+    # a doc keeps its split when other docs are added/removed
+    again = {
+        r["id"]: r["split"]
+        for r in assign_split(docs.filter("doc_id % 2 = 0").repartition(7), "doc_id").collect()
+    }
+    assert all(got[i] == again[i] for i in again)
+    from collections import Counter
+    frac = Counter(got.values())
+    assert 0.8 < frac["train"] / 2000 < 0.97
+    assert frac["train"] + frac["val"] + frac["test"] == 2000
+    # single split degenerates cleanly
+    one = assign_split(docs, "doc_id", weights={"all": 1.0}).select("split").distinct().collect()
+    assert [r["split"] for r in one] == ["all"]
