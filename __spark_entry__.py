@@ -925,12 +925,29 @@ def _q_sessionize_stream_eq(spark, sf_dir):
     ev = load_events(spark, f"{sf_dir}/events.parquet")
     src = tempfile.mkdtemp(prefix="sess_eq_")
     try:
-        # range-partition by time: the file source processes parts in
-        # ascending ts ranges, keeping event-time disorder within the
-        # 1h watermark so nothing is late-dropped
-        ev.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.mode(
-            "overwrite"
-        ).parquet(src)
+        # DETERMINISTIC ascending time slices: repartitionByRange
+        # re-samples its bounds per run, and an unlucky boundary can
+        # split one user's burst so a fragment lands behind the
+        # advancing watermark — closing a session early and breaking
+        # the subset property flakily. Quantile cut points collected
+        # ONCE become filter literals; each slice is written as its own
+        # ordered file (zero-padded names = deterministic source order).
+        import glob
+        import shutil
+
+        evm = ev.withColumn("_us", F.unix_micros("ts"))
+        cuts = evm.stat.approxQuantile("_us", [i / 6 for i in range(1, 6)], 0.001)
+        bounds = [float("-inf"), *sorted(set(cuts)), float("inf")]
+        for i in range(len(bounds) - 1):
+            part = evm.filter(
+                (F.col("_us") > F.lit(bounds[i])) & (F.col("_us") <= F.lit(bounds[i + 1]))
+            ).drop("_us")
+            stage = f"{src}_stage{i}"
+            part.coalesce(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(stage)
+            pf = glob.glob(f"{stage}/part-*.parquet")
+            if pf:
+                shutil.copy(pf[0], f"{src}/{i:02d}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
         stream = sessionize_stream(read_events_stream(spark, src, max_files_per_trigger=2))
         # scope the STATE partition count to the workload: 20k events
         # over 3 micro-batches doesn't need 32 state tasks per batch —
