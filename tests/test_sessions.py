@@ -44,12 +44,31 @@ def test_sessionize_matches_oracle(spark):
 
 
 def test_sessionize_stream_matches_batch(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
     events = load_events(spark, f"{SF_DIR}/events.parquet")
     src = str(tmp_path / "events_stream")
-    # range-partition by time: part files cover ascending ts ranges, so
-    # the file source's (mtime, path)-ordered processing keeps event-time
-    # disorder within the 1h watermark and nothing is late-dropped
-    events.repartitionByRange(6, "ts").sortWithinPartitions("ts").write.parquet(src)
+    os.makedirs(src)
+    # deterministic ascending time slices (repartitionByRange re-samples
+    # its bounds per run — the __spark_entry__ harness flaked on that):
+    # quantile cut points collected once become filter literals, each
+    # slice its own zero-padded file
+    evm = events.withColumn("_us", F.unix_micros("ts"))
+    cuts = evm.stat.approxQuantile("_us", [i / 6 for i in range(1, 6)], 0.001)
+    bounds = [float("-inf"), *sorted(set(cuts)), float("inf")]
+    for i in range(len(bounds) - 1):
+        part = evm.filter(
+            (F.col("_us") > F.lit(bounds[i])) & (F.col("_us") <= F.lit(bounds[i + 1]))
+        ).drop("_us")
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).sortWithinPartitions("ts").write.parquet(stage)
+        pf = glob.glob(f"{stage}/part-*.parquet")
+        if pf:
+            shutil.copy(pf[0], f"{src}/{i:02d}.parquet")
 
     stream = sessionize_stream(read_events_stream(spark, src, max_files_per_trigger=2))
     run_stream_to_memory(stream, "sessions_test", output_mode="append")
