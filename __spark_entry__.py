@@ -879,6 +879,20 @@ e AS (SELECT a AS u, b AS v FROM alledges UNION ALL SELECT b AS u, a AS v FROM a
 )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_funnel(spark, sf_dir):
+    # per-user ordered funnel progression (view -> click -> purchase):
+    # one groupBy + a codegen'd sequential fold, no per-step self-joins
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.funnel import funnel_stages
+    from cs533_big_data_data_mining_spark.streaming.events import load_events
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    return funnel_stages(ev, FUNNEL_STEPS)
+
+
 def _q_sessionize(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.streaming.events import load_events
@@ -1320,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _q_quantile_filter,
         "assign_split": _q_assign_split,
         "asof_purchase_click": _q_asof_purchase_click,
+        "funnel": _q_funnel,
         "sessionize": _q_sessionize,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
         "curate_stream_eq": _q_curate_stream_eq,
@@ -1742,6 +1757,25 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    CAST(m.eid AS BIGINT) AS click_event_id,
                    m.val AS click_value
             FROM c WHERE tag = 1
+        """,
+        # funnel: DuckDB's list_reduce has no init arg, so the running
+        # stage rides in the accumulator struct's `o` field (the
+        # prepended seed struct carries stage 0)
+        "funnel": """
+            WITH seq AS (
+              SELECT user_id,
+                     list_sort(list(struct_pack(ts := ts, o := event_id, t := event_type))) AS s
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(list_reduce(
+                     list_prepend(struct_pack(ts := TIMESTAMP '1900-01-01', o := CAST(0 AS BIGINT), t := ''), s),
+                     (acc, e) -> struct_pack(
+                       ts := e.ts,
+                       o := CASE WHEN acc.o < 3 AND e.t = (['view','click','purchase'])[CAST(acc.o AS INT) + 1]
+                                 THEN acc.o + 1 ELSE acc.o END,
+                       t := e.t)).o AS BIGINT) AS stage
+            FROM seq
         """,
         "sessionize": """
             WITH flagged AS (

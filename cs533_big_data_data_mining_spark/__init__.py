@@ -30,6 +30,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     simhash64,
     simhash_neardup_pairs,
 )
+from cs533_big_data_data_mining_spark.operators.funnel import funnel_stages
 from cs533_big_data_data_mining_spark.operators.joins import (
     bucketed_join,
     salted_join,
@@ -100,6 +101,7 @@ __all__ = [
     "salted_join",
     "write_bucketed",
     "bucketed_join",
+    "funnel_stages",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
     "ivf_topk",

@@ -421,3 +421,29 @@ def test_assign_split_deterministic_and_weighted(spark):
     # single split degenerates cleanly
     one = assign_split(docs, "doc_id", weights={"all": 1.0}).select("split").distinct().collect()
     assert [r["split"] for r in one] == ["all"]
+
+
+def test_funnel_stages_order_matters(spark):
+    from cs533_big_data_data_mining_spark.operators.funnel import funnel_stages
+
+    rows = [
+        # user 1: full ordered conversion
+        (1, 1, _ts(1), "view"), (2, 1, _ts(2), "click"), (3, 1, _ts(3), "purchase"),
+        # user 2: purchase BEFORE view/click -> order blocks it at 2
+        (4, 2, _ts(1), "purchase"), (5, 2, _ts(2), "view"), (6, 2, _ts(3), "click"),
+        # user 3: never viewed
+        (7, 3, _ts(1), "click"), (8, 3, _ts(2), "purchase"),
+        # user 4: repeated steps don't over-advance
+        (9, 4, _ts(1), "view"), (10, 4, _ts(2), "view"), (11, 4, _ts(3), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r["stage"] for r in
+           funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 2}
+    # tie at the same ts resolves by order_col: click(order 2) counts
+    # after view(order 1) at the same instant
+    tie = spark.createDataFrame(
+        [(1, 9, _ts(5), "view"), (2, 9, _ts(5), "click")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    assert funnel_stages(tie, ["view", "click"]).head()["stage"] == 2
