@@ -447,3 +447,30 @@ def test_funnel_stages_order_matters(spark):
         "event_id long, user_id long, ts timestamp, event_type string",
     )
     assert funnel_stages(tie, ["view", "click"]).head()["stage"] == 2
+
+
+def test_round5_op_edge_cases(spark):
+    import pytest
+
+    from cs533_big_data_data_mining_spark.operators.funnel import funnel_stages
+    from cs533_big_data_data_mining_spark.operators.joins import salted_join
+
+    eev = spark.createDataFrame([], "event_id long, user_id long, ts timestamp, event_type string")
+    assert funnel_stages(eev, ["view"]).count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_stages(eev, [])
+    # user with zero matching steps still appears at stage 0
+    one = spark.createDataFrame(
+        [(1, 5, _ts(1), "error")], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    assert funnel_stages(one, ["view", "click"]).head()["stage"] == 0
+
+    l = spark.createDataFrame([(1, 2)], "id long, k long")
+    r = spark.createDataFrame([(2, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(l, r, "k", how="full")
+    # empty small side: inner empty, left keeps large rows with nulls
+    er = spark.createDataFrame([], "k long, v string")
+    assert salted_join(l, er, "k").count() == 0
+    row = salted_join(l, er, "k", how="left").head()
+    assert row["id"] == 1 and row["v"] is None
