@@ -1059,6 +1059,114 @@ def _q_curate_stream_eq(spark, sf_dir):
     )
 
 
+def _q_dedup_stream_eq(spark, sf_dir):
+    # Streaming exact dedup (dropDuplicatesWithinWatermark) checked
+    # against its batch twin (round-5 verdict #7): every 7th event is
+    # re-delivered (identical full row, the at-least-once shape), the
+    # watermark horizon exceeds the data span so no state evicts, and
+    # the invariant is full-row SET equality — duplicates are
+    # identical rows, so first-arrival vs min-id keep the same set.
+    # Oracle emits the distinct-event count + TRUE.
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from cs533_big_data_data_mining_spark.streaming.events import (
+        dedup_events,
+        load_events,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    redelivered = ev.union(ev.filter(F.col("event_id") % 7 == 0))
+    src = tempfile.mkdtemp(prefix="dedup_eq_")
+    try:
+        # file layout may vary run-to-run; the dedup RESULT cannot
+        # (identical duplicate rows -> arrival order is irrelevant)
+        redelivered.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+        stream = dedup_events(
+            read_events_stream(spark, src, max_files_per_trigger=2), watermark="3650 days"
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_stream_to_memory(stream, "dedup_eq", output_mode="append")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        got = spark.sql("SELECT * FROM dedup_eq")
+        batch = dedup_events(redelivered)
+        n_batch = batch.count()
+        n_got = got.count()
+        # set equality via null-safe anti-joins (exceptAll over the
+        # dedup plans trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in
+        # Spark 4.1's rewrite; the join spelling is plan-shape-robust)
+        cols = batch.columns
+        g = got.select([F.col(c).alias(f"g_{c}") for c in cols])
+        cond = None
+        for c in cols:
+            eq = F.col(c).eqNullSafe(F.col(f"g_{c}"))
+            cond = eq if cond is None else cond & eq
+        missing = batch.join(g, cond, "left_anti").count()
+        extra = g.join(batch, cond, "left_anti").count()
+        ok = bool(n_got == n_batch and extra == 0 and missing == 0)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame([(n_batch, ok)], "n_batch long, stream_matches boolean")
+
+
+SALT_N = 8
+
+
+def _q_salted_join_eq(spark, sf_dir):
+    # Skew-salted join promoted to a driver query (round-5 verdict
+    # #6): output rows are DEFINED to equal the plain join, so the
+    # oracle is the unsalted SQL join — a perfect row-level
+    # hash-match check of the salting machinery.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").cast("long").alias("suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+    )
+    return salted_join(li, supp, "suppkey", salt=SALT_N).select(
+        "l_orderkey", "l_linenumber", "suppkey", "l_quantity", "s_name", "s_nationkey"
+    )
+
+
+LSH_PLANT_N = 50  # planted exact duplicates (vec_id < 50 re-added as +10000)
+LSH_EQ_T = 0.9999
+
+
+def _q_lsh_route_eq(spark, sf_dir):
+    # LSH near-dup route equivalence (round-5 verdict #6): plant
+    # exact duplicate vectors (identical embeddings => identical sign
+    # bits in EVERY band => collision probability exactly 1), then
+    # run the banded-LSH path directly. At threshold ~1 the exact
+    # pair set is precisely the planted pairs, LSH recall on them is
+    # 1 by construction, and precision is 1 by the exact-cosine
+    # verify — so the LSH output is deterministically equal to the
+    # SQL brute-force twin, row for row.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    planted = emb.union(
+        emb.filter(F.col("vec_id") < LSH_PLANT_N).select(
+            (F.col("vec_id") + F.lit(10_000)).alias("vec_id"), "embedding"
+        )
+    )
+    return lsh_neardup_pairs(planted, LSH_EQ_T)
+
+
 CMS_FRAC = 0.02
 
 
@@ -1240,7 +1348,11 @@ def _q_pack_sequences(spark, sf_dir):
     from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pack_sequences(docs, "doc_id", PACK_SEQ_LEN)
+    # validate=True: eager assert-don't-trust re-derivation of the
+    # offset invariants — a divergence raises here (with the sketch
+    # bounds in the message) instead of shipping a silent hash
+    # mismatch the driver record can't explain (round-5 verdict #1)
+    return pack_sequences(docs, "doc_id", PACK_SEQ_LEN, validate=True)
 
 
 # deterministic synthetic PII injected per doc (the corpus itself is
@@ -1336,11 +1448,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "funnel": _q_funnel,
         "sessionize": _q_sessionize,
-        "sessionize_stream_eq": _q_sessionize_stream_eq,
-        "curate_stream_eq": _q_curate_stream_eq,
+        # cheap sketch/stream-batch queries BEFORE the streaming
+        # equivalence harnesses: a driver time/count budget cut must
+        # not silently drop them again (round-5 verdict #2 — r5's
+        # record held only the first 50 of 54 registered queries)
         "sketch_distinct": _q_sketch_distinct,
         "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "salted_join_eq": _q_salted_join_eq,
+        "lsh_route_eq": _q_lsh_route_eq,
+        "sessionize_stream_eq": _q_sessionize_stream_eq,
+        "curate_stream_eq": _q_curate_stream_eq,
+        "dedup_stream_eq": _q_dedup_stream_eq,
     }
 
 
@@ -1814,6 +1933,38 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, "
             "TRUE AS within_bounds FROM events"
         ),
+        # dedup of IDENTICAL re-delivered rows == distinct event count
+        "dedup_stream_eq": (
+            "SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_batch, "
+            "TRUE AS stream_matches FROM events"
+        ),
+        # salted join is DEFINED row-identical to the plain join
+        "salted_join_eq": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(l_suppkey AS BIGINT) AS suppkey,
+                   CAST(l_quantity AS DOUBLE) AS l_quantity,
+                   s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        """,
+        # planted identical vectors collide in every LSH band (recall
+        # exactly 1) and the verify step is exact cosine (precision
+        # 1), so the LSH route equals brute force at threshold ~1
+        "lsh_route_eq": f"""
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < {LSH_PLANT_N}
+            ),
+            emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM aug)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({_dot_sql('a.v', 'b.v')}
+                         / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6) AS cosine
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE round({_dot_sql('a.v', 'b.v')}
+                        / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6) >= {LSH_EQ_T}
+        """,
         "sketch_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
             n AS (SELECT count(*) AS total FROM toks),

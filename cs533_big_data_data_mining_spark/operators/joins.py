@@ -34,21 +34,29 @@ def salted_join(
     on: list[str] | str,
     salt: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join ``large`` with ``small`` on ``on`` with key salting.
 
-    The large side's salt is a deterministic hash of its whole row
-    (spread, not semantics — collisions are harmless); the small side
-    explodes to every salt value. Result rows and columns equal the
-    plain ``large.join(small, on, how)``. Supported ``how``: inner
-    and left (the shapes where the large side drives the output).
+    The large side's salt is a deterministic hash of ``salt_cols``
+    (default: the whole row) — spread, not semantics, so collisions
+    are harmless for correctness. CAVEAT: rows that are identical on
+    the salt columns land in the SAME salt bucket, so a large side
+    dominated by duplicate rows silently degrades back to single-task
+    skew; pass a high-cardinality column list (a unique row id is
+    ideal) via ``salt_cols`` when duplicates are possible. The small
+    side explodes to every salt value. Result rows and columns equal
+    the plain ``large.join(small, on, how)``. Supported ``how``:
+    inner and left (the shapes where the large side drives the
+    output).
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    sc = salt_cols if salt_cols is not None else large.columns
     l = large.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(int(salt))).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in sc]), F.lit(int(salt))).cast("int"),
     )
     s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))))
     return l.join(s, [*keys, "__salt"], how).drop("__salt")

@@ -30,6 +30,18 @@ from pyspark.sql import functions as F
 
 from cs533_big_data_data_mining_spark.functions.text import subword_count
 
+#: Bounds used by the most recent :func:`pack_sequences` call — post-mortem
+#: breadcrumb for cross-environment divergence hunts (the one external,
+#: sketch-derived input; the RESULT is provably invariant to it, see
+#: ``validate=True`` and ``tests/test_properties.py``).
+LAST_BOUNDS: list | None = None
+
+
+class PackingInvariantError(AssertionError):
+    """Raised by ``pack_sequences(validate=True)`` when the computed
+    offsets violate the prefix-sum invariants — a divergence that would
+    otherwise ship silently corrupted shard offsets."""
+
 
 def _range_bucket_expr(col: str, bounds: list) -> Column:
     """0-based equi-depth bucket of ``col`` given sorted distinct
@@ -48,17 +60,40 @@ def pack_sequences(
     seq_len: int,
     count_expr: Column | None = None,
     n_buckets: int | None = None,
+    bounds: list | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """``(id, n_tokens, start_offset, bin_start, bin_end)`` per doc:
     ``start_offset`` = total tokens of all ids before it (id order),
     ``bin_*`` = first/last ``seq_len``-sized sequence the doc touches
     (empty docs occupy zero bins; both fields point at the bin their
     offset falls in). ``id_col`` must be numeric (bucket bounds come
-    from a quantile sketch).
+    from a quantile sketch) and UNIQUE — with duplicate ids the
+    ordering among ties is ambiguous and offsets of the tied rows are
+    not well-defined (``validate=True`` catches this).
 
     ``count_expr`` defaults to the BPE-ish ``subword_count`` over a
     ``text`` column; pass an expression for pre-tokenized inputs.
+
+    ``bounds`` overrides the sketch-derived bucket bounds (any sorted
+    or unsorted list — they are literals, the result is invariant to
+    them; exposed for adversarial property tests). ``validate=True``
+    eagerly re-derives the offsets' defining invariants from the
+    OUTPUT with one tiny extra aggregate per bucket and raises
+    :class:`PackingInvariantError` on any divergence instead of
+    letting corrupted shard offsets ship:
+
+    * ids are unique;
+    * ``min(start_offset) == 0``;
+    * per id-range bucket ``k`` (recomputed from the same literal
+      bounds): ``min(start_offset)`` equals the running sum of all
+      earlier buckets' token totals, and
+      ``max(start_offset + n_tokens)`` equals that running sum plus
+      the bucket's own total (the last row of every bucket lands
+      exactly at the bucket boundary — true for ALL rows since
+      ``start + n <= bucket_end`` with equality at the final row).
     """
+    global LAST_BOUNDS
     cnt = count_expr if count_expr is not None else subword_count("text")
     base = df.select(
         F.col(id_col).alias("id"),
@@ -68,8 +103,12 @@ def pack_sequences(
     # ONE quantile pass -> bounds as literals. Both downstream jobs
     # (totals, numbering) recompute the bucket from the value against
     # these constants — structurally immune to re-sampled exchanges.
-    qs = [i / nb for i in range(1, nb)]
-    bounds = sorted(set(base.stat.approxQuantile("id", qs, 0.001))) if nb > 1 else []
+    if bounds is None:
+        qs = [i / nb for i in range(1, nb)]
+        bounds = sorted(set(base.stat.approxQuantile("id", qs, 0.001))) if nb > 1 else []
+    else:
+        bounds = sorted(set(bounds))
+    LAST_BOUNDS = list(bounds)
     withpid = base.withColumn("_pid", _range_bucket_expr("id", bounds))
 
     totals = {
@@ -93,6 +132,8 @@ def pack_sequences(
     local_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     start = (local_before + F.col("_off")).alias("start_offset")
     out = withpid.join(off, "_pid").select("id", "n_tokens", start)
+    if validate:
+        _validate_offsets(out, bounds, dict(offsets), totals)
     # integer division: exact at any offset magnitude (a double-based
     # floor(x/len) loses ulps past 2^53 total tokens)
     sl = int(seq_len)
@@ -103,3 +144,50 @@ def pack_sequences(
         F.expr(f"start_offset div {sl}").alias("bin_start"),
         F.expr(f"(start_offset + greatest(n_tokens - 1, 0L)) div {sl}").alias("bin_end"),
     )
+
+
+def _validate_offsets(
+    out: DataFrame, bounds: list, expected_off: dict[int, int], totals: dict[int, int]
+) -> None:
+    """Assert-don't-trust re-derivation of the prefix-sum invariants
+    from the OUTPUT frame (one combinable groupBy over #buckets keys;
+    bucket ids recomputed from the same literal bounds, so a job that
+    somehow saw a different row->bucket mapping cannot agree with the
+    expected chaining by accident)."""
+    checked = (
+        out.withColumn("_vpid", _range_bucket_expr("id", bounds))
+        .groupBy("_vpid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("id").alias("n_ids"),
+            F.min("start_offset").alias("lo"),
+            F.max(F.col("start_offset") + F.col("n_tokens")).alias("hi"),
+            F.sum("n_tokens").alias("s"),
+        )
+        .collect()
+    )
+    problems = []
+    for r in checked:
+        pid = int(r["_vpid"])
+        if r["n"] != r["n_ids"]:
+            problems.append(f"bucket {pid}: duplicate ids ({r['n']} rows, {r['n_ids']} ids)")
+        exp_lo = expected_off.get(pid)
+        exp_hi = None if exp_lo is None else exp_lo + totals.get(pid, 0)
+        if exp_lo is None:
+            problems.append(f"bucket {pid}: present in output, absent from totals job")
+        else:
+            if int(r["lo"]) != exp_lo:
+                problems.append(f"bucket {pid}: min offset {r['lo']} != expected {exp_lo}")
+            if int(r["hi"]) != exp_hi:
+                problems.append(f"bucket {pid}: max(start+n) {r['hi']} != expected {exp_hi}")
+            if int(r["s"]) != totals[pid]:
+                problems.append(f"bucket {pid}: token sum {r['s']} != totals-job {totals[pid]}")
+    if checked and min(int(r["lo"]) for r in checked) != 0:
+        problems.append("global min(start_offset) != 0")
+    if problems:
+        raise PackingInvariantError(
+            "pack_sequences offset invariants violated (bounds="
+            + repr(bounds)
+            + "): "
+            + "; ".join(problems)
+        )
