@@ -1729,14 +1729,19 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
               FROM documents
             ),
             o AS (
+              -- CAST matters: DuckDB's windowed sum(BIGINT) yields
+              -- HUGEINT, which pandas materializes as float64 — the
+              -- Spark result is int64, so the driver's value hash
+              -- mismatches on TYPE despite equal values (this was
+              -- CORRECTNESS_r05's pack_sequences hash_match=false)
               SELECT doc_id, n_tokens,
-                     COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
               FROM n
             )
             SELECT doc_id AS id, n_tokens, start_offset,
-                   start_offset // {PACK_SEQ_LEN} AS bin_start,
-                   (start_offset + greatest(n_tokens - 1, 0)) // {PACK_SEQ_LEN} AS bin_end
+                   CAST(start_offset // {PACK_SEQ_LEN} AS BIGINT) AS bin_start,
+                   CAST((start_offset + greatest(n_tokens - 1, 0)) // {PACK_SEQ_LEN} AS BIGINT) AS bin_end
             FROM o
         """,
         "redact_pii": """

@@ -273,6 +273,54 @@ def main() -> None:
             errors["lsh_scale600k"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# lsh_scale600k: ERROR {errors['lsh_scale600k']}", file=sys.stderr)
 
+        # source balancing with one domain holding 90% of 1M rows —
+        # the shape where the plain per-source window is a single-task
+        # mega-sort. Asserted: (a) the histogram prefilter's survivor
+        # set is IDENTICAL to the exact window's; (b) the rows
+        # actually entering the window are <3% of the input
+        # (~cap + n/1024 per big source), i.e. the 900k-row
+        # single-task sort is structurally gone. (Locally the exact
+        # window is still fast — 1M rows fit one task's memory; the
+        # prefilter's win is task-level parallelism and bounded task
+        # memory at 100 TB, which the admitted-row count measures.)
+        from cs533_big_data_data_mining_spark.operators.quality import (
+            _admission_prefilter,
+            balance_sources,
+        )
+
+        nbal, balcap = 1_000_000, 1000
+        docs_bal = spark.range(nbal).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < 9, F.lit("megacrawl"))
+            .otherwise(F.concat(F.lit("s"), (F.floor(F.col("id") / 10) % 5).cast("string")))
+            .alias("source"),
+        )
+        t0 = time.time()
+        try:
+            fast = balance_sources(docs_bal, "doc_id", "source", balcap, prefilter=True)
+            fast_rows = fast.count()
+            t_fast = time.time() - t0
+            admitted = _admission_prefilter(
+                docs_bal.select(
+                    F.col("doc_id").alias("id"), "source", F.xxhash64("doc_id").alias("_pri")
+                ),
+                balcap,
+                1024,
+            ).count()
+            slow = balance_sources(docs_bal, "doc_id", "source", balcap, prefilter=False)
+            diff = fast.exceptAll(slow).count() + slow.exceptAll(fast).count()
+            assert fast_rows == balcap * 6 and diff == 0, (fast_rows, diff)
+            assert admitted < 0.03 * nbal, f"prefilter admitted {admitted} rows"
+            timings["balance_scale1m"] = round(t_fast, 3)
+            print(
+                f"# balance_scale1m: {t_fast:.3f}s, window input {admitted} rows "
+                f"({100 * admitted / nbal:.2f}% of {nbal}), identical to exact window",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["balance_scale1m"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# balance_scale1m: ERROR {errors['balance_scale1m']}", file=sys.stderr)
+
         n = 3_000_000
         pts = spark.range(n).select(
             F.col("id"),
@@ -314,6 +362,33 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
         fh.write(payload + "\n")
     print(payload, flush=True)
+
+    # LAST line: a compact (<1.5 KB) twin that survives the driver's
+    # 2,000-char tail capture, so BENCH_r{N}.json.parsed is non-null
+    # even when the full record is truncated (round-5 verdict #5).
+    # Headline = the baseline-comparable REF workloads + the most
+    # expensive extension queries; the full map is one line up and in
+    # BENCH_local.json.
+    headline = [k for k, _ in REF_WORKLOADS] + [
+        "curate_docs", "curate_corpus", "dedup_minhash", "dedup_ngram_jaccard",
+        "sim_topk_ivf", "embed_neardup", "pack_sequences", "sessionize",
+        "tfidf", "funnel", "asof_purchase_click", "balance_sources",
+    ]
+    compact_q: dict[str, float] = {}
+    budget = 1400 - 120  # envelope overhead
+    for k in headline:
+        if k in timings:
+            entry = len(k) + len(str(timings[k])) + 4
+            if budget - entry < 0:
+                break
+            budget -= entry
+            compact_q[k] = timings[k]
+    compact = {
+        "metric": "total_runtime", "value": total, "unit": "sec",
+        "queries": compact_q, "sf": sf,
+        "n_queries": len(timings), "n_errors": len(errors),
+    }
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 

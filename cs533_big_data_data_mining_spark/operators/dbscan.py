@@ -120,7 +120,15 @@ def _driver_labels(lb_pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def dense_index(values: DataFrame, value_col: str, index_col: str = "dense_id") -> DataFrame:
+class DenseIndexInvariantError(AssertionError):
+    """Raised by ``dense_index(validate=True)`` when the computed ids
+    violate the dense-numbering invariants (divergent row->bucket
+    assignment between the counts job and the numbering job)."""
+
+
+def dense_index(
+    values: DataFrame, value_col: str, index_col: str = "dense_id", validate: bool = False
+) -> DataFrame:
     """Dense 1..K ids for the distinct values of ``value_col``
     (numeric), ordered ascending — SURVEY §2 op 12's prefix-sum dense
     numbering (``dbscan.cpp:376-407``: Allgather per-rank root counts,
@@ -137,6 +145,15 @@ def dense_index(values: DataFrame, value_col: str, index_col: str = "dense_id") 
     numbering is a row_number window keyed on the bucket (parallel
     across buckets); bucket counts prefix-sum on the driver (#buckets
     rows, the reference's Allgather) and broadcast back.
+
+    Contract: ``value_col`` must be numeric and non-null (the
+    quantile sketch and the value->bucket comparison both require it;
+    a null value yields a null bucket id and raises here rather than
+    disappearing silently). ``validate=True`` eagerly re-derives the
+    numbering invariants from the output (per recomputed bucket:
+    ``min(id) == offset+1``, ``max(id) == offset+size``, ``count ==
+    size``, ids distinct) and raises :class:`DenseIndexInvariantError`
+    on any divergence — one #buckets-row aggregate.
     """
     from cs533_big_data_data_mining_spark.operators.packing import _range_bucket_expr
 
@@ -145,23 +162,77 @@ def dense_index(values: DataFrame, value_col: str, index_col: str = "dense_id") 
     nb = spark.sparkContext.defaultParallelism
     bounds = sorted(set(distinct.stat.approxQuantile("_v", [i / nb for i in range(1, nb)], 0.001))) if nb > 1 else []
     withpid = distinct.withColumn("_pid", _range_bucket_expr("_v", bounds))
-    sizes = {
-        int(r["_pid"]): int(r["n"])
-        for r in withpid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    size_rows = withpid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    if any(r["_pid"] is None for r in size_rows):
+        raise ValueError(
+            f"dense_index: {value_col!r} contains null values — the value->bucket "
+            "mapping (and the resulting numbering) is undefined for nulls; "
+            "filter them out or assign a sentinel first"
+        )
+    sizes = {int(r["_pid"]): int(r["n"]) for r in size_rows}
     offsets, acc = [], 0
     for pid in sorted(sizes):
         offsets.append((pid, acc))
         acc += sizes[pid]
     off = F.broadcast(spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long"))
     w = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
-    return (
+    out = (
         withpid.join(off, "_pid")
         .select(
             F.col("_v").alias(value_col),
             (F.row_number().over(w).cast("long") + F.col("_off")).alias(index_col),
         )
     )
+    if validate:
+        _validate_dense(out, value_col, index_col, bounds, dict(offsets), sizes)
+    return out
+
+
+def _validate_dense(
+    out: DataFrame,
+    value_col: str,
+    index_col: str,
+    bounds: list,
+    expected_off: dict[int, int],
+    sizes: dict[int, int],
+) -> None:
+    """Assert-don't-trust re-derivation of dense_index's numbering
+    invariants from the OUTPUT (bucket recomputed from the same
+    literal bounds; a numbering job that disagreed with the counts
+    job cannot satisfy the chaining by accident)."""
+    from cs533_big_data_data_mining_spark.operators.packing import _range_bucket_expr
+
+    checked = (
+        out.withColumn("_vpid", _range_bucket_expr(value_col, bounds))
+        .groupBy("_vpid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(index_col)).alias("n_ids"),
+            F.min(index_col).alias("lo"),
+            F.max(index_col).alias("hi"),
+        )
+        .collect()
+    )
+    problems = []
+    for r in checked:
+        pid = int(r["_vpid"])
+        exp_off, exp_n = expected_off.get(pid), sizes.get(pid, 0)
+        if exp_off is None:
+            problems.append(f"bucket {pid}: present in output, absent from counts job")
+            continue
+        if int(r["n"]) != exp_n:
+            problems.append(f"bucket {pid}: {r['n']} rows != counts-job {exp_n}")
+        if int(r["n_ids"]) != int(r["n"]):
+            problems.append(f"bucket {pid}: duplicate ids")
+        if int(r["lo"]) != exp_off + 1 or int(r["hi"]) != exp_off + exp_n:
+            problems.append(
+                f"bucket {pid}: id range [{r['lo']},{r['hi']}] != "
+                f"[{exp_off + 1},{exp_off + exp_n}]"
+            )
+    if problems:
+        raise DenseIndexInvariantError(
+            "dense_index invariants violated (bounds=" + repr(bounds) + "): " + "; ".join(problems)
+        )
 
 
 def core_flags(points: DataFrame, eps: float, min_pts: int, spec: GridSpec) -> DataFrame:

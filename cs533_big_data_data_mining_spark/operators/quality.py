@@ -169,8 +169,75 @@ def assign_split(
     return df.select(F.col(id_col).alias("id"), split.alias("split"))
 
 
+def _admission_prefilter(base: DataFrame, cap: int, hist_buckets: int) -> DataFrame:
+    """Shrink ``(id, source, _pri)`` to a prefix-closed superset of
+    each source's ``cap`` lowest-priority rows: equi-width histogram
+    of ``_pri`` per over-cap source, cutoff = first bucket whose
+    running count reaches ``cap``, admit rows at-or-below it. Exact
+    by construction (see ``balance_sources``); degrades to the
+    identity — never to a wrong answer — when priorities don't
+    spread (single value, all null, empty input)."""
+    rng = base.agg(
+        F.min(F.col("_pri").cast("double")).alias("lo"),
+        F.max(F.col("_pri").cast("double")).alias("hi"),
+    ).head()
+    lo, hi = rng["lo"], rng["hi"]
+    if lo is None or hi is None or not hi > lo:
+        return base
+    width = (hi - lo) / hist_buckets
+    # monotone non-decreasing value->bucket map (double cast of an
+    # integral priority is monotone; ties share a bucket and the
+    # cutoff admits the whole tie bucket)
+    bk = F.least(
+        F.lit(hist_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("_pri").cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    b = base.withColumn("_bk", bk)
+    big = (
+        b.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > F.lit(cap))
+        .select("source")
+    )
+    hist = (
+        b.join(big, "source", "left_semi")
+        .groupBy("source", "_bk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_bk").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cut = (
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        .filter(F.col("_cum") >= F.lit(cap))
+        .groupBy("source")
+        .agg(F.min("_bk").alias("_cut"))
+    )
+    # sources absent from `cut` are either under cap or never reach it
+    # (all their rows admitted via the null `_cut` branch); null
+    # priorities sort first in the final window, so always admitted
+    return (
+        b.join(cut, "source", "left")
+        .filter(
+            F.col("_cut").isNull() | F.col("_pri").isNull() | (F.col("_bk") <= F.col("_cut"))
+        )
+        .select("id", "source", "_pri")
+    )
+
+
 def balance_sources(
-    df: DataFrame, id_col: str, source_col: str, cap: int, priority: F.Column | None = None
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    cap: int,
+    priority: F.Column | None = None,
+    prefilter: bool = True,
+    hist_buckets: int = 1024,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per source, deterministically.
 
@@ -179,15 +246,35 @@ def balance_sources(
     sample yet identical across runs/engines (callers needing a
     SQL-reproducible order pass ``priority``, e.g. a poly31
     fingerprint). Returns ``(id, source, rk)`` for survivors.
+
+    Scale shape (round-5 verdict #3): a bare
+    ``row_number() OVER (PARTITION BY source)`` puts EVERY row of a
+    source into one task's sort — at 100 TB where one crawl domain is
+    80 % of the corpus, that task sorts tens of billions of rows.
+    With ``prefilter=True`` (default) an equi-width histogram of the
+    priority is built per over-cap source (one combinable groupBy to
+    at most ``#big_sources * hist_buckets`` rows), the first bucket
+    whose running count reaches ``cap`` becomes that source's
+    admission cutoff, and only rows at-or-below it (a prefix-closed
+    superset of the top-``cap``, every bucket tie included) enter the
+    exact window — ~``cap + n_s/hist_buckets`` rows per source
+    instead of ``n_s``. The result is IDENTICAL to the plain window
+    by construction (no distribution assumption on ``priority``; the
+    worst case — all priorities equal — degrades to admitting
+    everything, never to a wrong answer). Null priorities sort first
+    and are always admitted.
     """
     pri = priority if priority is not None else F.xxhash64(F.col(id_col))
-    w = Window.partitionBy(source_col).orderBy(pri.asc_nulls_first(), F.col(id_col).asc())
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        pri.alias("_pri"),
+    )
+    if prefilter:
+        base = _admission_prefilter(base, int(cap), int(hist_buckets))
+    w = Window.partitionBy("source").orderBy(F.col("_pri").asc_nulls_first(), F.col("id").asc())
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(source_col).alias("source"),
-            F.row_number().over(w).alias("rk"),
-        )
+        base.select("id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= F.lit(int(cap)))
         .withColumn("rk", F.col("rk").cast("long"))
     )

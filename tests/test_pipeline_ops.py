@@ -113,6 +113,64 @@ def test_balance_sources_under_cap_keeps_all(spark):
     assert balance_sources(docs, "doc_id", "source", cap=10).count() == 3
 
 
+def test_balance_sources_prefilter_identity_dominant_source(spark):
+    # one source holds 90% of the rows — the shape where the plain
+    # window sorts everything in one task; the histogram prefilter
+    # must produce the IDENTICAL survivor set
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("megacrawl"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 7).cast("string")))
+        .alias("source"),
+    )
+    fast = balance_sources(docs, "doc_id", "source", cap=50, prefilter=True).collect()
+    slow = balance_sources(docs, "doc_id", "source", cap=50, prefilter=False).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) == 50 * 8  # megacrawl + s0..s6 all over cap
+
+
+def test_admission_prefilter_bounds_and_superset(spark):
+    # the prefilter admits a prefix-closed SUPERSET of the top-cap and
+    # cuts the dominant source to ~cap + n/buckets rows (the property
+    # that removes the single-task mega-sort at 100 TB)
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.quality import _admission_prefilter
+
+    n, cap, buckets = 50_000, 20, 256
+    base = spark.range(n).select(
+        F.col("id").alias("id"),
+        F.lit("mega").alias("source"),
+        F.xxhash64(F.col("id")).alias("_pri"),
+    )
+    admitted = _admission_prefilter(base, cap, buckets)
+    n_adm = admitted.count()
+    # bucket widths are equi-width over a ~uniform hash: the cutoff
+    # bucket holds ~n/buckets rows; 5x slack keeps the bound honest
+    # without flaking
+    assert cap <= n_adm <= cap + 5 * (n // buckets)
+    # superset of the true top-cap by (pri, id)
+    top = {r["id"] for r in base.orderBy("_pri", "id").limit(cap).collect()}
+    got = {r["id"] for r in admitted.collect()}
+    assert top <= got
+
+
+def test_balance_sources_null_priority_rows_survive(spark):
+    # null priorities sort first; the prefilter must never drop them
+    from pyspark.sql import functions as F
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("a").alias("source"))
+    pri = F.when(F.col("doc_id") < 3, F.lit(None).cast("long")).otherwise(
+        F.xxhash64(F.col("doc_id"))
+    )
+    out = balance_sources(docs, "doc_id", "source", cap=5, priority=pri).collect()
+    kept = {r["id"] for r in out}
+    assert {0, 1, 2} <= kept and len(out) == 5
+
+
 # ----------------------------------------------------------- asof_join
 
 

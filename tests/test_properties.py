@@ -242,6 +242,91 @@ def test_pack_sequences_matches_cumsum(spark, seed, n, seq_len, parts):
         start += int(c)
 
 
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 60),
+    boundset=st.lists(st.integers(-5, 70), max_size=12),
+)
+def test_pack_sequences_invariant_to_adversarial_bounds(spark, seed, n, boundset):
+    """The result is a pure function of the data — ANY bucket-bound
+    list (empty, duplicated, outside the id range, off-by-one at id
+    edges) yields the identical offsets, and validate=True agrees
+    (round-5 verdict #1c)."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, 12, size=n)
+    df = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in enumerate(counts)], "doc_id long, n long"
+    )
+    got = {
+        r["id"]: r["start_offset"]
+        for r in pack_sequences(
+            df, "doc_id", 7, count_expr=F.col("n"), bounds=boundset, validate=True
+        ).collect()
+    }
+    start = 0
+    for i, c in enumerate(counts):
+        assert got[i] == start, (i, got[i], start)
+        start += int(c)
+
+
+def test_pack_validate_fires_on_divergence(spark):
+    """The assert-don't-trust validator must RAISE when the offsets
+    diverge from the totals job — proven by feeding it corrupted
+    expectations (a silent pass here would mean the invariant is
+    decorative)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.packing import (
+        PackingInvariantError,
+        _validate_offsets,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([(i, 5) for i in range(20)], "doc_id long, n long")
+    out = pack_sequences(df, "doc_id", 7, count_expr=F.col("n"), bounds=[9])
+    # good expectations pass silently
+    _validate_offsets(out, [9], {0: 0, 1: 50}, {0: 50, 1: 50})
+    # shifted offset: the per-bucket chaining check must fire
+    with pytest.raises(PackingInvariantError, match="min offset"):
+        _validate_offsets(out, [9], {0: 0, 1: 49}, {0: 50, 1: 50})
+    # wrong bucket total: the token-sum check must fire
+    with pytest.raises(PackingInvariantError, match="token sum"):
+        _validate_offsets(out, [9], {0: 0, 1: 50}, {0: 50, 1: 51})
+    # duplicate ids (ambiguous ordering) must be rejected
+    dup = out.union(out.limit(1))
+    with pytest.raises(PackingInvariantError, match="duplicate ids"):
+        _validate_offsets(dup, [9], {0: 0, 1: 50}, {0: 50, 1: 50})
+
+
+def test_dense_index_validate_fires_and_null_contract(spark):
+    import pytest
+
+    from cs533_big_data_data_mining_spark.operators.dbscan import (
+        DenseIndexInvariantError,
+        _validate_dense,
+        dense_index,
+    )
+
+    df = spark.createDataFrame([(v,) for v in (3, 1, 7, 5)], "v long")
+    out = dense_index(df, "v", validate=True)
+    assert {r["v"]: r["dense_id"] for r in out.collect()} == {1: 1, 3: 2, 5: 3, 7: 4}
+    # corrupted expectations: each invariant class must fire
+    with pytest.raises(DenseIndexInvariantError, match="rows"):
+        _validate_dense(out, "v", "dense_id", [], {0: 0}, {0: 3})
+    with pytest.raises(DenseIndexInvariantError, match="id range"):
+        _validate_dense(out, "v", "dense_id", [], {0: 1}, {0: 4})
+    # null values: explicit contract error, not a downstream TypeError
+    withnull = spark.createDataFrame([(1,), (None,)], "v long")
+    with pytest.raises(ValueError, match="null values"):
+        dense_index(withnull, "v")
+
+
 def test_empty_inputs_round5_ops(spark):
     """Round-5 operators on empty / degenerate inputs: empty frames
     out, no exceptions (filter-everything upstream shape)."""

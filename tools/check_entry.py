@@ -52,6 +52,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> boo
     if len(s) == len(o):
         for c in s.columns:
             sv, ov = s[c].to_numpy(), o[c].to_numpy()
+            s_int = np.issubdtype(sv.dtype, np.integer)
+            o_int = np.issubdtype(ov.dtype, np.integer)
+            if s_int != o_int:
+                # int on one engine, float on the other: values can be
+                # equal yet the driver's value HASH differs by type —
+                # exactly the CORRECTNESS_r05 pack_sequences failure
+                # (DuckDB windowed sum -> HUGEINT -> pandas float64).
+                # Cast the oracle (or the query) so dtypes agree.
+                print(
+                    f"  [{name}] col {c}: DTYPE MISMATCH spark={sv.dtype} oracle={ov.dtype}"
+                    " (driver hash risk)"
+                )
+                ok = False
             if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
                 sv = sv.astype(np.float64)
                 ov = ov.astype(np.float64)
