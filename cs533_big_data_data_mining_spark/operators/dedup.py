@@ -43,11 +43,15 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     min-id semi-join rather than a window sort: the groupBy gets
     map-side partial aggregation, a window over content would not.
 
-    The semi-join key is the **id alone**: keeper ids are unique (one
-    min per group), so joining back on the narrow id column selects
-    exactly one row per distinct content without shuffling the wide
-    content column a second time. NULL content forms its own group
-    (groupBy semantics), so null-content rows keep their min-id
+    PRECONDITION: ``id_col`` must be unique across rows. The
+    semi-join key is the **id alone** — valid because each keeper id
+    identifies exactly one row, so joining back on the narrow id
+    column selects one row per distinct content without shuffling the
+    wide content column a second time. With duplicate ids, any row
+    sharing a keeper's id would survive regardless of its content;
+    keep the null-safe ``(content, id)`` join conjunct for inputs
+    where uniqueness is not guaranteed. NULL content forms its own
+    group (groupBy semantics), so null-content rows keep their min-id
     representative too."""
     keepers = df.groupBy(content_col).agg(F.min(id_col).alias(id_col)).select(id_col)
     return df.join(keepers, id_col, "left_semi")
@@ -153,7 +157,9 @@ def ngram_jaccard_pairs(
 
     ``caches`` (optional): the internally cached (id, shingle) index
     is appended so callers that materialize the result can unpersist
-    it; without it the cache lives until session end.
+    it; with ``caches=None`` the (small) pair result is materialized
+    internally and the index unpersisted before returning (same cache
+    contract as ``minhash_dedup_pairs``).
     """
     sh = _shingle_index(df, id_col, text_col, n, max_doc_freq).cache()
     if caches is not None:
@@ -186,7 +192,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard")
     )
-    return jac
+    return _release_index_caches(jac, [sh]) if caches is None else jac
 
 
 def _signatures_from_index(sh: DataFrame, num_hashes: int) -> DataFrame:
@@ -256,6 +262,19 @@ def minhash_lsh_candidates(
     )
 
 
+def _release_index_caches(out: DataFrame, idx_caches: list[DataFrame]) -> DataFrame:
+    """Materialize the (small) pair result, then unpersist the large
+    shingle-index caches — for callers that pass no ``caches`` list,
+    so index storage can't accumulate in executor memory for the rest
+    of the session (round-5 advice). The returned frame stays cached
+    and is caller-owned."""
+    out = out.cache()
+    out.count()
+    for frame in idx_caches:
+        frame.unpersist()
+    return out
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -274,7 +293,11 @@ def minhash_dedup_pairs(
     index instead of re-tokenizing/re-shingling the corpus per
     consumer (three scans of the text column collapsed to one).
     ``caches`` (optional) receives the cached index so callers that
-    materialize the result can unpersist it."""
+    materialize the result can unpersist it; with ``caches=None`` the
+    (small) pair result is materialized internally and the index is
+    unpersisted before returning — the cache cannot outlive the call
+    (the returned cached frame is caller-owned, same contract as
+    ``dbscan``/``curate_documents``)."""
     sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None).cache()
     if caches is not None:
         caches.append(sh)
@@ -292,7 +315,7 @@ def minhash_dedup_pairs(
     )
     sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
-    return (
+    out = (
         inter.join(sa, "a")
         .join(sb, "b")
         .withColumn(
@@ -306,6 +329,7 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard")
     )
+    return _release_index_caches(out, [sh]) if caches is None else out
 
 
 def minhash_dedup_pairs_bipartite(
@@ -335,6 +359,10 @@ def minhash_dedup_pairs_bipartite(
 
     Pairs where both ids are equal are dropped (the same document
     present in both corpora is not a "near duplicate" finding).
+
+    Cache contract: same as ``minhash_dedup_pairs`` — pass ``caches``
+    to own the index caches yourself, or leave it ``None`` and get a
+    materialized result with the indexes already unpersisted.
     """
     shl = _shingle_index(left, id_col, text_col, n, max_doc_freq=None).cache()
     shr = _shingle_index(right, id_col, text_col, n, max_doc_freq=None).cache()
@@ -381,7 +409,7 @@ def minhash_dedup_pairs_bipartite(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes_l.withColumnRenamed("id", "a"), "a")
         .join(sizes_r.withColumnRenamed("id", "b"), "b")
         .withColumn(
@@ -395,6 +423,7 @@ def minhash_dedup_pairs_bipartite(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard")
     )
+    return _release_index_caches(out, [shl, shr]) if caches is None else out
 
 
 def _term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

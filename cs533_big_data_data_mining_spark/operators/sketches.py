@@ -67,6 +67,35 @@ def cms_estimates(
     )
 
 
+def _local_heavy_candidates(df: DataFrame, c: Column, threshold_frac: float) -> DataFrame:
+    """Distinct ``__item`` values whose LOCAL frequency reaches
+    ``threshold_frac`` in at least one partition — a guaranteed
+    superset of the global heavy hitters (if every partition had
+    local share < f, the weighted average — the global share — would
+    be < f too), emitting at most ``1/threshold_frac`` items per
+    partition with zero full-cardinality shuffle. Arrow-batched
+    counting; the iterator spans the whole partition, so the local
+    counts are exact per partition."""
+    import pandas as pd
+
+    src = df.select(c.alias("__item"))
+    item_type = src.schema["__item"].dataType.simpleString()
+
+    def local_counts(batches):
+        counts: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for v, k in pdf["__item"].value_counts(dropna=False).items():
+                counts[v] = counts.get(v, 0) + int(k)
+        if n:
+            lim = threshold_frac * n
+            keep = [v for v, k in counts.items() if k >= lim]
+            yield pd.DataFrame({"__item": pd.Series(keep, dtype=object)})
+
+    return src.mapInPandas(local_counts, f"__item {item_type}").distinct()
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str | Column,
@@ -87,15 +116,22 @@ def heavy_hitters(
     true count.
 
     Scale shape: sketch build = one combinable groupBy to depth*width
-    rows; candidates come from the distinct items joined against the
-    BROADCAST sketch. (For streams, the same ``cms_build`` aggregate
+    rows. Candidates come from PER-PARTITION local frequency (round-5
+    verdict #4 — a global ``distinct()`` would shuffle the same key
+    cardinality the sketch exists to avoid): an item with global
+    frequency >= f must have local frequency >= f in at least one
+    partition (weighted-average argument), so each partition emits its
+    items with local share >= ``threshold_frac`` — at most
+    ``1/threshold_frac`` per partition, no shuffle, no dependence on
+    the partition count — and only that tiny candidate set meets the
+    broadcast sketch. (For streams, the same ``cms_build`` aggregate
     works incrementally: sketches add.)
     """
     c = F.col(col) if isinstance(col, str) else col
     total = df.count()
     thr = int(total * float(threshold_frac))
     sketch = cms_build(df, c, depth, width)
-    items = df.select(c.alias("__item")).distinct()
+    items = _local_heavy_candidates(df, c, float(threshold_frac))
     cands = (
         cms_estimates(items, "__item", sketch, depth, width)
         .filter(F.col("est") >= F.lit(thr))

@@ -399,6 +399,58 @@ def test_salted_join_equals_plain_join(spark):
     assert got_l == want_l
 
 
+def test_salted_join_salt_cols_spread_duplicate_rows(spark):
+    # a large side of IDENTICAL rows defeats the whole-row default
+    # salt (every duplicate hashes to the same bucket — documented
+    # caveat); salting on a unique column restores the spread while
+    # keeping row identity with the plain join
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.joins import salted_join
+
+    large = spark.createDataFrame([(i, 0) for i in range(100)], "id long, k long")
+    dup = large.select(F.lit(7).alias("id"), "k")  # 100 identical rows
+    small = spark.createDataFrame([(0, "zero")], "k long, name string")
+    # row-identity holds for both salt choices
+    for sc in (None, ["id"]):
+        got = sorted(
+            (r["id"], r["name"])
+            for r in salted_join(large, small, "k", salt=4, salt_cols=sc).collect()
+        )
+        assert got == sorted((r["id"], r["name"]) for r in large.join(small, "k").collect())
+    # the degenerate duplicate-row input still returns correct rows
+    assert salted_join(dup, small, "k", salt=4).count() == 100
+    # whole-row salt of identical rows collapses to ONE value; a
+    # unique salt column yields the full spread
+    one = dup.withColumn(
+        "__s", F.pmod(F.xxhash64(*[F.col(c) for c in dup.columns]), F.lit(4))
+    )
+    assert one.select("__s").distinct().count() == 1
+    spread = large.withColumn("__s", F.pmod(F.xxhash64(F.col("id")), F.lit(4)))
+    assert spread.select("__s").distinct().count() == 4
+
+
+def test_local_heavy_candidates_superset_and_bounded(spark):
+    # per-partition local-frequency candidates: superset of the true
+    # heavy hitters under any partitioning, bounded by
+    # partitions/threshold_frac items, NO full-cardinality shuffle
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import (
+        _local_heavy_candidates,
+        heavy_hitters,
+    )
+
+    rows = [("hot",)] * 400 + [("warm",)] * 150 + [(f"cold{i}",) for i in range(450)]
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    cands = {r["__item"] for r in _local_heavy_candidates(df, F.col("v"), 0.1).collect()}
+    assert {"hot", "warm"} <= cands           # true hitters (40%, 15%)
+    assert len(cands) <= 7 * 10               # <= partitions / frac
+    hh = {r["item"] for r in heavy_hitters(df, "v", 0.1, depth=4, width=1024).collect()}
+    assert {"hot", "warm"} <= hh
+    assert not any(k.startswith("cold") for k in hh)
+
+
 def test_bucketed_join_is_exchange_free(spark):
     from cs533_big_data_data_mining_spark.operators.joins import bucketed_join, write_bucketed
 
