@@ -359,7 +359,10 @@ def main() -> None:
     # a fixed window and lost the head of round 4's (one-line, ~4 KB)
     # JSON — BENCH_local.json survives regardless of capture size
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
+    # ad-hoc runs at other scale factors must not clobber the
+    # canonical sf0.1 record the judge diffs against
+    suffix = "" if sf == 0.1 else f"_sf{sf}"
+    with open(os.path.join(here, f"BENCH_local{suffix}.json"), "w") as fh:
         fh.write(payload + "\n")
     print(payload, flush=True)
 
@@ -369,7 +372,7 @@ def main() -> None:
     # Headline = the baseline-comparable REF workloads + the most
     # expensive extension queries; the full map is one line up and in
     # BENCH_local.json.
-    headline = [k for k, _ in REF_WORKLOADS] + [
+    headline = [w[0] for w in REF_WORKLOADS] + [
         "curate_docs", "curate_corpus", "dedup_minhash", "dedup_ngram_jaccard",
         "sim_topk_ivf", "embed_neardup", "pack_sequences", "sessionize",
         "tfidf", "funnel", "asof_purchase_click", "balance_sources",
