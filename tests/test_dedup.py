@@ -386,6 +386,31 @@ def test_cms_heavy_hitters_guarantees(spark):
     assert {"a", "b"} <= hh_narrow
 
 
+def test_cms_sketches_merge(spark):
+    """Mergeability — the property that makes CMS worth carrying at
+    100 TB (per-shard / per-micro-batch sketches ADD): building on two
+    disjoint shards and summing per (d, bucket) equals building on
+    the union, exactly."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import cms_build
+
+    rows = [(f"k{i % 17}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "v string").withColumn(
+        "half", F.xxhash64("v") % 2 == 0
+    )
+    full = cms_build(df, "v", depth=3, width=32)
+    merged = (
+        cms_build(df.filter("half"), "v", depth=3, width=32)
+        .unionByName(cms_build(df.filter("NOT half"), "v", depth=3, width=32))
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    got = {(r["d"], r["bucket"]): r["c"] for r in merged.collect()}
+    want = {(r["d"], r["bucket"]): r["c"] for r in full.collect()}
+    assert got == want
+
+
 def test_cms_heavy_hitters_verified_exact(spark):
     """verify=True: collision-induced false positives are removed and
     est equals the true count — even with a sketch narrow enough to

@@ -118,6 +118,22 @@ def test_ngram_prefix_join_plan_shape(spark):
     assert "Join" in p
 
 
+def test_balance_sources_prefilter_plan_shape(spark):
+    """The histogram admission prefilter must plan with broadcast
+    joins for the tiny big/cut frames (never cartesian), and the
+    parquet scans must stay column-pruned — the structure that keeps
+    the dominant-source window input at ~cap + n/1024 rows."""
+    from cs533_big_data_data_mining_spark.operators.quality import balance_sources
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = balance_sources(docs, "doc_id", "source", 50)
+    p = _plan(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    # only (doc_id, source) may reach the scan — not the text column
+    assert "text" not in p
+
+
 def test_simhash_neardup_plan_shape(spark):
     """The fused band join + Hamming verify must stay an equi-join on
     (band, bkey) with the distance check as a join predicate."""

@@ -274,6 +274,35 @@ def test_pack_sequences_invariant_to_adversarial_bounds(spark, seed, n, boundset
         start += int(c)
 
 
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 300),
+    n_keys=st.integers(1, 40),
+    frac=st.sampled_from([0.05, 0.1, 0.25]),
+    parts=st.sampled_from([1, 3, 8]),
+)
+def test_local_heavy_candidates_always_superset(spark, seed, n, n_keys, frac, parts):
+    """Per-partition local-frequency candidates contain EVERY true
+    heavy hitter for any data, threshold, and partitioning (the
+    weighted-average guarantee heavy_hitters now relies on instead of
+    a full-cardinality distinct)."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import _local_heavy_candidates
+
+    rng = np.random.default_rng(seed)
+    # zipf-ish skew so true hitters exist often
+    vals = [f"k{int(v)}" for v in rng.zipf(1.5, size=n) % n_keys]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(parts)
+    thr = frac * n
+    from collections import Counter
+
+    true_hh = {k for k, c in Counter(vals).items() if c >= thr}
+    cands = {r["__item"] for r in _local_heavy_candidates(df, F.col("v"), frac).collect()}
+    assert true_hh <= cands, (true_hh - cands, frac, parts)
+
+
 def test_pack_validate_fires_on_divergence(spark):
     """The assert-don't-trust validator must RAISE when the offsets
     diverge from the totals job — proven by feeding it corrupted
