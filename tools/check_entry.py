@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import importlib.util
 import math
+import os
 import sys
 
 import duckdb
@@ -89,6 +90,17 @@ def main():
     only = set(sys.argv[2:])
     mod = load_entry()
     qs, oracles = mod.queries(), mod.oracle_sql()
+    # SPARK_GRAFT_CHECK_SHUFFLE=<seed>: randomize execution order —
+    # determinism evidence that no query depends on session state left
+    # by an earlier one (registry order is the driver's order)
+    shuffle_seed = os.environ.get("SPARK_GRAFT_CHECK_SHUFFLE")
+    if shuffle_seed is not None:
+        import random
+
+        names = list(qs)
+        random.Random(int(shuffle_seed)).shuffle(names)
+        qs = {n: qs[n] for n in names}
+        print(f"# shuffled order (seed {shuffle_seed}): {names[:5]}...")
 
     con = duckdb.connect()
     for t in TABLES:
