@@ -1069,6 +1069,35 @@ def _q_curate_stream_eq(spark, sf_dir):
     )
 
 
+BOILER_MAX_DF = 50  # a line in > 50 docs is boilerplate
+
+
+def _q_boilerplate_lines(spark, sf_dir):
+    # CCNet/RefinedWeb-style boilerplate line removal. The corpus has
+    # no line structure, so (like the PII query) deterministic lines
+    # are injected: a header shared by ALL docs (removed), a footer
+    # shared by doc_id%5 (100 docs each at sf0.01 -> removed), and the
+    # doc's own text line (df ~= its exact-dup group size -> kept).
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV HOME ABOUT CONTACT\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nFOOTER COPYRIGHT SECTION "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(injected, "doc_id", "text", BOILER_MAX_DF).select(
+        F.col("id").alias("doc_id"), "clean"
+    )
+
+
 def _q_dedup_stream_eq(spark, sf_dir):
     # Streaming exact dedup (dropDuplicatesWithinWatermark) checked
     # against its batch twin (round-5 verdict #7): every 7th event is
@@ -1467,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed_counts,
         "salted_join_eq": _q_salted_join_eq,
         "lsh_route_eq": _q_lsh_route_eq,
+        "boilerplate_lines": _q_boilerplate_lines,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
         "curate_stream_eq": _q_curate_stream_eq,
         "dedup_stream_eq": _q_dedup_stream_eq,
@@ -1961,6 +1991,36 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    CAST(l_quantity AS DOUBLE) AS l_quantity,
                    s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        """,
+        "boilerplate_lines": f"""
+            WITH injected AS (
+              SELECT doc_id,
+                     concat('NAV HOME ABOUT CONTACT', chr(10), COALESCE(text, ''),
+                            chr(10), 'FOOTER COPYRIGHT SECTION ',
+                            CAST(doc_id % 5 AS VARCHAR)) AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, s.pos, s.line
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l) + 1),
+                              i -> struct_pack(pos := i, line := l[i]))) AS s
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM injected)
+              )
+            ),
+            boiler AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS c FROM lines GROUP BY line
+              ) WHERE c > {BOILER_MAX_DF}
+            ),
+            kept AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+              FROM lines ANTI JOIN boiler USING (line)
+              GROUP BY doc_id
+            )
+            SELECT i.doc_id, COALESCE(k.clean, '') AS clean
+            FROM injected i LEFT JOIN kept k USING (doc_id)
         """,
         # planted identical vectors collide in every LSH band (recall
         # exactly 1) and the verify step is exact cosine (precision

@@ -51,6 +51,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     assign_split,
     balance_sources,
     quantile_filter,
+    remove_boilerplate_lines,
     repetition_stats,
 )
 from cs533_big_data_data_mining_spark.operators.similarity import (
@@ -114,6 +115,7 @@ __all__ = [
     "decontaminate",
     "repetition_stats",
     "balance_sources",
+    "remove_boilerplate_lines",
     "assign_split",
     "quantile_filter",
     "cms_build",

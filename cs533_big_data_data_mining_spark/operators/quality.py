@@ -169,6 +169,58 @@ def assign_split(
     return df.select(F.col(id_col).alias("id"), split.alias("split"))
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_df: int,
+    out_col: str = "clean",
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    pre-dedup step): drop every line that occurs in more than
+    ``max_doc_df`` distinct documents — nav menus, cookie banners,
+    footers — and reassemble each document's remaining lines in
+    order. Returns ``(id, clean)``; null text stays null, a document
+    whose every line is boilerplate becomes the empty string.
+
+    Scale shape: one map-side-deduplicable ``(line, doc)`` distinct +
+    one combinable groupBy give per-line document frequency; only the
+    OVER-threshold lines survive the filter (bounded by
+    total_lines / max_doc_df — the hot boilerplate set is small by
+    definition), so the removal join is a left-anti against a frame
+    AQE can broadcast. Reassembly is one groupBy with an
+    ``array_sort`` on (pos, line) structs — order restored without a
+    window.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    lines = base.filter(F.col("__text").isNotNull()).select(
+        "id", F.posexplode(F.split("__text", "\n")).alias("pos", "line")
+    )
+    boiler = (
+        lines.select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > F.lit(int(max_doc_df)))
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col(out_col), F.lit("")))
+        .alias(out_col),
+    )
+
+
 def _admission_prefilter(base: DataFrame, cap: int, hist_buckets: int) -> DataFrame:
     """Shrink ``(id, source, _pri)`` to a prefix-closed superset of
     each source's ``cap`` lowest-priority rows: equi-width histogram

@@ -113,6 +113,41 @@ def test_balance_sources_under_cap_keeps_all(spark):
     assert balance_sources(docs, "doc_id", "source", cap=10).count() == 3
 
 
+def test_remove_boilerplate_lines_semantics(spark):
+    # header in 3 docs removed at max_doc_df=2; per-doc body kept in
+    # ORDER; within-doc repeats count once toward doc frequency; null
+    # text stays null; all-boilerplate doc becomes empty string
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nbody one a\nbody one b"),
+            (2, "HEADER\nbody two\nHEADER"),      # repeat in ONE doc: df still 3
+            (3, "HEADER"),                         # all lines boilerplate -> ""
+            (4, "solo line"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["clean"]
+        for r in remove_boilerplate_lines(docs, "doc_id", "text", max_doc_df=2).collect()
+    }
+    assert got[1] == "body one a\nbody one b"
+    assert got[2] == "body two"
+    assert got[3] == ""
+    assert got[4] == "solo line"
+    assert got[5] is None
+    # at threshold >= doc frequency the header survives everywhere
+    kept = {
+        r["id"]: r["clean"]
+        for r in remove_boilerplate_lines(docs, "doc_id", "text", max_doc_df=3).collect()
+    }
+    assert kept[3] == "HEADER" and kept[1].startswith("HEADER\n")
+
+
 def test_balance_sources_prefilter_identity_dominant_source(spark):
     # one source holds 90% of the rows — the shape where the plain
     # window sorts everything in one task; the histogram prefilter
