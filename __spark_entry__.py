@@ -1243,6 +1243,84 @@ def _q_sketch_heavy_hitters(spark, sf_dir):
     return out
 
 
+CMS_STREAM_FRAC = 0.05
+CMS_STREAM_DEPTH, CMS_STREAM_WIDTH = 4, 1024
+
+
+def _q_sketch_stream_merge(spark, sf_dir):
+    # The CMS property that justifies carrying a sketch at 100 TB:
+    # per-micro-batch sketches ADD. Build one sketch per streaming
+    # micro-batch via foreachBatch, sum them driver-side (each is
+    # depth x width rows, KBs), and check (1) the merged sketch
+    # equals the one-shot batch sketch CELL FOR CELL and (2) heavy-
+    # hitter estimates from the merged sketch never undercount and
+    # cover every exact hitter. Oracle emits (n_exact, TRUE, TRUE).
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from cs533_big_data_data_mining_spark.operators.sketches import cms_build
+    from cs533_big_data_data_mining_spark.streaming.events import (
+        load_events,
+        read_events_stream,
+    )
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="cms_stream_")
+    acc: dict[tuple[int, int], int] = {}
+    try:
+        ev.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+
+        def _merge_batch(batch_df, _bid):
+            rows = cms_build(
+                batch_df, "event_type", CMS_STREAM_DEPTH, CMS_STREAM_WIDTH
+            ).collect()
+            for r in rows:
+                k = (int(r["d"]), int(r["bucket"]))
+                acc[k] = acc.get(k, 0) + int(r["c"])
+
+        q = (
+            read_events_stream(spark, src, max_files_per_trigger=2)
+            .writeStream.foreachBatch(_merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        full = {
+            (int(r["d"]), int(r["bucket"])): int(r["c"])
+            for r in cms_build(ev, "event_type", CMS_STREAM_DEPTH, CMS_STREAM_WIDTH).collect()
+        }
+        merged_equals_full = acc == full
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(exact.values())
+        thr = total * CMS_STREAM_FRAC
+        hitters = {k: n for k, n in exact.items() if n >= thr}
+        # estimate from the MERGED sketch via the same broadcast-join
+        # estimator batch mode uses
+        from cs533_big_data_data_mining_spark.operators.sketches import cms_estimates
+
+        merged_df = spark.createDataFrame(
+            [(d, b, c) for (d, b), c in acc.items()], "d int, bucket long, c long"
+        )
+        items = spark.createDataFrame([(k,) for k in hitters], "item string")
+        ests = {
+            r["item"]: int(r["est"])
+            for r in cms_estimates(
+                items, "item", merged_df, CMS_STREAM_DEPTH, CMS_STREAM_WIDTH
+            ).collect()
+        }
+        no_undercount = all(ests.get(k, 0) >= n for k, n in hitters.items())
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(
+        [(len(hitters), bool(merged_equals_full), bool(no_undercount))],
+        "n_exact long, merged_equals_full boolean, no_undercount boolean",
+    )
+
+
 HLL_RSD = 0.05
 
 
@@ -1497,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_eq": _q_salted_join_eq,
         "lsh_route_eq": _q_lsh_route_eq,
         "boilerplate_lines": _q_boilerplate_lines,
+        "sketch_stream_merge": _q_sketch_stream_merge,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
         "curate_stream_eq": _q_curate_stream_eq,
         "dedup_stream_eq": _q_dedup_stream_eq,
@@ -1978,6 +2057,13 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, "
             "TRUE AS within_bounds FROM events"
         ),
+        "sketch_stream_merge": f"""
+            WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+            t AS (SELECT sum(n) AS total FROM c)
+            SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                   TRUE AS merged_equals_full, TRUE AS no_undercount
+            FROM c, t WHERE n >= total * {CMS_STREAM_FRAC}
+        """,
         # dedup of IDENTICAL re-delivered rows == distinct event count
         "dedup_stream_eq": (
             "SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_batch, "
