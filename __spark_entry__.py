@@ -1069,6 +1069,36 @@ def _q_curate_stream_eq(spark, sf_dir):
     )
 
 
+SAMPLE_FRACS = {"src0": 0.25, "src1": 0.5, "src2": 0.0}  # others keep 100%
+
+
+def _q_sample_sources(spark, sf_dir):
+    # deterministic per-source downsampling (source mixing): keep iff
+    # the id's cross-engine uniform hash < the source's fraction —
+    # pure Column, zero shuffle, identical row set on both engines
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import sample_sources
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_sources(docs, "doc_id", "source", SAMPLE_FRACS)
+
+
+QFB_KEEP = 0.25
+
+
+def _q_quantile_filter_by(spark, sf_dir):
+    # per-language quality gate: top 25% by n_chars WITHIN each lang
+    # (a global threshold would gut low-scoring languages); ties at a
+    # group's threshold all survive on both engines
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import quantile_filter_by
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quantile_filter_by(docs, "n_chars", QFB_KEEP, "lang").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 BOILER_MAX_DF = 50  # a line in > 50 docs is boilerplate
 
 
@@ -1575,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_eq": _q_salted_join_eq,
         "lsh_route_eq": _q_lsh_route_eq,
         "boilerplate_lines": _q_boilerplate_lines,
+        "sample_sources": _q_sample_sources,
+        "quantile_filter_by": _q_quantile_filter_by,
         "sketch_stream_merge": _q_sketch_stream_merge,
         "sessionize_stream_eq": _q_sessionize_stream_eq,
         "curate_stream_eq": _q_curate_stream_eq,
@@ -2077,6 +2109,30 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    CAST(l_quantity AS DOUBLE) AS l_quantity,
                    s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        """,
+        "sample_sources": f"""
+            WITH h AS (
+              SELECT doc_id, source,
+                     CAST((list_reduce(list_prepend(0, range(1, length(CAST(doc_id AS VARCHAR)) + 1)),
+                       (acc, i) -> (acc * 31 + ascii(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
+                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
+                     / 2147483647.0 AS u
+              FROM documents)
+            SELECT doc_id AS id, source FROM h
+            WHERE u < CASE source
+                        WHEN 'src0' THEN {SAMPLE_FRACS['src0']}
+                        WHEN 'src1' THEN {SAMPLE_FRACS['src1']}
+                        WHEN 'src2' THEN {SAMPLE_FRACS['src2']}
+                        ELSE 1.0 END
+        """,
+        "quantile_filter_by": f"""
+            WITH t AS (
+              SELECT lang, quantile_cont(n_chars, {1.0 - QFB_KEEP}) AS thr
+              FROM documents GROUP BY lang
+            )
+            SELECT doc_id, d.lang AS lang, n_chars
+            FROM documents d JOIN t USING (lang)
+            WHERE n_chars >= thr
         """,
         "boilerplate_lines": f"""
             WITH injected AS (

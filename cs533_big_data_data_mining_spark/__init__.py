@@ -51,8 +51,10 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     assign_split,
     balance_sources,
     quantile_filter,
+    quantile_filter_by,
     remove_boilerplate_lines,
     repetition_stats,
+    sample_sources,
 )
 from cs533_big_data_data_mining_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -116,6 +118,8 @@ __all__ = [
     "repetition_stats",
     "balance_sources",
     "remove_boilerplate_lines",
+    "sample_sources",
+    "quantile_filter_by",
     "assign_split",
     "quantile_filter",
     "cms_build",

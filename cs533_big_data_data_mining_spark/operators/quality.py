@@ -121,6 +121,91 @@ def quantile_filter(
     return df.crossJoin(F.broadcast(t)).filter(c >= F.col("__thr")).drop("__thr")
 
 
+def _uniform_unit(id_col: str) -> F.Column:
+    """Deterministic, cross-engine-reproducible pseudo-uniform value
+    in [0, 1) from the id: poly31 fingerprint of the id string +
+    Knuth multiplicative scatter (see ``assign_split`` for why the
+    scatter is needed and why the product fits BIGINT everywhere)."""
+    from cs533_big_data_data_mining_spark.functions.text import (
+        FINGERPRINT_MOD,
+        fingerprint,
+    )
+
+    pri = fingerprint(f"CAST({id_col} AS STRING)")
+    scattered = F.pmod(pri.cast("long") * F.lit(2654435761) + F.lit(12345), F.lit(FINGERPRINT_MOD))
+    return scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
+
+
+def sample_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling — the "source mixing"
+    step that rebalances a corpus toward target proportions (e.g.
+    down-weight a dominant crawl before training). Each row keeps iff
+    its id's cross-engine uniform hash falls below its source's
+    fraction, so the SAME rows survive across runs, engines, and
+    partitionings, and adding a new source never reshuffles which
+    rows of the old sources are kept (per-row decisions are
+    independent — unlike a global sort-based cap). Returns
+    ``(id, source)`` for survivors.
+
+    Pure Column expression: zero shuffle, composes into any scan —
+    the 100 TB shape (contrast ``balance_sources``, which gives an
+    exact per-source COUNT at the cost of a windowed pass; sampling
+    gives an expected fraction for free).
+    """
+    u = _uniform_unit(id_col)
+    frac = None
+    for name, f in fractions.items():
+        cond = F.col(source_col) == F.lit(name)
+        frac = F.when(cond, F.lit(float(f))) if frac is None else frac.when(cond, F.lit(float(f)))
+    frac = F.lit(float(default_fraction)) if frac is None else frac.otherwise(F.lit(float(default_fraction)))
+    return (
+        df.filter(u < frac)
+        .select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+    )
+
+
+def quantile_filter_by(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    group_cols: list[str] | str,
+    exact: bool = True,
+    approx_error: float = 0.001,
+) -> DataFrame:
+    """Per-group ``quantile_filter``: keep the top ``keep_frac`` of
+    rows by ``score_col`` WITHIN each group (per-language/per-source
+    quality gates — a global threshold would silently gut
+    low-scoring languages). Ties at a group's threshold all survive.
+
+    ``exact=True`` uses the interpolated percentile (buffers each
+    group's values — fine to ~10^8 rows per group); ``exact=False``
+    uses Greenwald-Khanna (map-side combinable, the 100 TB path).
+    Either way the thresholds frame is #groups rows, joined back
+    broadcast-style; the data shuffles ZERO times (the groupBy
+    aggregates map-side into #groups rows; the filter runs in the
+    scan stage after the join).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    p = 1.0 - float(keep_frac)
+    thr = (
+        F.expr(f"percentile({score_col}, {p})")
+        if exact
+        else F.percentile_approx(F.col(score_col), F.lit(p), F.lit(int(1.0 / approx_error)))
+    )
+    thresholds = df.groupBy(*groups).agg(thr.alias("__thr"))
+    return (
+        df.join(F.broadcast(thresholds), groups)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str,

@@ -113,6 +113,58 @@ def test_balance_sources_under_cap_keeps_all(spark):
     assert balance_sources(docs, "doc_id", "source", cap=10).count() == 3
 
 
+def test_sample_sources_deterministic_and_independent(spark):
+    # survivors are identical across partitionings, fraction 0 kills a
+    # source, unlisted sources keep everything, and re-listing a new
+    # source never changes which OLD rows survive (per-row decisions)
+    from cs533_big_data_data_mining_spark.operators.quality import sample_sources
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string"
+    )
+    kept = sample_sources(docs, "doc_id", "source", {"s0": 0.5, "s1": 0.0})
+    rows = sorted((r["id"], r["source"]) for r in kept.collect())
+    again = sorted(
+        (r["id"], r["source"])
+        for r in sample_sources(
+            docs.repartition(7), "doc_id", "source", {"s0": 0.5, "s1": 0.0}
+        ).collect()
+    )
+    assert rows == again
+    by_src = {}
+    for _id, s in rows:
+        by_src.setdefault(s, []).append(_id)
+    assert "s1" not in by_src                       # fraction 0
+    assert len(by_src["s2"]) == len(by_src["s3"]) == 100  # unlisted keep all
+    assert 20 <= len(by_src["s0"]) <= 80            # ~half, hash-dependent
+    # independence: adding a fraction for s2 leaves s0's survivors alone
+    with_s2 = sample_sources(docs, "doc_id", "source", {"s0": 0.5, "s1": 0.0, "s2": 0.3})
+    s0_new = sorted(r["id"] for r in with_s2.filter("source = 's0'").collect())
+    assert s0_new == sorted(by_src["s0"])
+
+
+def test_quantile_filter_by_per_group_thresholds(spark):
+    # each group gets its own threshold: a global one would keep no
+    # rows of the low-scoring group
+    from cs533_big_data_data_mining_spark.operators.quality import quantile_filter_by
+
+    rows = [(i, "hi", float(100 + i)) for i in range(10)] + [
+        (i + 10, "lo", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, s double")
+    kept = quantile_filter_by(df, "s", 0.3, "grp")
+    by_grp = {}
+    for r in kept.collect():
+        by_grp.setdefault(r["grp"], []).append(r["id"])
+    # 0.7-quantile of each group's 0..9 span = 6.3 -> ids 7,8,9 survive
+    assert sorted(by_grp["hi"]) == [7, 8, 9]
+    assert sorted(by_grp["lo"]) == [17, 18, 19]
+    # approx path keeps at least the exact survivors
+    approx = quantile_filter_by(df, "s", 0.3, "grp", exact=False)
+    got = {(r["grp"], r["id"]) for r in approx.collect()}
+    assert {("hi", 7), ("hi", 8), ("hi", 9), ("lo", 17), ("lo", 18), ("lo", 19)} <= got
+
+
 def test_remove_boilerplate_lines_semantics(spark):
     # header in 3 docs removed at max_doc_df=2; per-doc body kept in
     # ORDER; within-doc repeats count once toward doc frequency; null
