@@ -1550,16 +1550,25 @@ def _q_sketches_all(spark, sf_dir):
     # correctness record holds at most ~50 rows (r5 cut at exactly 50
     # of 54), so single-boolean checks share one row instead of
     # spending three
-    a = _q_sketch_distinct(spark, sf_dir).select(
+    # the three parts are independent (own temp dirs / sink names) —
+    # run them concurrently; Spark's scheduler interleaves the jobs
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as ex:
+        fa = ex.submit(_q_sketch_distinct, spark, sf_dir)
+        fb = ex.submit(_q_sketch_heavy_hitters, spark, sf_dir)
+        fc = ex.submit(_q_sketch_stream_merge, spark, sf_dir)
+        ra, rb, rc = fa.result(), fb.result(), fc.result()
+    a = ra.select(
         F.col("n_exact").alias("hll_n_exact"),
         F.col("within_bounds").alias("hll_within_bounds"),
     )
-    b = _q_sketch_heavy_hitters(spark, sf_dir).select(
+    b = rb.select(
         F.col("n_exact").alias("hh_n_exact"),
         F.col("superset_ok").alias("hh_superset_ok"),
         F.col("no_undercount").alias("hh_no_undercount"),
     )
-    c = _q_sketch_stream_merge(spark, sf_dir).select(
+    c = rc.select(
         F.col("n_exact").alias("sm_n_exact"),
         F.col("merged_equals_full").alias("sm_merged_equals_full"),
         F.col("no_undercount").alias("sm_no_undercount"),
@@ -1571,16 +1580,32 @@ def _q_stream_eq_all(spark, sf_dir):
     # composite of the three stream-vs-batch equivalence checks
     # (sessionize, ingest curation, exact dedup) — same row-budget
     # rationale as _q_sketches_all
-    a = _q_sessionize_stream_eq(spark, sf_dir).select(
+    # independent harnesses (own temp dirs / sink names) run
+    # concurrently. The parts' shuffle-partition set/restore is made
+    # race-free by pinning the conf around all three: each part then
+    # reads prev=8, sets 8, restores 8 — a fixed point.
+    from concurrent.futures import ThreadPoolExecutor
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with ThreadPoolExecutor(3) as ex:
+            fa = ex.submit(_q_sessionize_stream_eq, spark, sf_dir)
+            fb = ex.submit(_q_curate_stream_eq, spark, sf_dir)
+            fc = ex.submit(_q_dedup_stream_eq, spark, sf_dir)
+            ra, rb, rc = fa.result(), fb.result(), fc.result()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    a = ra.select(
         F.col("n_batch").alias("sess_n_batch"),
         F.col("subset_ok").alias("sess_subset_ok"),
         F.col("coverage_ok").alias("sess_coverage_ok"),
     )
-    b = _q_curate_stream_eq(spark, sf_dir).select(
+    b = rb.select(
         F.col("n_batch").alias("cur_n_batch"),
         F.col("stream_matches").alias("cur_stream_matches"),
     )
-    c = _q_dedup_stream_eq(spark, sf_dir).select(
+    c = rc.select(
         F.col("n_batch").alias("ded_n_batch"),
         F.col("stream_matches").alias("ded_stream_matches"),
     )
