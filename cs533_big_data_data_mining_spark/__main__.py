@@ -41,6 +41,19 @@ def _curate_main(argv: list[str]) -> int:
     ap.add_argument("--jaccard", type=float, default=0.8, help="near-dup threshold")
     ap.add_argument("--bench", default=None, help="benchmark parquet to decontaminate against")
     ap.add_argument("--decontam-ngram", type=int, default=5)
+    ap.add_argument(
+        "--max-line-df",
+        type=int,
+        default=None,
+        help="remove lines occurring in more than this many docs (CCNet-style "
+        "boilerplate stripping) before scoring/dedup",
+    )
+    ap.add_argument(
+        "--source-fracs",
+        default=None,
+        help="per-source keep fractions, e.g. 'web=0.5,forums=0.25' "
+        "(deterministic source mixing before curation)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -56,6 +69,27 @@ def _curate_main(argv: list[str]) -> int:
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    if args.source_fracs and "source" in docs.columns:
+        from cs533_big_data_data_mining_spark.operators.quality import sample_sources
+
+        fracs = {
+            k: float(v)
+            for k, v in (pair.split("=", 1) for pair in args.source_fracs.split(","))
+        }
+        keep = sample_sources(docs, "doc_id", "source", fracs).select(
+            F.col("id").alias("doc_id")
+        )
+        docs = docs.join(keep, "doc_id", "left_semi")
+    if args.max_line_df is not None:
+        from cs533_big_data_data_mining_spark.operators.quality import (
+            remove_boilerplate_lines,
+        )
+
+        cleaned = remove_boilerplate_lines(docs, "doc_id", "text", args.max_line_df)
+        docs = docs.drop("text").join(
+            cleaned.select(F.col("id").alias("doc_id"), F.col("clean").alias("text")),
+            "doc_id",
+        )
     if args.bench:
         bench = spark.read.parquet(args.bench)
         flags = decontaminate(docs, bench, "doc_id", "text", n=args.decontam_ngram)

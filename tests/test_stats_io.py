@@ -341,3 +341,30 @@ def test_cli_curate(spark, tmp_path):
     # 4 removed by decontamination, 2 by exact dedup (min-id keeper)
     assert ids == [1, 3]
     assert {"doc_id", "text", "lang_guess", "quality"} <= set(got.columns)
+
+
+def test_cli_curate_boilerplate_and_mixing(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "docs2.parquet")
+    out = str(tmp_path / "curated2.parquet")
+    body = [
+        "unique body text one about engines and big shuffles in the evening sky",
+        "different body text two about parquet scans and codegen in the morning",
+        "third body text entirely about watermarks and stateful stream sessions",
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"SHARED NAV HEADER\n{body[i - 1]}", f"s{i % 2}") for i in (1, 2, 3)],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(src)
+    rc = main([
+        "curate", "-i", src, "-o", out,
+        "--max-line-df", "2",          # header in 3 docs -> stripped
+        "--source-fracs", "nosuch=0.0",  # listed source absent: no-op
+    ])
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert got[i] == body[i - 1]   # header line gone, body intact
