@@ -303,6 +303,44 @@ def test_local_heavy_candidates_always_superset(spark, seed, n, n_keys, frac, pa
     assert true_hh <= cands, (true_hh - cands, frac, parts)
 
 
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(1, 40),
+    vocab=st.integers(1, 8),
+    max_df=st.integers(1, 10),
+)
+def test_remove_boilerplate_matches_bruteforce(spark, seed, n_docs, vocab, max_df):
+    """Operator output equals the per-doc brute-force recomputation
+    (count distinct docs per line, drop over-threshold lines, join in
+    order) for random corpora with heavy line overlap."""
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        remove_boilerplate_lines,
+    )
+
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        n_lines = int(rng.integers(1, 6))
+        docs.append((i, "\n".join(f"line{int(rng.integers(0, vocab))}" for _ in range(n_lines))))
+    from collections import defaultdict
+
+    doc_freq: dict[str, set] = defaultdict(set)
+    for i, text in docs:
+        for ln in text.split("\n"):
+            doc_freq[ln].add(i)
+    expect = {
+        i: "\n".join(ln for ln in text.split("\n") if len(doc_freq[ln]) <= max_df)
+        for i, text in docs
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: r["clean"]
+        for r in remove_boilerplate_lines(df, "doc_id", "text", max_df).collect()
+    }
+    assert got == expect
+
+
 def test_pack_validate_fires_on_divergence(spark):
     """The assert-don't-trust validator must RAISE when the offsets
     diverge from the totals job — proven by feeding it corrupted
