@@ -1099,6 +1099,19 @@ def _q_quantile_filter_by(spark, sf_dir):
     )
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 32, 24  # overlapping token windows
+
+
+def _q_chunk_documents(spark, sf_dir):
+    # embedding/RAG chunking: overlapping token windows as pure Column
+    # expressions (tokenize -> slice -> posexplode), zero Python
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_STRIDE)
+
+
 BOILER_MAX_DF = 50  # a line in > 50 docs is boilerplate
 
 
@@ -1633,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_route_eq": _q_lsh_route_eq,
         "boilerplate_lines": _q_boilerplate_lines,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "chunk_documents": _q_chunk_documents,
         "sketches_all": _q_sketches_all,
         "stream_eq_all": _q_stream_eq_all,
         # --- stable r5-green queries, code untouched ---
@@ -1643,7 +1657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ghost_rows": _q_ghost_rows,
         "neighbor_count": _q_neighbor_count,
         "core_points": _q_core_points,
-        "eps_join": _q_eps_join,
         "eps_join_2t": _q_eps_join_2t,
         "cluster_labels": _q_cluster_labels,
         "cluster_stats": _q_cluster_stats,
@@ -1679,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the ~50-row cap: stable greens whose coverage is
         # carried by CORRECTNESS_r05 + pytest + other recorded rows ---
         "agg_q1": _q_agg_q1,
+        "eps_join": _q_eps_join,  # op 8 also evidenced by recorded neighbor_count/eps_join_2t
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "window_topk": _q_window_topk,
         "rollup_revenue": _q_rollup_revenue,
@@ -2207,6 +2221,29 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             SELECT doc_id, d.lang AS lang, n_chars
             FROM documents d JOIN t USING (lang)
             WHERE n_chars >= thr
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                                 x -> x != '') AS toks
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) > 0
+                          THEN (greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                                + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+                          ELSE -1 END AS kmax
+              FROM t
+            )
+            SELECT doc_id AS id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                                       i * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                                              i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk
+            FROM k, LATERAL unnest(range(0, kmax + 1)) AS u(i)
+            WHERE kmax >= 0
         """,
         "boilerplate_lines": f"""
             WITH injected AS (

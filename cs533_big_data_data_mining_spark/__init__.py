@@ -37,7 +37,10 @@ from cs533_big_data_data_mining_spark.operators.joins import (
     write_bucketed,
 )
 from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
-from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+from cs533_big_data_data_mining_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
 from cs533_big_data_data_mining_spark.operators.sketches import (
     cms_build,
     cms_estimates,
@@ -111,6 +114,7 @@ __all__ = [
     "tf_idf",
     "asof_join",
     "pack_sequences",
+    "chunk_documents",
     "knn_classify",
     "label_centroids",
     "redact_pii",

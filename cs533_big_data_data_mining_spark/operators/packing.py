@@ -146,6 +146,57 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """``(id, chunk_idx, n_tokens, chunk)`` — overlapping token-window
+    chunks per document, the embedding/RAG preprocessing twin of
+    ``pack_sequences``. Window ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)``; the last window may be
+    shorter; ``stride`` defaults to ``chunk_tokens`` (no overlap).
+    Documents with null or empty text produce no chunks.
+
+    Pure Column expression (tokenize -> slice -> posexplode): zero
+    shuffle, zero Python — chunking composes into the scan stage at
+    any scale. Chunk count uses integer math
+    (``(n - chunk + stride - 1) div stride + 1``) so the boundary is
+    bit-identical on every engine.
+    """
+    from cs533_big_data_data_mining_spark.functions.text import tokenize
+
+    ck, sd = int(chunk_tokens), int(stride or chunk_tokens)
+    if ck <= 0 or sd <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    k = (
+        F.when(n > 0, (F.greatest(n - F.lit(ck), F.lit(0)) + F.lit(sd - 1)) / F.lit(sd))
+        .otherwise(F.lit(-1))
+        .cast("int")
+    )  # k = #chunks - 1 (the sequence's inclusive upper bound); -1 = none
+    windows = F.when(
+        k >= 0,
+        F.transform(
+            F.sequence(F.lit(0), k),
+            lambda i: F.slice(toks, i * F.lit(sd) + F.lit(1), F.lit(ck)),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (
+        df.select(F.col(id_col).alias("id"), windows.alias("__w"))
+        .select("id", F.posexplode("__w").alias("chunk_idx", "__t"))
+        .select(
+            "id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("__t").cast("long").alias("n_tokens"),
+            F.array_join("__t", " ").alias("chunk"),
+        )
+    )
+
+
 def _validate_offsets(
     out: DataFrame, bounds: list, expected_off: dict[int, int], totals: dict[int, int]
 ) -> None:

@@ -341,6 +341,45 @@ def test_remove_boilerplate_matches_bruteforce(spark, seed, n_docs, vocab, max_d
     assert got == expect
 
 
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_tokens=st.integers(0, 60),
+    chunk=st.integers(1, 12),
+    stride=st.integers(1, 12),
+)
+def test_chunk_documents_matches_bruteforce(spark, seed, n_tokens, chunk, stride):
+    """Chunk windows equal the brute-force token slicing for any
+    (chunk, stride) — full coverage, correct overlap, short tail."""
+    from cs533_big_data_data_mining_spark.operators.packing import chunk_documents
+
+    rng = np.random.default_rng(seed)
+    toks = [f"w{int(v)}" for v in rng.integers(0, 50, size=n_tokens)]
+    df = spark.createDataFrame([(0, " ".join(toks)), (1, None), (2, "")],
+                               "doc_id long, text string")
+    got = {
+        (r["id"], r["chunk_idx"]): (r["n_tokens"], r["chunk"])
+        for r in chunk_documents(df, "doc_id", "text", chunk, stride).collect()
+    }
+    assert not any(i in (1, 2) for i, _ in got)      # null/empty -> no chunks
+    if n_tokens == 0:
+        assert got == {}
+        return
+    n_chunks = (max(n_tokens - chunk, 0) + stride - 1) // stride + 1
+    expect = {}
+    for i in range(n_chunks):
+        window = toks[i * stride : i * stride + chunk]
+        expect[(0, i)] = (len(window), " ".join(window))
+    assert got == expect
+    # every token position covered by at least one window when
+    # stride <= chunk (the overlap regime)
+    if stride <= chunk:
+        covered = set()
+        for i in range(n_chunks):
+            covered.update(range(i * stride, min(i * stride + chunk, n_tokens)))
+        assert covered == set(range(n_tokens))
+
+
 def test_pack_validate_fires_on_divergence(spark):
     """The assert-don't-trust validator must RAISE when the offsets
     diverge from the totals job — proven by feeding it corrupted
