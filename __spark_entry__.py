@@ -1409,13 +1409,19 @@ DECON_BENCH_MOD = 37  # "benchmark" = every 37th doc (deterministic holdout)
 def _q_decontaminate(spark, sf_dir):
     # benchmark decontamination: drop corpus docs sharing verbatim
     # word 5-grams with a held-out benchmark set (here: a deterministic
-    # doc_id % 37 slice standing in for an eval suite)
+    # doc_id % 37 slice standing in for an eval suite). Runs the BLOOM
+    # route (distributed bit_or build -> map-side prefilter -> exact
+    # verify on the surviving sliver) — output is defined identical to
+    # the plain broadcast path, so the same oracle checks both designs
+    # (plain-vs-bloom equality is also pytest-pinned)
     _ensure_shipped(spark)
-    from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+    from cs533_big_data_data_mining_spark.operators.decontaminate import (
+        decontaminate_bloom,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    return decontaminate(docs, bench, "doc_id", "text", n=DECON_N, min_overlap=1)
+    return decontaminate_bloom(docs, bench, "doc_id", "text", n=DECON_N, min_overlap=1)
 
 
 def _q_repetition_stats(spark, sf_dir):

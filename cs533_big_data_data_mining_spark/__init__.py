@@ -21,7 +21,10 @@ from cs533_big_data_data_mining_spark.operators.curate import (
 )
 from cs533_big_data_data_mining_spark.operators.asof import asof_join
 from cs533_big_data_data_mining_spark.operators.dbscan import dbscan, dbscan_stats
-from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+from cs533_big_data_data_mining_spark.operators.decontaminate import (
+    decontaminate,
+    decontaminate_bloom,
+)
 from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
@@ -42,6 +45,7 @@ from cs533_big_data_data_mining_spark.operators.packing import (
     pack_sequences,
 )
 from cs533_big_data_data_mining_spark.operators.sketches import (
+    bloom_build,
     cms_build,
     cms_estimates,
     heavy_hitters,
@@ -119,6 +123,8 @@ __all__ = [
     "label_centroids",
     "redact_pii",
     "decontaminate",
+    "decontaminate_bloom",
+    "bloom_build",
     "repetition_stats",
     "balance_sources",
     "remove_boilerplate_lines",

@@ -48,6 +48,55 @@ def contamination_hits(
     return hits.groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 1,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom prefilter — EXACT same output
+    (``(id, n_hits, keep)``), different scale envelope: when the
+    benchmark's n-gram set is too large to broadcast as a hash set
+    (10^9 n-grams ~ 100 GB) but fits as bits (~1.5 GB at 1 % fpp),
+    the Bloom probe prunes ~all non-matching corpus shingles map-side
+    and only the surviving ~fpp sliver takes the exact membership
+    join (shuffle-sized by the CANDIDATES, not the corpus). No false
+    negatives by Bloom construction, no false positives in the output
+    because every Bloom hit is exactly verified.
+    """
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    bsh = benchmark_shingles(bench, text_col, n).cache()
+    n_bench = bsh.count()
+    base = docs.select(F.col(id_col).alias("id"))
+    if n_bench == 0:
+        bsh.unpersist()
+        return base.select(
+            "id", F.lit(0).cast("long").alias("n_hits"), F.lit(True).alias("keep")
+        )
+    bloom = bloom_build(bsh, "shingle", n_items=n_bench, fpp=fpp)
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    cand = doc_sh.filter(bloom.might_contain("shingle"))
+    # exact verify on the bloom-surviving sliver only (plain equi-join:
+    # AQE broadcasts it locally; at 10^9-n-gram scale it shuffles the
+    # candidates — which the bloom already shrank — never the corpus)
+    hits = cand.join(bsh, "shingle").groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+    out = base.join(hits, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) < F.lit(int(min_overlap))).alias("keep"),
+    )
+    out = out.cache()
+    out.count()
+    bsh.unpersist()
+    return out
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

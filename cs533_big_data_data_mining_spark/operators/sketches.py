@@ -16,6 +16,8 @@ counts.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,6 +67,85 @@ def cms_estimates(
         .groupBy("item")
         .agg(F.min("c").alias("est"))
     )
+
+
+class BloomFilter:
+    """Driver-held Bloom filter built DISTRIBUTEDLY (the bit array is
+    a word-indexed ``bit_or`` aggregate — never a driver-side loop
+    over items) with JVM-side hashing (``xxhash64(seed_i, value)``),
+    so probe positions computed as Columns are bit-compatible with
+    the build. No false negatives; false-positive rate ~``fpp``.
+
+    Scale sweet spot: a membership set too big to broadcast as a hash
+    set but small as bits (10^9 items: ~100 GB hash set vs ~1.5 GB
+    Bloom at 1% fpp). The words array ships to executors inside the
+    probe UDF's closure (one copy per worker, Arrow-batched checks).
+    """
+
+    def __init__(self, words, m: int, k: int):
+        self.words, self.m, self.k = words, int(m), int(k)
+
+    def positions(self, c: str | Column) -> Column:
+        """``array<long>`` of the k bit positions for a value —
+        evaluated JVM-side, identical to the build's hashing."""
+        col = F.col(c) if isinstance(c, str) else c
+        return F.array(*[F.pmod(F.xxhash64(F.lit(i), col), F.lit(self.m)) for i in range(self.k)])
+
+    def might_contain(self, c: str | Column) -> Column:
+        """Boolean probe Column: True for every member (guaranteed),
+        True for ~fpp of non-members."""
+        words = self.words.view(np.uint64)
+
+        @F.pandas_udf("boolean")
+        def _probe(pos: pd.Series) -> pd.Series:
+            if len(pos) == 0:
+                return pd.Series([], dtype=bool)
+            p = np.array(list(pos), dtype=np.int64)  # (n, k)
+            hit = (words[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1)
+            return pd.Series(hit.all(axis=1))
+
+        return _probe(self.positions(c))
+
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    import math
+
+    m = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / max(n_items, 1) * math.log(2)))
+    return m, k
+
+
+def bloom_build(
+    df: DataFrame, col: str | Column, n_items: int | None = None, fpp: float = 0.01
+) -> BloomFilter:
+    """Build a :class:`BloomFilter` over a column. One explode to the
+    k bit positions, one map-side-combinable ``bit_or`` aggregate
+    keyed by 64-bit word index (at most m/64 reduce rows), collected
+    into a numpy word array — the build never funnels item VALUES to
+    the driver, only set bits."""
+    import numpy as np
+
+    c = F.col(col) if isinstance(col, str) else col
+    n = n_items if n_items is not None else df.count()
+    m, k = _bloom_params(max(int(n), 1), float(fpp))
+    proto = BloomFilter(np.zeros(m // 64, dtype=np.int64), m, k)
+    words = (
+        df.select(F.explode(proto.positions(c)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            # pyspark's shiftleft() only takes a literal shift count;
+            # the SQL form accepts a column
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    arr = np.zeros(m // 64, dtype=np.int64)
+    for r in words:
+        arr[int(r["w"])] = r["bits"]
+    return BloomFilter(arr, m, k)
 
 
 def _local_heavy_candidates(df: DataFrame, c: Column, threshold_frac: float) -> DataFrame:

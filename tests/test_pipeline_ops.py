@@ -45,6 +45,47 @@ def test_decontaminate_empty_benchmark(spark):
     assert [(r["n_hits"], r["keep"]) for r in out] == [(0, True)]
 
 
+def test_decontaminate_bloom_exactly_equals_plain(spark):
+    # the Bloom-prefiltered path is output-identical (exact verify on
+    # the surviving sliver) — on a corpus large enough for FPs to
+    # occur in the prefilter yet never in the result
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.decontaminate import (
+        decontaminate_bloom,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{j}_"), (F.col("id") % 37).cast("string")) for j in range(12)],
+        ).alias("text"),
+    )
+    bench = docs.filter("doc_id % 37 = 0")
+    plain = decontaminate(docs, bench, "doc_id", "text", n=5).collect()
+    bloom = decontaminate_bloom(docs, bench, "doc_id", "text", n=5, fpp=0.2).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, bloom))
+    # empty benchmark: everything keeps
+    none = decontaminate_bloom(docs, bench.filter("doc_id < 0"), "doc_id", "text").collect()
+    assert all(r["keep"] and r["n_hits"] == 0 for r in none) and len(none) == 300
+
+
+def test_bloom_filter_guarantees(spark):
+    # membership: never a false negative; non-members: FP rate near
+    # the configured fpp (generous bound, deterministic hashing)
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    members = spark.range(2000).select(F.concat(F.lit("m"), F.col("id")).alias("v"))
+    bloom = bloom_build(members, "v", fpp=0.01)
+    assert members.filter(bloom.might_contain("v")).count() == 2000
+    others = spark.range(20_000).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    fp = others.filter(bloom.might_contain("v")).count()
+    assert fp / 20_000 < 0.05, fp
+
+
 # --------------------------------------------------- repetition_stats
 
 
