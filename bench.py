@@ -321,6 +321,43 @@ def main() -> None:
             errors["balance_scale1m"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# balance_scale1m: ERROR {errors['balance_scale1m']}", file=sys.stderr)
 
+        # Bloom decontamination at 500k docs vs a 13.5k-doc benchmark:
+        # every 37th doc IS the benchmark (planted contamination), so
+        # exactly those docs must flag — the bloom prefilter plus
+        # exact verify must lose nothing and add nothing.
+        from cs533_big_data_data_mining_spark.operators.decontaminate import (
+            decontaminate_bloom,
+        )
+
+        ndc = 500_000
+
+        def _dw(j):
+            return F.conv(
+                F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(99991)).cast("string"), 10, 36
+            )
+
+        docs_dc = spark.range(ndc).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(12)), _dw)).alias("text"),
+        )
+        bench_dc = docs_dc.filter(F.col("doc_id") % 37 == 0)
+        t0 = time.time()
+        try:
+            flags = decontaminate_bloom(docs_dc, bench_dc, "doc_id", "text", n=5)
+            n_flagged = flags.filter("NOT keep").count()
+            n_expected = docs_dc.filter(F.col("doc_id") % 37 == 0).count()
+            flags.unpersist()
+            assert n_flagged == n_expected, (n_flagged, n_expected)
+            timings["decontam_bloom_500k"] = round(time.time() - t0, 3)
+            print(
+                f"# decontam_bloom_500k: {timings['decontam_bloom_500k']}s "
+                f"({n_flagged} planted contaminations, all and only)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["decontam_bloom_500k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# decontam_bloom_500k: ERROR {errors['decontam_bloom_500k']}", file=sys.stderr)
+
         n = 3_000_000
         pts = spark.range(n).select(
             F.col("id"),
