@@ -113,10 +113,81 @@ def _curate_main(argv: list[str]) -> int:
     return 0
 
 
+def _chunk_main(argv: list[str]) -> int:
+    """``... chunk -i docs.parquet -o chunks.parquet --chunk-tokens N``
+    — overlapping token-window chunking (embedding/RAG prep)."""
+    ap = argparse.ArgumentParser(prog="cs533_big_data_data_mining_spark chunk")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--chunk-tokens", type=int, default=512)
+    ap.add_argument("--stride", type=int, default=None)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from cs533_big_data_data_mining_spark.operators.packing import chunk_documents
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_chunk_cli", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    out = chunk_documents(docs, args.id_col, args.text_col, args.chunk_tokens, args.stride)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"chunked into {n} windows ({time.time() - t0:.1f}s); wrote {args.output}")
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
+def _pack_main(argv: list[str]) -> int:
+    """``... pack -i docs.parquet -o plan.parquet -l 2048`` — the
+    sequence-packing shard plan (global token offsets + bins), with
+    the runtime offset invariants enforced."""
+    ap = argparse.ArgumentParser(prog="cs533_big_data_data_mining_spark pack")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-l", "--seq-len", type=int, default=2048)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_pack_cli", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    plan = pack_sequences(docs, args.id_col, args.seq_len, validate=True)
+    plan.write.mode("overwrite").parquet(args.output)
+    total = spark.read.parquet(args.output).agg(
+        {"n_tokens": "sum", "bin_end": "max"}
+    ).head()
+    print(
+        f"packed {total['sum(n_tokens)']} tokens into "
+        f"{(total['max(bin_end)'] or -1) + 1} bins of {args.seq_len} "
+        f"({time.time() - t0:.1f}s); wrote {args.output}"
+    )
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "curate":
         return _curate_main(argv[1:])
+    if argv and argv[0] == "chunk":
+        return _chunk_main(argv[1:])
+    if argv and argv[0] == "pack":
+        return _pack_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",

@@ -343,6 +343,31 @@ def test_cli_curate(spark, tmp_path):
     assert {"doc_id", "text", "lang_guess", "quality"} <= set(got.columns)
 
 
+def test_cli_chunk_and_pack(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "docs3.parquet")
+    chunks_out = str(tmp_path / "chunks.parquet")
+    plan_out = str(tmp_path / "plan.parquet")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(10))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    assert main(["chunk", "-i", src, "-o", chunks_out, "--chunk-tokens", "4", "--stride", "3"]) == 0
+    chunks = spark.read.parquet(chunks_out)
+    # 10 tokens, window 4, stride 3 -> starts 0/3/6, all full windows
+    assert chunks.count() == 5 * 3
+    assert chunks.filter("n_tokens != 4").count() == 0
+    assert main(["pack", "-i", src, "-o", plan_out, "-l", "8"]) == 0
+    plan = spark.read.parquet(plan_out)
+    rows = {r["id"]: r for r in plan.collect()}
+    per = rows[0]["n_tokens"]  # BPE-ish subword count, same text per doc
+    assert per > 0 and all(rows[i]["n_tokens"] == per for i in range(5))
+    assert [rows[i]["start_offset"] for i in range(5)] == [i * per for i in range(5)]
+    assert rows[4]["bin_end"] == (5 * per - 1) // 8
+
+
 def test_cli_curate_boilerplate_and_mixing(spark, tmp_path):
     from cs533_big_data_data_mining_spark.__main__ import main
 
