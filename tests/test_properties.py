@@ -380,6 +380,40 @@ def test_chunk_documents_matches_bruteforce(spark, seed, n_tokens, chunk, stride
         assert covered == set(range(n_tokens))
 
 
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 120),
+    n_groups=st.integers(1, 5),
+    keep=st.sampled_from([0.1, 0.3, 0.5, 0.9]),
+)
+def test_quantile_filter_by_matches_bruteforce(spark, seed, n, n_groups, keep):
+    """Per-group survivors equal the brute-force per-group
+    interpolated-percentile threshold for random data (ties at the
+    threshold all survive)."""
+    from cs533_big_data_data_mining_spark.operators.quality import quantile_filter_by
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, f"g{int(rng.integers(0, n_groups))}", float(rng.integers(0, 20)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, s double")
+    got = {(r["grp"], r["id"]) for r in quantile_filter_by(df, "s", keep, "grp").collect()}
+    expect = set()
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for i, g, s in rows:
+        by_grp[g].append((i, s))
+    for g, members in by_grp.items():
+        vals = sorted(s for _, s in members)
+        # numpy 'linear' interpolation == Spark percentile == DuckDB quantile_cont
+        thr = float(np.percentile(vals, (1 - keep) * 100, method="linear"))
+        expect |= {(g, i) for i, s in members if s >= thr}
+    assert got == expect
+
+
 def test_pack_validate_fires_on_divergence(spark):
     """The assert-don't-trust validator must RAISE when the offsets
     diverge from the totals job — proven by feeding it corrupted
