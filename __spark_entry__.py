@@ -1328,7 +1328,13 @@ def _q_sketch_stream_merge(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "sketch_stream_merge: stream did not drain in 120s — "
+                "acc holds a PARTIAL merge; failing loudly instead of "
+                "reporting a fake merged_equals_full=false"
+            )
         full = {
             (int(r["d"]), int(r["bucket"])): int(r["c"])
             for r in cms_build(ev, "event_type", CMS_STREAM_DEPTH, CMS_STREAM_WIDTH).collect()
@@ -2238,8 +2244,9 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             k AS (
               SELECT doc_id, toks,
                      CASE WHEN len(toks) > 0
-                          THEN (greatest(len(toks) - {CHUNK_TOKENS}, 0)
-                                + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+                          THEN least((greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                                      + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE},
+                                     (len(toks) - 1) // {CHUNK_STRIDE})
                           ELSE -1 END AS kmax
               FROM t
             )

@@ -69,7 +69,12 @@ def _curate_main(argv: list[str]) -> int:
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
-    if args.source_fracs and "source" in docs.columns:
+    if args.source_fracs:
+        if "source" not in docs.columns:
+            raise SystemExit(
+                "--source-fracs requires a 'source' column in the input "
+                f"(found: {docs.columns}) — refusing to silently skip mixing"
+            )
         from cs533_big_data_data_mining_spark.operators.quality import sample_sources
 
         fracs = {
@@ -170,9 +175,11 @@ def _pack_main(argv: list[str]) -> int:
     total = spark.read.parquet(args.output).agg(
         {"n_tokens": "sum", "bin_end": "max"}
     ).head()
+    max_bin = total["max(bin_end)"]
+    n_bins = 0 if max_bin is None else max_bin + 1  # `or` would eat a real bin 0
     print(
         f"packed {total['sum(n_tokens)']} tokens into "
-        f"{(total['max(bin_end)'] or -1) + 1} bins of {args.seq_len} "
+        f"{n_bins} bins of {args.seq_len} "
         f"({time.time() - t0:.1f}s); wrote {args.output}"
     )
     if not preexisting:

@@ -161,7 +161,11 @@ def dense_index(
     distinct = values.select(F.col(value_col).alias("_v")).distinct()
     nb = spark.sparkContext.defaultParallelism
     bounds = sorted(set(distinct.stat.approxQuantile("_v", [i / nb for i in range(1, nb)], 0.001))) if nb > 1 else []
-    withpid = distinct.withColumn("_pid", _range_bucket_expr("_v", bounds))
+    # null values get a NULL bucket EXPLICITLY: with empty bounds the
+    # bucket expression is the constant 0, which would otherwise hand
+    # nulls a dense id instead of tripping the contract check below
+    pid_expr = F.when(F.col("_v").isNotNull(), _range_bucket_expr("_v", bounds))
+    withpid = distinct.withColumn("_pid", pid_expr)
     size_rows = withpid.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     if any(r["_pid"] is None for r in size_rows):
         raise ValueError(

@@ -85,16 +85,20 @@ def decontaminate_bloom(
     # exact verify on the bloom-surviving sliver only (plain equi-join:
     # AQE broadcasts it locally; at 10^9-n-gram scale it shuffles the
     # candidates — which the bloom already shrank — never the corpus)
-    hits = cand.join(bsh, "shingle").groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
-    out = base.join(hits, "id", "left").select(
+    hits = (
+        cand.join(bsh, "shingle").groupBy("id").agg(F.count(F.lit(1)).alias("n_hits")).cache()
+    )
+    # materialize only the per-CONTAMINATED-doc aggregate (small by
+    # assumption) so the shingle cache can be released; the returned
+    # corpus-sized frame stays LAZY and pipelines into the caller's
+    # filter — never forced into executor storage here
+    hits.count()
+    bsh.unpersist()
+    return base.join(hits, "id", "left").select(
         "id",
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) < F.lit(int(min_overlap))).alias("keep"),
     )
-    out = out.cache()
-    out.count()
-    bsh.unpersist()
-    return out
 
 
 def decontaminate(

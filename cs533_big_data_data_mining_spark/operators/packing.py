@@ -173,11 +173,17 @@ def chunk_documents(
         raise ValueError("chunk_tokens and stride must be positive")
     toks = tokenize(text_col)
     n = F.size(toks)
-    k = (
-        F.when(n > 0, (F.greatest(n - F.lit(ck), F.lit(0)) + F.lit(sd - 1)) / F.lit(sd))
-        .otherwise(F.lit(-1))
-        .cast("int")
-    )  # k = #chunks - 1 (the sequence's inclusive upper bound); -1 = none
+    # k = #chunks - 1 (inclusive sequence bound); -1 = none. The
+    # coverage bound ceil((n-ck)/sd) alone can start a window AT/past
+    # the end when stride > chunk (an empty junk chunk) — cap it at
+    # floor((n-1)/sd), the last non-empty start.
+    k = F.when(
+        n > 0,
+        F.least(
+            ((F.greatest(n - F.lit(ck), F.lit(0)) + F.lit(sd - 1)) / F.lit(sd)).cast("int"),
+            ((n - F.lit(1)) / F.lit(sd)).cast("int"),
+        ),
+    ).otherwise(F.lit(-1)).cast("int")
     windows = F.when(
         k >= 0,
         F.transform(

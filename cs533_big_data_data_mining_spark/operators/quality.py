@@ -124,8 +124,13 @@ def quantile_filter(
 def _uniform_unit(id_col: str) -> F.Column:
     """Deterministic, cross-engine-reproducible pseudo-uniform value
     in [0, 1) from the id: poly31 fingerprint of the id string +
-    Knuth multiplicative scatter (see ``assign_split`` for why the
-    scatter is needed and why the product fits BIGINT everywhere)."""
+    Knuth multiplicative scatter. The raw polynomial hash of a SHORT
+    id string is numerically small (not uniform); one integer
+    multiply + mod spreads it over the full range while staying
+    exactly reproducible in ANSI SQL (fp < 2^31, so the product fits
+    BIGINT on every engine). Shared by ``assign_split`` and
+    ``sample_sources`` — keep it the single definition so their
+    DuckDB oracle spellings can't de-sync."""
     from cs533_big_data_data_mining_spark.functions.text import (
         FINGERPRINT_MOD,
         fingerprint,
@@ -199,10 +204,22 @@ def quantile_filter_by(
         else F.percentile_approx(F.col(score_col), F.lit(p), F.lit(int(1.0 / approx_error)))
     )
     thresholds = df.groupBy(*groups).agg(thr.alias("__thr"))
+    # null-safe join keys: a NULL group is a group too (groupBy
+    # produced its threshold row) — a plain equi-join would silently
+    # drop the whole null-group slice
+    t = F.broadcast(
+        thresholds.select(
+            *[F.col(g).alias(f"__g_{g}") for g in groups], "__thr"
+        )
+    )
+    cond = None
+    for g in groups:
+        eq = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = eq if cond is None else cond & eq
     return (
-        df.join(F.broadcast(thresholds), groups)
+        df.join(t, cond)
         .filter(F.col(score_col) >= F.col("__thr"))
-        .drop("__thr")
+        .drop("__thr", *[f"__g_{g}" for g in groups])
     )
 
 
@@ -227,21 +244,20 @@ def assign_split(
 
     Pure Column expression — zero shuffle, composes into any scan.
     """
-    from cs533_big_data_data_mining_spark.functions.text import (
-        FINGERPRINT_MOD,
-        fingerprint,
-    )
+    from cs533_big_data_data_mining_spark.functions.text import FINGERPRINT_MOD
 
     w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = float(sum(w.values()))
-    pri = priority if priority is not None else fingerprint(f"CAST({id_col} AS STRING)")
-    # Knuth multiplicative scatter: the raw polynomial hash of a SHORT
-    # id string is numerically small (not uniform); one integer
-    # multiply + mod spreads it over the full range while staying
-    # exactly reproducible in ANSI SQL (fp < 2^31 so the product fits
-    # BIGINT on every engine)
-    scattered = F.pmod(pri.cast("long") * F.lit(2654435761) + F.lit(12345), F.lit(FINGERPRINT_MOD))
-    u = scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
+    if priority is None:
+        # ONE definition of the cross-engine scatter (shared with
+        # sample_sources) — two copies would eventually de-sync the
+        # oracle spelling
+        u = _uniform_unit(id_col)
+    else:
+        scattered = F.pmod(
+            priority.cast("long") * F.lit(2654435761) + F.lit(12345), F.lit(FINGERPRINT_MOD)
+        )
+        u = scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
     expr = None
     acc = 0.0
     names = list(w)

@@ -148,17 +148,18 @@ def bloom_build(
     return BloomFilter(arr, m, k)
 
 
-def _local_heavy_candidates(df: DataFrame, c: Column, threshold_frac: float) -> DataFrame:
-    """Distinct ``__item`` values whose LOCAL frequency reaches
-    ``threshold_frac`` in at least one partition — a guaranteed
-    superset of the global heavy hitters (if every partition had
-    local share < f, the weighted average — the global share — would
-    be < f too), emitting at most ``1/threshold_frac`` items per
-    partition with zero full-cardinality shuffle. Arrow-batched
-    counting; the iterator spans the whole partition, so the local
-    counts are exact per partition."""
-    import pandas as pd
-
+def _local_heavy_candidates(df: DataFrame, c: Column, thr: int, total: int) -> DataFrame:
+    """Distinct ``__item`` values whose LOCAL count ``k`` in some
+    partition of ``n`` rows satisfies ``k * total >= thr * n`` — a
+    guaranteed superset of every item with global count >= ``thr``
+    (weighted-average argument: ``sum k_p = c >= thr`` over
+    ``sum n_p = total`` forces ``k_p/n_p >= thr/total`` somewhere),
+    emitting at most ``total/thr`` items per partition with zero
+    full-cardinality shuffle. The comparison cross-multiplies in
+    Python ints — exact at any magnitude, so the truncated global
+    threshold (``int(total*frac)``) can't slip through a float
+    boundary. Arrow-batched counting; the iterator spans the whole
+    partition, so the local counts are exact per partition."""
     src = df.select(c.alias("__item"))
     item_type = src.schema["__item"].dataType.simpleString()
 
@@ -170,8 +171,7 @@ def _local_heavy_candidates(df: DataFrame, c: Column, threshold_frac: float) -> 
             for v, k in pdf["__item"].value_counts(dropna=False).items():
                 counts[v] = counts.get(v, 0) + int(k)
         if n:
-            lim = threshold_frac * n
-            keep = [v for v, k in counts.items() if k >= lim]
+            keep = [v for v, k in counts.items() if k * total >= thr * n]
             yield pd.DataFrame({"__item": pd.Series(keep, dtype=object)})
 
     return src.mapInPandas(local_counts, f"__item {item_type}").distinct()
@@ -199,20 +199,21 @@ def heavy_hitters(
     Scale shape: sketch build = one combinable groupBy to depth*width
     rows. Candidates come from PER-PARTITION local frequency (round-5
     verdict #4 — a global ``distinct()`` would shuffle the same key
-    cardinality the sketch exists to avoid): an item with global
-    frequency >= f must have local frequency >= f in at least one
-    partition (weighted-average argument), so each partition emits its
-    items with local share >= ``threshold_frac`` — at most
-    ``1/threshold_frac`` per partition, no shuffle, no dependence on
-    the partition count — and only that tiny candidate set meets the
-    broadcast sketch. (For streams, the same ``cms_build`` aggregate
-    works incrementally: sketches add.)
+    cardinality the sketch exists to avoid): an item with global count
+    >= thr must have local count ``k`` with ``k*total >= thr*n`` in at
+    least one partition (weighted-average argument, cross-multiplied
+    in exact integers so the truncated ``thr = int(total*frac)``
+    boundary can't slip through float rounding) — at most
+    ``total/thr`` candidates per partition, no shuffle, no dependence
+    on the partition count — and only that tiny candidate set meets
+    the broadcast sketch. (For streams, the same ``cms_build``
+    aggregate works incrementally: sketches add.)
     """
     c = F.col(col) if isinstance(col, str) else col
     total = df.count()
     thr = int(total * float(threshold_frac))
     sketch = cms_build(df, c, depth, width)
-    items = _local_heavy_candidates(df, c, float(threshold_frac))
+    items = _local_heavy_candidates(df, c, thr, total)
     cands = (
         cms_estimates(items, "__item", sketch, depth, width)
         .filter(F.col("est") >= F.lit(thr))

@@ -206,7 +206,42 @@ def test_quantile_filter_by_per_group_thresholds(spark):
     assert {("hi", 7), ("hi", 8), ("hi", 9), ("lo", 17), ("lo", 18), ("lo", 19)} <= got
 
 
-def test_remove_boilerplate_lines_semantics(spark):
+def test_quantile_filter_by_null_group_survives(spark):
+    # a NULL group is a group: its own threshold applies; the
+    # null-group slice must not vanish through the join
+    from cs533_big_data_data_mining_spark.operators.quality import quantile_filter_by
+
+    rows = [(i, None, float(i)) for i in range(10)] + [(i + 10, "g", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, grp string, s double")
+    kept = quantile_filter_by(df, "s", 0.3, "grp").collect()
+    by_grp = {}
+    for r in kept:
+        by_grp.setdefault(r["grp"], []).append(r["id"])
+    assert sorted(by_grp[None]) == [7, 8, 9]
+    assert sorted(by_grp["g"]) == [17, 18, 19]
+
+
+def test_heavy_hitters_truncated_threshold_boundary(spark):
+    # an item whose count equals int(total*frac) but is spread so its
+    # local share never reaches frac exactly: the integer cross-
+    # multiplied candidate rule must still surface it (the float-
+    # boundary regression the round-6 review caught)
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import heavy_hitters
+
+    # total=1000, frac=0.02 -> thr=int(20.000000000000004)=20; "edge"
+    # appears exactly 20 times spread over the corpus. The exact-
+    # integer rule (k*total >= thr*n) holds under ANY partitioning
+    # when global count == thr; the old float rule (k >= 0.02*n) lost
+    # it to 5.000000000000001 > 5.
+    rows = []
+    for p in range(4):
+        rows += [("edge",)] * 5 + [(f"filler_{p}_{i}",) for i in range(245)]
+    for parts in (1, 4, 7):
+        df = spark.createDataFrame(rows, "v string").repartition(parts)
+        hh = {r["item"] for r in heavy_hitters(df, "v", 0.02, depth=4, width=4096).collect()}
+        assert "edge" in hh, parts
     # header in 3 docs removed at max_doc_df=2; per-doc body kept in
     # ORDER; within-doc repeats count once toward doc frequency; null
     # text stays null; all-boilerplate doc becomes empty string
@@ -571,9 +606,11 @@ def test_local_heavy_candidates_superset_and_bounded(spark):
 
     rows = [("hot",)] * 400 + [("warm",)] * 150 + [(f"cold{i}",) for i in range(450)]
     df = spark.createDataFrame(rows, "v string").repartition(7)
-    cands = {r["__item"] for r in _local_heavy_candidates(df, F.col("v"), 0.1).collect()}
+    cands = {
+        r["__item"] for r in _local_heavy_candidates(df, F.col("v"), 100, 1000).collect()
+    }
     assert {"hot", "warm"} <= cands           # true hitters (40%, 15%)
-    assert len(cands) <= 7 * 10               # <= partitions / frac
+    assert len(cands) <= 7 * 10               # <= partitions * total/thr
     hh = {r["item"] for r in heavy_hitters(df, "v", 0.1, depth=4, width=1024).collect()}
     assert {"hot", "warm"} <= hh
     assert not any(k.startswith("cold") for k in hh)

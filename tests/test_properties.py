@@ -295,11 +295,13 @@ def test_local_heavy_candidates_always_superset(spark, seed, n, n_keys, frac, pa
     # zipf-ish skew so true hitters exist often
     vals = [f"k{int(v)}" for v in rng.zipf(1.5, size=n) % n_keys]
     df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(parts)
-    thr = frac * n
+    thr = int(n * frac)  # heavy_hitters' truncated threshold
     from collections import Counter
 
     true_hh = {k for k, c in Counter(vals).items() if c >= thr}
-    cands = {r["__item"] for r in _local_heavy_candidates(df, F.col("v"), frac).collect()}
+    cands = {
+        r["__item"] for r in _local_heavy_candidates(df, F.col("v"), thr, n).collect()
+    }
     assert true_hh <= cands, (true_hh - cands, frac, parts)
 
 
@@ -365,12 +367,19 @@ def test_chunk_documents_matches_bruteforce(spark, seed, n_tokens, chunk, stride
     if n_tokens == 0:
         assert got == {}
         return
-    n_chunks = (max(n_tokens - chunk, 0) + stride - 1) // stride + 1
+    n_chunks = (
+        min(
+            (max(n_tokens - chunk, 0) + stride - 1) // stride,
+            (n_tokens - 1) // stride,
+        )
+        + 1
+    )
     expect = {}
     for i in range(n_chunks):
         window = toks[i * stride : i * stride + chunk]
         expect[(0, i)] = (len(window), " ".join(window))
     assert got == expect
+    assert all(n > 0 for n, _ in got.values())      # never an empty chunk
     # every token position covered by at least one window when
     # stride <= chunk (the overlap regime)
     if stride <= chunk:
