@@ -1249,6 +1249,32 @@ def _q_lsh_route_eq(spark, sf_dir):
     return lsh_neardup_pairs(planted, LSH_EQ_T)
 
 
+SEM_EQ_C = 8  # clusters for the semdedup route-equivalence query
+
+
+def _q_semdedup_eq(spark, sf_dir):
+    # SemDeDup (cluster-then-dedup-within) route equivalence, same
+    # planted-duplicate construction as lsh_route_eq: identical
+    # vectors always co-cluster (same argmax, deterministic ties), so
+    # at threshold ~1 every true pair is intra-cluster, recall is 1
+    # by construction, and the min-id survivor set equals the
+    # brute-force transitive-closure SQL twin row for row.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    planted = emb.union(
+        emb.filter(F.col("vec_id") < LSH_PLANT_N).select(
+            (F.col("vec_id") + F.lit(10_000)).alias("vec_id"), "embedding"
+        )
+    )
+    return semdedup(planted, LSH_EQ_T, SEM_EQ_C, iters=1).select(
+        F.col("id").cast("long").alias("id")
+    )
+
+
 CMS_FRAC = 0.02
 
 
@@ -1650,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05 + pytest already pin.
     return {
         # --- never-recorded / changed this round (must-record) ---
+        "semdedup_eq": _q_semdedup_eq,
         "pack_sequences": _q_pack_sequences,
         "balance_sources": _q_balance_sources,
         "salted_join_eq": _q_salted_join_eq,
@@ -2291,6 +2318,33 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # planted identical vectors collide in every LSH band (recall
         # exactly 1) and the verify step is exact cosine (precision
         # 1), so the LSH route equals brute force at threshold ~1
+        "semdedup_eq": f"""
+            WITH RECURSIVE
+            aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < {LSH_PLANT_N}
+            ),
+            emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM aug),
+            jp AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+              WHERE round({_dot_sql('a.v', 'b.v')}
+                          / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6)
+                    >= {LSH_EQ_T}
+            ),
+            e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            mins AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u)
+            SELECT CAST(emb.vec_id AS BIGINT) AS id
+            FROM emb LEFT JOIN mins m ON emb.vec_id = m.id
+            WHERE m.id IS NULL OR m.mn >= emb.vec_id
+        """,
         "lsh_route_eq": f"""
             WITH aug AS (
               SELECT vec_id, embedding FROM embeddings

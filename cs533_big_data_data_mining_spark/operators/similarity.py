@@ -219,6 +219,17 @@ def embedding_neardup_pairs(
         F.col("blk") <= F.col("yblk"),
     ).repartition(max(m * (m + 1) // 2, 1))
 
+    return _block_gram_pairs(pairs, threshold)
+
+
+def _block_gram_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Shared BLAS block-pair kernel: ``pairs`` rows hold two packed
+    blocks (``blk, ids, vecs, yblk, yids, yvecs``); emits every
+    cross-block id pair (a < b) with exact cosine >= threshold.
+    Same-block rows (``blk == yblk``) dedup ordered pairs via a < b."""
+    import numpy as np
+    import pandas as pd
+
     thr = float(threshold)
 
     def _ltr_sq_norm(X):
@@ -556,3 +567,127 @@ def lsh_neardup_pairs(
             )
 
     return paired.mapInPandas(score, "a long, b long, cosine double")
+
+
+def semdedup_pairs(
+    assignments: DataFrame,
+    threshold: float,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Within-cluster near-dup pairs ``(a, b, cosine)`` over IVF
+    ``assignments`` (``id, vec, cid`` from :func:`ivf_index`) — the
+    pair-generation stage of SemDeDup (Abbas et al., 2023,
+    arXiv:2303.09540): only pairs sharing a cluster are examined, so
+    the gram cost drops from one global N x N to C cluster-local
+    grams while cross-cluster near-dups are (by design) never tested.
+
+    Scale shape: per-cluster block count ``m_c = ceil(n_c /
+    block_rows)`` comes from one tiny groupBy (C rows collected,
+    broadcast back), so a skewed mega-cluster fans out over
+    ``m_c*(m_c+1)/2`` block-pair tasks instead of one — task memory is
+    bounded by ``block_rows`` regardless of cluster size, the same
+    guarantee :func:`embedding_neardup_pairs` gives globally.
+    """
+    sizes = assignments.groupBy("cid").count().collect()
+    mmap = [(int(r["cid"]), max(1, -(-int(r["count"]) // block_rows))) for r in sizes]
+    spark = assignments.sparkSession
+    if not mmap:
+        return spark.createDataFrame([], "a long, b long, cosine double")
+    m_df = F.broadcast(spark.createDataFrame(mmap, "cid int, _m int"))
+    packed = (
+        assignments.join(m_df, "cid")
+        .withColumn("blk", F.pmod(F.xxhash64("id"), F.col("_m")).cast("int"))
+        .groupBy("cid", "blk")
+        .agg(F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs"))
+    )
+    n_pairs = sum(m * (m + 1) // 2 for _, m in mmap)
+    pairs = packed.join(
+        packed.select(
+            "cid",
+            F.col("blk").alias("yblk"),
+            F.col("ids").alias("yids"),
+            F.col("vecs").alias("yvecs"),
+        ),
+        ["cid"],
+    ).filter(F.col("blk") <= F.col("yblk")).repartition(max(n_pairs, 1))
+    return _block_gram_pairs(pairs, threshold)
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    seed: int = 42,
+    block_rows: int = 4096,
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, find cosine
+    near-dup pairs WITHIN each cluster only, group them transitively,
+    keep one survivor per group. Returns surviving ``(id)`` rows.
+
+    The clustering is the scale lever: the global all-pairs gram is
+    replaced by C cluster-local ones (~N^2/C total work for balanced
+    clusters), at the documented cost that a near-dup pair straddling
+    a cluster boundary is never examined — identical vectors always
+    co-cluster (same argmax, ties to the lowest cid), so exact
+    duplicates are found with recall 1 regardless of C.
+
+    ``keep`` selects the survivor per duplicate group:
+
+    * ``"min_id"`` — deterministic minimum id (matches
+      :func:`~..curate.curate_embeddings` semantics; oracle-friendly).
+    * ``"far_from_centroid"`` — the paper's policy: keep the member
+      LEAST similar to its cluster centroid (retains the most atypical
+      exemplar; ties break to the lowest id). Deterministic given the
+      fitted centroids. Groups are cluster-local, so every group has
+      one well-defined centroid.
+
+    Composition: :func:`ivf_index` -> :func:`semdedup_pairs` ->
+    connected components -> survivor anti-join. The pair frame is
+    materialized once for CC's gate (cache released before return);
+    the final anti-join stays lazy.
+    """
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}")
+    from cs533_big_data_data_mining_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    cent, assignments = ivf_index(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters, seed=seed
+    )
+    assignments = assignments.cache()
+    pairs = semdedup_pairs(assignments, threshold, block_rows=block_rows)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).cache()
+    comp = connected_components(edges, edge_count_hint=edges.count())
+    if keep == "min_id":
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("id")
+        )
+    else:
+        # similarity of each grouped member to its cluster centroid:
+        # members are few (only nodes in some duplicate group), so the
+        # join back to assignments is duplicate-group-sized
+        member = comp.select(F.col("node").alias("id"), "component").join(
+            assignments.select("id", "vec", "cid"), "id"
+        )
+        v = as_double_array("vec")
+        c = as_double_array("cvec")
+        cos = (dot(v, c) / (norm2(v) * norm2(c))).alias("ccos")
+        scored = member.join(F.broadcast(cent), "cid").select("id", "component", cos)
+        w = Window.partitionBy("component").orderBy(F.col("ccos").asc(), F.col("id").asc())
+        losers = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select("id")
+        )
+    survivors = corpus.select(F.col(id_col).alias("id")).join(losers, "id", "left_anti")
+    survivors = survivors.persist()
+    survivors.count()
+    edges.unpersist()
+    assignments.unpersist()
+    return survivors

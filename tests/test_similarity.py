@@ -116,3 +116,70 @@ def test_lsh_neardup_matches_exact(spark):
     assert got <= exact            # exact verification => precision 1.0
     assert len(exact) > 0
     assert len(got) >= 0.9 * len(exact)
+
+
+def test_semdedup_planted_dups(spark):
+    """SemDeDup removes planted exact dups with recall 1 (identical
+    vectors co-cluster), keeps all distinct vectors, and the result is
+    invariant to block_rows (multi-block clusters) and, for exact-dup
+    groups, consistent in COUNT across keep policies."""
+    import random
+
+    from cs533_big_data_data_mining_spark.operators.similarity import semdedup
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    for i in range(6):
+        rows.append((100 + i, rows[i][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    surv = semdedup(df, 0.9999, 4, iters=1)
+    ids = sorted(r.id for r in surv.collect())
+    assert ids == list(range(60)), ids
+
+    # multi-block path (block_rows=8 forces >1 block per cluster)
+    surv_b = semdedup(df, 0.9999, 3, iters=1, block_rows=8)
+    assert sorted(r.id for r in surv_b.collect()) == ids
+
+    # the paper's keep policy: one survivor per group, either member
+    surv_f = semdedup(df, 0.9999, 4, iters=1, keep="far_from_centroid")
+    ids_f = sorted(r.id for r in surv_f.collect())
+    assert len(ids_f) == len(ids)
+    for i in range(6):
+        assert (i in ids_f) != (100 + i in ids_f)  # exactly one of the pair
+
+
+def test_semdedup_cross_cluster_miss_is_the_contract(spark):
+    """With C=1 (single cluster) semdedup equals exact transitive-
+    closure dedup; with well-separated groups and near-dups INSIDE
+    the groups the clustered route finds the same pairs — the
+    approximation only drops pairs straddling a boundary."""
+    from cs533_big_data_data_mining_spark.operators.curate import curate_embeddings
+    from cs533_big_data_data_mining_spark.operators.similarity import semdedup
+
+    rows = []
+    for i in range(20):
+        base = [5.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 5.0, 0.0]
+        rows.append((i, [b + 0.5 * ((i * 3 + j) % 3) for j, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = sorted(
+        r.id for r in curate_embeddings(df, threshold=0.95, max_block_pairs=None).collect()
+    )
+    one_cluster = sorted(r.id for r in semdedup(df, 0.95, 1, iters=1).collect())
+    assert one_cluster == exact
+
+    two_clusters = sorted(r.id for r in semdedup(df, 0.95, 2, iters=2).collect())
+    # clustered survivors are a SUPERSET of exact survivors (missing a
+    # cross-cluster pair can only ADD survivors, never remove one)
+    assert set(exact) <= set(two_clusters)
+
+
+def test_semdedup_bad_keep_raises(spark):
+    import pytest
+
+    from cs533_big_data_data_mining_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        semdedup(df, 0.9, 1, keep="random")
