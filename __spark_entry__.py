@@ -1249,6 +1249,22 @@ def _q_lsh_route_eq(spark, sf_dir):
     return lsh_neardup_pairs(planted, LSH_EQ_T)
 
 
+SPAN_K = 5  # k-gram width for duplicated-span detection
+
+
+def _q_span_dup_stats(spark, sf_dir):
+    # Exact-substring duplication signal (Lee et al. 2022 shape):
+    # positional k-gram inverted index -> duplicated-gram semi-join ->
+    # gaps-and-islands span merge -> per-doc duplicated-token
+    # fraction. One row per document; oracle replays the same
+    # positional-gram + window logic in SQL.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import span_dup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_dup_stats(docs, k=SPAN_K)
+
+
 SEM_EQ_C = 8  # clusters for the semdedup route-equivalence query
 
 
@@ -1676,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05 + pytest already pin.
     return {
         # --- never-recorded / changed this round (must-record) ---
+        "span_dup_stats": _q_span_dup_stats,
         "semdedup_eq": _q_semdedup_eq,
         "pack_sequences": _q_pack_sequences,
         "balance_sources": _q_balance_sources,
@@ -2318,6 +2335,40 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # planted identical vectors collide in every LSH band (recall
         # exactly 1) and the verify step is exact cosine (precision
         # 1), so the LSH route equals brute force at threshold ~1
+        "span_dup_stats": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(list_slice(toks, i, i + {SPAN_K - 1}), ' ') AS gram
+              FROM t, LATERAL unnest(range(1, len(toks) - {SPAN_K - 2})) AS u(i)
+              WHERE len(toks) >= {SPAN_K}
+            ),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            f AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN d ON g.gram = d.gram),
+            brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                               > {SPAN_K} THEN 1 ELSE 0 END AS b
+              FROM f
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+              FROM brk
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K} AS e
+              FROM isl GROUP BY doc_id, isl
+            ),
+            per AS (SELECT doc_id, sum(e - s) AS dup FROM spans GROUP BY doc_id)
+            SELECT t.doc_id AS id,
+                   CAST(COALESCE(per.dup, 0) AS BIGINT) AS dup_tokens,
+                   CAST(len(t.toks) AS BIGINT) AS total_tokens,
+                   CAST(round(COALESCE(per.dup, 0)
+                              / greatest(len(t.toks), 1), 6) AS DOUBLE) AS dup_frac
+            FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+        """,
         "semdedup_eq": f"""
             WITH RECURSIVE
             aug AS (

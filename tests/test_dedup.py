@@ -423,3 +423,104 @@ def test_cms_heavy_hitters_verified_exact(spark):
     df = spark.createDataFrame(rows, "v string")
     hh = {r["item"]: r["est"] for r in heavy_hitters(df, "v", 0.25, depth=2, width=2, verify=True).collect()}
     assert hh == {"a": 50, "b": 30}
+
+
+def test_duplicated_spans_known(spark):
+    """Hand-checked span merging: exact-dup docs flag everything,
+    cross-doc common phrases flag their window, isolated repeats of
+    fewer than k tokens flag nothing."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        duplicated_spans,
+        span_dup_stats,
+    )
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x x q w e r t y u COMMON ONE TWO THREE extra tail here"),
+        (3, "prefix junk COMMON ONE TWO THREE more unique stuff here now"),
+        (4, "a b c d e f g h i j"),
+        (5, "self self self self self self self self"),
+        (6, "short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, k=3).collect()
+    }
+    assert got == {
+        (1, 0, 10, 10),
+        (2, 10, 14, 4),   # COMMON ONE TWO THREE
+        (3, 2, 6, 4),
+        (4, 0, 10, 10),
+        (5, 0, 8, 8),     # self-repetition is duplication too
+    }
+    stats = {r.id: (r.dup_tokens, r.total_tokens, r.dup_frac) for r in span_dup_stats(df, k=3).collect()}
+    assert stats[1] == (10, 10, 1.0)
+    assert stats[6] == (0, 1, 0.0)
+    assert stats[2] == (4, 17, round(4 / 17, 6))
+
+    # hash_grams route: identical on collision-free input
+    got_h = {
+        (r.id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, k=3, hash_grams=True).collect()
+    }
+    assert got_h == got
+
+
+def test_duplicated_spans_brute_force(spark):
+    """Property: matches a pure-Python reimplementation on random
+    corpora with planted shared phrases."""
+    import random
+
+    from cs533_big_data_data_mining_spark.operators.dedup import duplicated_spans
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    phrase = ["P1", "P2", "P3", "P4", "P5", "P6"]
+    docs = []
+    for i in range(25):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 18))]
+        if i % 3 == 0:  # plant the shared phrase at a random position
+            p = rng.randint(0, len(toks))
+            toks = toks[:p] + phrase + toks[p:]
+        docs.append((i, " ".join(toks)))
+    k = 4
+
+    # brute force
+    from collections import Counter
+
+    grams = Counter()
+    pos_grams = {}
+    for i, text in docs:
+        toks = text.split()
+        pg = [(p, " ".join(toks[p : p + k])) for p in range(len(toks) - k + 1)]
+        pos_grams[i] = pg
+        grams.update(g for _, g in pg)
+    expect = set()
+    for i, _ in docs:
+        flagged = sorted(p for p, g in pos_grams[i] if grams[g] >= 2)
+        run = []
+        for p in flagged:
+            if run and p - run[-1] > k:
+                expect.add((i, run[0], run[-1] + k, run[-1] + k - run[0]))
+                run = []
+            run.append(p)
+        if run:
+            expect.add((i, run[0], run[-1] + k, run[-1] + k - run[0]))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, k=k).collect()
+    }
+    assert got == expect
+
+
+def test_duplicated_spans_k_validation(spark):
+    import pytest
+
+    from cs533_big_data_data_mining_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        duplicated_spans(df, k=0)
