@@ -1249,6 +1249,18 @@ def _q_lsh_route_eq(spark, sf_dir):
     return lsh_neardup_pairs(planted, LSH_EQ_T)
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    # Bigram-LM self-perplexity quality score (CCNet-style filter):
+    # smoothed bigram model fit on the corpus itself, every document
+    # scored; DECIMAL term sums make the result partition-invariant
+    # so the SQL replay matches bit-for-bit.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_perplexity(docs)
+
+
 SPAN_K = 5  # k-gram width for duplicated-span detection
 
 
@@ -1692,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05 + pytest already pin.
     return {
         # --- never-recorded / changed this round (must-record) ---
+        "lm_perplexity": _q_lm_perplexity,
         "span_dup_stats": _q_span_dup_stats,
         "semdedup_eq": _q_semdedup_eq,
         "pack_sequences": _q_pack_sequences,
@@ -2335,6 +2348,42 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # planted identical vectors collide in every LSH band (recall
         # exactly 1) and the verify step is exact cosine (precision
         # 1), so the LSH route equals brute force at threshold ~1
+        "lm_perplexity": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            u AS (SELECT w, count(*) AS cu
+                  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+            nv AS (SELECT CAST(COALESCE(sum(cu), 0) AS BIGINT) AS n,
+                          count(*) + 1 AS v FROM u),
+            b AS (SELECT w1, w2, count(*) AS cb FROM (
+                    SELECT toks[i] AS w1, toks[i+1] AS w2
+                    FROM t, LATERAL unnest(range(1, len(toks))) AS r(i)
+                    WHERE len(toks) >= 2) GROUP BY w1, w2),
+            pos AS (SELECT doc_id, toks[i] AS w,
+                           CASE WHEN i > 1 THEN toks[i-1] END AS prev
+                    FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS r(i)),
+            term AS (
+              SELECT doc_id,
+                     round(ln(CASE WHEN prev IS NULL
+                              THEN (COALESCE(u.cu, 0) + 0.5) / (nv.n + 0.5 * nv.v)
+                              ELSE (COALESCE(b.cb, 0) + 0.5)
+                                   / (COALESCE(cu2.cu, 0) + 0.5 * nv.v) END), 9) AS lp
+              FROM pos
+              LEFT JOIN u ON pos.w = u.w
+              LEFT JOIN u cu2 ON pos.prev = cu2.w
+              LEFT JOIN b ON pos.prev = b.w1 AND pos.w = b.w2
+              CROSS JOIN nv
+            ),
+            per AS (SELECT doc_id, count(*) AS n_tokens,
+                           sum(CAST(lp AS DECIMAL(24,9))) AS slp
+                    FROM term GROUP BY doc_id)
+            SELECT t.doc_id AS id,
+                   CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(round(CAST(per.slp AS DOUBLE) / per.n_tokens, 6) AS DOUBLE)
+                     AS avg_logp,
+                   CAST(round(exp(-round(CAST(per.slp AS DOUBLE) / per.n_tokens, 6)), 6)
+                     AS DOUBLE) AS ppl
+            FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+        """,
         "span_dup_stats": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             g AS (

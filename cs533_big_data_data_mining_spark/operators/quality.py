@@ -431,3 +431,120 @@ def balance_sources(
         .filter(F.col("rk") <= F.lit(int(cap)))
         .withColumn("rk", F.col("rk").cast("long"))
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref: DataFrame | None = None,
+    ref_text_col: str | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM perplexity per document — the CCNet/RefinedWeb-style
+    statistical quality filter (Wenzek et al. 2020 score documents
+    with a reference-corpus LM and filter/bucket on perplexity; here
+    the LM is an add-alpha-smoothed bigram model fit with plain
+    DataFrame aggregations instead of an external toolkit).
+
+    Returns ``(id, n_tokens, avg_logp, ppl)``:
+    ``avg_logp`` = mean log-probability per token,
+    ``ppl = exp(-avg_logp)`` (lower = more reference-like); empty
+    documents get NULL for both. ``ref`` is the corpus the model is
+    fit on (defaults to ``df`` itself — self-perplexity, which flags
+    outlier documents); ``ref_text_col`` defaults to ``text_col``.
+
+    Model: first token scores the smoothed unigram
+    ``(U(w)+a) / (N+a*V)``; later tokens the smoothed bigram
+    ``(B(prev,w)+a) / (U(prev)+a*V)`` with V = reference vocabulary
+    + 1 (one shared UNK slot), so unseen words/bigrams degrade
+    smoothly rather than zeroing the product.
+
+    Determinism: each token's log term is rounded to 9 dp and summed
+    as DECIMAL — the per-doc sum is exact and order-independent, so
+    the result does not depend on partitioning (float sums are not
+    associative; this is the same discipline as ``label_centroids``).
+
+    Scale shape: two combinable count groupBys over the reference
+    (unigrams, bigrams), a per-doc window (lag) to pair each token
+    with its predecessor (state bounded by document length), two
+    equi-joins against the count tables (shuffle on token keys — hot
+    words are exactly what AQE skew splitting handles), one final
+    per-doc aggregate. N and V are two scalars collected once and
+    embedded as literals.
+    """
+    a = float(alpha)
+    if a <= 0:
+        raise ValueError("alpha must be > 0")
+    r = ref if ref is not None else df
+    rcol = ref_text_col if ref_text_col is not None else text_col
+
+    rtoks = r.select(F.explode(tokenize(rcol)).alias("w"))
+    uni = rtoks.groupBy("w").agg(F.count(F.lit(1)).alias("cu")).cache()
+    row = uni.agg(
+        F.coalesce(F.sum("cu"), F.lit(0)).alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, vocab = int(row["n"]), int(row["v"]) + 1
+
+    # (w1, w2) bigram counts with NO window over the reference: pair
+    # each token with its successor inside the array (zip against its
+    # own tail), then explode — stays in the scan stage
+    toks_arr = tokenize(rcol)
+    pairs = F.when(
+        F.size(toks_arr) >= 2,
+        F.zip_with(
+            F.slice(toks_arr, 1, F.size(toks_arr) - 1),
+            F.slice(toks_arr, 2, F.size(toks_arr) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        r.select(F.explode(pairs).alias("pr"))
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokenize(text_col)).alias("pos", "w")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    seq = pos.withColumn("prev", F.lag("w").over(w))
+
+    ctx = uni.select(F.col("w").alias("prev"), F.col("cu").alias("cprev"))
+    joined = (
+        seq.join(uni, "w", "left")
+        .join(ctx, "prev", "left")
+        .join(big, (F.col("prev") == F.col("w1")) & (F.col("w") == F.col("w2")), "left")
+    )
+    av = F.lit(a * vocab)
+    first = (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(a)) / F.lit(n_total + a * vocab)
+    later = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(a)) / (
+        F.coalesce(F.col("cprev"), F.lit(0)) + av
+    )
+    term = F.round(F.log(F.when(F.col("prev").isNull(), first).otherwise(later)), 9)
+
+    scored = joined.select("id", term.cast("decimal(24,9)").alias("lp"))
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("slp")
+    )
+    # cast the exact DECIMAL sum to double BEFORE dividing — the
+    # oracle does the same, so both engines round the same quotient
+    avg = F.round(F.col("slp").cast("double") / F.col("n_tokens"), 6)
+    out = per_doc.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        avg.alias("avg_logp"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )
+    all_docs = df.select(F.col(id_col).alias("id"))
+    res = all_docs.join(out, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "avg_logp",
+        "ppl",
+    )
+    res = res.persist()
+    res.count()
+    uni.unpersist()
+    return res

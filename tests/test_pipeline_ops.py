@@ -749,3 +749,63 @@ def test_round5_op_edge_cases(spark):
     assert salted_join(l, er, "k").count() == 0
     row = salted_join(l, er, "k", how="left").head()
     assert row["id"] == 1 and row["v"] is None
+
+
+def test_lm_perplexity_manual(spark):
+    """Hand-computed smoothed bigram scores; empty docs get NULLs."""
+    import decimal
+    import math
+
+    from cs533_big_data_data_mining_spark.operators.quality import lm_perplexity
+
+    docs = [(1, "the cat sat"), (2, "the cat ran"), (3, "zz qq"), (4, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.id: (r.n_tokens, r.avg_logp, r.ppl) for r in lm_perplexity(df).collect()}
+
+    # vocab={the,cat,sat,ran,zz,qq} -> V=7 (incl. UNK), N=8
+    t1 = [
+        round(math.log(2.5 / 11.5), 9),   # P(the) unigram
+        round(math.log(2.5 / 5.5), 9),    # P(cat|the)
+        round(math.log(1.5 / 5.5), 9),    # P(sat|cat)
+    ]
+    s = sum(decimal.Decimal(f"{x:.9f}") for x in t1)
+    avg = round(float(s) / 3, 6)
+    assert rows[1] == (3, avg, round(math.exp(-avg), 6))
+    assert rows[4] == (0, None, None)
+    # doc2 shares the first two terms, differs only in the last bigram
+    assert rows[2][0] == 3 and rows[2][1] == rows[1][1]  # same counts by symmetry
+
+    # partition invariance: DECIMAL term sums are order-independent
+    rows_p = {
+        r.id: (r.n_tokens, r.avg_logp, r.ppl)
+        for r in lm_perplexity(df.repartition(7)).collect()
+    }
+    assert rows_p == rows
+
+
+def test_lm_perplexity_external_ref(spark):
+    """Scoring against a separate reference corpus: documents made of
+    reference-frequent words score lower perplexity than unseen-word
+    documents."""
+    from cs533_big_data_data_mining_spark.operators.quality import lm_perplexity
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "xyzzy plugh frobozz quux")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r.ppl for r in lm_perplexity(df, ref=ref).collect()}
+    assert rows[1] < rows[2]
+
+
+def test_lm_perplexity_alpha_validation(spark):
+    import pytest
+
+    from cs533_big_data_data_mining_spark.operators.quality import lm_perplexity
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm_perplexity(df, alpha=0.0)
