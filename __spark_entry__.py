@@ -1249,6 +1249,23 @@ def _q_lsh_route_eq(spark, sf_dir):
     return lsh_neardup_pairs(planted, LSH_EQ_T)
 
 
+def _q_clean_text(spark, sf_dir):
+    # C4-style normalization: HTML tags/URLs injected around every
+    # document must vanish, whitespace runs collapse, text lowercases
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import clean_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.lit("<div class='hd'>Title</div>  "),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" see https://ex.example/page?id="), ids,
+        F.lit("\n\nor  www.example.com/x <br/> END"),
+    )
+    return docs.select("doc_id", clean_text(injected, lowercase=True).alias("clean"))
+
+
 def _q_lm_perplexity(spark, sf_dir):
     # Bigram-LM self-perplexity quality score (CCNet-style filter):
     # smoothed bigram model fit on the corpus itself, every document
@@ -1704,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05 + pytest already pin.
     return {
         # --- never-recorded / changed this round (must-record) ---
+        "clean_text": _q_clean_text,
         "lm_perplexity": _q_lm_perplexity,
         "span_dup_stats": _q_span_dup_stats,
         "semdedup_eq": _q_semdedup_eq,
@@ -2348,6 +2366,19 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # planted identical vectors collide in every LSH band (recall
         # exactly 1) and the verify step is exact cosine (precision
         # 1), so the LSH route equals brute force at threshold ~1
+        "clean_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       concat('<div class=''hd''>Title</div>  ', COALESCE(text, ''),
+                              ' see https://ex.example/page?id=', CAST(doc_id AS VARCHAR),
+                              chr(10), chr(10), 'or  www.example.com/x <br/> END'),
+                       '<[^>]*>', ' ', 'g'),
+                       'https?://[^\\s]+', ' ', 'g'),
+                       '\\bwww\\.[^\\s]+', ' ', 'g')),
+                     '\\s+', ' ', 'g')) AS clean
+            FROM documents
+        """,
         "lm_perplexity": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             u AS (SELECT w, count(*) AS cu

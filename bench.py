@@ -96,6 +96,14 @@ def main() -> None:
     # entire perf record (round 3 lost all 36 timings to a single
     # AnalysisException). Errors are recorded per-key; the JSON line
     # is always emitted.
+    # SPARK_GRAFT_SMOKE_ONLY=1: skip the per-query suite and run just
+    # the env-gated scale smokes — a clean-machine smoke record
+    # shouldn't pay (or inherit JVM state from) the ~5 min full bench
+    smoke_only = bool(os.environ.get("SPARK_GRAFT_SMOKE_ONLY"))
+    if smoke_only:
+        os.environ.setdefault("SPARK_GRAFT_SCALE_SMOKE", "1")
+        qs = {}
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
@@ -126,7 +134,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# {name}: warm rerun ERROR {exc}", file=sys.stderr)
 
-    if os.path.exists(REFERENCE_BIN):
+    if os.path.exists(REFERENCE_BIN) and not smoke_only:
         # untimed warm-up: the first dbscan of a session pays one-time
         # JVM JIT + codegen costs (~5-7 s) that would otherwise be
         # charged to whichever workload happens to run first
@@ -273,6 +281,34 @@ def main() -> None:
             errors["lsh_scale600k"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# lsh_scale600k: ERROR {errors['lsh_scale600k']}", file=sys.stderr)
 
+        # SemDeDup at the same 600k+1000 construction, C=64 clusters:
+        # identical vectors co-cluster (same argmax), so exactly the
+        # 1000 planted duplicates must disappear and every original
+        # survive. The cluster partition replaces the global 147-block
+        # gram (~10.8k block pairs) with ~64 cluster-local grams
+        # (cluster ~9.4k rows -> ~3 blocks -> ~6 pairs each), the
+        # ~N^2/C work cut that makes the method viable at corpus scale.
+        from cs533_big_data_data_mining_spark.operators.similarity import semdedup
+
+        t0 = time.time()
+        try:
+            surv6 = semdedup(
+                base6.unionByName(dups6), 0.9999, 64, id_col="id", vec_col="embedding"
+            )
+            n_surv6 = surv6.count()
+            n_planted_left = surv6.filter(F.col("id") >= ne).count()
+            surv6.unpersist()
+            assert n_surv6 == ne and n_planted_left == 0, (n_surv6, n_planted_left)
+            timings["semdedup_scale600k"] = round(time.time() - t0, 3)
+            print(
+                f"# semdedup_scale600k: {timings['semdedup_scale600k']}s "
+                f"(all 1000 planted dups removed, {ne} originals kept)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["semdedup_scale600k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# semdedup_scale600k: ERROR {errors['semdedup_scale600k']}", file=sys.stderr)
+
         # source balancing with one domain holding 90% of 1M rows —
         # the shape where the plain per-source window is a single-task
         # mega-sort. Asserted: (a) the histogram prefilter's survivor
@@ -397,8 +433,14 @@ def main() -> None:
     # JSON — BENCH_local.json survives regardless of capture size
     here = os.path.dirname(os.path.abspath(__file__))
     # ad-hoc runs at other scale factors must not clobber the
-    # canonical sf0.1 record the judge diffs against
-    suffix = "" if sf == 0.1 else f"_sf{sf}"
+    # canonical sf0.1 record the judge diffs against; smoke runs get
+    # their own record too (their totals aren't comparable — they
+    # include multi-minute scale workloads and, under SMOKE_ONLY,
+    # no query suite at all)
+    if os.environ.get("SPARK_GRAFT_SCALE_SMOKE"):
+        suffix = "_smoke"
+    else:
+        suffix = "" if sf == 0.1 else f"_sf{sf}"
     with open(os.path.join(here, f"BENCH_local{suffix}.json"), "w") as fh:
         fh.write(payload + "\n")
     print(payload, flush=True)

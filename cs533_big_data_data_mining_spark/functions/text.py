@@ -179,3 +179,44 @@ def fingerprint(col: str) -> Column:
         f"aggregate(sequence(1, length({col})), 0L, "
         f"(acc, i) -> (acc * 31 + ascii(substring({col}, i, 1))) % {FINGERPRINT_MOD})"
     )
+
+
+#: (pattern, replacement) chain applied by :func:`clean_text` — each
+#: pattern lives in the Java-regex ∩ RE2 subset (no lookarounds) so
+#: the function has an exact DuckDB twin. Tags/URLs become a space,
+#: not "", so `foo<br>bar` / `see http://x now` keep a word boundary.
+CLEAN_HTML_PATTERN = (r"<[^>]*>", " ")
+CLEAN_URL_PATTERNS = (
+    (r"https?://[^\s]+", " "),
+    (r"\bwww\.[^\s]+", " "),
+)
+
+
+def clean_text(
+    col: str | Column,
+    strip_html: bool = True,
+    strip_urls: bool = True,
+    collapse_ws: bool = True,
+    lowercase: bool = False,
+) -> Column:
+    """C4-style text normalization: drop HTML tags and URLs, collapse
+    whitespace runs to single spaces, trim, optionally lowercase —
+    the standard cleanup pass that runs BEFORE tokenize/dedup/quality
+    so markup noise doesn't pollute shingles or counts.
+
+    Pure chained ``regexp_replace`` / ``lower`` / ``trim`` — JVM-side
+    whole-stage codegen, zero Python, composes into the scan stage at
+    any scale (same design as :func:`redact_pii`, and the same
+    Java∩RE2 pattern subset so DuckDB replays it exactly).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if strip_html:
+        c = F.regexp_replace(c, *CLEAN_HTML_PATTERN)
+    if strip_urls:
+        for pat, repl in CLEAN_URL_PATTERNS:
+            c = F.regexp_replace(c, pat, repl)
+    if lowercase:
+        c = F.lower(c)
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c

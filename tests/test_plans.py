@@ -147,3 +147,42 @@ def test_simhash_neardup_plan_shape(spark):
         frame.unpersist()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_duplicated_spans_plan_shape(spark):
+    """The span detector must never self-join positions: duplicated
+    grams only FLAG (LeftSemi), and the gram count keeps its map-side
+    partial phase."""
+    from cs533_big_data_data_mining_spark.operators.dedup import duplicated_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(duplicated_spans(docs, k=5))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p, "duplicated grams should semi-join, not inner-join"
+    assert "partial_count" in p, "gram count lost its map-side combine"
+
+
+def test_lm_perplexity_plan_shape(spark):
+    """LM scoring: no cartesian, count tables keep partial aggregation,
+    joins are equi-joins (hash or sort-merge, never nested-loop)."""
+    from cs533_big_data_data_mining_spark.operators.quality import lm_perplexity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = lm_perplexity(docs)
+    p = _plan(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    out.unpersist()
+
+
+def test_semdedup_pairs_plan_shape(spark):
+    """Cluster-scoped pair generation joins packed blocks on the
+    cluster id (equi-join) — never a cartesian across clusters."""
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        ivf_index,
+        semdedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _, assignments = ivf_index(emb, 4, iters=1)
+    p = _plan(semdedup_pairs(assignments, 0.9, block_rows=64))
+    assert "CartesianProduct" not in p

@@ -118,3 +118,29 @@ def test_tfidf_small(spark):
 
     pruned = t2(df, "doc_id", "text", min_df=2).select("term").distinct().collect()
     assert {r["term"] for r in pruned} == {"a", "c"}
+
+
+def test_clean_text(spark):
+    from cs533_big_data_data_mining_spark.functions.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>World</b></p> visit https://x.io/a?q=1 or www.y.com/z now"),
+            (2, "no  markup\t\tjust   spaces\n\nhere"),
+            (3, "<br/>"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.c for r in df.select("doc_id", clean_text("text").alias("c")).collect()}
+    assert got[1] == "Hello World visit or now"
+    assert got[2] == "no markup just spaces here"
+    assert got[3] == ""
+    assert got[4] is None
+
+    low = df.select("doc_id", clean_text("text", lowercase=True).alias("c")).collect()
+    assert {r.doc_id: r.c for r in low}[1] == "hello world visit or now"
+
+    # knobs off = pass-through of that stage
+    keep = df.select("doc_id", clean_text("text", strip_html=False, strip_urls=False).alias("c")).collect()
+    assert "<p>Hello" in {r.doc_id: r.c for r in keep}[1]
