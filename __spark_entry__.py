@@ -1714,9 +1714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so: (1) queries that have never had a driver row — or whose
     # implementation changed this round — come FIRST; (2) long-stable
     # queries whose r5 rows are green and whose code is untouched fill
-    # the middle; (3) the 7 least-informative stable greens (generic
+    # the middle; (3) the 12 least-informative stable greens (generic
     # TPC-H-style SQL the engine adds no code to, plus checks whose
-    # operators are re-verified by other recorded queries) sit past
+    # operators are re-verified by other recorded queries — all 12
+    # have green CORRECTNESS_r05 rows and untouched code) sit past
     # position 50, so a fixed-size cut only drops rows that
     # CORRECTNESS_r05 + pytest already pin.
     return {

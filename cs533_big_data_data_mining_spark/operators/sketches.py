@@ -106,6 +106,32 @@ class BloomFilter:
 
         return _probe(self.positions(c))
 
+    def might_contain_any(self, arr: str | Column) -> Column:
+        """Boolean probe over an ``array<string>`` column: True when
+        ANY element might be a member (guaranteed True if one is; True
+        for ~fpp·|arr| of all-non-member rows). Stateless — usable in
+        a streaming filter where explode+join+re-aggregate would need
+        state. Positions for every element are computed JVM-side
+        (same hashing as the build); one Arrow batch checks a doc's
+        whole shingle set at once."""
+        col = F.col(arr) if isinstance(arr, str) else arr
+        pos2 = F.transform(col, lambda s: self.positions(s))
+        words = self.words.view(np.uint64)
+
+        @F.pandas_udf("boolean")
+        def _probe_any(pos: pd.Series) -> pd.Series:
+            out = []
+            for row in pos:
+                if row is None or len(row) == 0:
+                    out.append(False)
+                    continue
+                p = np.array([list(x) for x in row], dtype=np.int64)  # (s, k)
+                hit = (words[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1)
+                out.append(bool(hit.all(axis=1).any()))
+            return pd.Series(out)
+
+        return _probe_any(pos2)
+
 
 def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
     import math

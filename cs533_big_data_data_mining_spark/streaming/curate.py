@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cs533_big_data_data_mining_spark.functions.text import quality_score, redact_pii
+from cs533_big_data_data_mining_spark.functions.text import (
+    quality_score,
+    redact_pii,
+    word_shingles,
+)
 
 
 def curate_ingest(
@@ -40,17 +44,46 @@ def curate_ingest(
     ts_col: str = "ts",
     min_quality: float = 0.0,
     watermark: str = "1 hour",
+    benchmark: DataFrame | None = None,
+    bench_text_col: str | None = None,
+    n_shingle: int = 5,
+    bloom_fpp: float = 1e-4,
 ) -> DataFrame:
     """``(id, ts, clean, quality)``: scored, filtered, redacted,
     exact-deduped documents. Works on a stream (watermark-bounded
     dedup state) and a batch frame (plain dropDuplicates) — one
-    definition, two execution modes."""
+    definition, two execution modes.
+
+    ``benchmark`` (a BATCH frame of held-out eval documents) adds
+    ingest-time decontamination: a Bloom filter over the benchmark's
+    word ``n_shingle``-grams is built once on the driver and probed
+    as a STATELESS Column (``BloomFilter.might_contain_any``) — no
+    explode/join/re-aggregate, so it streams with zero state. The
+    filter is CONSERVATIVE: every document sharing a benchmark n-gram
+    is dropped (no false negatives by Bloom construction), plus
+    ~``bloom_fpp``-per-shingle innocents — the right trade at ingest,
+    where the exact audit (``operators.decontaminate``) runs in the
+    batch stage anyway and over-dropped docs cost nothing vs a leaked
+    benchmark."""
     scored = docs.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),
         redact_pii(text_col).alias("clean"),
         quality_score(text_col).alias("quality"),
+        word_shingles(text_col, n_shingle).alias("__sh"),
     )
+    if benchmark is not None:
+        from cs533_big_data_data_mining_spark.operators.decontaminate import (
+            benchmark_shingles,
+        )
+        from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+        bsh = benchmark_shingles(
+            benchmark, bench_text_col if bench_text_col is not None else text_col, n_shingle
+        )
+        bloom = bloom_build(bsh, "shingle", fpp=bloom_fpp)
+        scored = scored.filter(~bloom.might_contain_any("__sh"))
+    scored = scored.drop("__sh")
     kept = scored.filter(F.col("quality") >= F.lit(float(min_quality)))
     if kept.isStreaming:
         return kept.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["clean"])

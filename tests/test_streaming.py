@@ -124,3 +124,63 @@ def test_curate_ingest_stream_matches_batch(spark, tmp_path):
     assert got.count() == batch.count() == 7
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
 
+
+
+def test_curate_ingest_decontamination(spark, tmp_path):
+    """Ingest-time Bloom decontamination: every document sharing a
+    benchmark 5-gram is dropped (no false negatives), clean documents
+    pass, and the stream twin produces the same surviving text set."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+
+    base = datetime.datetime(2024, 1, 1)
+    bench_phrase = "the secret benchmark question about spark internals"
+    rows = [
+        (
+            i,
+            (
+                f"contaminated doc {i} contains {bench_phrase} verbatim"
+                if i % 5 == 0
+                else f"clean doc body {i} with the and of plain words"
+            ),
+            base + datetime.timedelta(seconds=i),
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    bench = spark.createDataFrame(
+        [(100, f"q: {bench_phrase} a:42")], "qid long, text string"
+    )
+
+    out = curate_ingest(docs, benchmark=bench, bench_text_col="text")
+    ids_possible = {r.id for r in out.collect()}
+    # all 6 contaminated docs gone; dedup may further collapse cleans
+    assert not any(i % 5 == 0 for i in ids_possible)
+    assert len(ids_possible) == 24  # distinct clean texts (all unique here)
+
+    # without a benchmark nothing is decontaminated
+    assert curate_ingest(docs).count() == 30
+
+    # stream twin: same surviving text set
+    src = str(tmp_path / "decontam_src")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_stream_to_memory(
+        curate_ingest(stream, watermark="1 hour", benchmark=bench, bench_text_col="text"),
+        "curate_decontam_t",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT clean FROM curate_decontam_t")
+    batch = out.select("clean")
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
