@@ -26,12 +26,14 @@ from cs533_big_data_data_mining_spark.operators.decontaminate import (
     decontaminate_bloom,
 )
 from cs533_big_data_data_mining_spark.operators.dedup import (
+    duplicated_spans,
     exact_dedup,
     minhash_dedup_pairs,
     minhash_dedup_pairs_bipartite,
     ngram_jaccard_pairs,
     simhash64,
     simhash_neardup_pairs,
+    span_dup_stats,
 )
 from cs533_big_data_data_mining_spark.operators.funnel import funnel_stages
 from cs533_big_data_data_mining_spark.operators.joins import (
@@ -57,6 +59,7 @@ from cs533_big_data_data_mining_spark.operators.profile import (
 from cs533_big_data_data_mining_spark.operators.quality import (
     assign_split,
     balance_sources,
+    lm_perplexity,
     quantile_filter,
     quantile_filter_by,
     remove_boilerplate_lines,
@@ -69,8 +72,9 @@ from cs533_big_data_data_mining_spark.operators.similarity import (
     label_centroids,
     embedding_neardup_pairs,
     ivf_topk,
+    semdedup,
 )
-from cs533_big_data_data_mining_spark.functions.text import redact_pii
+from cs533_big_data_data_mining_spark.functions.text import clean_text, redact_pii
 from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
 from cs533_big_data_data_mining_spark.sources.documents import (
     jsonl_to_parquet,
@@ -104,6 +108,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_neardup_pairs",
+    "duplicated_spans",
+    "span_dup_stats",
+    "semdedup",
+    "lm_perplexity",
+    "clean_text",
     "curate_corpus",
     "curate_documents",
     "curate_embeddings",

@@ -187,6 +187,52 @@ def _pack_main(argv: list[str]) -> int:
     return 0
 
 
+def _score_main(argv: list[str]) -> int:
+    """``... score -i docs.parquet -o scores.parquet [--spans-k K]``
+    — per-document quality signals in one pass: heuristic quality,
+    bigram-LM perplexity, duplicated-token fraction."""
+    ap = argparse.ArgumentParser(prog="cs533_big_data_data_mining_spark score")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--spans-k", type=int, default=5, help="k-gram width for duplicated spans")
+    ap.add_argument("--ref", default=None, help="reference parquet for the LM (default: input)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.functions.text import quality_score
+    from cs533_big_data_data_mining_spark.operators.dedup import span_dup_stats
+    from cs533_big_data_data_mining_spark.operators.quality import lm_perplexity
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_score_cli", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    ref = spark.read.parquet(args.ref) if args.ref else None
+    ppl = lm_perplexity(docs, id_col=args.id_col, text_col=args.text_col, ref=ref)
+    spans = span_dup_stats(docs, id_col=args.id_col, text_col=args.text_col, k=args.spans_k)
+    out = (
+        docs.select(
+            F.col(args.id_col).alias("id"),
+            quality_score(args.text_col).alias("quality"),
+        )
+        .join(ppl.select("id", "avg_logp", "ppl"), "id", "left")
+        .join(spans.select("id", "dup_frac"), "id", "left")
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    ppl.unpersist()
+    print(f"scored {n} documents ({time.time() - t0:.1f}s); wrote {args.output}")
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "curate":
@@ -195,6 +241,8 @@ def main(argv: list[str] | None = None) -> int:
         return _chunk_main(argv[1:])
     if argv and argv[0] == "pack":
         return _pack_main(argv[1:])
+    if argv and argv[0] == "score":
+        return _score_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",

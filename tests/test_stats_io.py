@@ -393,3 +393,28 @@ def test_cli_curate_boilerplate_and_mixing(spark, tmp_path):
     assert set(got) == {1, 2, 3}
     for i in (1, 2, 3):
         assert got[i] == body[i - 1]   # header line gone, body intact
+
+
+def test_cli_score(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "docs_score.parquet")
+    out = str(tmp_path / "scores.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "plain body of words about spark and shuffles today"),
+            (2, "plain body of words about spark and shuffles today"),  # exact dup
+            (3, "totally different content with zero overlap anywhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    assert main(["score", "-i", src, "-o", out, "--spans-k", "3"]) == 0
+    rows = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 3}
+    # dups 1/2 are fully duplicated spans; 3 is clean
+    assert rows[1]["dup_frac"] == 1.0 and rows[2]["dup_frac"] == 1.0
+    assert rows[3]["dup_frac"] == 0.0
+    # identical texts score identical perplexity; all scores present
+    assert rows[1]["ppl"] == rows[2]["ppl"] and rows[3]["ppl"] is not None
+    assert all(rows[i]["quality"] > 0 for i in rows)
