@@ -1501,6 +1501,21 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate_bloom(docs, bench, "doc_id", "text", n=DECON_N, min_overlap=1)
 
 
+def _q_contam_spans(spark, sf_dir):
+    # span-level decontamination audit: WHERE each doc overlaps the
+    # benchmark (same deterministic doc_id % 37 holdout as
+    # `decontaminate`) — maximal merged runs of benchmark-shared
+    # 5-grams with token bounds
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.decontaminate import (
+        contamination_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return contamination_spans(docs, bench, "doc_id", "text", n=DECON_N)
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition signals (type-token ratio, top-token and
     # top-2-gram shares) — the quality dimension length/stopword stats
@@ -1722,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05 + pytest already pin.
     return {
         # --- never-recorded / changed this round (must-record) ---
+        "contam_spans": _q_contam_spans,
         "clean_text": _q_clean_text,
         "lm_perplexity": _q_lm_perplexity,
         "span_dup_stats": _q_span_dup_stats,
@@ -2367,6 +2383,34 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # planted identical vectors collide in every LSH band (recall
         # exactly 1) and the verify step is exact cosine (precision
         # 1), so the LSH route equals brute force at threshold ~1
+        "contam_spans": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ') AS gram
+              FROM t, LATERAL unnest(range(1, len(toks) - {DECON_N - 2})) AS u(i)
+              WHERE len(toks) >= {DECON_N}
+            ),
+            bsh AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+            f AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN bsh ON g.gram = bsh.gram),
+            brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                               > {DECON_N} THEN 1 ELSE 0 END AS b
+              FROM f
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+              FROM brk
+            )
+            SELECT doc_id AS id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + {DECON_N} AS BIGINT) AS span_end,
+                   CAST(max(pos) + {DECON_N} - min(pos) AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, isl
+        """,
         "clean_text": """
             SELECT doc_id,
                    trim(regexp_replace(lower(

@@ -101,6 +101,42 @@ def decontaminate_bloom(
     )
 
 
+def contamination_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """``(id, span_start, span_end, span_tokens)`` — the exact token
+    regions of each corpus document that overlap the benchmark
+    (maximal merged runs of benchmark-shared word ``n``-grams;
+    0-based token indices, ``span_end`` exclusive). The span-level
+    audit behind :func:`decontaminate`'s doc-level flag: WHERE the
+    leak is, so near-miss documents can be reviewed (or surgically
+    cropped) instead of dropped wholesale.
+
+    Same scale shape as both parents: the benchmark shingle set
+    broadcasts into a semi-join that only FLAGS positional grams
+    (never self-joined — no pair blowup), and the span merge is the
+    per-document gaps-and-islands window from
+    ``dedup.duplicated_spans`` (state bounded by document length).
+    """
+    from cs533_big_data_data_mining_spark.functions.text import word_ngrams
+    from cs533_big_data_data_mining_spark.operators.dedup import _merge_flagged_spans
+
+    nn = int(n)
+    if nn < 1:
+        raise ValueError("n must be >= 1")
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(text_col, nn)).alias("pos", "gram"),
+    )
+    bsh = benchmark_shingles(bench, text_col, nn).select(F.col("shingle").alias("gram"))
+    flagged = grams.join(F.broadcast(bsh), "gram", "left_semi").select("id", "pos")
+    return _merge_flagged_spans(flagged, nn)
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

@@ -647,18 +647,24 @@ def duplicated_spans(
         .select("gram")
     )
     flagged = grams.join(dup_grams, "gram", "left_semi")
-    # gaps-and-islands: windows [pos, pos+k) merge while the gap
-    # between consecutive duplicated starts is <= k
+    return _merge_flagged_spans(flagged, kk)
+
+
+def _merge_flagged_spans(flagged: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged k-gram start positions
+    ``(id, pos)`` into maximal spans: windows [pos, pos+k) merge while
+    the gap between consecutive flagged starts is <= k. Per-doc window
+    — state bounded by document length."""
     w = Window.partitionBy("id").orderBy("pos")
     brk = (
-        F.when(F.col("pos") - F.lag("pos").over(w) > F.lit(kk), 1).otherwise(0)
+        F.when(F.col("pos") - F.lag("pos").over(w) > F.lit(k), 1).otherwise(0)
     )
     islands = flagged.select(
         "id", "pos", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("isl")
     )
     return (
         islands.groupBy("id", "isl")
-        .agg(F.min("pos").alias("span_start"), (F.max("pos") + F.lit(kk)).alias("span_end"))
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + F.lit(k)).alias("span_end"))
         .select(
             "id",
             F.col("span_start").cast("long").alias("span_start"),

@@ -809,3 +809,35 @@ def test_lm_perplexity_alpha_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         lm_perplexity(df, alpha=0.0)
+
+
+def test_contamination_spans(spark):
+    """Span-level decontamination audit: exact token bounds of
+    benchmark-overlapping regions; clean docs absent."""
+    from cs533_big_data_data_mining_spark.operators.decontaminate import (
+        contamination_spans,
+    )
+
+    bench_frag = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here then {bench_frag} and a clean tail follows after"),
+            (2, "completely clean document with no overlap at all in any window"),
+            (3, bench_frag),  # the benchmark text itself
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, f"q: {bench_frag} a: something")], "qid long, text string"
+    )
+    got = {
+        (r.id, r.span_start, r.span_end, r.span_tokens)
+        for r in contamination_spans(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    # doc1: the 5-gram starts at token 4 -> span [4, 9)
+    assert got == {(1, 4, 9, 5), (3, 0, 5, 5)}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        contamination_spans(docs, bench, "doc_id", "text", n=0)
