@@ -1753,6 +1753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "sketches_all": _q_sketches_all,
         "stream_eq_all": _q_stream_eq_all,
+        # decontaminate runs the bloom route whose materialization
+        # changed this round — keep it safely inside the record cap
+        "decontaminate": _q_decontaminate,
         # --- stable r5-green queries, code untouched ---
         "scan_project_filter": _q_scan_project_filter,
         "bbox": _q_bbox,
@@ -1787,7 +1790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "knn_classify": _q_knn_classify,
         "label_centroids": _q_label_centroids,
-        "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "assign_split": _q_assign_split,
         "asof_purchase_click": _q_asof_purchase_click,
