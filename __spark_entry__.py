@@ -1501,6 +1501,29 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate_bloom(docs, bench, "doc_id", "text", n=DECON_N, min_overlap=1)
 
 
+RETENTION_PERIOD_DAYS = 7
+
+
+def _q_retention(spark, sf_dir):
+    # cohort retention matrix over events: users grouped by first-
+    # event date, counted in each later 7-day period they stayed
+    # active; cohort_start emitted as an ISO string (the driver's
+    # value hash is dtype-strict and date columns round-trip
+    # differently through Spark vs DuckDB pandas conversion)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = retention_cohorts(ev, period_days=RETENTION_PERIOD_DAYS)
+    return out.select(
+        F.date_format("cohort_start", "yyyy-MM-dd").alias("cohort_start"),
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        "retention",
+    )
+
+
 def _q_contam_spans(spark, sf_dir):
     # span-level decontamination audit: WHERE each doc overlaps the
     # benchmark (same deterministic doc_id % 37 holdout as
@@ -1737,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05 + pytest already pin.
     return {
         # --- never-recorded / changed this round (must-record) ---
+        "retention": _q_retention,
         "contam_spans": _q_contam_spans,
         "clean_text": _q_clean_text,
         "lm_perplexity": _q_lm_perplexity,
@@ -2385,6 +2409,24 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # planted identical vectors collide in every LSH band (recall
         # exactly 1) and the verify step is exact cosine (precision
         # 1), so the LSH route equals brute force at threshold ~1
+        "retention": f"""
+            WITH ev AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+            first AS (SELECT u, min(d) AS d0 FROM ev GROUP BY u),
+            per AS (SELECT ev.u, f.d0,
+                           CAST(floor(date_diff('day', f.d0, ev.d)
+                                      / {RETENTION_PERIOD_DAYS}) AS BIGINT) AS off
+                    FROM ev JOIN first f ON ev.u = f.u),
+            active AS (SELECT d0, off, count(DISTINCT u) AS n_active
+                       FROM per GROUP BY d0, off),
+            sizes AS (SELECT d0, count(*) AS cohort_size FROM first GROUP BY d0)
+            SELECT strftime(a.d0, '%Y-%m-%d') AS cohort_start,
+                   a.off AS period_offset,
+                   CAST(a.n_active AS BIGINT) AS n_active,
+                   CAST(s.cohort_size AS BIGINT) AS cohort_size,
+                   CAST(round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS DOUBLE)
+                     AS retention
+            FROM active a JOIN sizes s ON a.d0 = s.d0
+        """,
         "contam_spans": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             g AS (

@@ -35,7 +35,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     simhash_neardup_pairs,
     span_dup_stats,
 )
-from cs533_big_data_data_mining_spark.operators.funnel import funnel_stages
+from cs533_big_data_data_mining_spark.operators.funnel import funnel_stages, retention_cohorts
 from cs533_big_data_data_mining_spark.operators.joins import (
     bucketed_join,
     salted_join,
@@ -121,6 +121,7 @@ __all__ = [
     "write_bucketed",
     "bucketed_join",
     "funnel_stages",
+    "retention_cohorts",
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
     "ivf_topk",

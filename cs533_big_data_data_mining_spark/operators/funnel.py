@@ -49,3 +49,57 @@ def funnel_stages(
         ).otherwise(acc),
     )
     return seq.select("user_id", stage.cast("long").alias("stage"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the other classic product-analytics
+    query: users grouped by the period of their FIRST event, counted
+    in every later period they remained active.
+    ``(cohort_start, period_offset, n_active, cohort_size,
+    retention)`` — ``cohort_start`` = the first DAY of the cohort's
+    first period (anchored per cohort, not calendar-aligned),
+    ``period_offset`` = whole ``period_days`` elapsed since that
+    user's first event, ``retention`` = n_active / cohort_size
+    rounded to 6 dp (offset 0 is 1.0 by construction).
+
+    Scale shape: one map-side-combinable ``min`` groupBy per user
+    (first event), one equi-join of events back to their user's
+    cohort anchor (user-keyed shuffle; AQE handles hot users), one
+    combinable count-distinct groupBy over (cohort, offset) — no
+    windows, no self-joins, no per-period passes. Day arithmetic is
+    integer (``datediff`` of dates), so period boundaries are
+    engine-exact.
+    """
+    pd_ = int(period_days)
+    if pd_ < 1:
+        raise ValueError("period_days must be >= 1")
+    ev = events.select(
+        F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+    )
+    first = ev.groupBy("u").agg(F.min("d").alias("d0"))
+    joined = ev.join(first, "u")
+    per_user_period = joined.select(
+        "u",
+        F.col("d0"),
+        (F.datediff(F.col("d"), F.col("d0")) / F.lit(pd_)).cast("long").alias("off"),
+    )
+    active = (
+        per_user_period.groupBy("d0", "off")
+        .agg(F.count_distinct("u").alias("n_active"))
+    )
+    sizes = first.groupBy("d0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        active.join(sizes, "d0")
+        .select(
+            F.col("d0").alias("cohort_start"),
+            F.col("off").cast("long").alias("period_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )

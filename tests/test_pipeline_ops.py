@@ -841,3 +841,36 @@ def test_contamination_spans(spark):
 
     with pytest.raises(ValueError):
         contamination_spans(docs, bench, "doc_id", "text", n=0)
+
+
+def test_retention_cohorts_manual(spark):
+    """Hand-built cohorts: two first-day cohorts, known activity in
+    later periods; offset 0 retention is exactly 1.0."""
+    import datetime
+
+    from cs533_big_data_data_mining_spark.operators.funnel import retention_cohorts
+
+    d = lambda day, hour=0: datetime.datetime(2024, 1, day, hour)
+    rows = [
+        # cohort A (first event Jan 1): u1 active wk0+wk1, u2 only wk0
+        (1, d(1)), (1, d(2)), (1, d(9)),
+        (2, d(1, 5)),
+        # cohort B (first event Jan 3): u3 active wk0 and wk2
+        (3, d(3)), (3, d(17)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_start), r.period_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in retention_cohorts(ev, period_days=7).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-03", 0): (1, 1, 1.0),
+        ("2024-01-03", 2): (1, 1, 1.0),
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        retention_cohorts(ev, period_days=0)
