@@ -42,6 +42,14 @@ def _curate_main(argv: list[str]) -> int:
     ap.add_argument("--bench", default=None, help="benchmark parquet to decontaminate against")
     ap.add_argument("--decontam-ngram", type=int, default=5)
     ap.add_argument(
+        "--embeddings",
+        default=None,
+        help="embeddings parquet (vec_id, embedding) — switches to CROSS-MODAL "
+        "curation: near-dup graph = lexical Jaccard ∪ embedding cosine edges, "
+        "one transitive closure",
+    )
+    ap.add_argument("--cosine", type=float, default=0.35, help="semantic near-dup threshold")
+    ap.add_argument(
         "--max-line-df",
         type=int,
         default=None,
@@ -101,13 +109,27 @@ def _curate_main(argv: list[str]) -> int:
         keep_ids = flags.filter("keep").select(F.col("id").alias("doc_id"))
         docs = docs.join(keep_ids, "doc_id", "left_semi")
     langs = tuple(args.langs.split(",")) if args.langs else None
-    survivors = curate_documents(
-        docs,
-        min_quality=args.min_quality,
-        langs=langs,
-        ngram=args.ngram,
-        jaccard_threshold=args.jaccard,
-    )
+    if args.embeddings:
+        from cs533_big_data_data_mining_spark.operators.curate import curate_corpus
+
+        embs = spark.read.parquet(args.embeddings)
+        survivors = curate_corpus(
+            docs,
+            embs,
+            min_quality=args.min_quality,
+            langs=langs,
+            ngram=args.ngram,
+            jaccard_threshold=args.jaccard,
+            cosine_threshold=args.cosine,
+        )
+    else:
+        survivors = curate_documents(
+            docs,
+            min_quality=args.min_quality,
+            langs=langs,
+            ngram=args.ngram,
+            jaccard_threshold=args.jaccard,
+        )
     out = survivors.withColumnRenamed("id", "doc_id").join(docs, "doc_id")
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()

@@ -418,3 +418,30 @@ def test_cli_score(spark, tmp_path):
     # identical texts score identical perplexity; all scores present
     assert rows[1]["ppl"] == rows[2]["ppl"] and rows[3]["ppl"] is not None
     assert all(rows[i]["quality"] > 0 for i in rows)
+
+
+def test_cli_curate_cross_modal(spark, tmp_path):
+    """--embeddings switches to cross-modal curation: two lexically
+    distinct docs with near-identical embeddings collapse to one."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "docs_cm.parquet")
+    emb = str(tmp_path / "emb_cm.parquet")
+    out = str(tmp_path / "curated_cm.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, "first document about spark engines and their big shuffle behavior"),
+            (2, "second text concerning completely different words in every position"),
+            (3, "third item also unique lexically from the others in this corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    vecs = {1: [1.0, 0.0, 0.0], 2: [1.0, 0.0, 0.0], 3: [0.0, 1.0, 0.0]}  # 1~2 semantically
+    spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    ).write.parquet(emb)
+
+    assert main(["curate", "-i", src, "-o", out, "--embeddings", emb, "--cosine", "0.99"]) == 0
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 3]  # 2 collapsed into 1 through the semantic edge
