@@ -65,6 +65,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     remove_boilerplate_lines,
     repetition_stats,
     sample_sources,
+    temperature_fractions,
 )
 from cs533_big_data_data_mining_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -139,6 +140,7 @@ __all__ = [
     "balance_sources",
     "remove_boilerplate_lines",
     "sample_sources",
+    "temperature_fractions",
     "quantile_filter_by",
     "assign_split",
     "quantile_filter",

@@ -548,3 +548,54 @@ def lm_perplexity(
     res.count()
     uni.unpersist()
     return res
+
+
+def temperature_fractions(
+    df: DataFrame,
+    source_col: str,
+    temperature: float,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-source keep fractions for temperature-based mixture
+    rebalancing (the multilingual/source recipe from mC4 / XLM-R,
+    public methodology): target share of source ``s`` is
+    ``p_s^(1/T) / sum_r p_r^(1/T)`` where ``p_s`` is its corpus
+    share. ``T > 1`` flattens the mixture toward uniform (upweights
+    small sources), ``T = 1`` keeps it unchanged, ``T < 1``
+    sharpens it.
+
+    Since sampling can only REMOVE rows, the target mixture is
+    realized downward: fractions scale so the most-upweighted source
+    keeps 1.0 and every other source keeps proportionally less
+    (``target_rows`` caps the total further). Feed the result to
+    :func:`sample_sources` — one tiny count groupBy here, then the
+    mixing itself stays a pure Column filter.
+    """
+    t = float(temperature)
+    if t <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = {
+        r["s"]: int(r["n"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    shares = {s: n / total for s, n in counts.items()}
+    raw = {s: p ** (1.0 / t) for s, p in shares.items()}
+    z = sum(raw.values())
+    target = {s: raw[s] / z for s in raw}
+    # keep fraction needed so realized shares match target, scaled so
+    # the binding source keeps 1.0: f_s ∝ target_s / share_s
+    rel = {s: target[s] / shares[s] for s in shares}
+    m = max(rel.values())
+    fracs = {s: rel[s] / m for s in rel}
+    if target_rows is not None and target_rows < total:
+        expected = sum(fracs[s] * counts[s] for s in counts)
+        if expected > 0:
+            scale = min(1.0, float(target_rows) / expected)
+            fracs = {s: f * scale for s, f in fracs.items()}
+    return fracs

@@ -874,3 +874,47 @@ def test_retention_cohorts_manual(spark):
 
     with pytest.raises(ValueError):
         retention_cohorts(ev, period_days=0)
+
+
+def test_temperature_fractions(spark):
+    """mC4-style temperature rebalancing: T=1 is identity (all 1.0),
+    T>1 downweights the dominant source toward the flattened target,
+    target_rows caps the expected total."""
+    import pyspark.sql.functions as F
+
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        sample_sources,
+        temperature_fractions,
+    )
+
+    df = spark.range(10_000).select(
+        "id",
+        F.when(F.col("id") % 10 < 8, "big")
+        .otherwise(F.when(F.col("id") % 2 == 0, "mid").otherwise("small"))
+        .alias("src"),
+    )
+    # T=1: target == current mixture -> every source keeps 1.0
+    f1 = temperature_fractions(df, "src", 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in f1.values())
+
+    # T=2 on shares (.8,.1,.1): sqrt-flattened targets ≈ (.577,.211,.211)
+    f2 = temperature_fractions(df, "src", 2.0)
+    assert f2["mid"] == 1.0 and f2["small"] == 1.0
+    assert abs(f2["big"] - 0.3536) < 0.01
+    kept = sample_sources(df, "id", "src", f2)
+    shares = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tot = sum(shares.values())
+    assert abs(shares["big"] / tot - 0.577) < 0.05
+
+    # target_rows cap scales everything down
+    f3 = temperature_fractions(df, "src", 2.0, target_rows=2000)
+    n3 = sample_sources(df, "id", "src", f3).count()
+    assert abs(n3 - 2000) < 150
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_fractions(df, "src", 0.0)
