@@ -92,7 +92,12 @@ def retention_cohorts(
         per_user_period.groupBy("d0", "off")
         .agg(F.count_distinct("u").alias("n_active"))
     )
-    sizes = first.groupBy("d0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    # cohort_size == n_active at offset 0 (every user's first event IS
+    # an offset-0 event), so sizes come from the same aggregate — no
+    # second scan/agg over the events
+    sizes = active.filter(F.col("off") == 0).select(
+        "d0", F.col("n_active").alias("cohort_size")
+    )
     return (
         active.join(sizes, "d0")
         .select(
