@@ -82,6 +82,7 @@ from cs533_big_data_data_mining_spark.sources.documents import (
     read_documents_jsonl,
     write_documents_jsonl,
 )
+from cs533_big_data_data_mining_spark.sources.warc import read_warc, warc_text
 from cs533_big_data_data_mining_spark.sources.points import (
     as_points,
     read_points_bin,
@@ -103,6 +104,8 @@ __all__ = [
     "read_documents_jsonl",
     "write_documents_jsonl",
     "jsonl_to_parquet",
+    "read_warc",
+    "warc_text",
     "exact_dedup",
     "minhash_dedup_pairs",
     "minhash_dedup_pairs_bipartite",

@@ -1,0 +1,130 @@
+"""WARC / WET crawl-archive source — the format a 100 TB corpus
+actually arrives in.
+
+Common Crawl ships as WARC (ISO 28500: raw HTTP captures) and WET
+(extracted-text conversions); both are sequences of records::
+
+    WARC/1.0\r\n
+    <header-name>: <value>\r\n ...
+    \r\n
+    <Content-Length bytes of payload>\r\n\r\n
+
+Crawl files are ~1 GB **gzip members**, which are NOT byte-splittable
+— the real-world parallel unit is the FILE (tens of thousands per
+crawl), so the reader maps one task per file (`binaryFile` source)
+and parses records with plain byte scanning + the declared
+``Content-Length`` (never a regex over payloads — binary HTTP bodies
+are full of fake header lookalikes). Per-record work is O(bytes);
+per-task memory is one decompressed file (the same envelope every
+WARC consumer has, since gzip members must be inflated serially).
+
+Output rows: ``(path, record_type, target_uri, warc_date,
+content_length, content)`` with ``content`` the raw payload BYTES
+(decode is the caller's policy — WET payloads are UTF-8 text,
+WARC response payloads are HTTP wire bytes). ``warc_text`` is the
+one-liner that keeps only ``conversion`` records (WET) decoded to
+text — ready to feed ``clean_text`` -> quality -> dedup.
+
+All parsing is public-spec (ISO 28500 / Common Crawl docs); no
+external WARC library is required.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "path string, record_type string, target_uri string, "
+    "warc_date string, content_length long, content binary"
+)
+
+
+def _parse_warc_stream(path: str, stream: io.BufferedIOBase):
+    """Yield record tuples from one (decompressed) WARC byte stream.
+
+    Scans version line -> header block -> exactly ``Content-Length``
+    payload bytes -> the two blank lines the spec requires between
+    records. Tolerates leading garbage between records (skips to the
+    next ``WARC/`` line) so one malformed record doesn't sink the
+    file — the same corrupt-line tolerance as the JSONL reader.
+    """
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            continue  # inter-record padding or damage: resync
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if not h or h in (b"\r\n", b"\n"):
+                break
+            if b":" in h:
+                k, _, v = h.partition(b":")
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            clen = 0
+        payload = stream.read(clen) if clen > 0 else b""
+        yield (
+            path,
+            headers.get("warc-type"),
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            len(payload),
+            payload,
+        )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC/WET files (``.warc``, ``.wet``, optionally ``.gz``)
+    into ``(path, record_type, target_uri, warc_date, content_length,
+    content)`` — one task per file (gzip members are not splittable;
+    a crawl's parallelism is its file count). ``content`` is raw
+    payload bytes."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                raw = bytes(row.content)
+                if row.path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
+                    stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(raw))
+                else:
+                    stream = io.BytesIO(raw)
+                recs = list(_parse_warc_stream(row.path, stream))
+                yield pd.DataFrame(
+                    recs,
+                    columns=[
+                        "path",
+                        "record_type",
+                        "target_uri",
+                        "warc_date",
+                        "content_length",
+                        "content",
+                    ],
+                )
+
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_text(spark: SparkSession, path: str) -> DataFrame:
+    """WET extracted-text view: only ``conversion`` records, payload
+    decoded as UTF-8 -> ``(target_uri, warc_date, text)`` — the frame
+    the curation pipeline (clean_text -> quality -> dedup) starts
+    from."""
+    recs = read_warc(spark, path)
+    return recs.filter(F.col("record_type") == "conversion").select(
+        "target_uri",
+        "warc_date",
+        F.decode(F.col("content"), "UTF-8").alias("text"),
+    )
