@@ -35,6 +35,12 @@ def _curate_main(argv: list[str]) -> int:
     )
     ap.add_argument("-i", "--input", required=True, help="documents parquet (doc_id, text, ...)")
     ap.add_argument("-o", "--output", required=True, help="output parquet for survivors")
+    ap.add_argument(
+        "--wet",
+        action="store_true",
+        help="input is WARC/WET crawl files, not parquet: extracted text becomes "
+        "the corpus (doc_id = xxhash64(uri, date), source = registered host)",
+    )
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--langs", default=None, help="comma-separated lang_guess allowlist")
     ap.add_argument("--ngram", type=int, default=3, help="shingle size for near-dup Jaccard")
@@ -75,7 +81,17 @@ def _curate_main(argv: list[str]) -> int:
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="cs533_curate_cli", master=args.master)
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
+    if args.wet:
+        from cs533_big_data_data_mining_spark.sources.warc import warc_text
+
+        wt = warc_text(spark, args.input)
+        docs = wt.select(
+            F.xxhash64("target_uri", "warc_date").alias("doc_id"),
+            "text",
+            F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1).alias("source"),
+        )
+    else:
+        docs = spark.read.parquet(args.input)
     n_in = docs.count()
     if args.source_fracs:
         if "source" not in docs.columns:

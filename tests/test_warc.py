@@ -61,3 +61,27 @@ def test_read_warc_resyncs_after_damage(spark, tmp_path):
     rows = read_warc(spark, str(tmp_path / "d.wet")).collect()
     assert len(rows) == 2
     assert all(bytes(r.content) == b"clean body" for r in rows)
+
+
+def test_cli_curate_from_wet(spark, tmp_path):
+    """End-to-end crawl -> curated parquet: WET ingest, exact dup
+    across pages collapses, source column comes from the host."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    body_a = b"a genuinely unique page body with plenty of ordinary words"
+    body_b = b"another unrelated body of text about different things entirely"
+    recs = [
+        ("conversion", "https://x.example/p1", body_a, "2024-01-01T00:00:00Z"),
+        ("conversion", "https://x.example/p2", body_a, "2024-01-01T00:00:01Z"),  # exact dup
+        ("conversion", "https://y.example/q", body_b, "2024-01-01T00:00:02Z"),
+    ]
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "c.wet").write_bytes(_build_wet(recs))
+    out = str(tmp_path / "curated_wet.parquet")
+
+    assert main(["curate", "-i", str(d), "-o", out, "--wet"]) == 0
+    got = spark.read.parquet(out).collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == sorted([body_a.decode(), body_b.decode()])
+    assert sorted(r["source"] for r in got) == ["x.example", "y.example"]
