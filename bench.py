@@ -394,6 +394,61 @@ def main() -> None:
             errors["decontam_bloom_500k"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# decontam_bloom_500k: ERROR {errors['decontam_bloom_500k']}", file=sys.stderr)
 
+        # Duplicated-span detection at 1M docs: per-doc hash words are
+        # ~unique 5-grams (vocab 99991, 12 words), every 41st doc gets
+        # a shared 10-word phrase appended — exactly those docs must
+        # report exactly one span of exactly 10 tokens. Exercises the
+        # positional-gram inverted index (~12M grams), the LeftSemi
+        # flag join and the islands window at volume.
+        from cs533_big_data_data_mining_spark.operators.dedup import duplicated_spans
+
+        nsp = 1_000_000
+        phrase = " ".join(f"sharedword{j}" for j in range(10))
+        docs_sp = spark.range(nsp).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 41 == 0,
+                F.concat_ws(
+                    " ",
+                    F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(12)), _dw)),
+                    F.lit(phrase),
+                ),
+            )
+            .otherwise(F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(12)), _dw)))
+            .alias("text"),
+        )
+        t0 = time.time()
+        try:
+            spans = duplicated_spans(docs_sp, k=5, hash_grams=True)
+            agg = spans.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("id").alias("docs"),
+                F.min("span_end").alias("end_lo"),
+                F.max("span_end").alias("end_hi"),
+                F.min("span_start").alias("start_lo"),
+                F.max("span_start").alias("start_hi"),
+            ).head()
+            expected_docs = docs_sp.filter(F.col("doc_id") % 41 == 0).count()
+            # every planted span ends exactly at token 22 (phrase tail);
+            # the start is 12, or 1-2 earlier for the ~12% of planted
+            # docs whose last hash words collide mod 99991 with another
+            # planted doc's (the boundary gram then duplicates too) —
+            # a real property of the data, not detector slack
+            assert (
+                agg["n"] == agg["docs"] == expected_docs
+                and agg["end_lo"] == agg["end_hi"] == 22
+                and 10 <= agg["start_lo"] <= agg["start_hi"] == 12
+            ), f"span smoke wrong: {dict(agg.asDict())} expected {expected_docs} docs"
+            timings["spans_scale1m"] = round(time.time() - t0, 3)
+            print(
+                f"# spans_scale1m: {timings['spans_scale1m']}s "
+                f"({expected_docs} planted docs, one 10-token span each, nothing else)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["spans_scale1m"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# spans_scale1m: ERROR {errors['spans_scale1m']}", file=sys.stderr)
+
         n = 3_000_000
         pts = spark.range(n).select(
             F.col("id"),
