@@ -534,3 +534,51 @@ def test_dense_index_matches_rank(spark, seed, n, spread, parts):
     got = {r["v"]: r["dense_id"] for r in dense_index(df, "v").collect()}
     want = {v: i + 1 for i, v in enumerate(sorted(set(vals)))}
     assert got == want
+
+
+def test_lm_perplexity_brute_force(spark):
+    """lm_perplexity matches a pure-Python reimplementation of the
+    smoothed bigram model on a random corpus (decimal-summed terms,
+    identical rounding discipline)."""
+    import decimal
+    import math
+    import random
+
+    from cs533_big_data_data_mining_spark.operators.quality import lm_perplexity
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(30)
+    ]
+
+    # brute force
+    from collections import Counter
+
+    uni = Counter()
+    big = Counter()
+    for _, text in docs:
+        toks = text.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n_total = sum(uni.values())
+    v = len(uni) + 1
+    a = 0.5
+
+    expect = {}
+    for i, text in docs:
+        toks = text.split()
+        if not toks:
+            expect[i] = (0, None, None)
+            continue
+        terms = [round(math.log((uni[toks[0]] + a) / (n_total + a * v)), 9)]
+        for prev, w in zip(toks, toks[1:]):
+            terms.append(round(math.log((big[(prev, w)] + a) / (uni[prev] + a * v)), 9))
+        s = sum(decimal.Decimal(f"{t:.9f}") for t in terms)
+        avg = round(float(s) / len(toks), 6)
+        expect[i] = (len(toks), avg, round(math.exp(-avg), 6))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.id: (r.n_tokens, r.avg_logp, r.ppl) for r in lm_perplexity(df).collect()}
+    assert got == expect
