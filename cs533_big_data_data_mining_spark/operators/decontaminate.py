@@ -107,6 +107,7 @@ def contamination_spans(
     id_col: str,
     text_col: str,
     n: int = 5,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """``(id, span_start, span_end, span_tokens)`` — the exact token
     regions of each corpus document that overlap the benchmark
@@ -121,6 +122,13 @@ def contamination_spans(
     (never self-joined — no pair blowup), and the span merge is the
     per-document gaps-and-islands window from
     ``dedup.duplicated_spans`` (state bounded by document length).
+
+    ``bloom_fpp`` switches to the ``decontaminate_bloom`` envelope
+    for benchmark gram sets too large to broadcast as a hash set: a
+    Bloom probe prunes ~all non-matching positional grams map-side,
+    and only the surviving sliver takes the exact membership join —
+    output IDENTICAL to the broadcast path (every Bloom hit is
+    exactly verified; no false negatives by construction).
     """
     from cs533_big_data_data_mining_spark.functions.text import word_ngrams
     from cs533_big_data_data_mining_spark.operators.dedup import _merge_flagged_spans
@@ -133,6 +141,25 @@ def contamination_spans(
         F.posexplode(word_ngrams(text_col, nn)).alias("pos", "gram"),
     )
     bsh = benchmark_shingles(bench, text_col, nn).select(F.col("shingle").alias("gram"))
+    if bloom_fpp is not None:
+        from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+        bsh = bsh.cache()
+        n_bench = bsh.count()
+        if n_bench == 0:
+            bsh.unpersist()
+            return docs.sparkSession.createDataFrame(
+                [], "id long, span_start long, span_end long, span_tokens long"
+            )
+        bloom = bloom_build(bsh, "gram", n_items=n_bench, fpp=float(bloom_fpp))
+        cand = grams.filter(bloom.might_contain("gram"))
+        flagged = cand.join(bsh, "gram", "left_semi").select("id", "pos")
+        out = _merge_flagged_spans(flagged, nn)
+        # materialize before releasing the exact-verify side's cache
+        out = out.persist()
+        out.count()
+        bsh.unpersist()
+        return out
     flagged = grams.join(F.broadcast(bsh), "gram", "left_semi").select("id", "pos")
     return _merge_flagged_spans(flagged, nn)
 

@@ -918,3 +918,33 @@ def test_temperature_fractions(spark):
 
     with pytest.raises(ValueError):
         temperature_fractions(df, "src", 0.0)
+
+
+def test_contamination_spans_bloom_equals_plain(spark):
+    """The bloom-prefiltered span route is output-identical to the
+    broadcast route (every Bloom hit exactly verified)."""
+    from cs533_big_data_data_mining_spark.operators.decontaminate import (
+        contamination_spans,
+    )
+
+    frag = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"start words then {frag} trailing clean content here now"),
+            (2, "fully clean words with no benchmark overlap in any position"),
+            (3, f"{frag} {frag}"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, f"pre {frag} post")], "qid long, text string")
+    plain = {
+        tuple(r) for r in contamination_spans(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    bloomed = contamination_spans(docs, bench, "doc_id", "text", n=5, bloom_fpp=0.01)
+    assert {tuple(r) for r in bloomed.collect()} == plain
+    bloomed.unpersist()
+
+    # empty benchmark: no spans either way
+    empty = spark.createDataFrame([], "qid long, text string")
+    assert contamination_spans(docs, empty, "doc_id", "text", bloom_fpp=0.01).count() == 0
+    assert contamination_spans(docs, empty, "doc_id", "text").count() == 0
