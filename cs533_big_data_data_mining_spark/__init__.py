@@ -27,6 +27,7 @@ from cs533_big_data_data_mining_spark.operators.decontaminate import (
 )
 from cs533_big_data_data_mining_spark.operators.dedup import (
     duplicated_spans,
+    duplicated_spans_bipartite,
     exact_dedup,
     minhash_dedup_pairs,
     minhash_dedup_pairs_bipartite,
@@ -113,6 +114,7 @@ __all__ = [
     "simhash64",
     "simhash_neardup_pairs",
     "duplicated_spans",
+    "duplicated_spans_bipartite",
     "span_dup_stats",
     "semdedup",
     "lm_perplexity",

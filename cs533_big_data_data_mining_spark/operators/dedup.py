@@ -650,6 +650,52 @@ def duplicated_spans(
     return _merge_flagged_spans(flagged, kk)
 
 
+def duplicated_spans_bipartite(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Incremental :func:`duplicated_spans`: maximal spans in NEW
+    documents whose k-grams already exist in the HISTORICAL corpus or
+    occur >= 2 times within the new shard itself — the shape a daily
+    ingest pipeline runs (dedup today's shard against everything
+    already admitted without re-scanning history pairwise; the twin
+    of ``minhash_dedup_pairs_bipartite``).
+
+    History contributes only its DISTINCT gram set (one combinable
+    groupBy per ingest — or persist it once and union the admitted
+    shard's grams in, so history is never re-tokenized); new-shard
+    positions are flagged by one semi-join against
+    ``history-grams ∪ {new grams with count >= 2}``. Same span-merge
+    window, same ``hash_grams`` shuffle-width trade as the
+    self-join variant.
+    """
+    kk = int(k)
+    if kk < 1:
+        raise ValueError("k must be >= 1")
+    gram_of = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    ngrams = new.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(text_col, kk)).alias("pos", "__g"),
+    ).select("id", "pos", gram_of(F.col("__g")).alias("gram"))
+    hgrams = (
+        history.select(F.explode(word_ngrams(text_col, kk)).alias("__g"))
+        .select(gram_of(F.col("__g")).alias("gram"))
+        .distinct()
+    )
+    new_dups = (
+        ngrams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+    )
+    flagged = ngrams.join(hgrams.union(new_dups).distinct(), "gram", "left_semi")
+    return _merge_flagged_spans(flagged.select("id", "pos"), kk)
+
+
 def _merge_flagged_spans(flagged: DataFrame, k: int) -> DataFrame:
     """Gaps-and-islands merge of flagged k-gram start positions
     ``(id, pos)`` into maximal spans: windows [pos, pos+k) merge while

@@ -524,3 +524,53 @@ def test_duplicated_spans_k_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         duplicated_spans(df, k=0)
+
+
+def test_duplicated_spans_bipartite(spark):
+    """New-shard spans flag history overlap AND intra-shard repeats;
+    text unique to the new shard stays clean. Self-consistency: with
+    empty history the result equals the self-join variant."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        duplicated_spans,
+        duplicated_spans_bipartite,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "prefix words quick brown fox jumps over suffix tail here"),  # hist overlap
+            (2, "fresh unique content one two three four five six seven"),    # clean
+            (3, "repeat me now ok fine repeat me now ok fine"),               # intra-shard x2? (same doc)
+            (4, "fresh unique content one two three four five six seven"),    # dup of 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicated_spans_bipartite(new, hist, k=5).collect()
+    }
+    # doc1 tokens: prefix(0) words(1) quick(2) brown(3) fox(4) jumps(5) over(6)...
+    # hist 5-grams cover "quick brown fox jumps over" -> start 2, span [2,7)
+    # docs 2/4 are an exact intra-shard pair (full 10-token spans);
+    # doc 3 self-repeats its 5-word phrase (full span)
+    assert got == {(1, 2, 7), (2, 0, 10), (4, 0, 10), (3, 0, 10)}
+
+    # empty history degenerates to the self-join variant
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    self_res = {
+        tuple(r) for r in duplicated_spans(new, k=5).collect()
+    }
+    bi_res = {
+        tuple(r) for r in duplicated_spans_bipartite(new, empty, k=5).collect()
+    }
+    assert bi_res == self_res
+
+    # hash route identical on collision-free input
+    bi_hash = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicated_spans_bipartite(new, hist, k=5, hash_grams=True).collect()
+    }
+    assert bi_hash == got
