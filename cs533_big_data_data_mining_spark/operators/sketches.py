@@ -132,6 +132,35 @@ class BloomFilter:
 
         return _probe_any(pos2)
 
+    def save(self, spark, path: str) -> None:
+        """Persist to Parquet — the 'build the benchmark filter once,
+        probe it from every ingest run' artifact. Layout: one row per
+        64-bit word (``w`` index, ``bits``) plus meta rows ``w=-1 ->
+        m`` and ``w=-2 -> k`` (kept as separate rows — a packed
+        ``m*2^32+k`` encoding would overflow int64 exactly at the
+        multi-gigabit filter sizes this API exists for); m/64 rows
+        total, so a daily pipeline reloads it in milliseconds instead
+        of re-scanning 10^9 benchmark n-grams."""
+        rows = [(-1, int(self.m)), (-2, int(self.k))] + [
+            (i, int(w)) for i, w in enumerate(np.asarray(self.words, dtype=np.int64))
+        ]
+        spark.createDataFrame(rows, "w long, bits long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BloomFilter":
+        """Inverse of :meth:`save` — hashing parameters restored, so
+        probes are bit-compatible with the original build."""
+        rows = spark.read.parquet(path).collect()
+        m = next(int(r["bits"]) for r in rows if r["w"] == -1)
+        k = next(int(r["bits"]) for r in rows if r["w"] == -2)
+        arr = np.zeros(m // 64, dtype=np.int64)
+        for r in rows:
+            if r["w"] >= 0:
+                arr[int(r["w"])] = int(r["bits"])
+        return cls(arr, m, k)
+
 
 def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
     import math

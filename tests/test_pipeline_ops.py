@@ -948,3 +948,32 @@ def test_contamination_spans_bloom_equals_plain(spark):
     empty = spark.createDataFrame([], "qid long, text string")
     assert contamination_spans(docs, empty, "doc_id", "text", bloom_fpp=0.01).count() == 0
     assert contamination_spans(docs, empty, "doc_id", "text").count() == 0
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    """A reloaded Bloom filter probes bit-identically to the build —
+    the cross-run benchmark-filter artifact."""
+    from cs533_big_data_data_mining_spark.operators.sketches import (
+        BloomFilter,
+        bloom_build,
+    )
+
+    items = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(500)], "v string"
+    )
+    bloom = bloom_build(items, "v", fpp=0.01)
+    path = str(tmp_path / "bench_bloom.parquet")
+    bloom.save(spark, path)
+    loaded = BloomFilter.load(spark, path)
+    assert (loaded.m, loaded.k) == (bloom.m, bloom.k)
+
+    probe = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(500)]
+        + [(f"absent-{i}",) for i in range(500)],
+        "v string",
+    )
+    a = probe.select("v", bloom.might_contain("v").alias("hit")).collect()
+    b = probe.select("v", loaded.might_contain("v").alias("hit")).collect()
+    assert {(r.v, r.hit) for r in a} == {(r.v, r.hit) for r in b}
+    # no false negatives
+    assert all(r.hit for r in b if r.v.startswith("member-"))
