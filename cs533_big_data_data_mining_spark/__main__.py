@@ -242,7 +242,11 @@ def _score_main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from cs533_big_data_data_mining_spark.functions.text import quality_score
+    from cs533_big_data_data_mining_spark.functions.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
     from cs533_big_data_data_mining_spark.operators.dedup import span_dup_stats
     from cs533_big_data_data_mining_spark.operators.quality import lm_perplexity
     from cs533_big_data_data_mining_spark.session import get_spark
@@ -258,6 +262,8 @@ def _score_main(argv: list[str]) -> int:
         docs.select(
             F.col(args.id_col).alias("id"),
             quality_score(args.text_col).alias("quality"),
+            lang_id(args.text_col).alias("lang_guess"),
+            F.greatest(token_count(args.text_col), F.lit(0)).cast("long").alias("n_tokens"),
         )
         .join(ppl.select("id", "avg_logp", "ppl"), "id", "left")
         .join(spans.select("id", "dup_frac"), "id", "left")
