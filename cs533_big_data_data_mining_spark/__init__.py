@@ -51,6 +51,8 @@ from cs533_big_data_data_mining_spark.operators.sketches import (
     bloom_build,
     cms_build,
     cms_estimates,
+    cms_load,
+    cms_save,
     heavy_hitters,
 )
 from cs533_big_data_data_mining_spark.operators.profile import (
@@ -150,6 +152,8 @@ __all__ = [
     "assign_split",
     "quantile_filter",
     "cms_build",
+    "cms_load",
+    "cms_save",
     "cms_estimates",
     "heavy_hitters",
     "profile_numeric",

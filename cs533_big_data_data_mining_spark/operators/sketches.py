@@ -43,6 +43,31 @@ def cms_build(df: DataFrame, col: str | Column, depth: int = 4, width: int = 819
     return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
 
 
+def cms_save(spark, sketch: DataFrame, path: str, depth: int, width: int) -> None:
+    """Persist a CMS frame + its probe parameters to Parquet — the
+    cross-run/mergeable artifact (load two days' sketches and SUM the
+    ``c`` columns on (d, bucket): CMS merge is cellwise addition).
+    Meta travels as a ``d = -1`` row (``bucket`` = depth,
+    ``c`` = width) so the load can't probe with mismatched params."""
+    meta = spark.createDataFrame([(-1, int(depth), int(width))], "d int, bucket long, c long")
+    sketch.select(
+        F.col("d").cast("int"), F.col("bucket").cast("long"), F.col("c").cast("long")
+    ).unionByName(meta).write.mode("overwrite").parquet(path)
+
+
+def cms_load(spark, path: str) -> tuple[DataFrame, int, int]:
+    """Inverse of :meth:`cms_save` — returns ``(sketch, depth,
+    width)`` ready for :func:`cms_estimates` with bit-compatible
+    probes."""
+    raw = spark.read.parquet(path)
+    meta = raw.filter(F.col("d") == -1).head()
+    return (
+        raw.filter(F.col("d") >= 0),
+        int(meta["bucket"]),
+        int(meta["c"]),
+    )
+
+
 def cms_estimates(
     items: DataFrame, item_col: str, sketch: DataFrame, depth: int = 4, width: int = 8192
 ) -> DataFrame:

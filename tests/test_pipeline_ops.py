@@ -977,3 +977,37 @@ def test_bloom_save_load_roundtrip(spark, tmp_path):
     assert {(r.v, r.hit) for r in a} == {(r.v, r.hit) for r in b}
     # no false negatives
     assert all(r.hit for r in b if r.v.startswith("member-"))
+
+
+def test_cms_save_load_and_merge(spark, tmp_path):
+    """CMS persistence round-trips params and cells; two persisted
+    day-sketches merged by cellwise sum estimate the union stream
+    exactly like a single sketch over the concatenation."""
+    import pyspark.sql.functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import (
+        cms_build,
+        cms_estimates,
+        cms_load,
+        cms_save,
+    )
+
+    day1 = spark.createDataFrame([("a",)] * 6 + [("b",)] * 2, "v string")
+    day2 = spark.createDataFrame([("a",)] * 3 + [("c",)] * 5, "v string")
+    d, w = 4, 256
+    p1, p2 = str(tmp_path / "cms1"), str(tmp_path / "cms2")
+    cms_save(spark, cms_build(day1, "v", d, w), p1, d, w)
+    cms_save(spark, cms_build(day2, "v", d, w), p2, d, w)
+
+    s1, d1, w1 = cms_load(spark, p1)
+    s2, d2, w2 = cms_load(spark, p2)
+    assert (d1, w1) == (d2, w2) == (d, w)
+    merged = (
+        s1.unionByName(s2).groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+    )
+    items = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    got = {r.item: r.est for r in cms_estimates(items, "v", merged, d, w).collect()}
+    full = cms_build(day1.unionByName(day2), "v", d, w)
+    want = {r.item: r.est for r in cms_estimates(items, "v", full, d, w).collect()}
+    assert got == want
+    assert got["a"] >= 9 and got["b"] >= 2 and got["c"] >= 5  # never undercount
