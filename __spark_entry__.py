@@ -1460,6 +1460,61 @@ def _q_sketch_distinct(spark, sf_dir):
     )
 
 
+def _q_sketch_persist(spark, sf_dir):
+    # Sketch persistence round-trips (the cross-run artifacts): a CMS
+    # saved + reloaded estimates cell-identically to the in-memory
+    # build, and a Bloom filter saved + reloaded probes bit-
+    # identically (and never false-negatives a member). Oracle emits
+    # (n distinct users, TRUE, TRUE, TRUE).
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from cs533_big_data_data_mining_spark.operators.sketches import (
+        BloomFilter,
+        bloom_build,
+        cms_build,
+        cms_load,
+        cms_save,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.select(F.col("user_id").cast("string").alias("u")).distinct().cache()
+    n_users = users.count()
+    root = tempfile.mkdtemp(prefix="sketch_persist_")
+    try:
+        d, w = 4, 256
+        cms = cms_build(ev, "event_type", d, w)
+        cms_save(spark, cms, f"{root}/cms", d, w)
+        loaded, ld, lw = cms_load(spark, f"{root}/cms")
+        mem_cells = {(r["d"], r["bucket"]): r["c"] for r in cms.collect()}
+        got_cells = {(r["d"], r["bucket"]): r["c"] for r in loaded.collect()}
+        cms_ok = (ld, lw) == (d, w) and mem_cells == got_cells
+
+        bloom = bloom_build(users, "u", fpp=0.01)
+        bloom.save(spark, f"{root}/bloom")
+        bl = BloomFilter.load(spark, f"{root}/bloom")
+        probe = users.unionByName(
+            users.select(F.concat(F.lit("absent-"), F.col("u")).alias("u"))
+        )
+        cmp = probe.select(
+            "u",
+            bloom.might_contain("u").alias("a"),
+            bl.might_contain("u").alias("b"),
+            (~F.col("u").startswith("absent-")).alias("member"),
+        ).cache()
+        probe_eq = cmp.filter(F.col("a") != F.col("b")).count() == 0
+        no_false_neg = cmp.filter(F.col("member") & ~F.col("b")).count() == 0
+        cmp.unpersist()
+    finally:
+        users.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_users, bool((bl.m, bl.k) == (bloom.m, bloom.k) and cms_ok), bool(probe_eq), bool(no_false_neg))],
+        "n_users long, cms_roundtrip boolean, bloom_probe_eq boolean, bloom_no_false_neg boolean",
+    )
+
+
 def _q_stream_windowed_counts(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.streaming.events import (
@@ -1688,11 +1743,12 @@ def _q_sketches_all(spark, sf_dir):
     # run them concurrently; Spark's scheduler interleaves the jobs
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(3) as ex:
+    with ThreadPoolExecutor(4) as ex:
         fa = ex.submit(_q_sketch_distinct, spark, sf_dir)
         fb = ex.submit(_q_sketch_heavy_hitters, spark, sf_dir)
         fc = ex.submit(_q_sketch_stream_merge, spark, sf_dir)
-        ra, rb, rc = fa.result(), fb.result(), fc.result()
+        fd = ex.submit(_q_sketch_persist, spark, sf_dir)
+        ra, rb, rc, rd = fa.result(), fb.result(), fc.result(), fd.result()
     a = ra.select(
         F.col("n_exact").alias("hll_n_exact"),
         F.col("within_bounds").alias("hll_within_bounds"),
@@ -1707,7 +1763,18 @@ def _q_sketches_all(spark, sf_dir):
         F.col("merged_equals_full").alias("sm_merged_equals_full"),
         F.col("no_undercount").alias("sm_no_undercount"),
     )
-    return a.coalesce(1).crossJoin(b.coalesce(1)).crossJoin(c.coalesce(1))
+    d = rd.select(
+        F.col("n_users").alias("pr_n_users"),
+        F.col("cms_roundtrip").alias("pr_cms_roundtrip"),
+        F.col("bloom_probe_eq").alias("pr_bloom_probe_eq"),
+        F.col("bloom_no_false_neg").alias("pr_bloom_no_false_neg"),
+    )
+    return (
+        a.coalesce(1)
+        .crossJoin(b.coalesce(1))
+        .crossJoin(c.coalesce(1))
+        .crossJoin(d.coalesce(1))
+    )
 
 
 def _q_stream_eq_all(spark, sf_dir):
@@ -2632,7 +2699,11 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
            FROM ({oracles.pop("sketch_heavy_hitters")})) s2,
           (SELECT n_exact AS sm_n_exact, merged_equals_full AS sm_merged_equals_full,
                   no_undercount AS sm_no_undercount
-           FROM ({oracles.pop("sketch_stream_merge")})) s3
+           FROM ({oracles.pop("sketch_stream_merge")})) s3,
+          (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS pr_n_users,
+                  TRUE AS pr_cms_roundtrip, TRUE AS pr_bloom_probe_eq,
+                  TRUE AS pr_bloom_no_false_neg
+           FROM events) s4
     """
     oracles["stream_eq_all"] = f"""
         SELECT * FROM

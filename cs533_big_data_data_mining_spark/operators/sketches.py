@@ -21,6 +21,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Bloom words per saved Parquet partition (2^21 int64 words = 16 MB):
+# one file for small filters, sharded writes for multi-gigabit ones.
+_WORDS_PER_CHUNK = 1 << 21
+
 
 def cms_build(df: DataFrame, col: str | Column, depth: int = 4, width: int = 8192) -> DataFrame:
     """Count-min sketch of a column as a ``(d, bucket, c)`` frame
@@ -45,11 +49,26 @@ def cms_build(df: DataFrame, col: str | Column, depth: int = 4, width: int = 819
 
 def cms_save(spark, sketch: DataFrame, path: str, depth: int, width: int) -> None:
     """Persist a CMS frame + its probe parameters to Parquet — the
-    cross-run/mergeable artifact (load two days' sketches and SUM the
-    ``c`` columns on (d, bucket): CMS merge is cellwise addition).
-    Meta travels as a ``d = -1`` row (``bucket`` = depth,
-    ``c`` = width) so the load can't probe with mismatched params."""
-    meta = spark.createDataFrame([(-1, int(depth), int(width))], "d int, bucket long, c long")
+    cross-run/mergeable artifact. Meta travels as a ``d = -1`` row
+    (``bucket`` = depth, ``c`` = width) so the load can't probe with
+    mismatched params.
+
+    Merging saved sketches: CMS merge is cellwise addition, but the
+    persisted frame INCLUDES the meta rows — filter ``d >= 0`` before
+    a union+sum (a naive sum would double the stored width), or merge
+    via :func:`cms_load` pairs. A naive merge is detectable either
+    way: plain union duplicates the meta rows (count assert in
+    :func:`cms_load`), and union+sum collapses them by the (d,
+    bucket) group keys but DOUBLES ``c`` — caught by the nonlinear
+    checksum row ``d = -2, c = width^2 + depth`` (doubling a squared
+    term is not the square of the doubled term)."""
+    meta = spark.createDataFrame(
+        [
+            (-1, int(depth), int(width)),
+            (-2, 0, int(width) * int(width) + int(depth)),
+        ],
+        "d int, bucket long, c long",
+    )
     sketch.select(
         F.col("d").cast("int"), F.col("bucket").cast("long"), F.col("c").cast("long")
     ).unionByName(meta).write.mode("overwrite").parquet(path)
@@ -58,14 +77,26 @@ def cms_save(spark, sketch: DataFrame, path: str, depth: int, width: int) -> Non
 def cms_load(spark, path: str) -> tuple[DataFrame, int, int]:
     """Inverse of :meth:`cms_save` — returns ``(sketch, depth,
     width)`` ready for :func:`cms_estimates` with bit-compatible
-    probes."""
+    probes. Validates the meta rows: duplicated meta (plain-union
+    merge) fails the count assert; meta collapsed-and-summed by a
+    naive union+sum merge fails the nonlinear checksum — either would
+    otherwise desync probe parameters silently."""
     raw = spark.read.parquet(path)
-    meta = raw.filter(F.col("d") == -1).head()
-    return (
-        raw.filter(F.col("d") >= 0),
-        int(meta["bucket"]),
-        int(meta["c"]),
-    )
+    metas = sorted(raw.filter(F.col("d") < 0).collect(), key=lambda r: -r["d"])
+    if len(metas) != 2 or [r["d"] for r in metas] != [-1, -2]:
+        raise ValueError(
+            f"cms_load({path!r}): expected exactly one meta row pair (d = -1, -2), "
+            f"found {[r['d'] for r in metas]} — merged sketches must filter d >= 0 "
+            "before union+sum (see cms_save docstring)"
+        )
+    depth, width = int(metas[0]["bucket"]), int(metas[0]["c"])
+    if int(metas[1]["c"]) != width * width + depth:
+        raise ValueError(
+            f"cms_load({path!r}): meta checksum mismatch (depth={depth}, "
+            f"width={width}) — the frame was merged without filtering the d < 0 "
+            "meta rows (see cms_save docstring)"
+        )
+    return raw.filter(F.col("d") >= 0), depth, width
 
 
 def cms_estimates(
@@ -166,24 +197,40 @@ class BloomFilter:
         multi-gigabit filter sizes this API exists for); m/64 rows
         total, so a daily pipeline reloads it in milliseconds instead
         of re-scanning 10^9 benchmark n-grams."""
-        rows = [(-1, int(self.m)), (-2, int(self.k))] + [
-            (i, int(w)) for i, w in enumerate(np.asarray(self.words, dtype=np.int64))
-        ]
-        spark.createDataFrame(rows, "w long, bits long").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
+        w = np.asarray(self.words, dtype=np.int64)
+        # Arrow path (pandas frame of two numpy columns), never a
+        # Python list of tuples: at the documented envelope (10^9
+        # items ~ 2e8 words) a row-object list is tens of GB of
+        # driver-side boxing for 1.5 GB of actual bits.
+        pdf = pd.DataFrame(
+            {
+                "w": np.concatenate(([-1, -2], np.arange(len(w), dtype=np.int64))),
+                "bits": np.concatenate(([int(self.m), int(self.k)], w)),
+            }
+        )
+        out = spark.createDataFrame(pdf)
+        # One output file is convenient for small filters; above
+        # ~16 MB of words a single write task becomes the bottleneck
+        # (and a single driver->executor partition), so shard.
+        n_parts = max(1, (len(w) + _WORDS_PER_CHUNK - 1) // _WORDS_PER_CHUNK)
+        out = out.coalesce(1) if n_parts == 1 else out.repartition(n_parts)
+        out.write.mode("overwrite").parquet(path)
 
     @classmethod
     def load(cls, spark, path: str) -> "BloomFilter":
         """Inverse of :meth:`save` — hashing parameters restored, so
-        probes are bit-compatible with the original build."""
-        rows = spark.read.parquet(path).collect()
-        m = next(int(r["bits"]) for r in rows if r["w"] == -1)
-        k = next(int(r["bits"]) for r in rows if r["w"] == -2)
+        probes are bit-compatible with the original build. Ingestion
+        is Arrow (``toPandas`` -> vectorized numpy scatter), never a
+        per-word Row list: word count scales with m, and the filter
+        exists precisely for the m too big to treat row-at-a-time."""
+        pdf = spark.read.parquet(path).toPandas()
+        widx = pdf["w"].to_numpy(dtype=np.int64)
+        bits = pdf["bits"].to_numpy(dtype=np.int64)
+        m = int(bits[widx == -1][0])
+        k = int(bits[widx == -2][0])
         arr = np.zeros(m // 64, dtype=np.int64)
-        for r in rows:
-            if r["w"] >= 0:
-                arr[int(r["w"])] = int(r["bits"])
+        body = widx >= 0
+        arr[widx[body]] = bits[body]
         return cls(arr, m, k)
 
 
@@ -201,9 +248,11 @@ def bloom_build(
 ) -> BloomFilter:
     """Build a :class:`BloomFilter` over a column. One explode to the
     k bit positions, one map-side-combinable ``bit_or`` aggregate
-    keyed by 64-bit word index (at most m/64 reduce rows), collected
-    into a numpy word array — the build never funnels item VALUES to
-    the driver, only set bits."""
+    keyed by 64-bit word index (at most m/64 reduce rows) — the build
+    never funnels item VALUES to the driver, only set bits. The
+    reduce output comes back over Arrow (``toPandas`` -> vectorized
+    numpy scatter): at the 10^9-item envelope that is ~1.5e8 words,
+    fine as two numpy columns and fatal as py4j Row objects."""
     import numpy as np
 
     c = F.col(col) if isinstance(col, str) else col
@@ -220,39 +269,54 @@ def bloom_build(
         )
         .groupBy("w")
         .agg(F.expr("bit_or(b)").alias("bits"))
-        .collect()
+        .toPandas()
     )
     arr = np.zeros(m // 64, dtype=np.int64)
-    for r in words:
-        arr[int(r["w"])] = r["bits"]
+    arr[words["w"].to_numpy(dtype=np.int64)] = words["bits"].to_numpy(dtype=np.int64)
     return BloomFilter(arr, m, k)
 
 
 def _local_heavy_candidates(df: DataFrame, c: Column, thr: int, total: int) -> DataFrame:
-    """Distinct ``__item`` values whose LOCAL count ``k`` in some
-    partition of ``n`` rows satisfies ``k * total >= thr * n`` — a
-    guaranteed superset of every item with global count >= ``thr``
-    (weighted-average argument: ``sum k_p = c >= thr`` over
-    ``sum n_p = total`` forces ``k_p/n_p >= thr/total`` somewhere),
-    emitting at most ``total/thr`` items per partition with zero
-    full-cardinality shuffle. The comparison cross-multiplies in
-    Python ints — exact at any magnitude, so the truncated global
-    threshold (``int(total*frac)``) can't slip through a float
-    boundary. Arrow-batched counting; the iterator spans the whole
-    partition, so the local counts are exact per partition."""
+    """Distinct ``__item`` values that could have global count >=
+    ``thr``, found per-partition with BOUNDED memory: a Misra-Gries
+    summary of capacity ``cap = 2*ceil(total/thr)`` per partition.
+
+    Guarantee: each MG decrement round subtracts an offset from >
+    ``cap`` counters, so the total mass ever decremented is < n/cap
+    per partition — a counter underestimates its item's local count
+    by < n/cap. Any item with global count >= thr has local count
+    ``k_p >= thr * n_p / total`` in some partition (weighted-average
+    argument), and there ``k_p >= n_p/(total/thr) > n_p/cap`` — its
+    counter stays positive, so it is emitted. Superset property is
+    brute-force-tested (tests/test_properties.py
+    ``test_local_heavy_candidates_always_superset``).
+
+    At most ``cap`` candidates AND ``cap`` live counters per
+    partition (the round-6 version kept an exact per-partition dict —
+    unbounded by thr, a per-task memory hazard at exactly the
+    high-cardinality scale this replaced ``distinct()`` for).
+    ``thr <= 0`` (tiny inputs where every item trivially qualifies)
+    keeps the exact dict — cap would be unbounded and the input is
+    by definition small relative to 1/frac."""
     src = df.select(c.alias("__item"))
     item_type = src.schema["__item"].dataType.simpleString()
+    cap = 2 * ((total + thr - 1) // thr) if thr > 0 else None
 
     def local_counts(batches):
         counts: dict = {}
-        n = 0
+        seen = False
         for pdf in batches:
-            n += len(pdf)
+            seen = seen or len(pdf) > 0
             for v, k in pdf["__item"].value_counts(dropna=False).items():
                 counts[v] = counts.get(v, 0) + int(k)
-        if n:
-            keep = [v for v, k in counts.items() if k * total >= thr * n]
-            yield pd.DataFrame({"__item": pd.Series(keep, dtype=object)})
+            if cap is not None and len(counts) > cap:
+                # Batched Misra-Gries decrement: subtract the
+                # (cap+1)-th largest count from everything, drop <=0
+                # — removes >= offset*(cap+1) mass per round.
+                offset = sorted(counts.values(), reverse=True)[cap]
+                counts = {v: k - offset for v, k in counts.items() if k > offset}
+        if seen:
+            yield pd.DataFrame({"__item": pd.Series(list(counts), dtype=object)})
 
     return src.mapInPandas(local_counts, f"__item {item_type}").distinct()
 

@@ -616,6 +616,29 @@ def test_local_heavy_candidates_superset_and_bounded(spark):
     assert not any(k.startswith("cold") for k in hh)
 
 
+def test_local_heavy_candidates_misra_gries_cap(spark):
+    # High-cardinality partition: the Misra-Gries summary emits at
+    # most cap = 2*ceil(total/thr) candidates per partition no matter
+    # how many distinct values flow through (the round-6 exact dict
+    # held all of them), and the planted hitter still survives.
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import _local_heavy_candidates
+
+    n_cold, n_hot = 20_000, 3_000
+    total = n_cold + n_hot
+    thr = int(total * 0.1)  # cap = 2*ceil(23000/2300) = 20
+    df = (
+        spark.range(n_cold)
+        .select(F.concat(F.lit("c"), F.col("id")).alias("v"))
+        .union(spark.range(n_hot).select(F.lit("hot").alias("v")))
+        .coalesce(1)
+    )
+    cands = {r["__item"] for r in _local_heavy_candidates(df, F.col("v"), thr, total).collect()}
+    assert "hot" in cands
+    assert len(cands) <= 2 * -(-total // thr)
+
+
 def test_bucketed_join_is_exchange_free(spark):
     from cs533_big_data_data_mining_spark.operators.joins import bucketed_join, write_bucketed
 
@@ -1011,3 +1034,36 @@ def test_cms_save_load_and_merge(spark, tmp_path):
     want = {r.item: r.est for r in cms_estimates(items, "v", full, d, w).collect()}
     assert got == want
     assert got["a"] >= 9 and got["b"] >= 2 and got["c"] >= 5  # never undercount
+
+
+def test_cms_load_rejects_polluted_meta(spark, tmp_path):
+    """A naive union+sum merge that forgot to filter d >= 0 doubles
+    the d = -1 meta row; cms_load must fail loudly instead of probing
+    with arbitrary params."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from cs533_big_data_data_mining_spark.operators.sketches import (
+        cms_build,
+        cms_load,
+        cms_save,
+    )
+
+    day = spark.createDataFrame([("a",)] * 4, "v string")
+    d, w = 2, 64
+    p = str(tmp_path / "cms_ok")
+    cms_save(spark, cms_build(day, "v", d, w), p, d, w)
+    raw = spark.read.parquet(p)
+    # mistake 1: union two saved frames and sum WITHOUT filtering the
+    # meta rows — they collapse on the (d, bucket) keys but c doubles
+    bad_sum = str(tmp_path / "cms_bad_sum")
+    raw.unionByName(raw).groupBy("d", "bucket").agg(F.sum("c").alias("c")).write.parquet(bad_sum)
+    with pytest.raises(ValueError, match="checksum"):
+        cms_load(spark, bad_sum)
+    # mistake 2: plain union without the sum — duplicated meta rows
+    bad_dup = str(tmp_path / "cms_bad_dup")
+    raw.unionByName(raw).write.parquet(bad_dup)
+    with pytest.raises(ValueError, match="meta row"):
+        cms_load(spark, bad_dup)
+    s, dd, ww = cms_load(spark, p)  # clean frame still loads
+    assert (dd, ww) == (d, w)
