@@ -1556,6 +1556,139 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate_bloom(docs, bench, "doc_id", "text", n=DECON_N, min_overlap=1)
 
 
+CRAWL_DUP_OFF = 1_000_000_000  # dup-record ids sit above every real doc_id
+CRAWL_BOILER = "zzfollow zzus zzon zzsocial zzmedia"  # outside the corpus vocab
+CRAWL_BENCH_MOD = 13
+CRAWL_DUP_MOD = 10
+
+
+def _q_crawl_shards(spark, sf_dir):
+    # End-to-end crawl -> training-shards composition (what a user of
+    # this engine actually runs): the documents table is written out
+    # as WET crawl archives with planted boilerplate (appended to
+    # every record) and planted exact duplicates (every 10th doc),
+    # then warc_text -> boilerplate-line removal -> quality +
+    # bigram-perplexity scoring -> exact dedup -> 5-gram benchmark
+    # decontamination (bench = every 13th doc) -> deterministic split
+    # assignment -> sequence packing (validate=True). Each stage's
+    # observable is either SQL-derivable from `documents` (counts,
+    # split sizes, token totals, bins) or asserted in-Spark and
+    # emitted as a boolean the oracle pins TRUE (the boilerplate
+    # strip must restore every source text byte-for-byte through the
+    # WET round-trip; scores must exist and be finite). The scale
+    # twin of this row is bench.py's env-gated crawl smoke.
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from cs533_big_data_data_mining_spark.functions.text import quality_score
+    from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+    from cs533_big_data_data_mining_spark.operators.dedup import exact_dedup
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        assign_split,
+        lm_perplexity,
+        remove_boilerplate_lines,
+    )
+    from cs533_big_data_data_mining_spark.sources.warc import warc_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # driver-built archive: the table is small at oracle SFs; the
+    # env-gated smoke builds its archives at volume
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    root = tempfile.mkdtemp(prefix="crawl_shards_")
+    try:
+        def rec(uri: str, payload: bytes) -> bytes:
+            head = (
+                b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                + f"WARC-Target-URI: {uri}\r\n".encode()
+                + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            )
+            return head + payload + b"\r\n\r\n"
+
+        shards: list[list[bytes]] = [[] for _ in range(4)]
+        for i, r in enumerate(rows):
+            payload = (r["text"] + "\n" + CRAWL_BOILER).encode()
+            host = f"https://h{r['doc_id'] % 7}.example"
+            shards[i % 4].append(rec(f"{host}/d/{r['doc_id']}", payload))
+            if r["doc_id"] % CRAWL_DUP_MOD == 0:
+                shards[(i + 1) % 4].append(rec(f"{host}/dup/{r['doc_id']}", payload))
+        for j, blobs in enumerate(shards):
+            with open(f"{root}/part{j}.wet", "wb") as fh:
+                fh.write(b"".join(blobs))
+
+        wt = warc_text(spark, root)
+        base_id = F.regexp_extract("target_uri", r"/(?:d|dup)/(\d+)$", 1).cast("long")
+        corpus = wt.select(
+            F.when(F.col("target_uri").contains("/dup/"), base_id + F.lit(CRAWL_DUP_OFF))
+            .otherwise(base_id)
+            .alias("doc_id"),
+            F.col("text"),
+        ).cache()
+        n_wet = corpus.count()
+
+        cleaned = remove_boilerplate_lines(corpus, "doc_id", "text", n_wet - 1)
+        corpus2 = cleaned.select(
+            F.col("id").alias("doc_id"), F.col("clean").alias("text")
+        ).cache()
+        boiler_bad = (
+            corpus2.withColumn("base", F.pmod("doc_id", F.lit(CRAWL_DUP_OFF)))
+            .join(docs.select(F.col("doc_id").alias("base"), F.col("text").alias("orig")), "base")
+            .filter((F.col("text") != F.col("orig")) | F.col("text").isNull())
+            .count()
+        )
+        ppl = lm_perplexity(corpus2, id_col="doc_id", text_col="text")
+        scored = corpus2.select("doc_id", quality_score("text").alias("q")).join(
+            ppl.select(F.col("id").alias("doc_id"), "ppl"), "doc_id", "left"
+        )
+        score_bad = scored.filter(
+            F.col("q").isNull() | F.col("ppl").isNull() | ~(F.col("ppl") > 0) | F.isnan("ppl")
+        ).count()
+        ppl.unpersist()
+
+        surv = exact_dedup(corpus2, "doc_id", "text").cache()
+        n_dedup = surv.count()
+        bench = docs.filter(F.col("doc_id") % CRAWL_BENCH_MOD == 0)
+        flags = decontaminate(surv, bench, "doc_id", "text", n=DECON_N)
+        final = surv.join(
+            flags.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        ).cache()
+        n_final = final.count()
+        splits = assign_split(
+            final, "doc_id", weights={"train": 0.875, "val": 0.0625, "test": 0.0625}
+        )
+        sc = {
+            r["split"]: r["n"]
+            for r in splits.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        plan = pack_sequences(final, "doc_id", PACK_SEQ_LEN, validate=True)
+        agg = plan.agg(
+            F.coalesce(F.max(F.col("start_offset") + F.col("n_tokens")), F.lit(0)).alias("total"),
+            F.coalesce(F.max("bin_end") + 1, F.lit(0)).alias("bins"),
+        ).head()
+        for fr in (corpus, corpus2, surv, final):
+            fr.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            n_wet,
+            bool(boiler_bad == 0),
+            bool(score_bad == 0),
+            n_dedup,
+            n_dedup - n_final,
+            sc.get("train", 0),
+            sc.get("val", 0),
+            sc.get("test", 0),
+            int(agg["total"]),
+            int(agg["bins"]),
+        )],
+        "n_wet long, boiler_ok boolean, scores_ok boolean, n_dedup long, n_contam long, "
+        "n_train long, n_val long, n_test long, total_tokens long, n_bins long",
+    )
+
+
 RETENTION_PERIOD_DAYS = 7
 
 
@@ -1827,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05 + pytest already pin.
     return {
         # --- never-recorded / changed this round (must-record) ---
+        "crawl_shards": _q_crawl_shards,
         "retention": _q_retention,
         "contam_spans": _q_contam_spans,
         "clean_text": _q_clean_text,
@@ -2250,6 +2384,62 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) < 1 AS keep
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
+        """,
+        # crawl_shards: the WET/boilerplate stages are asserted
+        # in-Spark (booleans pinned TRUE here); everything countable
+        # is derived from `documents` — dedup survivors are min-id
+        # per text, contamination is the 5-gram join vs the mod-13
+        # benchmark slice, splits use the shared poly31 hash, pack
+        # totals use the subword regex token count
+        "crawl_shards": f"""
+            WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+            surv AS (SELECT min(doc_id) AS id, any_value(t) AS t, text
+                     FROM toks GROUP BY text),
+            ssh AS (
+              SELECT id, unnest(list_distinct(
+                CASE WHEN len(t) >= {DECON_N}
+                     THEN list_transform(range(1, len(t) - {DECON_N - 2}),
+                          i -> concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(DECON_N))}))
+                     ELSE [] END)) AS shingle
+              FROM surv),
+            bsh AS (
+              SELECT DISTINCT unnest(list_distinct(
+                CASE WHEN len(t) >= {DECON_N}
+                     THEN list_transform(range(1, len(t) - {DECON_N - 2}),
+                          i -> concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(DECON_N))}))
+                     ELSE [] END)) AS shingle
+              FROM toks WHERE doc_id % {CRAWL_BENCH_MOD} = 0),
+            contam AS (SELECT DISTINCT s.id FROM ssh s JOIN bsh USING (shingle)),
+            final AS (SELECT id, text FROM surv
+                      WHERE id NOT IN (SELECT id FROM contam)),
+            h AS (
+              SELECT id,
+                     CAST((list_reduce(list_prepend(0, range(1, length(CAST(id AS VARCHAR)) + 1)),
+                       (acc, i) -> (acc * 31 + ascii(substring(CAST(id AS VARCHAR), CAST(i AS INT), 1)))
+                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
+                     / 2147483647.0 AS u
+              FROM final),
+            splitc AS (
+              SELECT count(*) FILTER (WHERE u < 0.875) AS n_train,
+                     count(*) FILTER (WHERE u >= 0.875 AND u < 0.9375) AS n_val,
+                     count(*) FILTER (WHERE u >= 0.9375) AS n_test
+              FROM h),
+            packt AS (
+              SELECT COALESCE(CAST(sum(len(regexp_extract_all(text, '{_SUBWORD_RE_SQL}'))) AS BIGINT), 0) AS total
+              FROM final)
+            SELECT
+              CAST((SELECT count(*) + count(*) FILTER (WHERE doc_id % {CRAWL_DUP_MOD} = 0)
+                    FROM documents) AS BIGINT) AS n_wet,
+              TRUE AS boiler_ok, TRUE AS scores_ok,
+              CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_dedup,
+              CAST((SELECT count(*) FROM contam) AS BIGINT) AS n_contam,
+              CAST((SELECT n_train FROM splitc) AS BIGINT) AS n_train,
+              CAST((SELECT n_val FROM splitc) AS BIGINT) AS n_val,
+              CAST((SELECT n_test FROM splitc) AS BIGINT) AS n_test,
+              (SELECT total FROM packt) AS total_tokens,
+              CAST((SELECT CASE WHEN total = 0 THEN 0
+                                ELSE (total - 1) // {PACK_SEQ_LEN} + 1 END
+                    FROM packt) AS BIGINT) AS n_bins
         """,
         "repetition_stats": f"""
             WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),

