@@ -445,6 +445,147 @@ def main() -> None:
             errors["bloom_envelope_40m"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# bloom_envelope_40m: ERROR {errors['bloom_envelope_40m']}", file=sys.stderr)
 
+        # End-to-end crawl -> training-shards composition at 210k WET
+        # records (the scale twin of the crawl_shards driver row):
+        # 200k 12-word docs (vocab 99991) + a boilerplate line on
+        # EVERY record + 10k planted exact duplicates (every 20th
+        # doc, distinct uri) + a shared 10-word phrase in every 41st
+        # doc + benchmark = every 40th doc's clean text. Each stage
+        # must recover exactly its planted set: boiler line stripped
+        # (else the span stage would flag every doc), dedup back to
+        # 200k, spans on exactly the 4879 phrase docs ending at token
+        # 22, decontamination flagging the 9757-doc union of bench
+        # members and phrase docs (phrase grams leak into the bench
+        # via the 122 ids divisible by both 40 and 41), split sizes
+        # summing to the survivor count, pack offsets validating.
+        import shutil
+        import tempfile
+
+        from cs533_big_data_data_mining_spark.functions.text import subword_count
+        from cs533_big_data_data_mining_spark.operators.dedup import (
+            duplicated_spans,
+            exact_dedup,
+        )
+        from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+        from cs533_big_data_data_mining_spark.operators.quality import (
+            assign_split,
+            remove_boilerplate_lines,
+        )
+        from cs533_big_data_data_mining_spark.sources.warc import warc_text
+
+        ncr, crdup_off = 200_000, 1_000_000_000
+        cr_phrase = " ".join(f"crawlshared{j}" for j in range(10))
+        cr_boiler = "zzcrawl zzboiler zzline zzplanted"
+        _ctext = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(301), F.lit(312)),
+                lambda j: F.conv(
+                    F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(99991)).cast("string"), 10, 36
+                ),
+            ),
+        )
+        docs_cr = spark.range(ncr).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 41 == 0, F.concat_ws(" ", _ctext, F.lit(cr_phrase)))
+            .otherwise(_ctext)
+            .alias("text"),
+        )
+        t0 = time.time()
+        root_cr = tempfile.mkdtemp(prefix="crawl_smoke_")
+        try:
+            def _rec(uri, payload):
+                return (
+                    b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                    + f"WARC-Target-URI: {uri}\r\n".encode()
+                    + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                    + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                    + payload
+                    + b"\r\n\r\n"
+                )
+
+            shard_buf = [[] for _ in range(8)]
+            for i, r in enumerate(docs_cr.collect()):
+                payload = (r["text"] + "\n" + cr_boiler).encode()
+                shard_buf[i % 8].append(_rec(f"https://c.example/d/{r['doc_id']}", payload))
+                if r["doc_id"] % 20 == 0:
+                    shard_buf[(i + 3) % 8].append(
+                        _rec(f"https://c.example/dup/{r['doc_id']}", payload)
+                    )
+            for j, blobs in enumerate(shard_buf):
+                with open(f"{root_cr}/part{j}.wet", "wb") as fh:
+                    fh.write(b"".join(blobs))
+
+            base_id = F.regexp_extract("target_uri", r"/(?:d|dup)/(\d+)$", 1).cast("long")
+            corpus_cr = warc_text(spark, root_cr).select(
+                F.when(F.col("target_uri").contains("/dup/"), base_id + F.lit(crdup_off))
+                .otherwise(base_id)
+                .alias("doc_id"),
+                "text",
+            )
+            n_wet = corpus_cr.count()
+            assert n_wet == ncr + ncr // 20, n_wet
+            cleaned_cr = remove_boilerplate_lines(corpus_cr, "doc_id", "text", 1000).select(
+                F.col("id").alias("doc_id"), F.col("clean").alias("text")
+            )
+            surv_cr = exact_dedup(cleaned_cr, "doc_id", "text").cache()
+            n_dedup = surv_cr.count()
+            assert n_dedup == ncr, n_dedup
+            sp = duplicated_spans(surv_cr, k=5, hash_grams=True)
+            spa = sp.agg(
+                F.count_distinct("id").alias("docs"),
+                F.min("span_end").alias("end_lo"),
+                F.max("span_end").alias("end_hi"),
+            ).head()
+            n_phrase = (ncr - 1) // 41 + 1
+            assert (
+                spa["docs"] == n_phrase and spa["end_lo"] == spa["end_hi"] == 22
+            ), dict(spa.asDict())
+            bench_cr = docs_cr.filter(F.col("doc_id") % 40 == 0)
+            flags_cr = decontaminate_bloom(surv_cr, bench_cr, "doc_id", "text", n=5)
+            n_flag = flags_cr.filter("NOT keep").count()
+            n_expect_flag = ncr // 40 + n_phrase - ((ncr - 1) // 1640 + 1)
+            assert n_flag == n_expect_flag, (n_flag, n_expect_flag)
+            final_cr = surv_cr.join(
+                flags_cr.filter("keep").select(F.col("id").alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            ).cache()
+            n_final = final_cr.count()
+            assert n_final == ncr - n_expect_flag, n_final
+            spl = assign_split(final_cr, "doc_id")
+            spl_counts = {
+                r["split"]: r["n"]
+                for r in spl.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            assert sum(spl_counts.values()) == n_final, spl_counts
+            assert 0.85 < spl_counts["train"] / n_final < 0.95, spl_counts
+            plan_cr = pack_sequences(final_cr, "doc_id", 2048, validate=True)
+            total_cr = plan_cr.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.max(F.col("start_offset") + F.col("n_tokens")).alias("total"),
+            ).head()
+            want_total = final_cr.agg(
+                F.sum(F.coalesce(subword_count("text").cast("long"), F.lit(0)))
+            ).head()[0]
+            assert total_cr["rows"] == n_final and total_cr["total"] == want_total, dict(
+                total_cr.asDict()
+            )
+            surv_cr.unpersist()
+            final_cr.unpersist()
+            timings["crawl_pipeline_210k"] = round(time.time() - t0, 3)
+            print(
+                f"# crawl_pipeline_210k: {timings['crawl_pipeline_210k']}s "
+                f"(WET {n_wet} -> dedup {n_dedup} -> decontam -{n_flag} -> "
+                f"{n_final} docs, {total_cr['total']} tokens packed; spans/boiler exact)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["crawl_pipeline_210k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# crawl_pipeline_210k: ERROR {errors['crawl_pipeline_210k']}", file=sys.stderr)
+        finally:
+            shutil.rmtree(root_cr, ignore_errors=True)
+
         # Duplicated-span detection at 1M docs: per-doc hash words are
         # ~unique 5-grams (vocab 99991, 12 words), every 41st doc gets
         # a shared 10-word phrase appended — exactly those docs must
