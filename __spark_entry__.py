@@ -1365,9 +1365,19 @@ def _q_semdedup_far(spark, sf_dir):
     from cs533_big_data_data_mining_spark.operators.similarity import semdedup
 
     corpus = spark.createDataFrame(SEMFAR_VECS, "vec_id long, embedding array<double>")
-    return semdedup(corpus, 0.999, 1, iters=1, keep="far_from_centroid").select(
-        F.col("id").cast("long").alias("id")
-    )
+    # 6 literal vectors through ~8 tiny jobs: 32-way shuffles are pure
+    # scheduling overhead here — pin partitions low around the call
+    # (safe under the driver's serial query gate; set/restore is a
+    # fixed point if re-entered, same pattern as _q_stream_eq_all)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = semdedup(corpus, 0.999, 1, iters=1, keep="far_from_centroid").select(
+            F.col("id").cast("long").alias("id")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
 
 
 CMS_FRAC = 0.02
