@@ -1002,6 +1002,30 @@ def test_bloom_save_load_roundtrip(spark, tmp_path):
     assert all(r.hit for r in b if r.v.startswith("member-"))
 
 
+def test_bloom_save_sharded_write(spark, tmp_path, monkeypatch):
+    """Above the per-chunk word bound the save shards into multiple
+    Parquet files (no single-task write) and still round-trips
+    bit-identically. Bound lowered via monkeypatch — save() reads the
+    module constant driver-side."""
+    import glob
+
+    from cs533_big_data_data_mining_spark.operators import sketches as sk
+
+    items = spark.createDataFrame([(f"m{i}",) for i in range(2000)], "v string")
+    bloom = sk.bloom_build(items, "v", fpp=0.01)  # m/64 ~ 300 words
+    monkeypatch.setattr(sk, "_WORDS_PER_CHUNK", 64)
+    path = str(tmp_path / "bloom_sharded.parquet")
+    bloom.save(spark, path)
+    assert len(glob.glob(f"{path}/part-*")) > 1  # sharded, not coalesce(1)
+    loaded = sk.BloomFilter.load(spark, path)
+    assert (loaded.m, loaded.k) == (bloom.m, bloom.k)
+    import numpy as np
+
+    assert np.array_equal(
+        np.asarray(loaded.words, dtype=np.int64), np.asarray(bloom.words, dtype=np.int64)
+    )
+
+
 def test_cms_save_load_and_merge(spark, tmp_path):
     """CMS persistence round-trips params and cells; two persisted
     day-sketches merged by cellwise sum estimate the union stream
