@@ -42,6 +42,23 @@ def _ensure_shipped(spark: SparkSession) -> None:
     _SHIPPED = True
 
 
+def _one_row(spark: SparkSession, **cols) -> DataFrame:
+    """Single-row frame of literal values via ``range(1)`` — a pure
+    JVM LocalTableScan. ``createDataFrame([one_tuple])`` instead goes
+    through the pickled-RDD path with ``defaultParallelism``
+    partitions, each needing a Python worker round trip PER ACTION —
+    measured 17 s (!) for a 4-way crossJoin of such frames on
+    local[32] vs 0.2 s for this shape. Ints become long (the oracle
+    compare is dtype-strict), bools stay boolean."""
+    exprs = []
+    for k, v in cols.items():
+        c = F.lit(v)
+        if not isinstance(v, bool) and isinstance(v, int):
+            c = c.cast("long")
+        exprs.append(c.alias(k))
+    return spark.range(1).select(*exprs)
+
+
 # ---------------------------------------------------------------- points
 
 EPS3 = 0.06  # eps for the 3-D embedding projection: ~57% cores, real border/noise mix
@@ -615,10 +632,7 @@ def _q_sim_topk_ivf(spark, sf_dir):
     n_hits = part.join(full, ["query_id", "neighbor_id"]).count()
     for frame in (part, full, assigned):
         frame.unpersist()
-    return spark.createDataFrame(
-        [(n_full, bool(n_hits >= n_full * IVF_RECALL_BOUND))],
-        "n_full long, recall_ok boolean",
-    )
+    return _one_row(spark, n_full=n_full, recall_ok=bool(n_hits >= n_full * IVF_RECALL_BOUND))
 
 
 def _q_sim_topk_ivf_full(spark, sf_dir):
@@ -1002,9 +1016,8 @@ def _q_sessionize_stream_eq(spark, sf_dir):
         coverage_ok = bool(n_got >= SESS_EQ_COVERAGE * n_batch)
     finally:
         shutil.rmtree(src, ignore_errors=True)
-    return spark.createDataFrame(
-        [(n_batch, subset_ok, coverage_ok)],
-        "n_batch long, subset_ok boolean, coverage_ok boolean",
+    return _one_row(
+        spark, n_batch=n_batch, subset_ok=bool(subset_ok), coverage_ok=bool(coverage_ok)
     )
 
 
@@ -1064,9 +1077,7 @@ def _q_curate_stream_eq(spark, sf_dir):
         ok = bool(n_got == n_batch and extra == 0 and missing == 0)
     finally:
         shutil.rmtree(src, ignore_errors=True)
-    return spark.createDataFrame(
-        [(n_batch, ok)], "n_batch long, stream_matches boolean"
-    )
+    return _one_row(spark, n_batch=n_batch, stream_matches=bool(ok))
 
 
 SAMPLE_FRACS = {"src0": 0.25, "src1": 0.5, "src2": 0.0}  # others keep 100%
@@ -1194,7 +1205,7 @@ def _q_dedup_stream_eq(spark, sf_dir):
         ok = bool(n_got == n_batch and extra == 0 and missing == 0)
     finally:
         shutil.rmtree(src, ignore_errors=True)
-    return spark.createDataFrame([(n_batch, ok)], "n_batch long, stream_matches boolean")
+    return _one_row(spark, n_batch=n_batch, stream_matches=bool(ok))
 
 
 SALT_N = 8
@@ -1364,7 +1375,14 @@ def _q_semdedup_far(spark, sf_dir):
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.operators.similarity import semdedup
 
-    corpus = spark.createDataFrame(SEMFAR_VECS, "vec_id long, embedding array<double>")
+    # SQL VALUES -> JVM LocalRelation: this tiny frame is re-read by
+    # every job in the k-means/pairs/CC pipeline, and the pickled-RDD
+    # createDataFrame path would pay 32 Python partition evaluations
+    # per job (see _one_row)
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), array({vec[0]!r}D, {vec[1]!r}D))" for i, vec in SEMFAR_VECS
+    )
+    corpus = spark.sql(f"SELECT * FROM VALUES {values} AS t(vec_id, embedding)")
     # 6 literal vectors through ~8 tiny jobs: 32-way shuffles are pure
     # scheduling overhead here — pin partitions low around the call
     # (safe under the driver's serial query gate; set/restore is a
@@ -1408,9 +1426,11 @@ def _q_sketch_heavy_hitters(spark, sf_dir):
     undercounts = (
         hh.join(exact, hh["item"] == exact["tok"]).filter(F.col("est") < F.col("n")).count()
     )
-    out = spark.createDataFrame(
-        [(n_exact, bool(missed == 0), bool(undercounts == 0))],
-        "n_exact long, superset_ok boolean, no_undercount boolean",
+    out = _one_row(
+        spark,
+        n_exact=n_exact,
+        superset_ok=bool(missed == 0),
+        no_undercount=bool(undercounts == 0),
     )
     for frame in (toks, hh, exact):
         frame.unpersist()
@@ -1495,9 +1515,11 @@ def _q_sketch_stream_merge(spark, sf_dir):
         no_undercount = all(ests.get(k, 0) >= n for k, n in hitters.items())
     finally:
         shutil.rmtree(src, ignore_errors=True)
-    return spark.createDataFrame(
-        [(len(hitters), bool(merged_equals_full), bool(no_undercount))],
-        "n_exact long, merged_equals_full boolean, no_undercount boolean",
+    return _one_row(
+        spark,
+        n_exact=len(hitters),
+        merged_equals_full=bool(merged_equals_full),
+        no_undercount=bool(no_undercount),
     )
 
 
@@ -1515,9 +1537,7 @@ def _q_sketch_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("n_approx"),
     ).head()
     ok = abs(row["n_approx"] - row["n_exact"]) <= 5.0 * HLL_RSD * row["n_exact"]
-    return spark.createDataFrame(
-        [(row["n_exact"], bool(ok))], "n_exact long, within_bounds boolean"
-    )
+    return _one_row(spark, n_exact=row["n_exact"], within_bounds=bool(ok))
 
 
 def _q_sketch_persist(spark, sf_dir):
@@ -1569,9 +1589,12 @@ def _q_sketch_persist(spark, sf_dir):
     finally:
         users.unpersist()
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        [(n_users, bool((bl.m, bl.k) == (bloom.m, bloom.k) and cms_ok), bool(probe_eq), bool(no_false_neg))],
-        "n_users long, cms_roundtrip boolean, bloom_probe_eq boolean, bloom_no_false_neg boolean",
+    return _one_row(
+        spark,
+        n_users=n_users,
+        cms_roundtrip=bool((bl.m, bl.k) == (bloom.m, bloom.k) and cms_ok),
+        bloom_probe_eq=bool(probe_eq),
+        bloom_no_false_neg=bool(no_false_neg),
     )
 
 
@@ -1731,21 +1754,18 @@ def _q_crawl_shards(spark, sf_dir):
             fr.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        [(
-            n_wet,
-            bool(boiler_bad == 0),
-            bool(score_bad == 0),
-            n_dedup,
-            n_dedup - n_final,
-            sc.get("train", 0),
-            sc.get("val", 0),
-            sc.get("test", 0),
-            int(agg["total"]),
-            int(agg["bins"]),
-        )],
-        "n_wet long, boiler_ok boolean, scores_ok boolean, n_dedup long, n_contam long, "
-        "n_train long, n_val long, n_test long, total_tokens long, n_bins long",
+    return _one_row(
+        spark,
+        n_wet=n_wet,
+        boiler_ok=bool(boiler_bad == 0),
+        scores_ok=bool(score_bad == 0),
+        n_dedup=n_dedup,
+        n_contam=n_dedup - n_final,
+        n_train=sc.get("train", 0),
+        n_val=sc.get("val", 0),
+        n_test=sc.get("test", 0),
+        total_tokens=int(agg["total"]),
+        n_bins=int(agg["bins"]),
     )
 
 
@@ -1932,8 +1952,11 @@ def _q_sketches_all(spark, sf_dir):
     # correctness record holds at most ~50 rows (r5 cut at exactly 50
     # of 54), so single-boolean checks share one row instead of
     # spending three
-    # the three parts are independent (own temp dirs / sink names) —
-    # run them concurrently; Spark's scheduler interleaves the jobs
+    # the four parts are independent (own temp dirs / sink names) —
+    # run them concurrently; Spark's scheduler interleaves the jobs.
+    # (What made this composite read 16 s in round 7's first bench was
+    # not the concurrency but the final crossJoin of createDataFrame
+    # one-row frames — see _one_row.)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(4) as ex:
