@@ -44,6 +44,7 @@ from cs533_big_data_data_mining_spark.operators.cells import (
     grid_stats,
 )
 from cs533_big_data_data_mining_spark.operators.connected_components import connected_components
+from cs533_big_data_data_mining_spark.session import local_df
 from cs533_big_data_data_mining_spark.operators.neighbors import (
     cell_block_components_and_borders,
     cell_block_neighbor_counts,
@@ -178,7 +179,7 @@ def dense_index(
     for pid in sorted(sizes):
         offsets.append((pid, acc))
         acc += sizes[pid]
-    off = F.broadcast(spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long"))
+    off = F.broadcast(local_df(spark, offsets or [(0, 0)], "_pid int, _off long"))
     w = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
     out = (
         withpid.join(off, "_pid")

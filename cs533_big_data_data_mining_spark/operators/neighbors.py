@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cs533_big_data_data_mining_spark.session import local_df
+
 # Memory budget per distance block: rows_per_block * n * 8 bytes <= ~128 MB
 _BLOCK_BYTES = 128 * 1024 * 1024
 
@@ -348,7 +350,8 @@ def cell_block_epsilon_join_two(
     eps2 = float(eps) * float(eps)
     spark = l_big.sparkSession
     cells = sorted(set(l_sizes) | set(r_sizes))
-    mdf = spark.createDataFrame(
+    mdf = local_df(
+        spark,
         [
             (
                 int(c),
@@ -492,7 +495,8 @@ def _pack_cell_blocks(
     comes from the caller's single probe aggregation, so per-cell
     block counts cost no extra pass."""
     spark = big_celled.sparkSession
-    mdf = spark.createDataFrame(
+    mdf = local_df(
+        spark,
         [(int(c), max(1, math.ceil(n / block_rows))) for c, n in sizes.items()],
         "cell long, m int",
     )

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cs533_big_data_data_mining_spark.functions.text import subword_count
+from cs533_big_data_data_mining_spark.session import local_df
 
 #: Bounds used by the most recent :func:`pack_sequences` call — post-mortem
 #: breadcrumb for cross-environment divergence hunts (the one external,
@@ -122,7 +123,7 @@ def pack_sequences(
         offsets.append((pid, acc))
         acc += totals[pid]
     off = F.broadcast(
-        withpid.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+        local_df(withpid.sparkSession, offsets or [(0, 0)], "_pid int, _off long")
     )
     w = (
         Window.partitionBy("_pid")

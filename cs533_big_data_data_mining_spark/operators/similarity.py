@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cs533_big_data_data_mining_spark.functions.vector import as_double_array, dot, norm2
+from cs533_big_data_data_mining_spark.session import local_df
 
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -354,8 +355,8 @@ def ivf_index(
 
     C = _centroid_matrix(corpus, n_centroids, id_col, vec_col, iters, seed)
     spark = corpus.sparkSession
-    cent = spark.createDataFrame(
-        [(i, C[i].tolist()) for i in range(len(C))], "cid int, cvec array<double>"
+    cent = local_df(
+        spark, [(i, C[i].tolist()) for i in range(len(C))], "cid int, cvec array<double>"
     )
 
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -593,7 +594,7 @@ def semdedup_pairs(
     spark = assignments.sparkSession
     if not mmap:
         return spark.createDataFrame([], "a long, b long, cosine double")
-    m_df = F.broadcast(spark.createDataFrame(mmap, "cid int, _m int"))
+    m_df = F.broadcast(local_df(spark, mmap, "cid int, _m int"))
     packed = (
         assignments.join(m_df, "cid")
         .withColumn("blk", F.pmod(F.xxhash64("id"), F.col("_m")).cast("int"))

@@ -62,7 +62,10 @@ def cms_save(spark, sketch: DataFrame, path: str, depth: int, width: int) -> Non
     bucket) group keys but DOUBLES ``c`` — caught by the nonlinear
     checksum row ``d = -2, c = width^2 + depth`` (doubling a squared
     term is not the square of the doubled term)."""
-    meta = spark.createDataFrame(
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    meta = local_df(
+        spark,
         [
             (-1, int(depth), int(width)),
             (-2, 0, int(width) * int(width) + int(depth)),

@@ -94,3 +94,30 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addPyFile(_package_zip())
     return spark
+
+
+def local_df(spark: SparkSession, rows, schema: str):
+    """Driver-built small DataFrame through the **Arrow** path.
+
+    ``spark.createDataFrame(list_of_tuples)`` routes through the
+    pickled-RDD path with ``defaultParallelism`` partitions, and every
+    ACTION that touches the frame pays one Python-worker round trip
+    per partition — measured 17 s for a 4-way crossJoin of four
+    one-row frames on local[32] (1024 cartesian tasks of Python
+    partitions), and a recurring tax on every broadcast-joined
+    driver-built side table (partition offsets, centroids, block
+    maps). Routing the same rows through a pandas frame makes the
+    result JVM-backed Arrow batches: the same crossJoin is 0.2 s and
+    actions never touch Python again.
+
+    ``schema`` is the usual DDL string; pandas holds the rows only as
+    a transit format (dtypes are coerced by the schema). Falls back
+    to Spark's own non-Arrow conversion semantics automatically if
+    Arrow can't encode a value (Spark warns and converts).
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    names = [f.name for f in StructType.fromDDL(schema).fields]
+    pdf = pd.DataFrame.from_records(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
