@@ -2051,6 +2051,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontaminate runs the bloom route whose build ingestion
         # changed this round — keep it safely inside the record cap
         "decontaminate": _q_decontaminate,
+        # pack_sequences / semdedup_eq exercise the partition-offset /
+        # block-map side tables that moved to the Arrow local_df path
+        # this round — record them while changed
+        "pack_sequences": _q_pack_sequences,
+        "semdedup_eq": _q_semdedup_eq,
         # --- rotation: latest driver row is r5; re-record now ---
         "label_centroids": _q_label_centroids,
         "repetition_stats": _q_repetition_stats,
@@ -2089,8 +2094,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_full": _q_sim_topk_ivf_full,
-        "text_stats": _q_text_stats,
-        "tfidf": _q_tfidf,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "curate_docs": _q_curate_docs,
@@ -2106,8 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": _q_clean_text,
         "lm_perplexity": _q_lm_perplexity,
         "span_dup_stats": _q_span_dup_stats,
-        "semdedup_eq": _q_semdedup_eq,
-        "pack_sequences": _q_pack_sequences,
+        "text_stats": _q_text_stats,
+        "tfidf": _q_tfidf,
         "balance_sources": _q_balance_sources,
         "salted_join_eq": _q_salted_join_eq,
         "sample_sources": _q_sample_sources,
