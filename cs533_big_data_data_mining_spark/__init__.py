@@ -30,6 +30,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     duplicated_spans_bipartite,
     exact_dedup,
     minhash_dedup_pairs,
+    url_dedup,
     minhash_dedup_pairs_bipartite,
     ngram_jaccard_pairs,
     simhash64,
@@ -62,7 +63,10 @@ from cs533_big_data_data_mining_spark.operators.profile import (
 from cs533_big_data_data_mining_spark.operators.quality import (
     assign_split,
     balance_sources,
+    dsir_logratio,
+    gopher_rules,
     lm_perplexity,
+    mix_to_budget,
     quantile_filter,
     quantile_filter_by,
     remove_boilerplate_lines,
@@ -79,6 +83,7 @@ from cs533_big_data_data_mining_spark.operators.similarity import (
     semdedup,
 )
 from cs533_big_data_data_mining_spark.functions.text import clean_text, redact_pii
+from cs533_big_data_data_mining_spark.functions.url import normalize_url
 from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
 from cs533_big_data_data_mining_spark.sources.documents import (
     jsonl_to_parquet,
@@ -110,6 +115,11 @@ __all__ = [
     "read_warc",
     "warc_text",
     "exact_dedup",
+    "url_dedup",
+    "normalize_url",
+    "gopher_rules",
+    "dsir_logratio",
+    "mix_to_budget",
     "minhash_dedup_pairs",
     "minhash_dedup_pairs_bipartite",
     "ngram_jaccard_pairs",

@@ -61,6 +61,34 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_semi")
 
 
+def url_dedup(
+    df: DataFrame, id_col: str, url_col: str, normalize: bool = True
+) -> DataFrame:
+    """URL-level exact dedup — stage ONE of the RefinedWeb/CommonCrawl
+    curation recipe (Penedo et al. 2023 §3.1: re-crawls of the same
+    page are removed by URL before any content-based dedup runs,
+    because the groupBy key here is a short string, not shingle
+    sets). Returns ``(id, url_norm)`` for survivors (keeper = min id
+    per normalized URL).
+
+    ``normalize=True`` canonicalizes via
+    :func:`~cs533_big_data_data_mining_spark.functions.url.normalize_url`
+    (case, ``www.``, tracking params, fragments, trailing slash) so
+    crawl-variant URLs collapse; the normalizer is a pure Column that
+    fuses into the scan, so the whole operator is ONE map-side-
+    combinable groupBy on the normalized key + a broadcast-free
+    min-id semi-join on the unique id — the same scale shape as
+    :func:`exact_dedup`, with a key that is bytes instead of
+    documents. NULL urls form their own group (one survivor).
+    """
+    from cs533_big_data_data_mining_spark.functions.url import normalize_url
+
+    norm = normalize_url(url_col) if normalize else F.col(url_col)
+    base = df.select(F.col(id_col).alias("id"), norm.alias("url_norm"))
+    keepers = base.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
+    return base.join(keepers, "id", "left_semi")
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; CPU-bound
     per-row work (shingling, hashing) must fan out first. No-op when

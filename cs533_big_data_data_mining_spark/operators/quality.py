@@ -23,6 +23,8 @@ Phase-E extension operators.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -599,3 +601,298 @@ def temperature_fractions(
             scale = min(1.0, float(target_rows) / expected)
             fracs = {s: f * scale for s, f in fracs.items()}
     return fracs
+
+
+#: Gopher's rule-7 English stopword list (Rae et al. 2021 A1.1: "at
+#: least two of the following") — a SMALL presence list, distinct from
+#: the frequency list in functions.text.STOPWORDS_EN.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021 Appendix A1.1,
+    public) as one pass: per-document metrics plus the combined
+    ``keep`` verdict. Defaults are the paper's thresholds; callers
+    filter ``keep`` or re-gate on individual metrics.
+
+    Rules: word count in [min, max]; mean word length in [min, max];
+    (``#`` + ``...``/``…``) per word <= max_symbol_ratio; fraction of
+    non-empty lines starting with a bullet <= max_bullet_frac;
+    fraction ending with an ellipsis <= max_ellipsis_frac; fraction
+    of words containing an alphabetic character >= min_alpha_frac;
+    at least ``min_stopword_hits`` distinct
+    :data:`GOPHER_STOPWORDS` present.
+
+    Empty/null documents fail (metrics null, ``keep`` false) — each
+    rule is null-coalesced to false so a missing denominator can
+    never smuggle a document past the gate. Ratios round to 6 dp
+    (cross-engine hash discipline).
+
+    Scale shape: pure Column expressions end to end — zero shuffle,
+    zero Python, fuses into the scan stage; the one thing it is NOT
+    is a Pandas UDF (same 100 TB argument as ``quality_score``).
+    """
+    c = F.col(text_col)
+    toks = tokenize(text_col)
+    n = F.size(toks).cast("double")
+    nz = F.when(n > 0, n)  # null denominator when empty
+
+    mean_len = F.round(F.length(F.concat_ws("", toks)).cast("double") / nz, 6)
+    n_sym = F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\.|…"))
+    sym_ratio = F.round(n_sym.cast("double") / nz, 6)
+
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("double")
+    nzl = F.when(n_lines > 0, n_lines)
+    bullet = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("double") / nzl, 6
+    )
+    ellipsis = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))).cast("double") / nzl, 6
+    )
+
+    alpha = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]"))).cast("double") / nz, 6
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    def _ok(cond):
+        return F.coalesce(cond, F.lit(False))
+
+    keep = (
+        _ok(n >= min_words)
+        & _ok(n <= max_words)
+        & _ok(mean_len >= min_mean_word_len)
+        & _ok(mean_len <= max_mean_word_len)
+        & _ok(sym_ratio <= max_symbol_ratio)
+        # a doc with no non-empty lines has no bullet/ellipsis
+        # problem — the line rules pass vacuously (nzl null => the
+        # <= holds via coalesce on the NEGATED condition)
+        & ~_ok(bullet > max_bullet_frac)
+        & ~_ok(ellipsis > max_ellipsis_frac)
+        & _ok(alpha >= min_alpha_frac)
+        & _ok(stop_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        alpha.alias("alpha_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.when(c.isNull(), F.lit(False)).otherwise(keep).alias("keep"),
+    )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    target_text_col: str | None = None,
+    raw: DataFrame | None = None,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    max_n: int = 2,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    raw document by how target-like its hashed n-gram profile is, so
+    the corpus can be resampled toward a high-quality target domain.
+
+    Features are word {1..max_n}-grams hashed into ``n_buckets`` via
+    the cross-engine poly31 fingerprint (mod buckets). Two bucket
+    distributions are fit with add-``alpha`` smoothing — ``p`` from
+    ``target``, ``q`` from ``raw`` (defaults to ``df``) — and each
+    document scores ``logratio = sum_g log(p[h(g)] / q[h(g)])`` over
+    its gram OCCURRENCES. Higher = more target-like; feed the result
+    to :func:`quantile_filter` / Gumbel top-k for the actual resample.
+    Returns ``(id, n_grams, logratio)``; empty/null docs get
+    ``n_grams = 0`` and null logratio.
+
+    Determinism: each bucket's log-ratio rounds to 9 dp and per-doc
+    sums run as DECIMAL (order-independent, partition-invariant —
+    the ``lm_perplexity`` discipline); the final score rounds to 6 dp.
+
+    Scale shape: the two distribution fits are explode -> map-side-
+    combinable groupBys that end at <= n_buckets rows each; their join
+    is bucket-sized and the result BROADCASTS, so scoring the corpus
+    is explode -> broadcast hash join -> one per-doc aggregate — a
+    single shuffle on the doc id, no token-key skew joins at all
+    (contrast ``lm_perplexity``); the hot-bucket problem DSIR's
+    hashing creates for counts is absorbed by partial aggregation.
+    """
+    from cs533_big_data_data_mining_spark.functions.text import (
+        FINGERPRINT_MOD,
+        word_ngrams,
+    )
+
+    a = float(alpha)
+    if a <= 0:
+        raise ValueError("alpha must be > 0")
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be > 0")
+    r = raw if raw is not None else df
+    tcol = target_text_col if target_text_col is not None else text_col
+
+    def grams(col):
+        gs = word_ngrams(col, 1)
+        for k in range(2, int(max_n) + 1):
+            gs = F.concat(gs, word_ngrams(col, k))
+        return gs
+
+    # poly31 fingerprint of the gram STRING mod n_buckets — the same
+    # recurrence as functions.text.fingerprint, applied to an exploded
+    # value instead of a named column (cross-engine reproducible)
+    def bucket(gcol_name):
+        fp = F.expr(
+            f"aggregate(sequence(1, length({gcol_name})), 0L, "
+            f"(acc, i) -> (acc * 31 + ascii(substring({gcol_name}, i, 1))) % {FINGERPRINT_MOD})"
+        )
+        return F.pmod(fp, F.lit(int(n_buckets)))
+
+    def bucket_counts(frame, col):
+        return (
+            frame.select(F.explode(grams(col)).alias("g"))
+            .select(bucket("g").alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    tc = bucket_counts(target, tcol)
+    rc = bucket_counts(r, text_col)
+    t_tot = tc.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+    r_tot = rc.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+    B = int(n_buckets)
+    # log((ct + a) / (t_tot + aB)) - log((cr + a) / (r_tot + aB)),
+    # materialized per bucket and rounded BEFORE the per-doc sum
+    ratio = F.broadcast(
+        tc.withColumnRenamed("c", "ct")
+        .join(rc.withColumnRenamed("c", "cr"), "b", "full")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
+                    / F.lit(float(t_tot) + a * B)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(a))
+                    / F.lit(float(r_tot) + a * B)
+                ),
+                9,
+            ).alias("lr"),
+        )
+    )
+
+    ex = df.select(F.col(id_col).alias("id"), F.explode(grams(text_col)).alias("g"))
+    scored = ex.select("id", bucket("g").alias("b")).join(ratio, "b", "left")
+    # a doc bucket absent from BOTH fits never occurs (the doc's own
+    # grams are in raw when raw=df); when raw != df it can — score it
+    # as the all-smoothing ratio
+    lr_missing = math.log((a / (float(t_tot) + a * B)) / (a / (float(r_tot) + a * B)))
+    lr = F.coalesce(F.col("lr"), F.round(F.lit(lr_missing), 9))
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(lr.cast("decimal(24,9)")).alias("slr"),
+    )
+    out = per_doc.select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round(F.col("slr").cast("double"), 6).alias("logratio"),
+    )
+    all_docs = df.select(F.col(id_col).alias("id"))
+    return all_docs.join(out, "id", "left").select(
+        "id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        "logratio",
+    )
+
+
+def mix_to_budget(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    weights: dict[str, float] | None = None,
+    max_epochs: int = 100,
+) -> DataFrame:
+    """Epoch-repeat source mixing to a token budget — the public
+    LLaMA/DoReMi-style recipe: given target mixture ``weights`` and a
+    total training ``budget_tokens``, source ``s`` (holding ``T_s``
+    tokens) must contribute ``budget * w_s`` tokens, i.e. be repeated
+    ``r_s = budget * w_s / T_s`` times — more than one epoch for
+    small upweighted sources, a fraction of one for big ones.
+
+    Every document is emitted ``floor(r_s)`` times, plus one more iff
+    its cross-engine uniform hash (:func:`_uniform_unit`, the
+    ``sample_sources`` gate) falls below ``frac(r_s)`` — so the
+    fractional epoch is a deterministic, reproducible subset, and
+    re-running the mix never changes which copies exist. Returns
+    ``(id, source, epoch)`` with ``epoch`` in ``[0, ceil(r_s))``;
+    downstream shuffling/packing treats (id, epoch) as the row key.
+    ``weights`` defaults to uniform over the sources present (NULL
+    source rows are excluded); weights are normalized; ``r_s`` is
+    capped at ``max_epochs`` (a runaway-repeat guard: a tiny source
+    with a big weight cannot explode the output).
+
+    Scale shape: ONE tiny per-source token-sum groupBy (map-side
+    combinable, #sources rows to the driver — the
+    ``temperature_fractions`` pattern), then a broadcast join of the
+    #sources repeat table and a pure-Column ``explode(sequence())`` —
+    no shuffle of the corpus itself, output partitioning inherits the
+    scan.
+    """
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    totals = {
+        r["s"]: int(r["t"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(F.col(tokens_col)).alias("t"))
+        .collect()
+        if r["s"] is not None and r["t"] is not None and int(r["t"]) > 0
+    }
+    if not totals:
+        return df.sparkSession.createDataFrame([], "id long, source string, epoch int")
+    if weights is None:
+        w = {s: 1.0 for s in totals}
+    else:
+        w = {s: float(f) for s, f in weights.items() if s in totals and f > 0}
+        if not w:
+            return df.sparkSession.createDataFrame([], "id long, source string, epoch int")
+    z = sum(w.values())
+    rows = []
+    for s, ws in sorted(w.items()):
+        r_s = min(float(max_epochs), float(budget_tokens) * (ws / z) / totals[s])
+        n_full = int(math.floor(r_s))
+        rows.append((s, n_full, round(r_s - n_full, 12)))
+    rep = F.broadcast(local_df(df.sparkSession, rows, "source string, n_full int, frac double"))
+
+    u = _uniform_unit(id_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source")).join(
+        rep, "source"
+    )
+    n_eps = F.col("n_full") + F.when(u < F.col("frac"), F.lit(1)).otherwise(F.lit(0))
+    eps = F.when(n_eps >= 1, F.sequence(F.lit(0), n_eps - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return base.select("id", "source", F.explode(eps).alias("epoch"))

@@ -1,0 +1,266 @@
+"""Round-7 curation operators: URL normalize/dedup, Gopher rules,
+DSIR importance weights, token-budget epoch mixing.
+
+Each operator gets a brute-force twin in plain Python over the same
+rows — the property-test discipline of test_properties.py: the Spark
+result must match an independent reimplementation exactly (or to
+1e-6 where a float quotient is involved)."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.functions.text import FINGERPRINT_MOD
+from cs533_big_data_data_mining_spark.functions.url import normalize_url
+from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
+from cs533_big_data_data_mining_spark.operators.quality import (
+    GOPHER_STOPWORDS,
+    dsir_logratio,
+    gopher_rules,
+    mix_to_budget,
+)
+
+
+def _poly31(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % FINGERPRINT_MOD
+    return acc
+
+
+def _uniform(id_val) -> float:
+    return ((_poly31(str(id_val)) * 2654435761 + 12345) % FINGERPRINT_MOD) / FINGERPRINT_MOD
+
+
+# ---------------------------------------------------------------- url
+
+
+URL_CASES = [
+    # scheme/host case + www + tracking + fragment
+    ("HTTPS://WWW.Example.COM/Path/?utm_source=x&a=1#frag", "https://example.com/Path?a=1"),
+    # tracking param first: survivor re-anchors to ?
+    ("https://example.com/p?utm_campaign=z&a=1&utm_x=2", "https://example.com/p?a=1"),
+    # all params tracking -> query gone, then trailing slash
+    ("https://example.com/?utm_source=only", "https://example.com"),
+    ("http://example.com:8080/x/", "http://example.com:8080/x"),
+    # path case is preserved (RFC 3986: only scheme/host fold)
+    ("https://a.com/CaseSensitive", "https://a.com/CaseSensitive"),
+    # gclid/fbclid/ref in the middle
+    ("https://a.com/x?a=1&gclid=abc&b=2", "https://a.com/x?a=1&b=2"),
+    ("https://a.com/x?ref=hn", "https://a.com/x"),
+    # non-URL passes through (no scheme -> no host folding)
+    ("Not A URL", "Not A URL"),
+    (None, None),
+]
+
+
+def test_normalize_url_variants(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], "id long, url string"
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", normalize_url("url").alias("n")).collect()}
+    for i, (_, want) in enumerate(URL_CASES):
+        assert got[i] == want, f"case {i}: {URL_CASES[i][0]!r} -> {got[i]!r}, want {want!r}"
+
+
+def test_url_dedup_keeps_min_id(spark):
+    rows = [
+        (3, "https://example.com/Path?a=1"),
+        (1, "HTTPS://WWW.Example.COM/Path/?utm_source=x&a=1#frag"),
+        (2, "https://other.com/"),
+        (4, None),
+        (5, None),
+    ]
+    out = url_dedup(spark.createDataFrame(rows, "id long, url string"), "id", "url")
+    got = sorted((r["id"], r["url_norm"]) for r in out.collect())
+    # 1 beats 3 (same normalized URL), null group keeps 4
+    assert got == [(1, "https://example.com/Path?a=1"), (2, "https://other.com"), (4, None)]
+
+
+# ------------------------------------------------------------- gopher
+
+
+def _gopher_expected(text):
+    if text is None:
+        return None
+    toks = [t for t in re.split(r"\s+", text) if t]
+    n = len(toks)
+    nz = n if n else None
+    mean_len = round(sum(len(t) for t in toks) / nz, 6) if nz else None
+    n_sym = len(re.findall(r"#", text)) + len(re.findall(r"\.\.\.|…", text))
+    sym = round(n_sym / nz, 6) if nz else None
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    nl = len(lines) if lines else None
+    bullet = round(sum(bool(re.match(r"^\s*[-*•]", ln)) for ln in lines) / nl, 6) if nl else None
+    ell = round(sum(bool(re.search(r"(\.\.\.|…)\s*$", ln)) for ln in lines) / nl, 6) if nl else None
+    alpha = round(sum(bool(re.search(r"[A-Za-z]", t)) for t in toks) / nz, 6) if nz else None
+    hits = len(set(toks) & set(GOPHER_STOPWORDS))
+    return n, mean_len, sym, bullet, ell, alpha, hits
+
+
+GOPHER_DOCS = [
+    (0, " ".join(["the quick brown fox jumps over that lazy dog with plenty of words to be"] * 5)),
+    (1, "short"),
+    (2, None),
+    (3, ""),
+    (4, "- b1\n- b2\n- b3\n- b4\n- b5\n- b6\n- b7\n- b8\n- b9\n- b10\nonly one normal line"),
+    (5, "trailing dots...\nand more...\nplain\n" + " ".join(["the of and that have with"] * 10)),
+    (6, "#tag " * 60 + "the of and that have with to be"),
+    (7, "\n\n\n"),  # only empty lines
+    (8, " ".join(["the", "of", "and"] * 20)),  # mean len < 3
+]
+
+
+def test_gopher_rules_brute_force(spark):
+    df = spark.createDataFrame(GOPHER_DOCS, "id long, text string")
+    out = {r["id"]: r for r in gopher_rules(df, "id", "text").collect()}
+    for i, text in GOPHER_DOCS:
+        r = out[i]
+        exp = _gopher_expected(text)
+        if exp is None:
+            assert r["n_words"] is None and r["keep"] is False
+            continue
+        n, mean_len, sym, bullet, ell, alpha, hits = exp
+        assert r["n_words"] == n, (i, "n_words")
+        for col, want in [
+            ("mean_word_len", mean_len),
+            ("symbol_ratio", sym),
+            ("bullet_frac", bullet),
+            ("ellipsis_frac", ell),
+            ("alpha_frac", alpha),
+        ]:
+            if want is None:
+                assert r[col] is None, (i, col)
+            else:
+                assert r[col] == pytest.approx(want, abs=1e-6), (i, col)
+        assert r["stopword_hits"] == (hits if n else 0) or r["stopword_hits"] == hits
+
+        def ok(c):
+            return bool(c) if c is not None else False
+
+        want_keep = (
+            ok(n >= 50)
+            and ok(n <= 100_000)
+            and ok(mean_len is not None and mean_len >= 3.0)
+            and ok(mean_len is not None and mean_len <= 10.0)
+            and ok(sym is not None and sym <= 0.1)
+            and not ok(bullet is not None and bullet > 0.9)
+            and not ok(ell is not None and ell > 0.3)
+            and ok(alpha is not None and alpha >= 0.8)
+            and ok(hits >= 2)
+        )
+        assert r["keep"] == want_keep, (i, "keep", r.asDict())
+
+
+def test_gopher_rules_thresholds_move(spark):
+    df = spark.createDataFrame(GOPHER_DOCS, "id long, text string")
+    loose = gopher_rules(df, "id", "text", min_words=1, min_stopword_hits=0, min_alpha_frac=0.0)
+    assert {r["id"] for r in loose.filter("keep").collect()} >= {1}
+
+
+# --------------------------------------------------------------- dsir
+
+
+def _dsir_expected(docs, target, B, alpha):
+    def grams(t):
+        toks = [x for x in re.split(r"\s+", t or "") if x]
+        return toks + [" ".join(p) for p in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return _poly31(g) % B
+
+    tc, rc = {}, {}
+    for _, t in target:
+        for g in grams(t):
+            b = bucket(g)
+            tc[b] = tc.get(b, 0) + 1
+    for _, t in docs:
+        for g in grams(t):
+            b = bucket(g)
+            rc[b] = rc.get(b, 0) + 1
+    t_tot, r_tot = sum(tc.values()), sum(rc.values())
+    out = {}
+    for i, t in docs:
+        gs = grams(t)
+        if not gs:
+            out[i] = (0, None)
+            continue
+        s = 0.0
+        for g in gs:
+            b = bucket(g)
+            lr = math.log((tc.get(b, 0) + alpha) / (t_tot + alpha * B)) - math.log(
+                (rc.get(b, 0) + alpha) / (r_tot + alpha * B)
+            )
+            s += round(lr, 9)
+        out[i] = (len(gs), round(s, 6))
+    return out
+
+
+def test_dsir_logratio_brute_force(spark):
+    docs = [
+        (0, "the quick brown fox the quick brown"),
+        (1, "completely unrelated legal boilerplate text here"),
+        (2, None),
+        (3, "the quick"),
+    ]
+    target = [(100, "the quick brown fox jumps"), (101, "quick brown fox")]
+    B, a = 64, 0.5
+    out = dsir_logratio(
+        spark.createDataFrame(docs, "id long, text string"),
+        "id",
+        "text",
+        spark.createDataFrame(target, "id long, text string"),
+        n_buckets=B,
+        alpha=a,
+    )
+    got = {r["id"]: (r["n_grams"], r["logratio"]) for r in out.collect()}
+    exp = _dsir_expected(docs, target, B, a)
+    for i in exp:
+        assert got[i][0] == exp[i][0], (i, "n_grams")
+        if exp[i][1] is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(exp[i][1], abs=2e-6), i
+    # the target-like doc must outscore the unrelated one
+    assert got[0][1] > got[1][1]
+
+
+def test_dsir_validation(spark):
+    df = spark.createDataFrame([(0, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        dsir_logratio(df, "id", "text", df, alpha=0.0)
+    with pytest.raises(ValueError):
+        dsir_logratio(df, "id", "text", df, n_buckets=0)
+
+
+# ------------------------------------------------------------- mixing
+
+
+def test_mix_to_budget_brute_force(spark):
+    rows = [(i, "a" if i < 3 else "b", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, src string, ntok long")
+    budget, w = 2000, {"a": 0.5, "b": 0.5}
+    out = mix_to_budget(df, "id", "src", "ntok", budget, w)
+    got = sorted((r["id"], r["source"], r["epoch"]) for r in out.collect())
+
+    totals = {"a": 300, "b": 700}
+    exp = []
+    for i, s, _ in rows:
+        r_s = budget * 0.5 / totals[s]
+        n_full = int(math.floor(r_s))
+        n = n_full + (1 if _uniform(i) < round(r_s - n_full, 12) else 0)
+        exp.extend((i, s, e) for e in range(n))
+    assert got == sorted(exp)
+
+
+def test_mix_to_budget_edges(spark):
+    df = spark.createDataFrame([(0, "a", 10), (1, None, 10)], "id long, src string, ntok long")
+    # null source excluded; budget 0 -> no rows
+    assert mix_to_budget(df, "id", "src", "ntok", 0).count() == 0
+    # max_epochs caps a runaway repeat
+    out = mix_to_budget(df, "id", "src", "ntok", 10**9, max_epochs=5)
+    assert out.groupBy().agg(F.max("epoch")).collect()[0][0] == 4
+    # unknown-source weights -> empty, not a crash
+    assert mix_to_budget(df, "id", "src", "ntok", 100, {"zzz": 1.0}).count() == 0
