@@ -1082,6 +1082,84 @@ def _q_curate_stream_eq(spark, sf_dir):
 
 SAMPLE_FRACS = {"src0": 0.25, "src1": 0.5, "src2": 0.0}  # others keep 100%
 
+# --- round-7 curation operators -------------------------------------
+
+URL_DEDUP_GROUPS = 50  # 500 docs -> 50 canonical URLs, 5 crawl variants each
+
+GOPHER_MIN_WORDS = 50  # the synthetic docs average ~54 words and ~0.8
+GOPHER_MIN_STOP = 1  # stopword hits, so these two rules split the corpus
+
+DSIR_BUCKETS = 512
+DSIR_ALPHA = 0.5
+
+MIX_BUDGET = 50_000  # chars; src0 repeats ~2.5x, src3 ~0.65x
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+# the EXACT per-source budget factors the operator computes (w / z in
+# IEEE float order) — embedded into the oracle as repr literals so the
+# two engines share every double bit
+_MIX_Z = sum(MIX_WEIGHTS.values())
+MIX_FACTORS = {s: w / _MIX_Z for s, w in MIX_WEIGHTS.items()}
+
+
+def _q_url_dedup(spark, sf_dir):
+    # URL-level exact dedup (RefinedWeb stage one): five crawl
+    # variants per canonical URL are injected (host case + www,
+    # trailing slash, utm param, fragment, ref param); the operator
+    # must collapse all five and keep the min doc_id. The oracle is
+    # an INDEPENDENT expectation (group by the planted base), not a
+    # SQL re-spelling of the normalizer — stronger than a twin.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = (F.col("doc_id") % URL_DEDUP_GROUPS).cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.Site.com/page/"), base, F.lit("?q=1")))
+        .when(v == 1, F.concat(F.lit("https://site.com/page/"), base, F.lit("/?q=1")))
+        .when(v == 2, F.concat(F.lit("HTTPS://site.com/page/"), base, F.lit("?utm_source=x&q=1")))
+        .when(v == 3, F.concat(F.lit("https://site.com/page/"), base, F.lit("?q=1#frag")))
+        .otherwise(F.concat(F.lit("https://site.com/page/"), base, F.lit("?ref=hn&q=1")))
+    )
+    return url_dedup(docs.select("doc_id", url.alias("url")), "doc_id", "url")
+
+
+def _q_gopher_rules(spark, sf_dir):
+    # Gopher rule bundle (Rae 2021 A1.1) with two thresholds moved to
+    # where the synthetic corpus actually splits (see constants)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(
+        docs, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
+    )
+
+
+def _q_dsir_weights(spark, sf_dir):
+    # DSIR importance weights: target = the src0 slice, raw = the
+    # whole corpus; scores say how src0-like every document's hashed
+    # 1..2-gram profile is
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import dsir_logratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_logratio(
+        docs, "doc_id", "text", target, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+
+
+def _q_mix_to_budget(spark, sf_dir):
+    # epoch-repeat mixing to a char budget over four weighted sources:
+    # upweighted-small sources repeat > 1 epoch, the fractional epoch
+    # is the deterministic uniform-hash subset
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import mix_to_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mix_to_budget(docs, "doc_id", "source", "n_chars", MIX_BUDGET, MIX_WEIGHTS)
+
 
 def _q_sample_sources(spark, sf_dir):
     # deterministic per-source downsampling (source mixing): keep iff
@@ -2042,6 +2120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # record + pytest already pin, and they rotate back in next round.
     return {
         # --- new / changed this round (must-record) ---
+        "url_dedup": _q_url_dedup,
+        "gopher_rules": _q_gopher_rules,
+        "dsir_weights": _q_dsir_weights,
+        "mix_to_budget": _q_mix_to_budget,
         "crawl_shards": _q_crawl_shards,
         "spans_bipartite": _q_spans_bipartite,
         "semdedup_far": _q_semdedup_far,
@@ -2095,14 +2177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_full": _q_sim_topk_ivf_full,
         "multimodal_features": _q_multimodal_features,
-        "multimodal_frames": _q_multimodal_frames,
         "curate_docs": _q_curate_docs,
-        "curate_embeds": _q_curate_embeds,
         "curate_corpus": _q_curate_corpus,
-        "redact_pii": _q_redact_pii,
-        "knn_classify": _q_knn_classify,
         # --- past the ~50-row cap: fresh green CORRECTNESS_r06 rows,
         # code untouched this round; they rotate back in next round ---
+        "multimodal_frames": _q_multimodal_frames,
+        "curate_embeds": _q_curate_embeds,
+        "redact_pii": _q_redact_pii,
+        "knn_classify": _q_knn_classify,
         "scan_project_filter": _q_scan_project_filter,
         "retention": _q_retention,
         "contam_spans": _q_contam_spans,
@@ -2689,6 +2771,127 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                         WHEN 'src1' THEN {SAMPLE_FRACS['src1']}
                         WHEN 'src2' THEN {SAMPLE_FRACS['src2']}
                         ELSE 1.0 END
+        """,
+        # url_dedup: an INDEPENDENT expectation — every planted
+        # variant group must collapse to one canonical URL + min id
+        # (not a SQL re-spelling of the normalizer)
+        "url_dedup": f"""
+            SELECT min(doc_id) AS id,
+                   'https://site.com/page/' || g || '?q=1' AS url_norm
+            FROM (SELECT doc_id,
+                         CAST(doc_id % {URL_DEDUP_GROUPS} AS VARCHAR) AS g
+                  FROM documents)
+            GROUP BY g
+        """,
+        "gopher_rules": f"""
+            WITH base AS (
+              SELECT doc_id, text, {_TOKS_SQL} AS t,
+                     list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lns
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, text,
+                CAST(len(t) AS BIGINT) AS n_words,
+                CASE WHEN len(t) > 0 THEN round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(t), 6) END AS mean_word_len,
+                CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(t), 6) END AS symbol_ratio,
+                CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / len(lns), 6) END AS bullet_frac,
+                CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lns), 6) END AS ellipsis_frac,
+                CASE WHEN len(t) > 0 THEN round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) END AS alpha_frac,
+                CAST(len(list_intersect(list_distinct(t), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+              FROM base
+            )
+            SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio,
+                   bullet_frac, ellipsis_frac, alpha_frac, stopword_hits,
+                   CASE WHEN text IS NULL THEN FALSE ELSE (
+                     COALESCE(n_words >= {GOPHER_MIN_WORDS}, FALSE)
+                     AND COALESCE(n_words <= 100000, FALSE)
+                     AND COALESCE(mean_word_len >= 3.0, FALSE)
+                     AND COALESCE(mean_word_len <= 10.0, FALSE)
+                     AND COALESCE(symbol_ratio <= 0.1, FALSE)
+                     AND NOT COALESCE(bullet_frac > 0.9, FALSE)
+                     AND NOT COALESCE(ellipsis_frac > 0.3, FALSE)
+                     AND COALESCE(alpha_frac >= 0.8, FALSE)
+                     AND COALESCE(stopword_hits >= {GOPHER_MIN_STOP}, FALSE)
+                   ) END AS keep
+            FROM m
+        """,
+        # dsir_weights: full twin of the hashed-n-gram importance
+        # weights — same poly31 bucket recurrence, same smoothing,
+        # same round-to-9dp-then-DECIMAL-sum discipline
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(t || list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM toks
+            ),
+            b AS (
+              SELECT doc_id, source,
+                     list_reduce(list_prepend(0, range(1, length(g) + 1)),
+                       (acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1)))
+                                   % 2147483647) % {DSIR_BUCKETS} AS bk
+              FROM grams
+            ),
+            tb AS (SELECT bk, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY bk),
+            rb AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+            tt AS (SELECT COALESCE(sum(ct), 0) AS t_tot FROM tb),
+            rt AS (SELECT COALESCE(sum(cr), 0) AS r_tot FROM rb),
+            lr AS (
+              SELECT rb.bk,
+                     round(ln((COALESCE(tb.ct, 0) + {DSIR_ALPHA}) / (t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                         - ln((rb.cr + {DSIR_ALPHA}) / (r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9) AS lr
+              FROM rb LEFT JOIN tb USING (bk), tt, rt
+            ),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     round(CAST(sum(CAST(lr AS DECIMAL(24,9))) AS DOUBLE), 6) AS logratio
+              FROM b JOIN lr USING (bk) GROUP BY doc_id
+            )
+            SELECT d.doc_id AS id,
+                   CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams, logratio
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        # mix_to_budget: per-source repeat factors recomputed in the
+        # operator's exact IEEE order (factors are repr'd Python
+        # doubles), fractional epoch gated by the shared uniform hash
+        "mix_to_budget": f"""
+            WITH tot AS (
+              SELECT source, sum(n_chars) AS t FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')
+              GROUP BY source
+            ),
+            rep AS (
+              SELECT source,
+                     least(100.0, {float(MIX_BUDGET)} * (CASE source
+                       WHEN 'src0' THEN {MIX_FACTORS["src0"]!r}
+                       WHEN 'src1' THEN {MIX_FACTORS["src1"]!r}
+                       WHEN 'src2' THEN {MIX_FACTORS["src2"]!r}
+                       ELSE {MIX_FACTORS["src3"]!r} END) / t) AS r
+              FROM tot
+            ),
+            rep2 AS (
+              SELECT source, CAST(floor(r) AS INTEGER) AS n_full,
+                     round(r - floor(r), 12) AS frac
+              FROM rep
+            ),
+            h AS (
+              SELECT doc_id, source,
+                     CAST((list_reduce(list_prepend(0, range(1, length(CAST(doc_id AS VARCHAR)) + 1)),
+                       (acc, i) -> (acc * 31 + ascii(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
+                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
+                     / 2147483647.0 AS u
+              FROM documents
+            ),
+            j AS (
+              SELECT doc_id, h.source AS source,
+                     n_full + CASE WHEN u < frac THEN 1 ELSE 0 END AS n
+              FROM h JOIN rep2 USING (source)
+            )
+            SELECT doc_id AS id, source, CAST(ep AS INTEGER) AS epoch
+            FROM (SELECT doc_id, source, unnest(range(0, n)) AS ep FROM j)
         """,
         "quantile_filter_by": f"""
             WITH t AS (

@@ -887,11 +887,14 @@ def mix_to_budget(
         rows.append((s, n_full, round(r_s - n_full, 12)))
     rep = F.broadcast(local_df(df.sparkSession, rows, "source string, n_full int, frac double"))
 
-    u = _uniform_unit(id_col)
-    base = df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source")).join(
-        rep, "source"
-    )
-    n_eps = F.col("n_full") + F.when(u < F.col("frac"), F.lit(1)).otherwise(F.lit(0))
+    # the uniform hash references id_col BY NAME — evaluate it before
+    # the alias to "id" (it resolves against df's schema, not base's)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        _uniform_unit(id_col).alias("__u"),
+    ).join(rep, "source")
+    n_eps = F.col("n_full") + F.when(F.col("__u") < F.col("frac"), F.lit(1)).otherwise(F.lit(0))
     eps = F.when(n_eps >= 1, F.sequence(F.lit(0), n_eps - 1)).otherwise(
         F.array().cast("array<int>")
     )
