@@ -775,8 +775,12 @@ def dsir_logratio(
             .agg(F.count(F.lit(1)).alias("c"))
         )
 
-    tc = bucket_counts(target, tcol)
-    rc = bucket_counts(r, text_col)
+    # cache the <= n_buckets-row aggregates: each feeds BOTH the
+    # totals collect and the ratio join, and without the cache the
+    # join lineage would re-run the full gram-explosion scan of its
+    # corpus (the lm_perplexity `uni` discipline)
+    tc = bucket_counts(target, tcol).cache()
+    rc = bucket_counts(r, text_col).cache()
     t_tot = tc.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
     r_tot = rc.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
     B = int(n_buckets)
@@ -818,11 +822,18 @@ def dsir_logratio(
         F.round(F.col("slr").cast("double"), 6).alias("logratio"),
     )
     all_docs = df.select(F.col(id_col).alias("id"))
-    return all_docs.join(out, "id", "left").select(
+    res = all_docs.join(out, "id", "left").select(
         "id",
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         "logratio",
     )
+    # materialize before dropping the bucket caches (lm_perplexity
+    # pattern) so repeated calls don't accumulate cache entries
+    res = res.persist()
+    res.count()
+    tc.unpersist()
+    rc.unpersist()
+    return res
 
 
 def mix_to_budget(

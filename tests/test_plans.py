@@ -186,3 +186,61 @@ def test_semdedup_pairs_plan_shape(spark):
     _, assignments = ivf_index(emb, 4, iters=1)
     p = _plan(semdedup_pairs(assignments, 0.9, block_rows=64))
     assert "CartesianProduct" not in p
+
+
+def test_url_dedup_plan_shape(spark):
+    """URL dedup: the normalizer must fuse into the scan stage (no
+    extra exchange before the groupBy), the groupBy keeps its partial
+    phase, the min-id semi-join is never a cartesian — and the text
+    column must not reach the scan."""
+    from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("https://www.X.com/p/"), F.col("doc_id") % 10).alias("url")
+    )
+    p = _plan(url_dedup(docs, "doc_id", "url"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p, "keeper groupBy lost its map-side combine"
+    assert "LeftSemi" in p
+    assert "text" not in p
+
+
+def test_gopher_rules_plan_is_scan_fused(spark):
+    """The whole rule bundle must be ONE scan-stage projection: no
+    exchange, no join, no aggregate anywhere in the plan."""
+    from cs533_big_data_data_mining_spark.operators.quality import gopher_rules
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(gopher_rules(docs, "doc_id", "text"))
+    for op in ("Exchange", "Join", "Aggregate", "CartesianProduct"):
+        assert op not in p, f"gopher_rules planned a {op}; it must stay pure-Column"
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR scoring: the bucket-ratio table must BROADCAST into the
+    corpus explode (never a shuffle join on the gram keys), and the
+    per-doc aggregate keeps its partial phase."""
+    from cs533_big_data_data_mining_spark.operators.quality import dsir_logratio
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dsir_logratio(
+        docs, "doc_id", "text", docs.filter(F.col("source") == "src0"), n_buckets=64
+    )
+    p = _plan(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    out.unpersist()
+
+
+def test_mix_to_budget_plan_shape(spark):
+    """Budget mixing: the #sources repeat table must broadcast and the
+    corpus side must carry NO exchange (the explode composes into the
+    scan stage)."""
+    from cs533_big_data_data_mining_spark.operators.quality import mix_to_budget
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = mix_to_budget(docs, "doc_id", "source", "n_chars", 10_000, {"src0": 0.5, "src1": 0.5})
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # the only Exchange allowed is the broadcast of the repeat table
+    assert "Exchange hashpartitioning" not in p and "Exchange rangepartitioning" not in p
