@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import importlib.util
 import json
+import math
 import os
 import sys
 import time
@@ -648,6 +649,146 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors["spans_scale1m"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# spans_scale1m: ERROR {errors['spans_scale1m']}", file=sys.stderr)
+
+        # Round-7 curation ops at volume. (a) URL dedup over 1M URLs
+        # in 200k planted variant groups of 5 (www/case, trailing
+        # slash, utm, fragment, ref): exactly the 200k variant-0 rows
+        # (the min ids) must survive, every canonical URL distinct.
+        # (b) DSIR at 200k docs with DISJOINT target/background
+        # vocabularies: the 1000 planted target-vocab docs must
+        # separate from the rest with zero overlap (min planted score
+        # > max background score). (c) mix_to_budget at 1M rows /
+        # 4 sources: per-source realized repeats within 1% of r_s,
+        # epochs dense in [0, ceil(r_s)), no duplicate (id, epoch),
+        # and the whole output bit-identical across two runs.
+        from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
+        from cs533_big_data_data_mining_spark.operators.quality import (
+            dsir_logratio,
+            mix_to_budget,
+        )
+
+        nu, ngrp = 1_000_000, 200_000
+        g_str = (F.col("id") % ngrp).cast("string")
+        v_u = F.floor(F.col("id") / ngrp)
+        urls_sm = spark.range(nu).select(
+            F.col("id").alias("doc_id"),
+            F.when(v_u == 1, F.concat(F.lit("https://www.Site.com/p/"), g_str, F.lit("?q=1")))
+            .when(v_u == 2, F.concat(F.lit("https://site.com/p/"), g_str, F.lit("/?q=1")))
+            .when(v_u == 3, F.concat(F.lit("https://site.com/p/"), g_str, F.lit("?utm_source=x&q=1")))
+            .when(v_u == 4, F.concat(F.lit("https://site.com/p/"), g_str, F.lit("?q=1#frag")))
+            .otherwise(F.concat(F.lit("https://site.com/p/"), g_str, F.lit("?q=1")))
+            .alias("url"),
+        )
+        t0 = time.time()
+        try:
+            uds = url_dedup(urls_sm, "doc_id", "url")
+            ua = uds.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("id").alias("max_id"),
+                F.count_distinct("url_norm").alias("n_urls"),
+            ).head()
+            assert (ua["n"], ua["max_id"], ua["n_urls"]) == (ngrp, ngrp - 1, ngrp), dict(
+                ua.asDict()
+            )
+            timings["url_dedup_1m"] = round(time.time() - t0, 3)
+            print(
+                f"# url_dedup_1m: {timings['url_dedup_1m']}s "
+                f"(1M crawl variants -> {ngrp} canonical URLs, min-id survivors)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["url_dedup_1m"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# url_dedup_1m: ERROR {errors['url_dedup_1m']}", file=sys.stderr)
+
+        nds = 200_000
+
+        def _wa(j):  # 97-word target vocabulary
+            return F.concat(
+                F.lit("aa"), F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(97)).cast("string")
+            )
+
+        def _wb(j):  # 5000-word background vocabulary, disjoint prefix
+            return F.concat(
+                F.lit("bb"), F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(5000)).cast("string")
+            )
+
+        docs_ds = spark.range(nds).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 200 == 0,
+                F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(12)), _wa)),
+            )
+            .otherwise(F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(12)), _wb)))
+            .alias("text"),
+        )
+        target_ds = spark.range(2000).select(
+            (F.col("id") + nds).alias("doc_id"),
+            F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(12)), _wa)).alias("text"),
+        )
+        t0 = time.time()
+        try:
+            sc_ds = dsir_logratio(docs_ds, "doc_id", "text", target_ds, n_buckets=4096)
+            sep = sc_ds.agg(
+                F.min(F.when(F.col("id") % 200 == 0, F.col("logratio"))).alias("lo_planted"),
+                F.max(F.when(F.col("id") % 200 != 0, F.col("logratio"))).alias("hi_background"),
+            ).head()
+            sc_ds.unpersist()
+            assert sep["lo_planted"] > sep["hi_background"], dict(sep.asDict())
+            timings["dsir_scale200k"] = round(time.time() - t0, 3)
+            print(
+                f"# dsir_scale200k: {timings['dsir_scale200k']}s "
+                f"(planted target-vocab docs >= {sep['lo_planted']:.1f}, "
+                f"background <= {sep['hi_background']:.1f} — zero overlap)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["dsir_scale200k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# dsir_scale200k: ERROR {errors['dsir_scale200k']}", file=sys.stderr)
+
+        nmx = 1_000_000
+        docs_mx = spark.range(nmx).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+            F.lit(100).alias("n_tok"),
+        )
+        mx_w = {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1}
+        mx_budget = 120_000_000  # per-source r_s = 1.92 / 1.44 / 0.96 / 0.48
+        t0 = time.time()
+        try:
+            mix1 = mix_to_budget(docs_mx, "doc_id", "source", "n_tok", mx_budget, mx_w)
+            stats_mx = {
+                r["source"]: (r["n"], r["max_ep"], r["n_distinct"])
+                for r in mix1.groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("epoch").alias("max_ep"),
+                    F.count_distinct("id", "epoch").alias("n_distinct"),
+                )
+                .collect()
+            }
+            per_src = nmx // 4
+            for s, r_s in [("s0", 1.92), ("s1", 1.44), ("s2", 0.96), ("s3", 0.48)]:
+                n_s, max_ep, n_d = stats_mx[s]
+                assert abs(n_s - per_src * r_s) < 0.01 * per_src * r_s, (s, n_s)
+                assert max_ep == math.ceil(r_s) - 1 and n_d == n_s, (s, max_ep, n_d)
+            # bit_xor, not sum: ANSI mode faults a BIGINT sum of 1.4M
+            # 64-bit hashes
+            h1 = mix1.agg(F.bit_xor(F.xxhash64("id", "source", "epoch"))).head()[0]
+            h2 = (
+                mix_to_budget(docs_mx, "doc_id", "source", "n_tok", mx_budget, mx_w)
+                .agg(F.bit_xor(F.xxhash64("id", "source", "epoch")))
+                .head()[0]
+            )
+            assert h1 == h2, "mix not deterministic across runs"
+            timings["mix_scale1m"] = round(time.time() - t0, 3)
+            print(
+                f"# mix_scale1m: {timings['mix_scale1m']}s "
+                f"(realized repeats within 1% of targets, bit-identical re-run)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["mix_scale1m"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# mix_scale1m: ERROR {errors['mix_scale1m']}", file=sys.stderr)
 
         n = 3_000_000
         pts = spark.range(n).select(

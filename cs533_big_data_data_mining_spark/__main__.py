@@ -68,6 +68,13 @@ def _curate_main(argv: list[str]) -> int:
         help="per-source keep fractions, e.g. 'web=0.5,forums=0.25' "
         "(deterministic source mixing before curation)",
     )
+    ap.add_argument(
+        "--url-col",
+        default=None,
+        help="URL column for stage-zero URL-level exact dedup (RefinedWeb "
+        "order: re-crawls collapse on the canonical URL before any "
+        "content-based stage); for --wet inputs pass 'target_uri'",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -89,10 +96,26 @@ def _curate_main(argv: list[str]) -> int:
             F.xxhash64("target_uri", "warc_date").alias("doc_id"),
             "text",
             F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1).alias("source"),
+            "target_uri",
         )
+        if not args.url_col:
+            docs = docs.drop("target_uri")
     else:
         docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    if args.url_col:
+        if args.url_col not in docs.columns:
+            raise SystemExit(
+                f"--url-col {args.url_col!r} not in the input (found: {docs.columns})"
+            )
+        from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
+
+        keep_u = url_dedup(docs, "doc_id", args.url_col).select(
+            F.col("id").alias("doc_id")
+        )
+        docs = docs.join(keep_u, "doc_id", "left_semi")
+        if args.wet:
+            docs = docs.drop("target_uri")
     if args.source_fracs:
         if "source" not in docs.columns:
             raise SystemExit(
@@ -236,6 +259,12 @@ def _score_main(argv: list[str]) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--spans-k", type=int, default=5, help="k-gram width for duplicated spans")
     ap.add_argument("--ref", default=None, help="reference parquet for the LM (default: input)")
+    ap.add_argument(
+        "--gopher",
+        action="store_true",
+        help="also emit the Gopher rule-bundle verdict (gopher_keep) and its "
+        "word/symbol metrics (Rae 2021 A1.1 thresholds)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -268,6 +297,17 @@ def _score_main(argv: list[str]) -> int:
         .join(ppl.select("id", "avg_logp", "ppl"), "id", "left")
         .join(spans.select("id", "dup_frac"), "id", "left")
     )
+    if args.gopher:
+        from cs533_big_data_data_mining_spark.operators.quality import gopher_rules
+
+        g = gopher_rules(docs, args.id_col, args.text_col).select(
+            "id",
+            F.col("keep").alias("gopher_keep"),
+            F.col("mean_word_len").alias("gopher_mean_word_len"),
+            F.col("symbol_ratio").alias("gopher_symbol_ratio"),
+            F.col("stopword_hits").alias("gopher_stopword_hits"),
+        )
+        out = out.join(g, "id", "left")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     ppl.unpersist()
@@ -277,10 +317,80 @@ def _score_main(argv: list[str]) -> int:
     return 0
 
 
+def _mix_main(argv: list[str]) -> int:
+    """``... mix -i docs.parquet -o mixed.parquet --budget N
+    --weights 'a=0.5,b=0.5' [--tokens-col n_chars]`` — epoch-repeat
+    source mixing to a token budget; output rows carry
+    (id, source, epoch) joined back to the input columns."""
+    ap = argparse.ArgumentParser(prog="cs533_big_data_data_mining_spark mix")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument(
+        "--tokens-col",
+        default=None,
+        help="per-row token count column; default: BPE-ish subword count of --text-col",
+    )
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--budget", type=int, required=True, help="total token budget")
+    ap.add_argument(
+        "--weights", default=None, help="target mixture, e.g. 'web=0.6,code=0.4' (default uniform)"
+    )
+    ap.add_argument("--max-epochs", type=int, default=100)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.quality import mix_to_budget
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_mix_cli", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    if args.tokens_col:
+        toks_col = args.tokens_col
+    else:
+        from cs533_big_data_data_mining_spark.functions.text import subword_count
+
+        toks_col = "__n_tok"
+        docs = docs.withColumn(
+            toks_col, F.greatest(subword_count(args.text_col), F.lit(0)).cast("long")
+        )
+    weights = (
+        {k: float(v) for k, v in (p.split("=", 1) for p in args.weights.split(","))}
+        if args.weights
+        else None
+    )
+    mixed = mix_to_budget(
+        docs,
+        args.id_col,
+        args.source_col,
+        toks_col,
+        args.budget,
+        weights,
+        max_epochs=args.max_epochs,
+    )
+    out = mixed.withColumnRenamed("id", args.id_col).drop("source").join(
+        docs.drop(toks_col) if not args.tokens_col else docs, args.id_col
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"mixed {docs.count()} docs -> {n} (doc, epoch) rows ({time.time() - t0:.1f}s)")
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "curate":
         return _curate_main(argv[1:])
+    if argv and argv[0] == "mix":
+        return _mix_main(argv[1:])
     if argv and argv[0] == "chunk":
         return _chunk_main(argv[1:])
     if argv and argv[0] == "pack":

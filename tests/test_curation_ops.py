@@ -264,3 +264,55 @@ def test_mix_to_budget_edges(spark):
     assert out.groupBy().agg(F.max("epoch")).collect()[0][0] == 4
     # unknown-source weights -> empty, not a crash
     assert mix_to_budget(df, "id", "src", "ntok", 100, {"zzz": 1.0}).count() == 0
+
+
+# ----------------------------------------------------------------- cli
+
+
+def test_cli_mix_and_score_gopher(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "docs_mix.parquet")
+    out = str(tmp_path / "mixed.parquet")
+    sout = str(tmp_path / "scored_g.parquet")
+    spark.createDataFrame(
+        [(i, "a" if i < 3 else "b", "the plain body of words here", 100) for i in range(10)],
+        "doc_id long, source string, text string, n_tok long",
+    ).write.parquet(src)
+    rc = main([
+        "mix", "-i", src, "-o", out, "--budget", "2000",
+        "--tokens-col", "n_tok", "--weights", "a=0.5,b=0.5",
+    ])
+    assert rc == 0
+    rows = spark.read.parquet(out)
+    # r_a = 1000/300 = 3.33 -> every a-doc appears 3 or 4 times, text intact
+    per = {r["doc_id"]: r["n"] for r in rows.filter("source = 'a'").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {0, 1, 2} and all(n in (3, 4) for n in per.values())
+    assert rows.columns.count("source") == 1  # no duplicate source column
+    assert rows.filter("text IS NULL").count() == 0
+
+    rc = main(["score", "-i", src, "-o", sout, "--gopher"])
+    assert rc == 0
+    srows = spark.read.parquet(sout)
+    assert "gopher_keep" in srows.columns and srows.count() == 10
+
+
+def test_cli_curate_url_dedup(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "docs_u.parquet")
+    out = str(tmp_path / "curated_u.parquet")
+    spark.createDataFrame(
+        [
+            (1, "first page body with plenty of ordinary words", "https://www.A.com/x?utm_source=z"),
+            (2, "second page body totally different words here", "https://a.com/x"),
+            (3, "third page body nothing like the others at all", "https://a.com/y"),
+        ],
+        "doc_id long, text string, url string",
+    ).write.parquet(src)
+    rc = main(["curate", "-i", src, "-o", out, "--url-col", "url", "--jaccard", "0.99"])
+    assert rc == 0
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 1 and 2 share a canonical URL -> min id 1 survives; 3 unaffected
+    assert ids == {1, 3}
