@@ -1150,6 +1150,17 @@ def _q_dsir_weights(spark, sf_dir):
     )
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    # Lee et al. ExactSubstr as a TRANSFORM: the corpus's naturally
+    # duplicated k-gram spans (small synthetic vocab => plenty) are
+    # excised from every document; survivors whitespace-normalized
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicated_spans(docs, k=SPAN_K)
+
+
 def _q_mix_to_budget(spark, sf_dir):
     # epoch-repeat mixing to a char budget over four weighted sources:
     # upweighted-small sources repeat > 1 epoch, the fractional epoch
@@ -2124,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "dsir_weights": _q_dsir_weights,
         "mix_to_budget": _q_mix_to_budget,
+        "remove_dup_spans": _q_remove_dup_spans,
         "crawl_shards": _q_crawl_shards,
         "spans_bipartite": _q_spans_bipartite,
         "semdedup_far": _q_semdedup_far,
@@ -2176,11 +2188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_full": _q_sim_topk_ivf_full,
-        "multimodal_features": _q_multimodal_features,
         "curate_docs": _q_curate_docs,
         "curate_corpus": _q_curate_corpus,
         # --- past the ~50-row cap: fresh green CORRECTNESS_r06 rows,
         # code untouched this round; they rotate back in next round ---
+        "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "curate_embeds": _q_curate_embeds,
         "redact_pii": _q_redact_pii,
@@ -2853,6 +2865,51 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             SELECT d.doc_id AS id,
                    CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams, logratio
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        # remove_dup_spans: the span CTEs of span_dup_stats, then an
+        # indexed token filter (DuckDB's lambda index is 1-based,
+        # Spark's 0-based — hence i - 1)
+        "remove_dup_spans": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(list_slice(toks, i, i + {SPAN_K - 1}), ' ') AS gram
+              FROM t, LATERAL unnest(range(1, len(toks) - {SPAN_K - 2})) AS u(i)
+              WHERE len(toks) >= {SPAN_K}
+            ),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            f AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN d ON g.gram = d.gram),
+            brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                               > {SPAN_K} THEN 1 ELSE 0 END AS b
+              FROM f
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+              FROM brk
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K} AS e
+              FROM isl GROUP BY doc_id, isl
+            ),
+            sl AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS spans
+                   FROM spans GROUP BY doc_id)
+            SELECT t.doc_id AS id,
+                   -- COALESCE(.., ''): DuckDB's array_to_string of an
+                   -- EMPTY list is NULL; Spark's concat_ws is ''
+                   CASE WHEN t.text IS NULL THEN NULL
+                        WHEN sl.spans IS NULL
+                          THEN COALESCE(array_to_string(t.toks, ' '), '')
+                        ELSE COALESCE(array_to_string(
+                          list_filter(t.toks, (x, i) ->
+                            len(list_filter(sl.spans,
+                                sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0),
+                          ' '), '')
+                   END AS clean
+            FROM t LEFT JOIN sl ON t.doc_id = sl.doc_id
         """,
         # mix_to_budget: per-source repeat factors recomputed in the
         # operator's exact IEEE order (factors are repr'd Python

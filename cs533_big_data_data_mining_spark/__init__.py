@@ -30,6 +30,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     duplicated_spans_bipartite,
     exact_dedup,
     minhash_dedup_pairs,
+    remove_duplicated_spans,
     url_dedup,
     minhash_dedup_pairs_bipartite,
     ngram_jaccard_pairs,
@@ -116,6 +117,7 @@ __all__ = [
     "warc_text",
     "exact_dedup",
     "url_dedup",
+    "remove_duplicated_spans",
     "normalize_url",
     "gopher_rules",
     "dsir_logratio",

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from cs533_big_data_data_mining_spark.functions.text import (
     token_count,
+    tokenize,
     word_ngrams,
     word_shingles,
 )
@@ -777,4 +778,58 @@ def span_dup_stats(
             / F.greatest("total_tokens", F.lit(1)).cast("double"),
             6,
         ).alias("dup_frac"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    hash_grams: bool = False,
+    min_span_tokens: int | None = None,
+    out_col: str = "clean",
+) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM — Lee et al. 2022's
+    ExactSubstr removal step: every token inside a duplicated span
+    (from :func:`duplicated_spans`, all occurrences) is excised and
+    the survivors rejoin with single spaces. Returns
+    ``(id, out_col)`` for every input document; span-free docs pass
+    through (whitespace-normalized — the tokens are the unit here),
+    null text stays null, a fully-duplicated doc becomes the empty
+    string (filter those downstream).
+
+    ``min_span_tokens`` ignores spans shorter than the threshold
+    (Lee et al. remove only substrings >= 50 tokens; the detector's
+    floor is ``k``). ``hash_grams`` as in :func:`duplicated_spans`.
+
+    Scale shape: the detector's cost dominates (positional-gram
+    index); the removal itself adds one #span-docs groupBy
+    (collect_list of per-doc span bounds — bounded by doc length)
+    and a pure-Column indexed ``filter``/``exists`` over the token
+    array. No Python anywhere.
+    """
+    spans = duplicated_spans(df, id_col=id_col, text_col=text_col, k=k, hash_grams=hash_grams)
+    if min_span_tokens is not None:
+        spans = spans.filter(F.col("span_tokens") >= int(min_span_tokens))
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    joined = base.join(per_doc, "id", "left")
+    toks = tokenize("__text")
+    # span positions and filter's index arg are both 0-based in Spark
+    # (DuckDB's lambda index is 1-based — the oracle shifts by one)
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    clean = F.when(F.col("__spans").isNull(), F.concat_ws(" ", toks)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    return joined.select(
+        "id", F.when(F.col("__text").isNull(), F.lit(None)).otherwise(clean).alias(out_col)
     )

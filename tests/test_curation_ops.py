@@ -316,3 +316,76 @@ def test_cli_curate_url_dedup(spark, tmp_path):
     ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     # 1 and 2 share a canonical URL -> min id 1 survives; 3 unaffected
     assert ids == {1, 3}
+
+
+# ----------------------------------------------------- span removal
+
+
+def _remove_spans_expected(rows, k):
+    texts = {i: [x for x in re.split(r"\s+", t or "") if x] for i, t in rows}
+    counts = {}
+    for toks in texts.values():
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p : p + k])
+            counts[g] = counts.get(g, 0) + 1
+    out = {}
+    for i, t in rows:
+        if t is None:
+            out[i] = None
+            continue
+        toks = texts[i]
+        flagged = sorted(
+            p for p in range(len(toks) - k + 1) if counts[" ".join(toks[p : p + k])] >= 2
+        )
+        spans = []
+        for p in flagged:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        drop = set()
+        for s, e in spans:
+            drop.update(range(s, e + k))
+        out[i] = " ".join(tok for j, tok in enumerate(toks) if j not in drop)
+    return out
+
+
+def test_remove_duplicated_spans_brute_force(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unique1 one two"),
+        (2, "prefix2 alpha beta gamma delta epsilon zeta suffix2 tail2"),
+        (3, "totally different words here nothing shared at all ok"),
+        (4, None),
+        (5, ""),
+        # two separate shared runs inside one doc
+        (6, "alpha beta gamma delta epsilon mid1 mid2 mid3 mid4 mid5 mid6 "
+            "one two three four five"),
+        (7, "one two three four five tail7a tail7b"),
+    ]
+    from cs533_big_data_data_mining_spark.operators.dedup import remove_duplicated_spans
+
+    out = {
+        r["id"]: r["clean"]
+        for r in remove_duplicated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=5
+        ).collect()
+    }
+    exp = _remove_spans_expected(rows, 5)
+    assert out == exp, {i: (out[i], exp[i]) for i in exp if out[i] != exp[i]}
+
+
+def test_remove_duplicated_spans_min_tokens(spark):
+    # with min_span_tokens above the span length, nothing is removed
+    rows = [
+        (1, "alpha beta gamma delta epsilon unique1"),
+        (2, "alpha beta gamma delta epsilon unique2"),
+    ]
+    from cs533_big_data_data_mining_spark.operators.dedup import remove_duplicated_spans
+
+    out = {
+        r["id"]: r["clean"]
+        for r in remove_duplicated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"), k=5, min_span_tokens=6
+        ).collect()
+    }
+    assert out[1] == rows[0][1] and out[2] == rows[1][1]
