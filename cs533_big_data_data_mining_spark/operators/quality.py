@@ -767,9 +767,20 @@ def dsir_logratio(
         )
         return F.pmod(fp, F.lit(int(n_buckets)))
 
+    def spread(frame):
+        # CPU-bound per-row gram hashing must fan out: a small
+        # single-file input arrives as ONE partition and would run
+        # every explosion serially (dedup._spread's rationale); no-op
+        # when the scan already has enough splits (the 100 TB case)
+        target_p = frame.sparkSession.sparkContext.defaultParallelism
+        if frame.rdd.getNumPartitions() < target_p:
+            return frame.repartition(target_p)
+        return frame
+
     def bucket_counts(frame, col):
         return (
-            frame.select(F.explode(grams(col)).alias("g"))
+            spread(frame.select(F.col(col).alias("__t")))
+            .select(F.explode(grams("__t")).alias("g"))
             .select(bucket("g").alias("b"))
             .groupBy("b")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -805,7 +816,9 @@ def dsir_logratio(
         )
     )
 
-    ex = df.select(F.col(id_col).alias("id"), F.explode(grams(text_col)).alias("g"))
+    ex = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
+        "id", F.explode(grams("__t")).alias("g")
+    )
     scored = ex.select("id", bucket("g").alias("b")).join(ratio, "b", "left")
     # a doc bucket absent from BOTH fits never occurs (the doc's own
     # grams are in raw when raw=df); when raw != df it can — score it
