@@ -136,7 +136,9 @@ def contamination_spans(
     nn = int(n)
     if nn < 1:
         raise ValueError("n must be >= 1")
-    grams = docs.select(
+    from cs533_big_data_data_mining_spark.operators.dedup import _spread
+
+    grams = _spread(docs).select(
         F.col(id_col).alias("id"),
         F.posexplode(word_ngrams(text_col, nn)).alias("pos", "gram"),
     )

@@ -662,7 +662,7 @@ def duplicated_spans(
     if kk < 1:
         raise ValueError("k must be >= 1")
     grams = (
-        df.select(
+        _spread(df).select(
             F.col(id_col).alias("id"),
             F.posexplode(word_ngrams(text_col, kk)).alias("pos", "gram"),
         )
@@ -706,12 +706,12 @@ def duplicated_spans_bipartite(
     if kk < 1:
         raise ValueError("k must be >= 1")
     gram_of = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    ngrams = new.select(
+    ngrams = _spread(new).select(
         F.col(id_col).alias("id"),
         F.posexplode(word_ngrams(text_col, kk)).alias("pos", "__g"),
     ).select("id", "pos", gram_of(F.col("__g")).alias("gram"))
     hgrams = (
-        history.select(F.explode(word_ngrams(text_col, kk)).alias("__g"))
+        _spread(history).select(F.explode(word_ngrams(text_col, kk)).alias("__g"))
         .select(gram_of(F.col("__g")).alias("gram"))
         .distinct()
     )
@@ -721,7 +721,10 @@ def duplicated_spans_bipartite(
         .filter(F.col("n") >= 2)
         .select("gram")
     )
-    flagged = ngrams.join(hgrams.union(new_dups).distinct(), "gram", "left_semi")
+    # no distinct after the union: a semi-join's output is identical
+    # for a non-distinct build side, and both inputs are already
+    # distinct per source — the re-shuffle bought nothing
+    flagged = ngrams.join(hgrams.union(new_dups), "gram", "left_semi")
     return _merge_flagged_spans(flagged.select("id", "pos"), kk)
 
 
