@@ -2136,6 +2136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "mix_to_budget": _q_mix_to_budget,
         "remove_dup_spans": _q_remove_dup_spans,
+        # span_dup_stats / contam_spans run the gram explosions that
+        # moved to the _spread fan-out this round — record while changed
+        "span_dup_stats": _q_span_dup_stats,
+        "contam_spans": _q_contam_spans,
         "crawl_shards": _q_crawl_shards,
         "spans_bipartite": _q_spans_bipartite,
         "semdedup_far": _q_semdedup_far,
@@ -2177,8 +2181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": _q_cluster_stats,
         "dense_ids": _q_dense_ids,
         "sample_count": _q_sample_count,
-        "profile_lineitem": _q_profile_lineitem,
-        "expectations": _q_expectations,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
@@ -2199,10 +2201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": _q_knn_classify,
         "scan_project_filter": _q_scan_project_filter,
         "retention": _q_retention,
-        "contam_spans": _q_contam_spans,
+        "profile_lineitem": _q_profile_lineitem,
+        "expectations": _q_expectations,
         "clean_text": _q_clean_text,
         "lm_perplexity": _q_lm_perplexity,
-        "span_dup_stats": _q_span_dup_stats,
         "text_stats": _q_text_stats,
         "tfidf": _q_tfidf,
         "balance_sources": _q_balance_sources,
