@@ -1150,6 +1150,24 @@ def _q_dsir_weights(spark, sf_dir):
     )
 
 
+SHARD_N = 16
+SHARD_SEED = 1
+
+
+def _q_shard_assign(spark, sf_dir):
+    # deterministic training-shard assignment + within-shard shuffle
+    # key: floor(u * n) over the cross-engine uniform hash of
+    # (seed, id) — the write_training_shards layout, minus the file
+    # sink the oracle can't see (pytest round-trips the writer)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.packing import shard_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return shard_rows(docs, "doc_id", SHARD_N, seed=SHARD_SEED).select(
+        F.col("doc_id").alias("id"), "shard", F.round("sort_key", 6).alias("sort_key")
+    )
+
+
 def _q_remove_dup_spans(spark, sf_dir):
     # Lee et al. ExactSubstr as a TRANSFORM: the corpus's naturally
     # duplicated k-gram spans (small synthetic vocab => plenty) are
@@ -2136,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "mix_to_budget": _q_mix_to_budget,
         "remove_dup_spans": _q_remove_dup_spans,
+        "shard_assign": _q_shard_assign,
         # span_dup_stats / contam_spans run the gram explosions that
         # moved to the _spread fan-out this round — record while changed
         "span_dup_stats": _q_span_dup_stats,
@@ -2189,11 +2208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "sim_topk": _q_sim_topk,
         "sim_topk_ivf": _q_sim_topk_ivf,
-        "sim_topk_ivf_full": _q_sim_topk_ivf_full,
         "curate_docs": _q_curate_docs,
         "curate_corpus": _q_curate_corpus,
         # --- past the ~50-row cap: fresh green CORRECTNESS_r06 rows,
         # code untouched this round; they rotate back in next round ---
+        "sim_topk_ivf_full": _q_sim_topk_ivf_full,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "curate_embeds": _q_curate_embeds,
@@ -2867,6 +2886,21 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             SELECT d.doc_id AS id,
                    CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams, logratio
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        # shard_assign: the assign_split uniform-hash spelling with
+        # the seed folded into the hashed string
+        "shard_assign": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     CAST((list_reduce(list_prepend(0, range(1, length('{SHARD_SEED}_' || CAST(doc_id AS VARCHAR)) + 1)),
+                       (acc, i) -> (acc * 31 + ascii(substring('{SHARD_SEED}_' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
+                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
+                     / 2147483647.0 AS u
+              FROM documents)
+            SELECT doc_id AS id,
+                   CAST(floor(u * {SHARD_N}) AS INTEGER) AS shard,
+                   round(u, 6) AS sort_key
+            FROM h
         """,
         # remove_dup_spans: the span CTEs of span_dup_stats, then an
         # indexed token filter (DuckDB's lambda index is 1-based,

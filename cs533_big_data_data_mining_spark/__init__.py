@@ -48,6 +48,8 @@ from cs533_big_data_data_mining_spark.operators.neighbors import epsilon_join
 from cs533_big_data_data_mining_spark.operators.packing import (
     chunk_documents,
     pack_sequences,
+    shard_rows,
+    write_training_shards,
 )
 from cs533_big_data_data_mining_spark.operators.sketches import (
     bloom_build,
@@ -118,6 +120,8 @@ __all__ = [
     "exact_dedup",
     "url_dedup",
     "remove_duplicated_spans",
+    "shard_rows",
+    "write_training_shards",
     "normalize_url",
     "gopher_rules",
     "dsir_logratio",

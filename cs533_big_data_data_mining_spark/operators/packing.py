@@ -249,3 +249,67 @@ def _validate_offsets(
             + "): "
             + "; ".join(problems)
         )
+
+
+def shard_rows(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard shuffle
+    order: every row gains ``(shard, sort_key)`` from the cross-engine
+    uniform hash of ``(seed, id)`` — the "global shuffle" a training
+    run needs WITHOUT a global sort: u is iid-uniform per row, so
+    ``shard = floor(u * n_shards)`` is a balanced random partition and
+    ordering by ``sort_key = u`` within a shard is a uniform random
+    permutation, reproducible across runs, engines, and partitionings
+    (no RNG; re-sharding with a new seed is a fresh permutation).
+
+    Scale shape: pure Column — composes into any scan, zero shuffle
+    here; :func:`write_training_shards` adds the ONE shuffle
+    (repartition on shard) plus in-partition sorts, which is the
+    minimum any shuffled-shard layout costs. Rows with NULL id get a
+    NULL shard (filter or fix upstream — a silent default bucket
+    would hide key corruption).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from cs533_big_data_data_mining_spark.functions.text import FINGERPRINT_MOD, fingerprint
+
+    # seed folds into the hashed string so each seed is an independent
+    # permutation, still ANSI-reproducible
+    pri = fingerprint(f"CONCAT(CAST({int(seed)} AS STRING), '_', CAST({id_col} AS STRING))")
+    scattered = F.pmod(
+        pri.cast("long") * F.lit(2654435761) + F.lit(12345), F.lit(FINGERPRINT_MOD)
+    )
+    u = scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
+    shard = F.floor(u * F.lit(int(n_shards))).cast("int")
+    return df.withColumn("shard", shard).withColumn("sort_key", u)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    mode: str = "error",
+) -> None:
+    """Materialize the final training layout: rows shuffled into
+    ``n_shards`` deterministic shards (:func:`shard_rows`), one
+    directory per shard (``shard=K/``), rows within a shard in their
+    shuffle order. ONE shuffle (repartition on the shard id — each
+    shard is written by exactly one task, so a shard's file order IS
+    the global order for that shard) + an in-partition sort; no
+    global sort, no driver involvement. Re-running with the same seed
+    writes byte-identical shard contents.
+    """
+    out = shard_rows(df, id_col, n_shards, seed)
+    (
+        out.repartition(int(n_shards), "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

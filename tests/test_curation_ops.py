@@ -389,3 +389,50 @@ def test_remove_duplicated_spans_min_tokens(spark):
         ).collect()
     }
     assert out[1] == rows[0][1] and out[2] == rows[1][1]
+
+
+# ----------------------------------------------------------- sharding
+
+
+def test_shard_rows_brute_force(spark):
+    from cs533_big_data_data_mining_spark.operators.packing import shard_rows
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in shard_rows(df, "doc_id", 16, seed=3).collect()}
+    for i in range(500):
+        u = _uniform(f"3_{i}")
+        assert out[i][0] == int(u * 16) and out[i][1] == pytest.approx(u, abs=1e-12), i
+    # different seed -> different permutation
+    out2 = {r["doc_id"]: r["shard"] for r in shard_rows(df, "doc_id", 16, seed=4).collect()}
+    assert any(out[i][0] != out2[i] for i in range(500))
+    # balance: every shard populated, none dominant
+    from collections import Counter
+
+    c = Counter(v[0] for v in out.values())
+    assert len(c) == 16 and max(c.values()) < 3 * 500 / 16
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.operators.packing import (
+        shard_rows,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(300)], "doc_id long, text string")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, "doc_id", 8, seed=7)
+    write_training_shards(df, p2, "doc_id", 8, seed=7)
+    r1 = spark.read.parquet(p1)
+    assert r1.count() == 300 and set(r1.columns) >= {"doc_id", "text", "shard", "sort_key"}
+    # deterministic: same seed -> identical shard contents and order
+    a = [tuple(r) for r in r1.orderBy("shard", "sort_key").collect()]
+    b = [tuple(r) for r in spark.read.parquet(p2).orderBy("shard", "sort_key").collect()]
+    assert a == b
+    # the on-disk within-file order IS the sort order (one task/shard)
+    one = spark.read.parquet(f"{p1}/shard=3").collect()
+    keys = [r["sort_key"] for r in one]
+    assert keys == sorted(keys) and len(keys) > 0
+    # assignment matches shard_rows
+    exp = {r["doc_id"]: r["shard"] for r in shard_rows(df, "doc_id", 8, seed=7).collect()}
+    got = {r["doc_id"]: r["shard"] for r in r1.collect()}
+    assert got == exp
