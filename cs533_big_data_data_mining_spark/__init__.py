@@ -76,6 +76,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     repetition_stats,
     sample_sources,
     temperature_fractions,
+    temperature_weights,
 )
 from cs533_big_data_data_mining_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -126,6 +127,7 @@ __all__ = [
     "gopher_rules",
     "dsir_logratio",
     "mix_to_budget",
+    "temperature_weights",
     "minhash_dedup_pairs",
     "minhash_dedup_pairs_bipartite",
     "ngram_jaccard_pairs",

@@ -923,3 +923,33 @@ def mix_to_budget(
         F.array().cast("array<int>")
     )
     return base.select("id", "source", F.explode(eps).alias("epoch"))
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    temperature: float,
+) -> dict[str, float]:
+    """Target mixture shares ``p_s^(1/T) / sum_r p_r^(1/T)`` (the
+    mC4/XLM-R recipe) as a weights dict for :func:`mix_to_budget` —
+    the UPSAMPLING route: epoch repeats can realize a temperature
+    mixture exactly, where :func:`temperature_fractions` (the
+    :func:`sample_sources` route) can only realize it downward by
+    cutting the big sources. Same single #sources-row count groupBy.
+    """
+    t = float(temperature)
+    if t <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = {
+        r["s"]: int(r["n"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    raw = {s: (n / total) ** (1.0 / t) for s, n in counts.items()}
+    z = sum(raw.values())
+    return {s: raw[s] / z for s in raw}

@@ -436,3 +436,20 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     exp = {r["doc_id"]: r["shard"] for r in shard_rows(df, "doc_id", 8, seed=7).collect()}
     got = {r["doc_id"]: r["shard"] for r in r1.collect()}
     assert got == exp
+
+
+def test_temperature_weights_flatten(spark):
+    from cs533_big_data_data_mining_spark.operators.quality import temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)], "id long, src string"
+    )
+    w1 = temperature_weights(df, "src", 1.0)
+    assert w1["big"] == pytest.approx(0.9) and w1["small"] == pytest.approx(0.1)
+    w3 = temperature_weights(df, "src", 3.0)
+    # T > 1 flattens: the small source's share rises, still sums to 1
+    assert w3["small"] > 0.1 and sum(w3.values()) == pytest.approx(1.0)
+    whuge = temperature_weights(df, "src", 1e9)
+    assert whuge["small"] == pytest.approx(0.5, abs=1e-3)
+    with pytest.raises(ValueError):
+        temperature_weights(df, "src", 0.0)
