@@ -1101,27 +1101,59 @@ _MIX_Z = sum(MIX_WEIGHTS.values())
 MIX_FACTORS = {s: w / _MIX_Z for s, w in MIX_WEIGHTS.items()}
 
 
-def _q_url_dedup(spark, sf_dir):
-    # URL-level exact dedup (RefinedWeb stage one): five crawl
-    # variants per canonical URL are injected (host case + www,
-    # trailing slash, utm param, fragment, ref param); the operator
-    # must collapse all five and keep the min doc_id. The oracle is
-    # an INDEPENDENT expectation (group by the planted base), not a
-    # SQL re-spelling of the normalizer — stronger than a twin.
-    _ensure_shipped(spark)
-    from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    base = (F.col("doc_id") % URL_DEDUP_GROUPS).cast("string")
+def _url_variants(base):
+    # five crawl variants of one canonical URL (host case + www,
+    # trailing slash, utm param, fragment, ref param), keyed by doc_id
     v = F.col("doc_id") % 5
-    url = (
+    return (
         F.when(v == 0, F.concat(F.lit("https://www.Site.com/page/"), base, F.lit("?q=1")))
         .when(v == 1, F.concat(F.lit("https://site.com/page/"), base, F.lit("/?q=1")))
         .when(v == 2, F.concat(F.lit("HTTPS://site.com/page/"), base, F.lit("?utm_source=x&q=1")))
         .when(v == 3, F.concat(F.lit("https://site.com/page/"), base, F.lit("?q=1#frag")))
         .otherwise(F.concat(F.lit("https://site.com/page/"), base, F.lit("?ref=hn&q=1")))
     )
-    return url_dedup(docs.select("doc_id", url.alias("url")), "doc_id", "url")
+
+
+def _q_url_dedup(spark, sf_dir):
+    # URL-level exact dedup (RefinedWeb stage one): the operator must
+    # collapse all five planted variants and keep the min doc_id. The
+    # oracle is an INDEPENDENT expectation (group by the planted
+    # base), not a SQL re-spelling of the normalizer — stronger than
+    # a twin.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = (F.col("doc_id") % URL_DEDUP_GROUPS).cast("string")
+    return url_dedup(docs.select("doc_id", _url_variants(base).alias("url")), "doc_id", "url")
+
+
+URL_BI_NEW_MOD = 40  # new-shard base space: 0..39
+URL_BI_HIST_MOD = 25  # history base space: 0..24 (all already admitted)
+
+
+def _q_url_dedup_bi(spark, sf_dir):
+    # incremental URL dedup: history = even doc_ids holding the
+    # CANONICAL form of bases 0..24; new shard = odd doc_ids with
+    # crawl VARIANTS over bases 0..39. Survivors must be exactly the
+    # fresh bases 25..39, min odd id each — an independent
+    # expectation the oracle derives from the construction
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import url_dedup_bipartite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site.com/page/"),
+            (F.col("doc_id") % URL_BI_HIST_MOD).cast("string"),
+            F.lit("?q=1"),
+        ).alias("url"),
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", _url_variants((F.col("doc_id") % URL_BI_NEW_MOD).cast("string")).alias("url")
+    )
+    return url_dedup_bipartite(new, hist, "doc_id", "url")
 
 
 def _q_gopher_rules(spark, sf_dir):
@@ -2150,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new / changed this round (must-record) ---
         "url_dedup": _q_url_dedup,
+        "url_dedup_bi": _q_url_dedup_bi,
         "gopher_rules": _q_gopher_rules,
         "dsir_weights": _q_dsir_weights,
         "mix_to_budget": _q_mix_to_budget,
@@ -2207,11 +2240,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "embed_neardup": _q_embed_neardup,
         "sim_topk": _q_sim_topk,
-        "sim_topk_ivf": _q_sim_topk_ivf,
         "curate_docs": _q_curate_docs,
         "curate_corpus": _q_curate_corpus,
         # --- past the ~50-row cap: fresh green CORRECTNESS_r06 rows,
         # code untouched this round; they rotate back in next round ---
+        "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_full": _q_sim_topk_ivf_full,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
@@ -2815,6 +2848,16 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                          CAST(doc_id % {URL_DEDUP_GROUPS} AS VARCHAR) AS g
                   FROM documents)
             GROUP BY g
+        """,
+        # url_dedup_bi: independent expectation from the construction —
+        # only the bases absent from history survive, min odd id each
+        "url_dedup_bi": f"""
+            SELECT min(doc_id) AS id,
+                   'https://site.com/page/' || CAST(b AS VARCHAR) || '?q=1' AS url_norm
+            FROM (SELECT doc_id, doc_id % {URL_BI_NEW_MOD} AS b
+                  FROM documents WHERE doc_id % 2 = 1)
+            WHERE b >= {URL_BI_HIST_MOD}
+            GROUP BY b
         """,
         "gopher_rules": f"""
             WITH base AS (

@@ -32,6 +32,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     minhash_dedup_pairs,
     remove_duplicated_spans,
     url_dedup,
+    url_dedup_bipartite,
     minhash_dedup_pairs_bipartite,
     ngram_jaccard_pairs,
     simhash64,
@@ -120,6 +121,7 @@ __all__ = [
     "warc_text",
     "exact_dedup",
     "url_dedup",
+    "url_dedup_bipartite",
     "remove_duplicated_spans",
     "shard_rows",
     "write_training_shards",

@@ -90,6 +90,35 @@ def url_dedup(
     return base.join(keepers, "id", "left_semi")
 
 
+def url_dedup_bipartite(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    url_col: str,
+    history_url_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Incremental :func:`url_dedup`: survivors of the NEW shard whose
+    normalized URL is neither already in the HISTORICAL corpus nor
+    claimed by a smaller id within the shard — the daily-ingest twin
+    (same shape as ``minhash_dedup_pairs_bipartite`` /
+    ``duplicated_spans_bipartite``). History contributes only its
+    distinct normalized-URL set (one combinable groupBy — or persist
+    it once per ingest); the anti-join build side is URL-count-sized,
+    never document-sized. Returns ``(id, url_norm)``.
+    """
+    from cs533_big_data_data_mining_spark.functions.url import normalize_url
+
+    hcol = history_url_col if history_url_col is not None else url_col
+    n_norm = normalize_url(url_col) if normalize else F.col(url_col)
+    h_norm = normalize_url(hcol) if normalize else F.col(hcol)
+    base = new.select(F.col(id_col).alias("id"), n_norm.alias("url_norm"))
+    seen = history.select(h_norm.alias("url_norm")).distinct()
+    fresh = base.join(seen, "url_norm", "left_anti")
+    keepers = fresh.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
+    return fresh.join(keepers, "id", "left_semi")
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; CPU-bound
     per-row work (shingling, hashing) must fan out first. No-op when

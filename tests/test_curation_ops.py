@@ -453,3 +453,47 @@ def test_temperature_weights_flatten(spark):
     assert whuge["small"] == pytest.approx(0.5, abs=1e-3)
     with pytest.raises(ValueError):
         temperature_weights(df, "src", 0.0)
+
+
+def test_url_dedup_bipartite(spark):
+    from cs533_big_data_data_mining_spark.operators.dedup import url_dedup_bipartite
+
+    hist = spark.createDataFrame(
+        [(100, "https://a.com/old"), (101, "https://www.A.com/old2/?utm_source=x")],
+        "id long, url string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "https://a.com/old#frag"),      # in history -> dropped
+            (2, "https://a.com/old2"),          # in history (via variants) -> dropped
+            (3, "https://a.com/new"),           # fresh -> kept
+            (4, "HTTPS://a.com/new/"),          # same as 3 -> min id 3 wins
+            (5, "https://a.com/other"),         # fresh -> kept
+        ],
+        "id long, url string",
+    )
+    got = sorted(
+        (r["id"], r["url_norm"]) for r in url_dedup_bipartite(new, hist, "id", "url").collect()
+    )
+    assert got == [(3, "https://a.com/new"), (5, "https://a.com/other")]
+
+
+def test_normalize_url_idempotent_property(spark):
+    """normalize(normalize(x)) == normalize(x) over a messy generated
+    URL space — canonical forms must be fixed points."""
+    from cs533_big_data_data_mining_spark.functions.url import normalize_url
+
+    rows = []
+    i = 0
+    for scheme in ("http://", "HTTPS://", ""):
+        for host in ("www.Ex.com", "ex.com", "EX.ORG:8080"):
+            for path in ("", "/", "/A/b", "/A/b/"):
+                for q in ("", "?a=1", "?utm_source=x", "?utm_source=x&a=1", "?a=1&ref=hn"):
+                    for frag in ("", "#f"):
+                        rows.append((i, f"{scheme}{host}{path}{q}{frag}"))
+                        i += 1
+    df = spark.createDataFrame(rows, "id long, url string")
+    once = df.select("id", normalize_url("url").alias("n1"))
+    twice = once.select("id", F.col("n1"), normalize_url("n1").alias("n2"))
+    bad = twice.filter("n1 <> n2").collect()
+    assert not bad, [(r["n1"], r["n2"]) for r in bad[:5]]
