@@ -277,6 +277,25 @@ def ghost_expand(points: DataFrame, spec: GridSpec) -> DataFrame:
 
     offsets = F.array(*[F.array(*[F.lit(d) for d in delta]) for delta in product((-1, 0, 1), repeat=k)])
 
+    if k <= 3:
+        # Small-k shape: 3^k <= 27 is a cheap explode, and the plain
+        # boolean filter over the precomputed flags beats the
+        # higher-order array filter/transform (lambda evaluation per
+        # row costs more than the 9-27x transient rows it avoids —
+        # measured on part64 2-D: probe 0.8 -> 0.3 s isolated).
+        ex = pts.withColumn("_d", F.explode(offsets))
+        cell = F.lit(0).cast("long")
+        cond = F.lit(True)
+        is_home = F.lit(True)
+        for i in range(k):
+            di = F.col("_d")[i]
+            cell = cell + (F.col(f"_c{i}") + di) * F.lit(strides[i])
+            cond = cond & (
+                (di == 0) | ((di == -1) & F.col(f"_lo{i}")) | ((di == 1) & F.col(f"_hi{i}"))
+            )
+            is_home = is_home & (di == 0)
+        return ex.filter(cond).select(cell.alias("cell"), "id", "xs", is_home.alias("is_home"))
+
     def _keep(d):
         c = F.lit(True)
         for i in range(k):
