@@ -582,3 +582,67 @@ def test_lm_perplexity_brute_force(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.id: (r.n_tokens, r.avg_logp, r.ppl) for r in lm_perplexity(df).collect()}
     assert got == expect
+
+
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(1, 24),
+    vocab=st.integers(2, 8),
+    doc_len=st.integers(0, 30),
+)
+def test_gopher_rules_random_oracle(spark, seed, n_docs, vocab, doc_len):
+    """gopher_rules vs its plain-Python twin on random small-vocab
+    text (small vocab => frequent stopword/symbol/bullet collisions)."""
+    from tests.test_curation_ops import _gopher_expected
+    from cs533_big_data_data_mining_spark.operators.quality import gopher_rules
+
+    rng = np.random.default_rng(seed)
+    words = ["the", "of", "and", "#", "...", "word", "-", "…"][:vocab]
+    rows = []
+    for i in range(n_docs):
+        toks = rng.choice(words, size=int(rng.integers(0, doc_len + 1)))
+        # random newlines make multi-line docs
+        sep = np.where(rng.random(len(toks)) < 0.15, "\n", " ")
+        rows.append((i, "".join(t + s for t, s in zip(toks, sep)).rstrip()))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in gopher_rules(df, "id", "text").collect()}
+    for i, text in rows:
+        exp = _gopher_expected(text)
+        n, mean_len, sym, bullet, ell, alpha, hits = exp
+        r = got[i]
+        assert r["n_words"] == n, (i, text)
+        for col, want in [
+            ("mean_word_len", mean_len), ("symbol_ratio", sym), ("bullet_frac", bullet),
+            ("ellipsis_frac", ell), ("alpha_frac", alpha),
+        ]:
+            if want is None:
+                assert r[col] is None, (i, col, text)
+            else:
+                assert abs(r[col] - want) < 1e-6, (i, col, text)
+        assert r["stopword_hits"] == hits, (i, text)
+
+
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(2, 12),
+    vocab=st.integers(3, 10),
+    k=st.integers(2, 4),
+)
+def test_remove_duplicated_spans_random_oracle(spark, seed, n_docs, vocab, k):
+    """Span removal vs the brute-force twin on random tiny-vocab docs
+    (tiny vocab => dense accidental k-gram repeats, multi-span docs)."""
+    from tests.test_curation_ops import _remove_spans_expected
+    from cs533_big_data_data_mining_spark.operators.dedup import remove_duplicated_spans
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{j}" for j in range(vocab)]
+    rows = [
+        (i, " ".join(rng.choice(words, size=int(rng.integers(0, 25)))))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["clean"] for r in remove_duplicated_spans(df, k=k).collect()}
+    exp = _remove_spans_expected(rows, k)
+    assert got == exp
