@@ -1084,7 +1084,8 @@ SAMPLE_FRACS = {"src0": 0.25, "src1": 0.5, "src2": 0.0}  # others keep 100%
 
 # --- round-7 curation operators -------------------------------------
 
-URL_DEDUP_GROUPS = 50  # 500 docs -> 50 canonical URLs, 5 crawl variants each
+URL_DEDUP_GROUPS = 49  # coprime to the 5-variant selector: every group
+# mixes variant SHAPES, so the rows test cross-variant collapse
 
 GOPHER_MIN_WORDS = 50  # the synthetic docs average ~54 words and ~0.8
 GOPHER_MIN_STOP = 1  # stopword hits, so these two rules split the corpus
@@ -1110,7 +1111,7 @@ def _url_variants(base):
         .when(v == 1, F.concat(F.lit("https://site.com/page/"), base, F.lit("/?q=1")))
         .when(v == 2, F.concat(F.lit("HTTPS://site.com/page/"), base, F.lit("?utm_source=x&q=1")))
         .when(v == 3, F.concat(F.lit("https://site.com/page/"), base, F.lit("?q=1#frag")))
-        .otherwise(F.concat(F.lit("https://site.com/page/"), base, F.lit("?ref=hn&q=1")))
+        .otherwise(F.concat(F.lit("https://site.com/page/"), base, F.lit("?fbclid=xyz&q=1")))
     )
 
 
@@ -1128,7 +1129,7 @@ def _q_url_dedup(spark, sf_dir):
     return url_dedup(docs.select("doc_id", _url_variants(base).alias("url")), "doc_id", "url")
 
 
-URL_BI_NEW_MOD = 40  # new-shard base space: 0..39
+URL_BI_NEW_MOD = 41  # new-shard base space 0..40, coprime to 5 and 2
 URL_BI_HIST_MOD = 25  # history base space: 0..24 (all already admitted)
 
 
@@ -2869,21 +2870,23 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
               SELECT doc_id, text,
                 CAST(len(t) AS BIGINT) AS n_words,
                 CASE WHEN len(t) > 0 THEN round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(t), 6) END AS mean_word_len,
-                CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(t), 6) END AS symbol_ratio,
+                CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) / len(t), 6) END AS hash_ratio,
+                CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(t), 6) END AS ellipsis_ratio,
                 CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / len(lns), 6) END AS bullet_frac,
                 CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lns), 6) END AS ellipsis_frac,
                 CASE WHEN len(t) > 0 THEN round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) END AS alpha_frac,
                 CAST(len(list_intersect(list_distinct(t), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
               FROM base
             )
-            SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio,
-                   bullet_frac, ellipsis_frac, alpha_frac, stopword_hits,
+            SELECT doc_id AS id, n_words, mean_word_len, hash_ratio,
+                   ellipsis_ratio, bullet_frac, ellipsis_frac, alpha_frac, stopword_hits,
                    CASE WHEN text IS NULL THEN FALSE ELSE (
                      COALESCE(n_words >= {GOPHER_MIN_WORDS}, FALSE)
                      AND COALESCE(n_words <= 100000, FALSE)
                      AND COALESCE(mean_word_len >= 3.0, FALSE)
                      AND COALESCE(mean_word_len <= 10.0, FALSE)
-                     AND COALESCE(symbol_ratio <= 0.1, FALSE)
+                     AND COALESCE(hash_ratio <= 0.1, FALSE)
+                     AND COALESCE(ellipsis_ratio <= 0.1, FALSE)
                      AND NOT COALESCE(bullet_frac > 0.9, FALSE)
                      AND NOT COALESCE(ellipsis_frac > 0.3, FALSE)
                      AND COALESCE(alpha_frac >= 0.8, FALSE)

@@ -304,7 +304,8 @@ def _score_main(argv: list[str]) -> int:
             "id",
             F.col("keep").alias("gopher_keep"),
             F.col("mean_word_len").alias("gopher_mean_word_len"),
-            F.col("symbol_ratio").alias("gopher_symbol_ratio"),
+            F.col("hash_ratio").alias("gopher_hash_ratio"),
+            F.col("ellipsis_ratio").alias("gopher_ellipsis_ratio"),
             F.col("stopword_hits").alias("gopher_stopword_hits"),
         )
         out = out.join(g, "id", "left")

@@ -9,10 +9,10 @@ variants crawlers actually see (scheme/host case, ``www.`` prefix,
 tracking query params, fragments, trailing slash) so the groupBy key
 collapses them.
 
-Everything here is a **pure Column expression** built from chained
-``regexp_replace`` / ``regexp_extract`` in the Java-regex ∩ RE2
-subset (no lookarounds) — JVM-side, whole-stage-codegen'd, zero
-Python, with an exact DuckDB twin for the oracle gate (same design as
+Everything here is a **pure Column expression** (chained regex in the
+Java-regex ∩ RE2 subset plus an array filter over the split query
+string) — JVM-side, zero Python, with an exact DuckDB twin for the
+oracle gate (same design as
 :mod:`cs533_big_data_data_mining_spark.functions.text`).
 """
 
@@ -21,10 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: query parameters that never change page content — stripped by the
-#: normalizer. Kept as a regex alternation so the whole strip is one
-#: codegen'd regexp_replace.
-TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)"
+#: query parameters that never change page content — dropped by the
+#: normalizer. Deliberately NOT including bare ``ref``: real sites use
+#: it content-bearingly (e.g. a VCS web UI's ``?ref=<branch>`` selects
+#: a different page), and wrongly merging two real pages deletes a
+#: document, which is worse than keeping one re-crawl.
+TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref_src)"
 
 #: ``scheme://host[:port]`` prefix (the case-insensitive part of a URL
 #: per RFC 3986; path/query stay case-sensitive).
@@ -37,13 +39,17 @@ def normalize_url(col: str | Column) -> Column:
     1. drop the ``#fragment`` (never sent to the server);
     2. lowercase the ``scheme://host`` prefix (case-insensitive per
        RFC 3986) and drop a ``www.`` host prefix;
-    3. remove tracking query params (:data:`TRACKING_PARAM_RE`),
-       re-anchoring the first surviving param to ``?``;
-    4. drop an empty trailing ``?`` and a trailing ``/``.
+    3. split at the FIRST ``?``, drop tracking params
+       (:data:`TRACKING_PARAM_RE`) from the split query — an array
+       filter, so a literal ``&`` or ``/`` in the PATH or inside a
+       surviving param VALUE is never touched;
+    4. drop a trailing ``/`` from the pre-query part, then re-attach
+       ``?query`` iff any params survived.
 
     Non-URL strings pass through mostly untouched (no scheme prefix →
-    step 2 is a no-op); null stays null. Pure Column — composes into
-    the scan stage at any scale.
+    step 2 is a no-op; no ``?`` → steps 3–4 only strip a trailing
+    slash); null stays null. Pure Column — composes into the scan
+    stage at any scale.
     """
     c = F.col(col) if isinstance(col, str) else col
     # 1. fragment
@@ -54,14 +60,18 @@ def normalize_url(col: str | Column) -> Column:
     prefix = F.regexp_extract(c, _PREFIX_RE, 1)
     rest = F.substring(c, F.length(prefix) + F.lit(1), F.length(c))
     c = F.concat(F.regexp_replace(F.lower(prefix), r"://www\.", "://"), rest)
-    # 3. tracking params: each match consumes its LEADING ? or &, so
-    #    removal never leaves doubled separators; if the first
-    #    surviving param lost its ?, re-anchor it
-    c = F.regexp_replace(c, r"[?&]" + TRACKING_PARAM_RE + r"=[^&#]*", "")
-    c = F.regexp_replace(c, r"^([^?]*)&", "$1?")
-    # 4. empty query, then the slash that ends the PATH — either at
-    #    end of string or right before the query
-    c = F.regexp_replace(c, r"\?$", "")
-    c = F.regexp_replace(c, r"/\?", "?")
-    c = F.regexp_replace(c, r"/$", "")
-    return c
+    # 3. split pre/query at the FIRST '?'; filter tracking params out
+    #    of the query ARRAY (param boundaries are exactly the '&'
+    #    splits, so values containing '/' or '=' are never mangled)
+    pre = F.regexp_replace(c, r"\?.*$", "")
+    q = F.regexp_extract(c, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(q, r"&"),
+        lambda p: ~p.rlike(r"^" + TRACKING_PARAM_RE + r"="),
+    )
+    # 4. trailing slash on the PATH only, then re-attach the query
+    pre = F.regexp_replace(pre, r"/$", "")
+    newq = F.concat_ws("&", kept)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(newq == "", pre).otherwise(F.concat(pre, F.lit("?"), newq))
+    )

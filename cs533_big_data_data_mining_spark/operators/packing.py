@@ -275,15 +275,12 @@ def shard_rows(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    from cs533_big_data_data_mining_spark.functions.text import FINGERPRINT_MOD, fingerprint
+    from cs533_big_data_data_mining_spark.operators.quality import _uniform_unit_of
 
     # seed folds into the hashed string so each seed is an independent
-    # permutation, still ANSI-reproducible
-    pri = fingerprint(f"CONCAT(CAST({int(seed)} AS STRING), '_', CAST({id_col} AS STRING))")
-    scattered = F.pmod(
-        pri.cast("long") * F.lit(2654435761) + F.lit(12345), F.lit(FINGERPRINT_MOD)
-    )
-    u = scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
+    # permutation, still ANSI-reproducible; the scatter constants live
+    # in ONE place (quality._uniform_unit_of)
+    u = _uniform_unit_of(f"CONCAT(CAST({int(seed)} AS STRING), '_', CAST({id_col} AS STRING))")
     shard = F.floor(u * F.lit(int(n_shards))).cast("int")
     return df.withColumn("shard", shard).withColumn("sort_key", u)
 
@@ -308,7 +305,12 @@ def write_training_shards(
     out = shard_rows(df, id_col, n_shards, seed)
     (
         out.repartition(int(n_shards), "shard")
-        .sortWithinPartitions("shard", "sort_key")
+        # id_col breaks sort_key TIES deterministically: the hash maps
+        # into [0, 2^31), so a large corpus WILL collide (~23k pairs
+        # per 10M rows) and without the tiebreak colliding rows would
+        # keep their nondeterministic shuffle arrival order — breaking
+        # the byte-identical re-run contract
+        .sortWithinPartitions("shard", "sort_key", id_col)
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

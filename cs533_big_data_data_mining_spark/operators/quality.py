@@ -133,12 +133,20 @@ def _uniform_unit(id_col: str) -> F.Column:
     BIGINT on every engine). Shared by ``assign_split`` and
     ``sample_sources`` — keep it the single definition so their
     DuckDB oracle spellings can't de-sync."""
+    return _uniform_unit_of(f"CAST({id_col} AS STRING)")
+
+
+def _uniform_unit_of(sql_expr: str) -> F.Column:
+    """The scatter itself, over any SQL string expression — the ONE
+    spelling of the constants (also used by ``packing.shard_rows``
+    with a seed-folded CONCAT; a second copy would eventually de-sync
+    a DuckDB oracle)."""
     from cs533_big_data_data_mining_spark.functions.text import (
         FINGERPRINT_MOD,
         fingerprint,
     )
 
-    pri = fingerprint(f"CAST({id_col} AS STRING)")
+    pri = fingerprint(sql_expr)
     scattered = F.pmod(pri.cast("long") * F.lit(2654435761) + F.lit(12345), F.lit(FINGERPRINT_MOD))
     return scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
 
@@ -629,7 +637,8 @@ def gopher_rules(
     filter ``keep`` or re-gate on individual metrics.
 
     Rules: word count in [min, max]; mean word length in [min, max];
-    (``#`` + ``...``/``…``) per word <= max_symbol_ratio; fraction of
+    ``#``-per-word AND ellipsis-per-word EACH <= max_symbol_ratio
+    (the paper gates the two symbol types separately); fraction of
     non-empty lines starting with a bullet <= max_bullet_frac;
     fraction ending with an ellipsis <= max_ellipsis_frac; fraction
     of words containing an alphabetic character >= min_alpha_frac;
@@ -651,8 +660,8 @@ def gopher_rules(
     nz = F.when(n > 0, n)  # null denominator when empty
 
     mean_len = F.round(F.length(F.concat_ws("", toks)).cast("double") / nz, 6)
-    n_sym = F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\.|…"))
-    sym_ratio = F.round(n_sym.cast("double") / nz, 6)
+    hash_ratio = F.round(F.regexp_count(c, F.lit(r"#")).cast("double") / nz, 6)
+    ell_ratio = F.round(F.regexp_count(c, F.lit(r"\.\.\.|…")).cast("double") / nz, 6)
 
     lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines).cast("double")
@@ -678,7 +687,8 @@ def gopher_rules(
         & _ok(n <= max_words)
         & _ok(mean_len >= min_mean_word_len)
         & _ok(mean_len <= max_mean_word_len)
-        & _ok(sym_ratio <= max_symbol_ratio)
+        & _ok(hash_ratio <= max_symbol_ratio)
+        & _ok(ell_ratio <= max_symbol_ratio)
         # a doc with no non-empty lines has no bullet/ellipsis
         # problem — the line rules pass vacuously (nzl null => the
         # <= holds via coalesce on the NEGATED condition)
@@ -691,7 +701,8 @@ def gopher_rules(
         F.col(id_col).alias("id"),
         F.size(toks).cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
+        hash_ratio.alias("hash_ratio"),
+        ell_ratio.alias("ellipsis_ratio"),
         bullet.alias("bullet_frac"),
         ellipsis.alias("ellipsis_frac"),
         alpha.alias("alpha_frac"),
@@ -729,6 +740,8 @@ def dsir_logratio(
     Determinism: each bucket's log-ratio rounds to 9 dp and per-doc
     sums run as DECIMAL (order-independent, partition-invariant —
     the ``lm_perplexity`` discipline); the final score rounds to 6 dp.
+    The two distribution fits run eagerly (two tiny collects); the
+    returned frame is fully lazy and owns no cached state.
 
     Scale shape: the two distribution fits are explode -> map-side-
     combinable groupBys that end at <= n_buckets rows each; their join
@@ -767,56 +780,50 @@ def dsir_logratio(
         )
         return F.pmod(fp, F.lit(int(n_buckets)))
 
-    def spread(frame):
-        # CPU-bound per-row gram hashing must fan out: a small
-        # single-file input arrives as ONE partition and would run
-        # every explosion serially (dedup._spread's rationale); no-op
-        # when the scan already has enough splits (the 100 TB case)
-        target_p = frame.sparkSession.sparkContext.defaultParallelism
-        if frame.rdd.getNumPartitions() < target_p:
-            return frame.repartition(target_p)
-        return frame
+    # CPU-bound per-row gram hashing must fan out on single-file
+    # inputs — the shared dedup._spread (no-op at 100 TB)
+    from cs533_big_data_data_mining_spark.operators.dedup import _spread
 
     def bucket_counts(frame, col):
         return (
-            spread(frame.select(F.col(col).alias("__t")))
+            _spread(frame.select(F.col(col).alias("__t")))
             .select(F.explode(grams("__t")).alias("g"))
             .select(bucket("g").alias("b"))
             .groupBy("b")
             .agg(F.count(F.lit(1)).alias("c"))
         )
 
-    # cache the <= n_buckets-row aggregates: each feeds BOTH the
-    # totals collect and the ratio join, and without the cache the
-    # join lineage would re-run the full gram-explosion scan of its
-    # corpus (the lm_perplexity `uni` discipline)
-    tc = bucket_counts(target, tcol).cache()
-    rc = bucket_counts(r, text_col).cache()
-    t_tot = tc.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
-    r_tot = rc.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+    # the two <= n_buckets-row aggregates come to the DRIVER once
+    # (tiny by construction) and the merged counts go back out as one
+    # Arrow-backed local_df — each corpus is gram-exploded exactly
+    # once, the result frame stays fully LAZY (no cache/persist for
+    # callers to release), and t_tot/r_tot fall out of the same rows
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    tc = {int(row["b"]): int(row["c"]) for row in bucket_counts(target, tcol).collect()}
+    rc = {int(row["b"]): int(row["c"]) for row in bucket_counts(r, text_col).collect()}
+    t_tot = sum(tc.values())
+    r_tot = sum(rc.values())
     B = int(n_buckets)
+    merged = [(b, tc.get(b, 0), rc.get(b, 0)) for b in sorted(set(tc) | set(rc))]
+    if not merged:
+        merged = [(0, 0, 0)]  # degenerate empty corpora: smoothing-only table
+    spark = df.sparkSession
     # log((ct + a) / (t_tot + aB)) - log((cr + a) / (r_tot + aB)),
-    # materialized per bucket and rounded BEFORE the per-doc sum
+    # computed as Spark expressions (NOT Python round: the 9-dp
+    # rounding must be the same HALF_UP both engines apply)
     ratio = F.broadcast(
-        tc.withColumnRenamed("c", "ct")
-        .join(rc.withColumnRenamed("c", "cr"), "b", "full")
-        .select(
+        local_df(spark, merged, "b long, ct long, cr long").select(
             "b",
             F.round(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(a))
-                    / F.lit(float(t_tot) + a * B)
-                )
-                - F.log(
-                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(a))
-                    / F.lit(float(r_tot) + a * B)
-                ),
+                F.log((F.col("ct") + F.lit(a)) / F.lit(float(t_tot) + a * B))
+                - F.log((F.col("cr") + F.lit(a)) / F.lit(float(r_tot) + a * B)),
                 9,
             ).alias("lr"),
         )
     )
 
-    ex = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
+    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
         "id", F.explode(grams("__t")).alias("g")
     )
     scored = ex.select("id", bucket("g").alias("b")).join(ratio, "b", "left")
@@ -835,18 +842,11 @@ def dsir_logratio(
         F.round(F.col("slr").cast("double"), 6).alias("logratio"),
     )
     all_docs = df.select(F.col(id_col).alias("id"))
-    res = all_docs.join(out, "id", "left").select(
+    return all_docs.join(out, "id", "left").select(
         "id",
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         "logratio",
     )
-    # materialize before dropping the bucket caches (lm_perplexity
-    # pattern) so repeated calls don't accumulate cache entries
-    res = res.persist()
-    res.count()
-    tc.unpersist()
-    rc.unpersist()
-    return res
 
 
 def mix_to_budget(
@@ -888,6 +888,14 @@ def mix_to_budget(
 
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
+    # empty results carry the NON-empty path's schema (id/source types
+    # come from the input, not a hardcoded long/string — a string-id
+    # corpus must union/join cleanly with a prior mix output)
+    empty = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.lit(0).cast("int").alias("epoch"),
+    ).limit(0)
     totals = {
         r["s"]: int(r["t"])
         for r in df.groupBy(F.col(source_col).alias("s"))
@@ -896,13 +904,13 @@ def mix_to_budget(
         if r["s"] is not None and r["t"] is not None and int(r["t"]) > 0
     }
     if not totals:
-        return df.sparkSession.createDataFrame([], "id long, source string, epoch int")
+        return empty
     if weights is None:
         w = {s: 1.0 for s in totals}
     else:
         w = {s: float(f) for s, f in weights.items() if s in totals and f > 0}
         if not w:
-            return df.sparkSession.createDataFrame([], "id long, source string, epoch int")
+            return empty
     z = sum(w.values())
     rows = []
     for s, ws in sorted(w.items()):

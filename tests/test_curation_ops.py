@@ -47,9 +47,20 @@ URL_CASES = [
     ("http://example.com:8080/x/", "http://example.com:8080/x"),
     # path case is preserved (RFC 3986: only scheme/host fold)
     ("https://a.com/CaseSensitive", "https://a.com/CaseSensitive"),
-    # gclid/fbclid/ref in the middle
+    # gclid/fbclid/ref_src in the middle
     ("https://a.com/x?a=1&gclid=abc&b=2", "https://a.com/x?a=1&b=2"),
-    ("https://a.com/x?ref=hn", "https://a.com/x"),
+    ("https://a.com/x?ref_src=twsrc&a=1", "https://a.com/x?a=1"),
+    # bare ref is CONTENT-BEARING (e.g. ?ref=<branch>) — kept
+    ("https://a.com/x?ref=hn", "https://a.com/x?ref=hn"),
+    # literal & in the PATH must never be rewritten into ?
+    ("https://a.com/x&y", "https://a.com/x&y"),
+    ("https://a.com/x&y?utm_source=x&q=1", "https://a.com/x&y?q=1"),
+    # slashes INSIDE query values are not path slashes
+    ("https://a.com/x?next=/p/?y", "https://a.com/x?next=/p/?y"),
+    ("https://a.com/x?next=/p/", "https://a.com/x?next=/p/"),
+    # tracking param first, middle, last, and only
+    ("https://a.com/x?utm_a=1&utm_b=2", "https://a.com/x"),
+    ("https://a.com/x?a=1&utm_a=1&b=2&utm_b=2", "https://a.com/x?a=1&b=2"),
     # non-URL passes through (no scheme -> no host folding)
     ("Not A URL", "Not A URL"),
     (None, None),
@@ -89,15 +100,15 @@ def _gopher_expected(text):
     n = len(toks)
     nz = n if n else None
     mean_len = round(sum(len(t) for t in toks) / nz, 6) if nz else None
-    n_sym = len(re.findall(r"#", text)) + len(re.findall(r"\.\.\.|…", text))
-    sym = round(n_sym / nz, 6) if nz else None
+    hashr = round(len(re.findall(r"#", text)) / nz, 6) if nz else None
+    ellr = round(len(re.findall(r"\.\.\.|…", text)) / nz, 6) if nz else None
     lines = [ln for ln in text.split("\n") if ln.strip()]
     nl = len(lines) if lines else None
     bullet = round(sum(bool(re.match(r"^\s*[-*•]", ln)) for ln in lines) / nl, 6) if nl else None
     ell = round(sum(bool(re.search(r"(\.\.\.|…)\s*$", ln)) for ln in lines) / nl, 6) if nl else None
     alpha = round(sum(bool(re.search(r"[A-Za-z]", t)) for t in toks) / nz, 6) if nz else None
     hits = len(set(toks) & set(GOPHER_STOPWORDS))
-    return n, mean_len, sym, bullet, ell, alpha, hits
+    return n, mean_len, hashr, ellr, bullet, ell, alpha, hits
 
 
 GOPHER_DOCS = [
@@ -122,11 +133,12 @@ def test_gopher_rules_brute_force(spark):
         if exp is None:
             assert r["n_words"] is None and r["keep"] is False
             continue
-        n, mean_len, sym, bullet, ell, alpha, hits = exp
+        n, mean_len, hashr, ellr, bullet, ell, alpha, hits = exp
         assert r["n_words"] == n, (i, "n_words")
         for col, want in [
             ("mean_word_len", mean_len),
-            ("symbol_ratio", sym),
+            ("hash_ratio", hashr),
+            ("ellipsis_ratio", ellr),
             ("bullet_frac", bullet),
             ("ellipsis_frac", ell),
             ("alpha_frac", alpha),
@@ -145,7 +157,8 @@ def test_gopher_rules_brute_force(spark):
             and ok(n <= 100_000)
             and ok(mean_len is not None and mean_len >= 3.0)
             and ok(mean_len is not None and mean_len <= 10.0)
-            and ok(sym is not None and sym <= 0.1)
+            and ok(hashr is not None and hashr <= 0.1)
+            and ok(ellr is not None and ellr <= 0.1)
             and not ok(bullet is not None and bullet > 0.9)
             and not ok(ell is not None and ell > 0.3)
             and ok(alpha is not None and alpha >= 0.8)

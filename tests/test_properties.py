@@ -609,12 +609,12 @@ def test_gopher_rules_random_oracle(spark, seed, n_docs, vocab, doc_len):
     got = {r["id"]: r for r in gopher_rules(df, "id", "text").collect()}
     for i, text in rows:
         exp = _gopher_expected(text)
-        n, mean_len, sym, bullet, ell, alpha, hits = exp
+        n, mean_len, hashr, ellr, bullet, ell, alpha, hits = exp
         r = got[i]
         assert r["n_words"] == n, (i, text)
         for col, want in [
-            ("mean_word_len", mean_len), ("symbol_ratio", sym), ("bullet_frac", bullet),
-            ("ellipsis_frac", ell), ("alpha_frac", alpha),
+            ("mean_word_len", mean_len), ("hash_ratio", hashr), ("ellipsis_ratio", ellr),
+            ("bullet_frac", bullet), ("ellipsis_frac", ell), ("alpha_frac", alpha),
         ]:
             if want is None:
                 assert r[col] is None, (i, col, text)
