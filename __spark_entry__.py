@@ -1533,9 +1533,16 @@ def _q_semdedup_far(spark, sf_dir):
         out = semdedup(corpus, 0.999, 1, iters=1, keep="far_from_centroid").select(
             F.col("id").cast("long").alias("id")
         )
+        # materialize INSIDE the pin: shuffle.partitions is read at
+        # execution time, so returning the lazy frame would hand the
+        # driver a query that executes at the restored 32 after all —
+        # the 3-row result re-emits as a JVM LocalRelation
+        rows = [(int(r["id"]),) for r in out.collect()]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return out
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    return local_df(spark, rows, "id long")
 
 
 CMS_FRAC = 0.02
@@ -1699,12 +1706,22 @@ def _q_sketch_persist(spark, sf_dir):
     )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    users = ev.select(F.col("user_id").cast("string").alias("u")).distinct().cache()
+    # isNotNull BEFORE distinct: the oracle's count(DISTINCT user_id)
+    # excludes NULL, and a .distinct() row count would include it —
+    # a latent off-by-one on any corpus with a null user
+    users = (
+        ev.select(F.col("user_id").cast("string").alias("u"))
+        .filter(F.col("u").isNotNull())
+        .distinct()
+        .cache()
+    )
     n_users = users.count()
     root = tempfile.mkdtemp(prefix="sketch_persist_")
     try:
         d, w = 4, 256
-        cms = cms_build(ev, "event_type", d, w)
+        # cached: both the save's write and the cell collect below
+        # consume it — uncached, the groupBy would run twice
+        cms = cms_build(ev, "event_type", d, w).cache()
         cms_save(spark, cms, f"{root}/cms", d, w)
         loaded, ld, lw = cms_load(spark, f"{root}/cms")
         mem_cells = {(r["d"], r["bucket"]): r["c"] for r in cms.collect()}
@@ -1728,11 +1745,13 @@ def _q_sketch_persist(spark, sf_dir):
         cmp.unpersist()
     finally:
         users.unpersist()
+        cms.unpersist()
         shutil.rmtree(root, ignore_errors=True)
     return _one_row(
         spark,
         n_users=n_users,
-        cms_roundtrip=bool((bl.m, bl.k) == (bloom.m, bloom.k) and cms_ok),
+        cms_roundtrip=bool(cms_ok),
+        bloom_mk_ok=bool((bl.m, bl.k) == (bloom.m, bloom.k)),
         bloom_probe_eq=bool(probe_eq),
         bloom_no_false_neg=bool(no_false_neg),
     )
@@ -1832,7 +1851,9 @@ def _q_crawl_shards(spark, sf_dir):
 
         shards: list[list[bytes]] = [[] for _ in range(4)]
         for i, r in enumerate(rows):
-            payload = (r["text"] + "\n" + CRAWL_BOILER).encode()
+            # null-text docs flow as empty payloads (the corpus schema
+            # allows them; a + would TypeError)
+            payload = ((r["text"] or "") + "\n" + CRAWL_BOILER).encode()
             host = f"https://h{r['doc_id'] % 7}.example"
             shards[i % 4].append(rec(f"{host}/d/{r['doc_id']}", payload))
             if r["doc_id"] % CRAWL_DUP_MOD == 0:
@@ -2122,6 +2143,7 @@ def _q_sketches_all(spark, sf_dir):
     d = rd.select(
         F.col("n_users").alias("pr_n_users"),
         F.col("cms_roundtrip").alias("pr_cms_roundtrip"),
+        F.col("bloom_mk_ok").alias("pr_bloom_mk_ok"),
         F.col("bloom_probe_eq").alias("pr_bloom_probe_eq"),
         F.col("bloom_no_false_neg").alias("pr_bloom_no_false_neg"),
     )
@@ -2197,8 +2219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_bipartite": _q_spans_bipartite,
         "semdedup_far": _q_semdedup_far,
         # sketches_all gained the persistence round-trip part; its
-        # bloom/CMS internals changed materialization this round
+        # bloom/CMS internals changed materialization this round.
+        # stream_eq_all's parts moved to the _one_row shape — record
+        # both composites while changed
         "sketches_all": _q_sketches_all,
+        "stream_eq_all": _q_stream_eq_all,
         # decontaminate runs the bloom route whose build ingestion
         # changed this round — keep it safely inside the record cap
         "decontaminate": _q_decontaminate,
@@ -2237,7 +2262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
-        "dedup_minhash_2t": _q_dedup_minhash_2t,
         "simhash_neardup": _q_simhash_neardup,
         "embed_neardup": _q_embed_neardup,
         "sim_topk": _q_sim_topk,
@@ -2268,8 +2292,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": _q_boilerplate_lines,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "chunk_documents": _q_chunk_documents,
-        "stream_eq_all": _q_stream_eq_all,
+        "dedup_minhash_2t": _q_dedup_minhash_2t,
     }
+
+
+def _uniform_sql(expr: str) -> str:
+    """DuckDB spelling of ``quality._uniform_unit_of(expr)`` — THE one
+    copy of the poly31 + Knuth-scatter constants on the oracle side
+    (the Spark side likewise has exactly one, in quality.py; a drift
+    in either de-syncs every hash-gated oracle at once, visibly)."""
+    return (
+        f"CAST((list_reduce(list_prepend(0, range(1, length({expr}) + 1)),\n"
+        f"  (acc, i) -> (acc * 31 + ascii(substring({expr}, CAST(i AS INT), 1)))\n"
+        f"  % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE) / 2147483647.0"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2591,13 +2627,10 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
               FROM votes)
             WHERE rn = 1
         """,
-        "assign_split": """
+        "assign_split": f"""
             WITH h AS (
               SELECT doc_id,
-                     CAST((list_reduce(list_prepend(0, range(1, length(CAST(doc_id AS VARCHAR)) + 1)),
-                       (acc, i) -> (acc * 31 + ascii(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
-                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
-                     / 2147483647.0 AS u
+                     {_uniform_sql('CAST(doc_id AS VARCHAR)')} AS u
               FROM documents)
             SELECT doc_id AS id,
                    CASE WHEN u < 0.875 THEN 'train'
@@ -2653,10 +2686,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                       WHERE id NOT IN (SELECT id FROM contam)),
             h AS (
               SELECT id,
-                     CAST((list_reduce(list_prepend(0, range(1, length(CAST(id AS VARCHAR)) + 1)),
-                       (acc, i) -> (acc * 31 + ascii(substring(CAST(id AS VARCHAR), CAST(i AS INT), 1)))
-                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
-                     / 2147483647.0 AS u
+                     {_uniform_sql('CAST(id AS VARCHAR)')} AS u
               FROM final),
             splitc AS (
               SELECT count(*) FILTER (WHERE u < 0.875) AS n_train,
@@ -2827,10 +2857,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         "sample_sources": f"""
             WITH h AS (
               SELECT doc_id, source,
-                     CAST((list_reduce(list_prepend(0, range(1, length(CAST(doc_id AS VARCHAR)) + 1)),
-                       (acc, i) -> (acc * 31 + ascii(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
-                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
-                     / 2147483647.0 AS u
+                     {_uniform_sql('CAST(doc_id AS VARCHAR)')} AS u
               FROM documents)
             SELECT doc_id AS id, source FROM h
             WHERE u < CASE source
@@ -2938,10 +2965,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         "shard_assign": f"""
             WITH h AS (
               SELECT doc_id,
-                     CAST((list_reduce(list_prepend(0, range(1, length('{SHARD_SEED}_' || CAST(doc_id AS VARCHAR)) + 1)),
-                       (acc, i) -> (acc * 31 + ascii(substring('{SHARD_SEED}_' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
-                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
-                     / 2147483647.0 AS u
+                     {_uniform_sql(f"'{SHARD_SEED}_' || CAST(doc_id AS VARCHAR)")} AS u
               FROM documents)
             SELECT doc_id AS id,
                    CAST(floor(u * {SHARD_N}) AS INTEGER) AS shard,
@@ -3018,10 +3042,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             ),
             h AS (
               SELECT doc_id, source,
-                     CAST((list_reduce(list_prepend(0, range(1, length(CAST(doc_id AS VARCHAR)) + 1)),
-                       (acc, i) -> (acc * 31 + ascii(substring(CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)))
-                                   % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE)
-                     / 2147483647.0 AS u
+                     {_uniform_sql('CAST(doc_id AS VARCHAR)')} AS u
               FROM documents
             ),
             j AS (
@@ -3393,8 +3414,8 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
                   no_undercount AS sm_no_undercount
            FROM ({oracles.pop("sketch_stream_merge")})) s3,
           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS pr_n_users,
-                  TRUE AS pr_cms_roundtrip, TRUE AS pr_bloom_probe_eq,
-                  TRUE AS pr_bloom_no_false_neg
+                  TRUE AS pr_cms_roundtrip, TRUE AS pr_bloom_mk_ok,
+                  TRUE AS pr_bloom_probe_eq, TRUE AS pr_bloom_no_false_neg
            FROM events) s4
     """
     oracles["stream_eq_all"] = f"""

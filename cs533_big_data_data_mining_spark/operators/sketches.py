@@ -86,6 +86,11 @@ def cms_load(spark, path: str) -> tuple[DataFrame, int, int]:
     otherwise desync probe parameters silently."""
     raw = spark.read.parquet(path)
     metas = sorted(raw.filter(F.col("d") < 0).collect(), key=lambda r: -r["d"])
+    if [r["d"] for r in metas] == [-1]:
+        # legacy artifact (pre-checksum cms_save wrote only the d=-1
+        # row): still a valid UNMERGED sketch — accept it, there is
+        # simply no checksum to verify
+        return raw.filter(F.col("d") >= 0), int(metas[0]["bucket"]), int(metas[0]["c"])
     if len(metas) != 2 or [r["d"] for r in metas] != [-1, -2]:
         raise ValueError(
             f"cms_load({path!r}): expected exactly one meta row pair (d = -1, -2), "

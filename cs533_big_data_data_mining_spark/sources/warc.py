@@ -96,7 +96,10 @@ _BATCH_RECORDS = 10_000
 # WARCs are ~1 GB gz members, comfortably inside; anything bigger must
 # be split upstream, and we say so instead of letting the scan die
 # with an opaque array-size error.
-_MAX_FILE_BYTES = (1 << 31) - 1
+# Slightly under Spark's hard 2^31-1 binaryFile cell cap: files in
+# (2e9, 2^31) get THIS reader's actionable error; beyond 2^31 Spark's
+# own "file too big" fires first (same outcome, terser message).
+_MAX_FILE_BYTES = 2_000_000_000
 
 _WARC_COLUMNS = [
     "path",
@@ -124,27 +127,25 @@ def read_warc(
     or ``batch_records`` records, whichever first), so peak task
     memory is one decompressed file + one batch — not two copies of
     the file. Files over 2 GB (the ``binaryFile`` single-cell cap)
-    are rejected up front with a clear error; split such archives
-    into crawl-standard ~1 GB members upstream. The size check reads
-    only file STATUS metadata (column pruning keeps content out of
-    the scan)."""
+    are rejected with a clear error when the frame EXECUTES (the
+    check runs executor-side per file, so constructing the frame
+    stays lazy — no extra driver job or double file listing)."""
     import pandas as pd
 
     bb, br = int(batch_bytes), int(batch_records)
-    listed = spark.read.format("binaryFile").load(path)
-    over = listed.filter(F.col("length") > _MAX_FILE_BYTES).select("path", "length").head(3)
-    if over:
-        names = ", ".join(f"{r['path']} ({r['length']} B)" for r in over)
-        raise ValueError(
-            f"read_warc({path!r}): file(s) exceed the 2 GB binaryFile cap: {names} — "
-            "split archives into <=1 GB gzip members (the crawl-standard unit) upstream"
-        )
-    files = listed.select("path", "content")
+    cap = _MAX_FILE_BYTES  # captured NOW: the closure ships the value
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches):
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 raw = bytes(row.content)
+                if len(raw) > cap:
+                    raise ValueError(
+                        f"read_warc: {row.path} ({len(raw)} B) exceeds the 2 GB "
+                        "binaryFile cap — split archives into <=1 GB gzip members "
+                        "(the crawl-standard unit) upstream"
+                    )
                 if row.path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
                     stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(raw))
                 else:

@@ -1091,3 +1091,21 @@ def test_cms_load_rejects_polluted_meta(spark, tmp_path):
         cms_load(spark, bad_dup)
     s, dd, ww = cms_load(spark, p)  # clean frame still loads
     assert (dd, ww) == (d, w)
+
+
+def test_cms_load_accepts_legacy_single_meta(spark, tmp_path):
+    """Artifacts saved by the pre-checksum cms_save (single d=-1 meta
+    row) must still load — they are valid unmerged sketches with
+    nothing to verify."""
+    from cs533_big_data_data_mining_spark.operators.sketches import cms_build, cms_load
+
+    ev = spark.createDataFrame([(i % 7,) for i in range(50)], "k long")
+    sk = cms_build(ev, "k", depth=2, width=64)
+    legacy = sk.select(
+        F.col("d").cast("int"), F.col("bucket").cast("long"), F.col("c").cast("long")
+    ).unionByName(
+        spark.createDataFrame([(-1, 2, 64)], "d int, bucket long, c long")
+    )
+    legacy.write.parquet(str(tmp_path / "legacy_cms"))
+    loaded, depth, width = cms_load(spark, str(tmp_path / "legacy_cms"))
+    assert (depth, width) == (2, 64) and loaded.filter("d < 0").count() == 0

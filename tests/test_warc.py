@@ -92,17 +92,20 @@ def test_read_warc_multi_batch_output_identical(spark, tmp_path):
 
 
 def test_read_warc_rejects_oversized_file(spark, tmp_path, monkeypatch):
-    """Files past the binaryFile 2 GB single-cell cap fail up front
-    with a clear message (cap lowered for the test via monkeypatch —
-    the check is driver-side, so the patch is visible)."""
+    """Files past the binaryFile 2 GB single-cell cap fail when the
+    frame EXECUTES, with a clear message (cap lowered for the test
+    via monkeypatch — read_warc captures the value at call time, so
+    the patched cap ships in the task closure). Construction itself
+    stays lazy — no driver job."""
     import pytest
 
     from cs533_big_data_data_mining_spark.sources import warc as warc_mod
 
     (tmp_path / "big.wet").write_bytes(_build_wet([("conversion", "https://z/1", b"x" * 512)]))
     monkeypatch.setattr(warc_mod, "_MAX_FILE_BYTES", 100)
-    with pytest.raises(ValueError, match="2 GB"):
-        warc_mod.read_warc(spark, str(tmp_path / "big.wet"))
+    frame = warc_mod.read_warc(spark, str(tmp_path / "big.wet"))  # lazy: no error yet
+    with pytest.raises(Exception, match="2 GB"):
+        frame.count()
 
 
 def test_cli_curate_from_wet(spark, tmp_path):
