@@ -29,6 +29,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     duplicated_spans,
     duplicated_spans_bipartite,
     exact_dedup,
+    exact_dedup_bipartite,
     minhash_dedup_pairs,
     remove_duplicated_spans,
     url_dedup,
@@ -120,6 +121,7 @@ __all__ = [
     "read_warc",
     "warc_text",
     "exact_dedup",
+    "exact_dedup_bipartite",
     "url_dedup",
     "url_dedup_bipartite",
     "remove_duplicated_spans",

@@ -510,3 +510,22 @@ def test_normalize_url_idempotent_property(spark):
     twice = once.select("id", F.col("n1"), normalize_url("n1").alias("n2"))
     bad = twice.filter("n1 <> n2").collect()
     assert not bad, [(r["n1"], r["n2"]) for r in bad[:5]]
+
+
+def test_exact_dedup_bipartite(spark):
+    from cs533_big_data_data_mining_spark.operators.dedup import exact_dedup_bipartite
+
+    hist = spark.createDataFrame(
+        [(100, "already admitted body"), (101, "another old body")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "already admitted body"),   # in history -> dropped
+            (2, "a genuinely new body"),    # fresh -> kept
+            (3, "a genuinely new body"),    # dup of 2 within shard -> min id 2 wins
+            (4, "another new body"),        # fresh -> kept
+        ],
+        "id long, text string",
+    )
+    got = sorted((r["id"], r["text"]) for r in exact_dedup_bipartite(new, hist, "id", "text").collect())
+    assert got == [(2, "a genuinely new body"), (4, "another new body")]
