@@ -175,26 +175,46 @@ class BloomFilter:
         ANY element might be a member (guaranteed True if one is; True
         for ~fpp·|arr| of all-non-member rows). Stateless — usable in
         a streaming filter where explode+join+re-aggregate would need
-        state. Positions for every element are computed JVM-side
-        (same hashing as the build); one Arrow batch checks a doc's
-        whole shingle set at once."""
+        state.
+
+        This is the per-doc hot path of streaming-ingest
+        decontamination, so the kernel is flat: positions for every
+        element are computed AND flattened JVM-side (one
+        ``array<long>`` of s·k entries per doc — same hashing as the
+        build), the Arrow batch concatenates to ONE int64 position
+        array (one gather + shift + AND for the whole batch), per-
+        element all-of-k falls out of a ``reshape(-1, k)`` (k is
+        constant), and per-doc any-element collapses via one
+        segmented ``np.logical_or.reduceat`` over the rows' offsets —
+        no per-shingle Python objects, no per-row (s, k) arrays."""
         col = F.col(arr) if isinstance(arr, str) else arr
-        pos2 = F.transform(col, lambda s: self.positions(s))
+        flat_pos = F.flatten(F.transform(col, lambda s: self.positions(s)))
         words = self.words.view(np.uint64)
+        k = self.k
 
         @F.pandas_udf("boolean")
         def _probe_any(pos: pd.Series) -> pd.Series:
-            out = []
-            for row in pos:
-                if row is None or len(row) == 0:
-                    out.append(False)
-                    continue
-                p = np.array([list(x) for x in row], dtype=np.int64)  # (s, k)
-                hit = (words[p >> 6] >> (p & 63).astype(np.uint64)) & np.uint64(1)
-                out.append(bool(hit.all(axis=1).any()))
+            vals = pos.to_numpy()
+            n = len(vals)
+            out = np.zeros(n, dtype=bool)
+            if n == 0:
+                return pd.Series(out)
+            lens = np.fromiter(
+                (0 if v is None else len(v) for v in vals), dtype=np.int64, count=n
+            )
+            nz = lens > 0
+            if not nz.any():
+                return pd.Series(out)
+            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in vals[nz]])
+            hit = (words[flat >> 6] >> (flat & 63).astype(np.uint64)) & np.uint64(1)
+            per_elem = hit.reshape(-1, k).all(axis=1)
+            seg = lens[nz] // k
+            starts = np.zeros(len(seg), dtype=np.int64)
+            np.cumsum(seg[:-1], out=starts[1:])
+            out[nz] = np.logical_or.reduceat(per_elem, starts)
             return pd.Series(out)
 
-        return _probe_any(pos2)
+        return _probe_any(flat_pos)
 
     def save(self, spark, path: str) -> None:
         """Persist to Parquet — the 'build the benchmark filter once,

@@ -86,6 +86,41 @@ def test_bloom_filter_guarantees(spark):
     assert fp / 20_000 < 0.05, fp
 
 
+def test_bloom_might_contain_any_edges(spark):
+    # the segmented-reduce kernel: null array, empty array, all-miss,
+    # one-hit-among-misses, all-hit — and brute-force agreement with
+    # the scalar might_contain on every element
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    members = spark.range(500).select(F.concat(F.lit("m"), F.col("id")).alias("v"))
+    bloom = bloom_build(members, "v", fpp=0.001)
+    rows = [
+        (0, None),
+        (1, []),
+        (2, ["zz1", "zz2", "zz3"]),
+        (3, ["zz1", "m250", "zz2"]),
+        (4, ["m0", "m1"]),
+        (5, ["zz9"]),
+        (6, ["m499"]),
+    ]
+    df = spark.createDataFrame(rows, "id long, arr array<string>")
+    got = {r["id"]: r["hit"] for r in df.select("id", bloom.might_contain_any("arr").alias("hit")).collect()}
+    # elementwise truth via the scalar probe (no FP assumptions needed
+    # for members; non-members could FP, so compute expected from the
+    # scalar probe itself)
+    elem = df.select("id", F.explode("arr").alias("e")).select(
+        "id", bloom.might_contain("e").alias("h")
+    )
+    exp = {r["id"]: r["any(h)"] for r in elem.groupBy("id").agg(F.expr("any(h)")).collect()}
+    exp.setdefault(0, False)
+    exp.setdefault(1, False)
+    assert got == {i: bool(exp.get(i, False)) for i in range(7)}
+    assert got[3] is True and got[4] is True and got[6] is True
+    assert got[0] is False and got[1] is False
+
+
 # --------------------------------------------------- repetition_stats
 
 
