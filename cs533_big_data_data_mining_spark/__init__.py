@@ -69,6 +69,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     assign_split,
     balance_sources,
     dsir_logratio,
+    dsir_resample,
     gopher_rules,
     lm_perplexity,
     mix_to_budget,
@@ -130,6 +131,7 @@ __all__ = [
     "normalize_url",
     "gopher_rules",
     "dsir_logratio",
+    "dsir_resample",
     "mix_to_budget",
     "temperature_weights",
     "minhash_dedup_pairs",

@@ -69,28 +69,30 @@ def exact_dedup_bipartite(
     content_col: str,
     history_content_col: str | None = None,
 ) -> DataFrame:
-    """Incremental :func:`exact_dedup`: rows of the NEW shard whose
-    content hash is neither already admitted in HISTORY nor claimed
-    by a smaller id within the shard — the daily-ingest twin
-    completing the family (minhash/spans/url all have one). History
-    contributes only its DISTINCT xxhash64 set: the anti-join build
-    side is #distinct-contents of 8-byte keys, the historical TEXT is
-    never shuffled, and at petabyte history the hash set can be
-    persisted once per ingest instead of recomputed. 64-bit hash
-    semantics: a cross-shard collision (expected ~1 pair per 5e9
-    distinct docs) drops a non-duplicate — the standard trade every
-    production content-hash dedup makes; use the full
-    ``(content, id)`` join of :func:`exact_dedup` where exactness
-    beats the shuffle width.
+    """Incremental :func:`exact_dedup`: FULL rows of the NEW shard
+    (all original columns — source, url, metadata survive, same
+    contract as :func:`exact_dedup`) whose content hash is neither
+    already admitted in HISTORY nor claimed by a smaller id within
+    the shard — the daily-ingest twin completing the family
+    (minhash/spans/url all have one). History contributes only its
+    DISTINCT xxhash64 set: the anti-join build side is
+    #distinct-contents of 8-byte keys, the historical TEXT is never
+    shuffled, and at petabyte history the hash set can be persisted
+    once per ingest instead of recomputed. 64-bit hash semantics: a
+    cross-shard collision (expected ~1 pair per 5e9 distinct docs)
+    drops a non-duplicate — the standard trade every production
+    content-hash dedup makes; use the full ``(content, id)`` join of
+    :func:`exact_dedup` where exactness beats the shuffle width.
     """
     hcol = history_content_col if history_content_col is not None else content_col
-    base = new.select(F.col(id_col).alias("id"), F.xxhash64(content_col).alias("__h"))
+    base = new.select(F.col(id_col).alias("__id"), F.xxhash64(content_col).alias("__h"))
     seen = history.select(F.xxhash64(hcol).alias("__h")).distinct()
     fresh = base.join(seen, "__h", "left_anti")
-    keepers = fresh.groupBy("__h").agg(F.min("id").alias("id")).select("id")
-    return new.select(F.col(id_col).alias("id"), F.col(content_col)).join(
-        keepers, "id", "left_semi"
-    )
+    # keeper ids are unique (id_col precondition, as in exact_dedup),
+    # so the narrow-id semi-join returns each surviving row once with
+    # every original column intact
+    keepers = fresh.groupBy("__h").agg(F.min("__id").alias(id_col)).select(id_col)
+    return new.join(keepers, id_col, "left_semi")
 
 
 def url_dedup(

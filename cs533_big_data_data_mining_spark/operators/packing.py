@@ -292,26 +292,69 @@ def write_training_shards(
     n_shards: int,
     seed: int = 0,
     mode: str = "error",
+    files_per_shard: int = 1,
 ) -> None:
     """Materialize the final training layout: rows shuffled into
     ``n_shards`` deterministic shards (:func:`shard_rows`), one
     directory per shard (``shard=K/``), rows within a shard in their
-    shuffle order. ONE shuffle (repartition on the shard id — each
-    shard is written by exactly one task, so a shard's file order IS
-    the global order for that shard) + an in-partition sort; no
-    global sort, no driver involvement. Re-running with the same seed
-    writes byte-identical shard contents.
+    shuffle order. ONE shuffle (repartition on the shard — or
+    shard+subfile — id) + an in-partition sort; no global sort, no
+    driver involvement. Re-running with the same seed writes
+    byte-identical shard contents; note the re-run must pass
+    ``mode="overwrite"`` — the default ``mode="error"`` refuses to
+    touch an existing path, so determinism is something you verify
+    against a fresh path or an explicit overwrite, never by silent
+    appends.
+
+    ``files_per_shard=1`` (default): each shard is written by exactly
+    one task, so the shard's single-file order IS the global order
+    for that shard. That serializes a shard's full volume through one
+    writer — fine when users size ``n_shards`` so a shard is a few GB
+    (at 100 TB: n_shards >= ~25k, or raise ``files_per_shard``).
+
+    ``files_per_shard=F > 1``: each shard splits into F deterministic
+    sub-files (``shard=K/subfile=J/``) by the secondary bucket
+    ``subfile = floor((sort_key * n_shards - shard) * F)`` — the
+    within-shard residual of sort_key, itself iid-uniform, so
+    sub-files are balanced; and because the bucket is a MONOTONE
+    function of sort_key within a shard, sub-file ranges are
+    contiguous — reading
+    ``subfile`` dirs in index order concatenates to exactly the same
+    per-shard global order as the single-file layout (equivalently:
+    orderBy(sort_key, id) is identical either way). Per-task write
+    volume drops F-fold while re-runs stay byte-identical (each
+    (shard, subfile) bucket is still written by one task in one
+    deterministic order).
     """
+    if int(files_per_shard) < 1:
+        raise ValueError("files_per_shard must be >= 1")
+    fps = int(files_per_shard)
     out = shard_rows(df, id_col, n_shards, seed)
+    # id_col breaks sort_key TIES deterministically: the hash maps
+    # into [0, 2^31), so a large corpus WILL collide (~23k pairs
+    # per 10M rows) and without the tiebreak colliding rows would
+    # keep their nondeterministic shuffle arrival order — breaking
+    # the byte-identical re-run contract
+    if fps == 1:
+        (
+            out.repartition(int(n_shards), "shard")
+            .sortWithinPartitions("shard", "sort_key", id_col)
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        return
+    # within shard K, sort_key is confined to [K/n, (K+1)/n) — the
+    # bucket must use the within-shard RESIDUAL (itself uniform on
+    # [0,1) and monotone in sort_key inside a shard), not sort_key
+    # raw, or every row of a shard lands in subfile 0
+    frac = F.col("sort_key") * F.lit(int(n_shards)) - F.col("shard")
+    sub = F.least(F.floor(frac * F.lit(fps)), F.lit(fps - 1)).cast("int")
     (
-        out.repartition(int(n_shards), "shard")
-        # id_col breaks sort_key TIES deterministically: the hash maps
-        # into [0, 2^31), so a large corpus WILL collide (~23k pairs
-        # per 10M rows) and without the tiebreak colliding rows would
-        # keep their nondeterministic shuffle arrival order — breaking
-        # the byte-identical re-run contract
-        .sortWithinPartitions("shard", "sort_key", id_col)
+        out.withColumn("subfile", sub)
+        .repartition(int(n_shards) * fps, "shard", "subfile")
+        .sortWithinPartitions("shard", "subfile", "sort_key", id_col)
         .write.mode(mode)
-        .partitionBy("shard")
+        .partitionBy("shard", "subfile")
         .parquet(path)
     )

@@ -721,6 +721,7 @@ def dsir_logratio(
     n_buckets: int = 4096,
     alpha: float = 1.0,
     max_n: int = 2,
+    hash_buckets: str = "poly31",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", public): score every
@@ -742,6 +743,19 @@ def dsir_logratio(
     the ``lm_perplexity`` discipline); the final score rounds to 6 dp.
     The two distribution fits run eagerly (two tiny collects); the
     returned frame is fully lazy and owns no cached state.
+
+    ``hash_buckets`` picks the gram->bucket hash: ``"poly31"``
+    (default) is the cross-engine fingerprint a DuckDB oracle can
+    replay exactly, but evaluates a per-CHARACTER SQL
+    ``aggregate(sequence(...))`` over every gram occurrence;
+    ``"xxhash64"`` is the 100 TB route — one JVM-native 64-bit hash
+    per gram (the ``duplicated_spans(hash_grams=...)`` pattern),
+    materially cheaper at scale. The two routes bucket grams
+    differently, so individual logratios differ numerically; on any
+    corpus whose target/raw separation is real (not a hash accident)
+    the induced RANKING of clearly-target-like vs clearly-off-target
+    docs agrees — pinned by the ``dsir_route_eq`` driver row and a
+    property test.
 
     Scale shape: the two distribution fits are explode -> map-side-
     combinable groupBys that end at <= n_buckets rows each; their join
@@ -770,10 +784,16 @@ def dsir_logratio(
             gs = F.concat(gs, word_ngrams(col, k))
         return gs
 
+    if hash_buckets not in ("poly31", "xxhash64"):
+        raise ValueError("hash_buckets must be 'poly31' or 'xxhash64'")
+
     # poly31 fingerprint of the gram STRING mod n_buckets — the same
     # recurrence as functions.text.fingerprint, applied to an exploded
-    # value instead of a named column (cross-engine reproducible)
+    # value instead of a named column (cross-engine reproducible);
+    # xxhash64 is the one-hash-per-gram scale route (see docstring)
     def bucket(gcol_name):
+        if hash_buckets == "xxhash64":
+            return F.pmod(F.xxhash64(F.col(gcol_name)), F.lit(int(n_buckets)))
         fp = F.expr(
             f"aggregate(sequence(1, length({gcol_name})), 0L, "
             f"(acc, i) -> (acc * 31 + ascii(substring({gcol_name}, i, 1))) % {FINGERPRINT_MOD})"
@@ -846,6 +866,61 @@ def dsir_logratio(
         "id",
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         "logratio",
+    )
+
+
+def dsir_resample(
+    scores: DataFrame,
+    k: int,
+    id_col: str = "id",
+    logratio_col: str = "logratio",
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR importance RESAMPLING (Xie et al. 2023 §2) — the step
+    that completes :func:`dsir_logratio`: select ``k`` documents
+    without replacement with probability proportional to
+    ``exp(logratio)`` via the Gumbel top-k trick,
+    ``g_key_i = logratio_i + g_i`` with ``g_i`` standard Gumbel.
+
+    RNG-free: ``g_i = -ln(-ln(u_i))`` where ``u_i`` is the
+    cross-engine uniform hash of ``(seed, id)`` (the
+    ``shard_rows`` seed-folded spelling), so the selected set is
+    reproducible across runs, engines, and partitionings — and a
+    DuckDB oracle can replay it exactly. ``u`` is clamped to
+    ``>= 1e-12`` (a zero hash would send the Gumbel to -inf on both
+    engines, but comparisons against -inf are libm-shaped; the clamp
+    is one deterministic branch). Docs with NULL ``logratio``
+    (empty docs: no grams, hence no importance weight) are never
+    selected. The key rounds to 6 dp and ties break by id —
+    cross-libm ``ln`` can differ in the last ulp, so both engines
+    must compare the same rounded value (the ``dsir_logratio``
+    discipline). Returns ``(id, logratio, g_key)`` of the selected
+    docs.
+
+    Scale shape: pure-Column key + global top-k — Spark plans
+    ``orderBy(desc).limit(k)`` as TakeOrderedAndProject (per-
+    partition heap top-k, driver merges #partitions k-row slices),
+    so there is NO global sort shuffle and the corpus is scanned
+    once. k is training-subset-sized; for k too large to merge on
+    the driver, gate on the key's k-th quantile via
+    :func:`quantile_filter` instead.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    u = _uniform_unit_of(
+        f"CONCAT(CAST({int(seed)} AS STRING), '_', CAST({id_col} AS STRING))"
+    )
+    gumbel = -F.log(-F.log(F.greatest(u, F.lit(1e-12))))
+    key = F.round(F.col(logratio_col) + gumbel, 6)
+    return (
+        scores.filter(F.col(logratio_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(logratio_col).alias("logratio"),
+            key.alias("g_key"),
+        )
+        .orderBy(F.desc("g_key"), F.asc("id"))
+        .limit(int(k))
     )
 
 
