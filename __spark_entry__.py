@@ -16,6 +16,7 @@ Float-determinism conventions used throughout so value-hashes match:
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -1093,6 +1094,41 @@ GOPHER_MIN_STOP = 1  # stopword hits, so these two rules split the corpus
 DSIR_BUCKETS = 512
 DSIR_ALPHA = 0.5
 
+# THE one copy of the DSIR oracle CTE chain (poly31 bucket recurrence,
+# add-alpha smoothing, round-9dp-then-DECIMAL-sum) — shared by the
+# dsir_weights and dsir_resample oracles so the two can't de-sync
+_DSIR_CTES = f"""toks AS (
+              SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(t || list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM toks
+            ),
+            b AS (
+              SELECT doc_id, source,
+                     list_reduce(list_prepend(0, range(1, length(g) + 1)),
+                       (acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1)))
+                                   % 2147483647) % {DSIR_BUCKETS} AS bk
+              FROM grams
+            ),
+            tb AS (SELECT bk, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY bk),
+            rb AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+            tt AS (SELECT COALESCE(sum(ct), 0) AS t_tot FROM tb),
+            rt AS (SELECT COALESCE(sum(cr), 0) AS r_tot FROM rb),
+            lr AS (
+              SELECT rb.bk,
+                     round(ln((COALESCE(tb.ct, 0) + {DSIR_ALPHA}) / (t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                         - ln((rb.cr + {DSIR_ALPHA}) / (r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9) AS lr
+              FROM rb LEFT JOIN tb USING (bk), tt, rt
+            ),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     round(CAST(sum(CAST(lr AS DECIMAL(24,9))) AS DOUBLE), 6) AS logratio
+              FROM b JOIN lr USING (bk) GROUP BY doc_id
+            )"""
+
 MIX_BUDGET = 50_000  # chars; src0 repeats ~2.5x, src3 ~0.65x
 MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 # the EXACT per-source budget factors the operator computes (w / z in
@@ -1180,6 +1216,73 @@ def _q_dsir_weights(spark, sf_dir):
     target = docs.filter(F.col("source") == "src0")
     return dsir_logratio(
         docs, "doc_id", "text", target, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+
+
+DSIR_RESAMPLE_K = 150
+DSIR_RESAMPLE_SEED = 5
+
+
+def _q_dsir_resample(spark, sf_dir):
+    # DSIR's actual selection step (Xie 2023 §2): Gumbel top-k over
+    # the importance logratio — deterministic (Gumbel noise from the
+    # seeded cross-engine uniform hash), so the oracle replays the
+    # exact selected set, keys and all
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        dsir_logratio,
+        dsir_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("source") == "src0")
+    scores = dsir_logratio(
+        docs, "doc_id", "text", target, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+    return dsir_resample(scores, DSIR_RESAMPLE_K, seed=DSIR_RESAMPLE_SEED)
+
+
+def _q_dsir_route_eq(spark, sf_dir):
+    # poly31 (oracle route) vs xxhash64 (100 TB route) for DSIR's
+    # gram->bucket hash: the two bucket the grams differently, so
+    # values differ — but on a corpus with a REAL target/off-target
+    # vocabulary split, both routes must rank every target-like doc
+    # above every noise doc and hence select the same top half. The
+    # planted two-vocabulary fixture makes that separation a
+    # construction fact, not a hash accident.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import dsir_logratio
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    tvoc = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    nvoc = ["zork", "quux", "blorp", "fnord", "grue"]
+    n_half = 60
+    docs = [
+        (i, " ".join((tvoc if i < n_half else nvoc)[(i + j) % 5] for j in range(12)))
+        for i in range(2 * n_half)
+    ]
+    target = [
+        (1000 + i, " ".join(tvoc[(i + j) % 5] for j in range(10))) for i in range(8)
+    ]
+    ddf = local_df(spark, docs, "id long, text string")
+    tdf = local_df(spark, target, "id long, text string")
+    flags = {}
+    tops = {}
+    for route in ("poly31", "xxhash64"):
+        out = dsir_logratio(
+            ddf, "id", "text", tdf, n_buckets=DSIR_BUCKETS, hash_buckets=route
+        )
+        sc = {r["id"]: r["logratio"] for r in out.collect()}
+        lo_t = min(sc[i] for i in range(n_half))
+        hi_n = max(sc[i] for i in range(n_half, 2 * n_half))
+        flags[route] = bool(lo_t > hi_n)
+        tops[route] = frozenset(sorted(sc, key=lambda i: -sc[i])[:n_half])
+    return _one_row(
+        spark,
+        poly31_separates=flags["poly31"],
+        xxhash64_separates=flags["xxhash64"],
+        topk_sets_equal=bool(tops["poly31"] == tops["xxhash64"]),
+        n_docs=2 * n_half,
     )
 
 
@@ -1930,6 +2033,197 @@ def _q_crawl_shards(spark, sf_dir):
     )
 
 
+# --- RefinedWeb-ordered flagship composition ------------------------
+RW_URL_DUP_MOD = 10  # doc_id % 10 == 7 rows carry a crawl VARIANT of doc (id-1)'s URL
+RW_PPL_KEEP = 0.9  # keep the lowest-perplexity 90% (exact percentile gate)
+RW_MH_T = 0.8  # MinHash-LSH dedup threshold (exact-Jaccard verified)
+RW_BENCH_MOD = 13  # "benchmark" = every 13th ORIGINAL doc (decontamination)
+RW_K = 120  # DSIR resample size (< survivors at every SF, so the top-k cuts)
+RW_SEED_SEL = 8  # Gumbel seed; MUST differ from the shard seed — both hash
+RW_SEED_SHARD = 9  # (seed, id), and the Gumbel key is monotone in u, so one
+# shared seed would skew every selected doc toward the top shards
+RW_SHARDS = 8
+RW_BOILER = "rwnav rwcookie rwbanner"  # planted boilerplate line
+
+
+def _q_refinedweb_pipeline(spark, sf_dir):
+    # THE production-ordered curation pipeline (Penedo et al. 2023
+    # "RefinedWeb" §3, with the Rae 2021 / Lee 2022 / Xie 2023 stages
+    # in their published order): URL dedup -> Gopher rules ->
+    # boilerplate removal -> perplexity quantile gate -> exact dedup
+    # -> MinHash near-dup dedup (connected components, min-id
+    # survivors) -> duplicated-span REMOVAL -> benchmark
+    # decontamination -> DSIR weights + Gumbel top-k resample ->
+    # split assignment -> shard assignment. Each stage is an
+    # individually-green operator; THIS row pins their composition —
+    # ordering bugs (dedup before vs after mixing, decon on pre- vs
+    # post-span text) are exactly what the unit rows can't see.
+    #
+    # Output: one row PER SELECTED DOC — (id, logratio, g_key, split,
+    # shard) — so a wrong survivor set at ANY stage flips the value
+    # hash; the per-stage survivor counts and the in-Spark
+    # byte-exactness assertion of the boilerplate round-trip ride
+    # along as constant columns the oracle recomputes/pins.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.connected_components import (
+        connected_components,
+    )
+    from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        remove_duplicated_spans,
+        url_dedup,
+    )
+    from cs533_big_data_data_mining_spark.operators.packing import shard_rows
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        assign_split,
+        dsir_logratio,
+        dsir_resample,
+        gopher_rules,
+        lm_perplexity,
+        quantile_filter,
+        remove_boilerplate_lines,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    # null-text docs flow as '' from the start (the WET lesson from
+    # crawl_shards): gopher's min-word rule drops them first thing,
+    # identically on both engines
+    docs0 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"), "source")
+        .cache()
+    )
+
+    # 1. URL dedup: planted crawl variants — every doc gets a messy
+    # variant of its base key; dup rows (id % 10 == 7) reuse the
+    # PREVIOUS doc's base, so the real normalizer must collapse them
+    is_dup = F.col("doc_id") % RW_URL_DUP_MOD == 7
+    base_key = (F.col("doc_id") - F.when(is_dup, 1).otherwise(0)).cast("string")
+    crawl = docs0.withColumn("url", _url_variants(base_key))
+    s1 = docs0.join(
+        url_dedup(crawl, "doc_id", "url").select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    ).cache()
+    n_url = s1.count()
+
+    # 2. Gopher quality rules (Rae 2021 A1.1)
+    g = gopher_rules(
+        s1, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
+    )
+    s2 = s1.join(
+        g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    ).cache()
+    n_gopher = s2.count()
+
+    # 3. boilerplate removal: plant one boiler line on every doc,
+    # remove at threshold n-1, assert byte-exact restore (the oracle
+    # pins the boolean; downstream SQL reads the original text)
+    planted = s2.withColumn("__p", F.concat(F.col("text"), F.lit("\n" + RW_BOILER)))
+    cleaned = remove_boilerplate_lines(planted, "doc_id", "__p", max_doc_df=n_gopher - 1)
+    # localCheckpoint (not cache) at the stage boundaries: the TEN
+    # composed stages otherwise accumulate one lineage whose
+    # whole-stage-codegen string exceeds the JVM's 1 GB UTF16 limit
+    # by the minhash stage. The checkpointed frames are corpus-
+    # survivor-sized (hundreds to thousands of rows at oracle SFs).
+    s3 = cleaned.select(F.col("id").alias("doc_id"), F.col("clean").alias("text")).localCheckpoint()
+    boiler_bad = (
+        s3.join(s2.select("doc_id", F.col("text").alias("orig")), "doc_id")
+        .filter((F.col("text") != F.col("orig")) | F.col("text").isNull())
+        .count()
+    )
+
+    # 4. perplexity quantile gate: fit the bigram LM on the current
+    # survivor corpus, keep the lowest-ppl RW_PPL_KEEP fraction
+    ppl = lm_perplexity(s3, id_col="doc_id", text_col="text")
+    scored = s3.join(ppl.select(F.col("id").alias("doc_id"), "ppl"), "doc_id")
+    s4 = (
+        quantile_filter(scored.withColumn("__negppl", -F.col("ppl")), "__negppl", RW_PPL_KEEP)
+        .drop("__negppl", "ppl")
+        .cache()
+    )
+    n_ppl = s4.count()
+
+    # 5. exact dedup (content level, min-id survivor)
+    s5 = exact_dedup(s4, "doc_id", "text").localCheckpoint()
+    n_exact = s5.count()
+
+    # 6. MinHash-LSH near-dup dedup: verified pairs -> connected
+    # components -> drop every non-min member
+    pairs = minhash_dedup_pairs(s5, "doc_id", "text", n=3, threshold=RW_MH_T)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    s6 = s5.join(drop, "doc_id", "left_anti").cache()
+    n_fuzzy = s6.count()
+
+    # 7. duplicated-span REMOVAL (Lee 2022 ExactSubstr transform)
+    s7 = (
+        remove_duplicated_spans(s6, id_col="doc_id", text_col="text", k=SPAN_K)
+        .select(F.col("id").alias("doc_id"), F.col("clean").alias("text"))
+        .localCheckpoint()
+    )
+
+    # 8. decontamination: 5-gram overlap vs the mod-13 ORIGINAL-doc
+    # benchmark slice, on the post-span-removal text
+    bench = docs0.filter(F.col("doc_id") % RW_BENCH_MOD == 0)
+    flags = decontaminate(s7, bench, "doc_id", "text", n=DECON_N)
+    s8 = s7.join(
+        flags.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    ).cache()
+    n_decon = s8.count()
+
+    # 9. DSIR: weights toward the src0 target over the survivor
+    # corpus, then the deterministic Gumbel top-k resample
+    target = docs0.filter(F.col("source") == "src0")
+    dsir = dsir_logratio(
+        s8, "doc_id", "text", target, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+    sel = dsir_resample(dsir, RW_K, seed=RW_SEED_SEL)
+
+    # 10. split + shard assignment on the selected set
+    picked = sel.select(F.col("id").alias("doc_id"), "logratio", "g_key")
+    splits = assign_split(
+        picked, "doc_id", weights={"train": 0.875, "val": 0.0625, "test": 0.0625}
+    )
+    sharded = shard_rows(picked, "doc_id", RW_SHARDS, seed=RW_SEED_SHARD)
+    final = (
+        picked.join(splits.select(F.col("id").alias("doc_id"), "split"), "doc_id")
+        .join(sharded.select("doc_id", "shard"), "doc_id")
+        .collect()
+    )
+    for fr in (docs0, s1, s2, s4, s6, s8):
+        fr.unpersist()
+    rows = [
+        (
+            r["doc_id"],
+            r["logratio"],
+            r["g_key"],
+            r["split"],
+            r["shard"],
+            n_url,
+            n_gopher,
+            n_ppl,
+            n_exact,
+            n_fuzzy,
+            n_decon,
+            bool(boiler_bad == 0),
+        )
+        for r in final
+    ]
+    return local_df(
+        spark,
+        rows,
+        "id long, logratio double, g_key double, split string, shard int, "
+        "n_url long, n_gopher long, n_ppl long, n_exact long, n_fuzzy long, "
+        "n_decon long, boiler_ok boolean",
+    )
+
+
 RETENTION_PERIOD_DAYS = 7
 
 
@@ -2200,82 +2494,30 @@ def _q_stream_eq_all(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER IS DELIBERATE. The driver's correctness record
-    # holds at most ~50 rows (r5 recorded exactly the first 50 of 54),
-    # so: (1) queries that are new — or whose implementation changed
-    # this round — come FIRST; (2) the rotation block: every
-    # registered query gets a driver row at most two rounds old, so
-    # the 14 queries whose latest row is CORRECTNESS_r05 move to the
-    # front this round; (3) stable greens fill the middle; (4) the 17
-    # queries with fresh green CORRECTNESS_r06 rows and untouched code
-    # sit past position 50 — a fixed-size cut only drops rows the r6
-    # record + pytest already pin, and they rotate back in next round.
+    # holds at most ~50 rows, so: (1) queries that are new — or whose
+    # implementation changed this round — come FIRST; (2) the rotation
+    # block: every registered query gets a driver row at most two
+    # rounds old, so the 24 queries whose latest row is
+    # CORRECTNESS_r06 move to the front this round; (3) stable r7
+    # greens fill the middle; (4) the remaining queries with fresh
+    # green CORRECTNESS_r07 rows and untouched code sit past position
+    # 50 — a fixed-size cut only drops rows the r7 record + pytest
+    # already pin, and they rotate back in next round.
     return {
         # --- new / changed this round (must-record) ---
-        "url_dedup": _q_url_dedup,
-        "url_dedup_bi": _q_url_dedup_bi,
-        "gopher_rules": _q_gopher_rules,
-        "dsir_weights": _q_dsir_weights,
-        "mix_to_budget": _q_mix_to_budget,
-        "remove_dup_spans": _q_remove_dup_spans,
-        "shard_assign": _q_shard_assign,
-        # span_dup_stats / contam_spans run the gram explosions that
-        # moved to the _spread fan-out this round — record while changed
-        "span_dup_stats": _q_span_dup_stats,
-        "contam_spans": _q_contam_spans,
+        "refinedweb_pipeline": _q_refinedweb_pipeline,
+        "dsir_resample": _q_dsir_resample,
+        "dsir_route_eq": _q_dsir_route_eq,
+        # crawl_shards: oracle gained the COALESCE null/empty-text
+        # grouping fix this round
         "crawl_shards": _q_crawl_shards,
-        "spans_bipartite": _q_spans_bipartite,
-        "semdedup_far": _q_semdedup_far,
-        # sketches_all gained the persistence round-trip part; its
-        # bloom/CMS internals changed materialization this round.
-        # stream_eq_all's parts moved to the _one_row shape — record
-        # both composites while changed
+        # decontaminate / sketches_all / stream_eq_all exercise the
+        # Bloom probe path whose might_contain_any kernel was
+        # vectorized (flattened offsets + segmented reduce) this round
+        "decontaminate": _q_decontaminate,
         "sketches_all": _q_sketches_all,
         "stream_eq_all": _q_stream_eq_all,
-        # decontaminate runs the bloom route whose build ingestion
-        # changed this round — keep it safely inside the record cap
-        "decontaminate": _q_decontaminate,
-        # pack_sequences / semdedup_eq exercise the partition-offset /
-        # block-map side tables that moved to the Arrow local_df path
-        # this round — record them while changed
-        "pack_sequences": _q_pack_sequences,
-        "semdedup_eq": _q_semdedup_eq,
-        # --- rotation: latest driver row is r5; re-record now ---
-        "label_centroids": _q_label_centroids,
-        "repetition_stats": _q_repetition_stats,
-        "assign_split": _q_assign_split,
-        "asof_purchase_click": _q_asof_purchase_click,
-        "funnel": _q_funnel,
-        "sessionize": _q_sessionize,
-        "agg_q1": _q_agg_q1,
-        "eps_join": _q_eps_join,
-        "join_revenue_by_nation": _q_join_revenue_by_nation,
-        "window_topk": _q_window_topk,
-        "rollup_revenue": _q_rollup_revenue,
-        "simhash_sigs": _q_simhash,
-        "multimodal_meta": _q_multimodal_meta,
-        "quantile_filter": _q_quantile_filter,
-        # --- stable greens, code untouched ---
-        "bbox": _q_bbox,
-        "median_dim": _q_median_dim,
-        "grid_cells": _q_grid_cells,
-        "ghost_rows": _q_ghost_rows,
-        "neighbor_count": _q_neighbor_count,
-        "core_points": _q_core_points,
-        "eps_join_2t": _q_eps_join_2t,
-        "cluster_labels": _q_cluster_labels,
-        "cluster_stats": _q_cluster_stats,
-        "dense_ids": _q_dense_ids,
-        "sample_count": _q_sample_count,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash": _q_dedup_minhash,
-        "simhash_neardup": _q_simhash_neardup,
-        "embed_neardup": _q_embed_neardup,
-        "sim_topk": _q_sim_topk,
-        "curate_docs": _q_curate_docs,
-        "curate_corpus": _q_curate_corpus,
-        # --- past the ~50-row cap: fresh green CORRECTNESS_r06 rows,
-        # code untouched this round; they rotate back in next round ---
+        # --- rotation: latest driver row is r6; re-record now ---
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_full": _q_sim_topk_ivf_full,
         "multimodal_features": _q_multimodal_features,
@@ -2300,6 +2542,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed_counts,
         "chunk_documents": _q_chunk_documents,
         "dedup_minhash_2t": _q_dedup_minhash_2t,
+        # --- stable CORRECTNESS_r07 greens, code untouched; the ones
+        # inside the cap re-record, the rest keep their 1-round-old
+        # r7 rows ---
+        "label_centroids": _q_label_centroids,
+        "repetition_stats": _q_repetition_stats,
+        "assign_split": _q_assign_split,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "funnel": _q_funnel,
+        "sessionize": _q_sessionize,
+        "agg_q1": _q_agg_q1,
+        "eps_join": _q_eps_join,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "window_topk": _q_window_topk,
+        "rollup_revenue": _q_rollup_revenue,
+        "simhash_sigs": _q_simhash,
+        "multimodal_meta": _q_multimodal_meta,
+        "quantile_filter": _q_quantile_filter,
+        "bbox": _q_bbox,
+        "median_dim": _q_median_dim,
+        "grid_cells": _q_grid_cells,
+        "ghost_rows": _q_ghost_rows,
+        "neighbor_count": _q_neighbor_count,
+        "core_points": _q_core_points,
+        "eps_join_2t": _q_eps_join_2t,
+        "cluster_labels": _q_cluster_labels,
+        "cluster_stats": _q_cluster_stats,
+        "dense_ids": _q_dense_ids,
+        "sample_count": _q_sample_count,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash_neardup": _q_simhash_neardup,
+        "embed_neardup": _q_embed_neardup,
+        "sim_topk": _q_sim_topk,
+        "curate_docs": _q_curate_docs,
+        "curate_corpus": _q_curate_corpus,
+        # --- past the ~50-row cap: fresh green CORRECTNESS_r07 rows,
+        # code untouched this round; they rotate back in next round ---
+        "url_dedup": _q_url_dedup,
+        "url_dedup_bi": _q_url_dedup_bi,
+        "gopher_rules": _q_gopher_rules,
+        "dsir_weights": _q_dsir_weights,
+        "mix_to_budget": _q_mix_to_budget,
+        "remove_dup_spans": _q_remove_dup_spans,
+        "shard_assign": _q_shard_assign,
+        "span_dup_stats": _q_span_dup_stats,
+        "contam_spans": _q_contam_spans,
+        "spans_bipartite": _q_spans_bipartite,
+        "semdedup_far": _q_semdedup_far,
+        "pack_sequences": _q_pack_sequences,
+        "semdedup_eq": _q_semdedup_eq,
     }
 
 
@@ -2313,6 +2606,248 @@ def _uniform_sql(expr: str) -> str:
         f"  (acc, i) -> (acc * 31 + ascii(substring({expr}, CAST(i AS INT), 1)))\n"
         f"  % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE) / 2147483647.0"
     )
+
+
+def _shingle5_sql(tok_expr: str = "t") -> str:
+    """DuckDB distinct-DECON_N-gram list of a token array — the one
+    spelling shared by the decon-family oracles in this block."""
+    grams = ", ".join(f"{tok_expr}[i+{j}]" for j in range(DECON_N))
+    return (
+        f"list_distinct(CASE WHEN len({tok_expr}) >= {DECON_N} "
+        f"THEN list_transform(range(1, len({tok_expr}) - {DECON_N - 2}), "
+        f"i -> concat_ws(' ', {grams})) ELSE [] END)"
+    )
+
+
+# Full SQL twin of _q_refinedweb_pipeline (stage numbering matches the
+# Spark side). Each stage reuses its unit oracle's spelling; stages 1
+# and 3 are construction-derived (see the oracle_sql comment).
+_REFINEDWEB_SQL = f"""
+WITH RECURSIVE
+doc0 AS (SELECT doc_id, COALESCE(text, '') AS text, source FROM documents),
+-- 1. URL dedup: planted variant rows (id % 10 == 7) lose to id - 1
+s1 AS (SELECT * FROM doc0 WHERE doc_id % {RW_URL_DUP_MOD} <> 7),
+-- 2. Gopher rules (same metric spellings as the gopher_rules oracle)
+gb AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS t,
+         list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lns
+  FROM s1
+),
+gm AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CASE WHEN len(t) > 0 THEN round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(t), 6) END AS mean_word_len,
+    CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) / len(t), 6) END AS hash_ratio,
+    CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(t), 6) END AS ellipsis_ratio,
+    CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / len(lns), 6) END AS bullet_frac,
+    CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lns), 6) END AS ellipsis_frac,
+    CASE WHEN len(t) > 0 THEN round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) END AS alpha_frac,
+    CAST(len(list_intersect(list_distinct(t), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+  FROM gb
+),
+s2 AS (
+  SELECT s1.doc_id, s1.text, s1.source
+  FROM s1 JOIN gm USING (doc_id)
+  WHERE COALESCE(gm.n_words >= {GOPHER_MIN_WORDS}, FALSE)
+    AND COALESCE(gm.n_words <= 100000, FALSE)
+    AND COALESCE(gm.mean_word_len >= 3.0, FALSE)
+    AND COALESCE(gm.mean_word_len <= 10.0, FALSE)
+    AND COALESCE(gm.hash_ratio <= 0.1, FALSE)
+    AND COALESCE(gm.ellipsis_ratio <= 0.1, FALSE)
+    AND NOT COALESCE(gm.bullet_frac > 0.9, FALSE)
+    AND NOT COALESCE(gm.ellipsis_frac > 0.3, FALSE)
+    AND COALESCE(gm.alpha_frac >= 0.8, FALSE)
+    AND COALESCE(gm.stopword_hits >= {GOPHER_MIN_STOP}, FALSE)
+),
+-- 3. boilerplate plant+removal is byte-identity (pinned in-Spark)
+-- 4. perplexity quantile gate (bigram ppl = the lm_perplexity oracle)
+t2 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM s2),
+pu AS (SELECT w, count(*) AS cu
+       FROM (SELECT unnest(toks) AS w FROM t2) GROUP BY w),
+pnv AS (SELECT CAST(COALESCE(sum(cu), 0) AS BIGINT) AS n, count(*) + 1 AS v FROM pu),
+pb AS (SELECT w1, w2, count(*) AS cb FROM (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM t2, LATERAL unnest(range(1, len(toks))) AS r(i)
+        WHERE len(toks) >= 2) GROUP BY w1, w2),
+ppos AS (SELECT doc_id, toks[i] AS w,
+                CASE WHEN i > 1 THEN toks[i-1] END AS prev
+         FROM t2, LATERAL unnest(range(1, len(toks) + 1)) AS r(i)),
+pterm AS (
+  SELECT doc_id,
+         round(ln(CASE WHEN prev IS NULL
+                  THEN (COALESCE(pu.cu, 0) + 0.5) / (pnv.n + 0.5 * pnv.v)
+                  ELSE (COALESCE(pb.cb, 0) + 0.5)
+                       / (COALESCE(cu2.cu, 0) + 0.5 * pnv.v) END), 9) AS lp
+  FROM ppos
+  LEFT JOIN pu ON ppos.w = pu.w
+  LEFT JOIN pu cu2 ON ppos.prev = cu2.w
+  LEFT JOIN pb ON ppos.prev = pb.w1 AND ppos.w = pb.w2
+  CROSS JOIN pnv
+),
+pper AS (SELECT doc_id, count(*) AS n_tokens, sum(CAST(lp AS DECIMAL(24,9))) AS slp
+         FROM pterm GROUP BY doc_id),
+pplt AS (SELECT doc_id,
+                round(exp(-round(CAST(slp AS DOUBLE) / n_tokens, 6)), 6) AS ppl
+         FROM pper),
+pthr AS (SELECT quantile_cont(-ppl, {1.0 - RW_PPL_KEEP!r}) AS th FROM pplt),
+s4 AS (SELECT s2.* FROM s2 JOIN pplt USING (doc_id) CROSS JOIN pthr
+       WHERE -pplt.ppl >= pthr.th),
+-- 5. exact dedup (min-id per text)
+s5 AS (SELECT s4.* FROM s4
+       JOIN (SELECT min(doc_id) AS doc_id FROM s4 GROUP BY text) m USING (doc_id)),
+-- 6. near-dup dedup: exact-Jaccard pairs (the dedup_minhash oracle
+-- equivalence) -> recursive closure -> min-id survivors
+t5 AS (SELECT doc_id, {_TOKS_SQL} AS t FROM s5),
+sh5 AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         ELSE [] END)) AS shingle
+  FROM t5
+),
+sz5 AS (SELECT doc_id, count(*) AS sz FROM sh5 GROUP BY doc_id),
+in5 AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_inter
+  FROM sh5 a JOIN sh5 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+  SELECT ia AS a, ib AS b
+  FROM in5 JOIN sz5 sa ON in5.ia = sa.doc_id JOIN sz5 sb ON in5.ib = sb.doc_id
+  WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= {RW_MH_T}
+),
+e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+mins AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u),
+s6 AS (SELECT s5.* FROM s5 LEFT JOIN mins m ON s5.doc_id = m.id
+       WHERE m.id IS NULL OR m.mn >= s5.doc_id),
+-- 7. duplicated-span removal (the remove_dup_spans oracle)
+t6 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM s6),
+g6 AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {SPAN_K - 1}), ' ') AS gram
+  FROM t6, LATERAL unnest(range(1, len(toks) - {SPAN_K - 2})) AS u(i)
+  WHERE len(toks) >= {SPAN_K}
+),
+d6 AS (SELECT gram FROM g6 GROUP BY gram HAVING count(*) >= 2),
+f6 AS (SELECT g6.doc_id, g6.pos FROM g6 SEMI JOIN d6 ON g6.gram = d6.gram),
+brk6 AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {SPAN_K} THEN 1 ELSE 0 END AS b
+  FROM f6
+),
+isl6 AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk6
+),
+sp6 AS (SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_K} AS e
+        FROM isl6 GROUP BY doc_id, isl),
+sl6 AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS spans FROM sp6 GROUP BY doc_id),
+s7 AS (
+  SELECT t6.doc_id,
+         CASE WHEN sl6.spans IS NULL
+              THEN COALESCE(array_to_string(t6.toks, ' '), '')
+              ELSE COALESCE(array_to_string(
+                list_filter(t6.toks, (x, i) ->
+                  len(list_filter(sl6.spans,
+                      sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0),
+                ' '), '')
+         END AS text
+  FROM t6 LEFT JOIN sl6 ON t6.doc_id = sl6.doc_id
+),
+-- 8. decontamination vs the mod-13 ORIGINAL-doc benchmark slice
+t7 AS (SELECT doc_id, {_TOKS_SQL} AS t FROM s7),
+sh7 AS (SELECT doc_id, unnest({_shingle5_sql()}) AS shingle FROM t7),
+tb0 AS (SELECT doc_id, {_TOKS_SQL} AS t FROM doc0 WHERE doc_id % {RW_BENCH_MOD} = 0),
+bsh AS (SELECT DISTINCT unnest({_shingle5_sql()}) AS shingle FROM tb0),
+contam AS (SELECT DISTINCT s.doc_id FROM sh7 s JOIN bsh USING (shingle)),
+s8 AS (SELECT s7.doc_id, s7.text FROM s7
+       WHERE s7.doc_id NOT IN (SELECT doc_id FROM contam)),
+-- 9. DSIR weights toward src0 over the survivor corpus + Gumbel top-k
+dtt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM doc0 WHERE source = 'src0'),
+drt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM s8),
+dtg AS (SELECT unnest(t || list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g FROM dtt),
+drg AS (SELECT doc_id,
+               unnest(t || list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g FROM drt),
+dbr AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0, range(1, length(g) + 1)),
+           (acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1)))
+                       % 2147483647) % {DSIR_BUCKETS} AS bk
+  FROM drg
+),
+dbt AS (
+  SELECT list_reduce(list_prepend(0, range(1, length(g) + 1)),
+           (acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1)))
+                       % 2147483647) % {DSIR_BUCKETS} AS bk
+  FROM dtg
+),
+dtb AS (SELECT bk, count(*) AS ct FROM dbt GROUP BY bk),
+drb AS (SELECT bk, count(*) AS cr FROM dbr GROUP BY bk),
+dtt2 AS (SELECT COALESCE(sum(ct), 0) AS t_tot FROM dtb),
+drt2 AS (SELECT COALESCE(sum(cr), 0) AS r_tot FROM drb),
+dlr AS (
+  SELECT drb.bk,
+         round(ln((COALESCE(dtb.ct, 0) + {DSIR_ALPHA}) / (t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+             - ln((drb.cr + {DSIR_ALPHA}) / (r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9) AS lr
+  FROM drb LEFT JOIN dtb USING (bk), dtt2, drt2
+),
+dper AS (SELECT doc_id, round(CAST(sum(CAST(lr AS DECIMAL(24,9))) AS DOUBLE), 6) AS logratio
+         FROM dbr JOIN dlr USING (bk) GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id AS id, logratio,
+         round(logratio - ln(-ln(greatest(
+           {{RW_U_SEL}}, 1e-12))), 6) AS g_key
+  FROM dper
+),
+sel AS (SELECT * FROM keyed ORDER BY g_key DESC, id LIMIT {RW_K}),
+-- 10. split + shard hashes on the selected set
+spl AS (SELECT id, {{RW_U_SPLIT}} AS u FROM sel),
+shd AS (SELECT id, {{RW_U_SHARD}} AS u FROM sel),
+cnts AS (SELECT
+  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_url,
+  CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_gopher,
+  CAST((SELECT count(*) FROM s4) AS BIGINT) AS n_ppl,
+  CAST((SELECT count(*) FROM s5) AS BIGINT) AS n_exact,
+  CAST((SELECT count(*) FROM s6) AS BIGINT) AS n_fuzzy,
+  CAST((SELECT count(*) FROM s8) AS BIGINT) AS n_decon)
+SELECT sel.id, sel.logratio, sel.g_key,
+       CASE WHEN spl.u < 0.875 THEN 'train'
+            WHEN spl.u < 0.9375 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(floor(shd.u * {RW_SHARDS}) AS INTEGER) AS shard,
+       cnts.n_url, cnts.n_gopher, cnts.n_ppl, cnts.n_exact, cnts.n_fuzzy,
+       cnts.n_decon, TRUE AS boiler_ok
+FROM sel JOIN spl USING (id) JOIN shd USING (id) CROSS JOIN cnts
+"""
+
+# the three uniform-hash spellings (Gumbel seed, split, shard seed) —
+# injected via replace so the big f-string above stays readable
+_REFINEDWEB_SQL = (
+    _REFINEDWEB_SQL.replace(
+        "{RW_U_SEL}", _uniform_sql(f"'{RW_SEED_SEL}_' || CAST(doc_id AS VARCHAR)")
+    )
+    .replace("{RW_U_SPLIT}", _uniform_sql("CAST(id AS VARCHAR)"))
+    .replace("{RW_U_SHARD}", _uniform_sql(f"'{RW_SEED_SHARD}_' || CAST(id AS VARCHAR)"))
+)
+
+# Force every plain CTE MATERIALIZED: DuckDB otherwise inlines them,
+# and the recursive `reach` then re-executes the entire ten-stage
+# upstream chain once per fixpoint iteration — observed to exhaust
+# the process fd limit (each iteration × thread re-opens the parquet)
+# before even getting slow. The recursive CTE itself (name followed
+# by a column list, so the regex skips it) cannot be materialized.
+_REFINEDWEB_SQL = re.sub(r"(?m)^(\w+) AS \(", r"\1 AS MATERIALIZED (", _REFINEDWEB_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2664,6 +3199,17 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    COALESCE(h.n_hits, 0) < 1 AS keep
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
         """,
+        # refinedweb_pipeline: full SQL twin of the ten-stage
+        # production-ordered composition. Stage twins are the same
+        # spellings as the unit oracles (gopher metrics, bigram ppl,
+        # exact-Jaccard pairs + recursive closure, positional-gram
+        # spans, 5-gram decon, DSIR chain, Gumbel key, split/shard
+        # hashes); only stage 1 (URL dedup) and stage 3 (boilerplate
+        # round-trip) are construction-derived — the planted variants
+        # collapse to doc_id % 10 <> 7 by construction, and the
+        # byte-exact boiler restore is asserted in-Spark and pinned
+        # TRUE here.
+        "refinedweb_pipeline": _REFINEDWEB_SQL,
         # crawl_shards: the WET/boilerplate stages are asserted
         # in-Spark (booleans pinned TRUE here); everything countable
         # is derived from `documents` — dedup survivors are min-id
@@ -2671,7 +3217,14 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # benchmark slice, splits use the shared poly31 hash, pack
         # totals use the subword regex token count
         "crawl_shards": f"""
-            WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+            -- COALESCE(text,'') mirrors the Spark pipeline, where a
+            -- null-text doc becomes an empty WET payload and comes
+            -- back as '' — so null and genuinely-empty docs must land
+            -- in the SAME exact-dedup group on both engines (a plain
+            -- GROUP BY text would keep NULL as its own group and
+            -- desync n_dedup the day the corpus gains an empty doc)
+            WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t
+                          FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
             surv AS (SELECT min(doc_id) AS id, any_value(t) AS t, text
                      FROM toks GROUP BY text),
             ssh AS (
@@ -2932,41 +3485,34 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # weights — same poly31 bucket recurrence, same smoothing,
         # same round-to-9dp-then-DECIMAL-sum discipline
         "dsir_weights": f"""
-            WITH toks AS (
-              SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
-            ),
-            grams AS (
-              SELECT doc_id, source,
-                     unnest(t || list_transform(range(1, len(t)),
-                                                i -> t[i] || ' ' || t[i + 1])) AS g
-              FROM toks
-            ),
-            b AS (
-              SELECT doc_id, source,
-                     list_reduce(list_prepend(0, range(1, length(g) + 1)),
-                       (acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1)))
-                                   % 2147483647) % {DSIR_BUCKETS} AS bk
-              FROM grams
-            ),
-            tb AS (SELECT bk, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY bk),
-            rb AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
-            tt AS (SELECT COALESCE(sum(ct), 0) AS t_tot FROM tb),
-            rt AS (SELECT COALESCE(sum(cr), 0) AS r_tot FROM rb),
-            lr AS (
-              SELECT rb.bk,
-                     round(ln((COALESCE(tb.ct, 0) + {DSIR_ALPHA}) / (t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
-                         - ln((rb.cr + {DSIR_ALPHA}) / (r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9) AS lr
-              FROM rb LEFT JOIN tb USING (bk), tt, rt
-            ),
-            per AS (
-              SELECT doc_id, count(*) AS n_grams,
-                     round(CAST(sum(CAST(lr AS DECIMAL(24,9))) AS DOUBLE), 6) AS logratio
-              FROM b JOIN lr USING (bk) GROUP BY doc_id
-            )
+            WITH {_DSIR_CTES}
             SELECT d.doc_id AS id,
                    CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams, logratio
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         """,
+        # dsir_resample: the same chain, then the deterministic Gumbel
+        # top-k — g_key = round(logratio - ln(-ln(u)), 6) with u the
+        # seeded cross-engine uniform hash (clamped away from 0), id
+        # as the tiebreak
+        "dsir_resample": f"""
+            WITH {_DSIR_CTES},
+            keyed AS (
+              SELECT doc_id AS id, logratio,
+                     round(logratio - ln(-ln(greatest(
+                       {_uniform_sql(f"'{DSIR_RESAMPLE_SEED}_' || CAST(doc_id AS VARCHAR)")},
+                       1e-12))), 6) AS g_key
+              FROM per
+            )
+            SELECT id, logratio, g_key FROM keyed
+            ORDER BY g_key DESC, id LIMIT {DSIR_RESAMPLE_K}
+        """,
+        # dsir_route_eq: the two hash routes' agreement booleans are
+        # asserted in-Spark on the planted two-vocabulary fixture;
+        # the oracle pins them TRUE (stream_eq_all precedent)
+        "dsir_route_eq": (
+            "SELECT TRUE AS poly31_separates, TRUE AS xxhash64_separates, "
+            "TRUE AS topk_sets_equal, CAST(120 AS BIGINT) AS n_docs"
+        ),
         # shard_assign: the assign_split uniform-hash spelling with
         # the seed folded into the hashed string
         "shard_assign": f"""
