@@ -2608,6 +2608,19 @@ def _uniform_sql(expr: str) -> str:
     )
 
 
+def _uniform_sql_seeded(expr: str, seed: int) -> str:
+    """DuckDB spelling of ``quality._uniform_unit_seeded`` — the seed
+    enters as a per-seed scatter multiplier (poly31 is affine in any
+    string-folded seed, so folded streams are constant rotations of
+    each other; see the operator docstring)."""
+    m = (2654435761 + (int(seed) + 1) * 1013904223) % 2147483647
+    return (
+        f"CAST((list_reduce(list_prepend(0, range(1, length({expr}) + 1)),\n"
+        f"  (acc, i) -> (acc * 31 + ascii(substring({expr}, CAST(i AS INT), 1)))\n"
+        f"  % 2147483647) * {m} + 12345) % 2147483647 AS DOUBLE) / 2147483647.0"
+    )
+
+
 def _shingle5_sql(tok_expr: str = "t") -> str:
     """DuckDB distinct-DECON_N-gram list of a token array — the one
     spelling shared by the decon-family oracles in this block."""
@@ -2835,10 +2848,10 @@ FROM sel JOIN spl USING (id) JOIN shd USING (id) CROSS JOIN cnts
 # injected via replace so the big f-string above stays readable
 _REFINEDWEB_SQL = (
     _REFINEDWEB_SQL.replace(
-        "{RW_U_SEL}", _uniform_sql(f"'{RW_SEED_SEL}_' || CAST(doc_id AS VARCHAR)")
+        "{RW_U_SEL}", _uniform_sql_seeded("CAST(doc_id AS VARCHAR)", RW_SEED_SEL)
     )
     .replace("{RW_U_SPLIT}", _uniform_sql("CAST(id AS VARCHAR)"))
-    .replace("{RW_U_SHARD}", _uniform_sql(f"'{RW_SEED_SHARD}_' || CAST(id AS VARCHAR)"))
+    .replace("{RW_U_SHARD}", _uniform_sql_seeded("CAST(id AS VARCHAR)", RW_SEED_SHARD))
 )
 
 # Force every plain CTE MATERIALIZED: DuckDB otherwise inlines them,
@@ -3499,7 +3512,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             keyed AS (
               SELECT doc_id AS id, logratio,
                      round(logratio - ln(-ln(greatest(
-                       {_uniform_sql(f"'{DSIR_RESAMPLE_SEED}_' || CAST(doc_id AS VARCHAR)")},
+                       {_uniform_sql_seeded("CAST(doc_id AS VARCHAR)", DSIR_RESAMPLE_SEED)},
                        1e-12))), 6) AS g_key
               FROM per
             )
@@ -3514,11 +3527,11 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             "TRUE AS topk_sets_equal, CAST(120 AS BIGINT) AS n_docs"
         ),
         # shard_assign: the assign_split uniform-hash spelling with
-        # the seed folded into the hashed string
+        # the seed-specific scatter multiplier
         "shard_assign": f"""
             WITH h AS (
               SELECT doc_id,
-                     {_uniform_sql(f"'{SHARD_SEED}_' || CAST(doc_id AS VARCHAR)")} AS u
+                     {_uniform_sql_seeded("CAST(doc_id AS VARCHAR)", SHARD_SEED)} AS u
               FROM documents)
             SELECT doc_id AS id,
                    CAST(floor(u * {SHARD_N}) AS INTEGER) AS shard,

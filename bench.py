@@ -80,6 +80,8 @@ REF_WORKLOADS = [
 
 
 def main() -> None:
+    global LOAD_START
+    LOAD_START = [round(x, 2) for x in os.getloadavg()]
     mod = _entry_module()
     qs = mod.queries()
     # no console progress bars: their \r-spam inflates the driver's
@@ -126,8 +128,15 @@ def main() -> None:
     # second driver GC pause lands on one arbitrary victim per run
     # (observed: a 3.8 s query reading 18 s warm), so "the warm run"
     # alone is the noisier estimator. `.cold` preserves the first run.
+    # Queries over RERUN_CAP (the multi-stage flagship composites,
+    # ~25 s each) run ONCE — a second pass would double the suite
+    # total for a workload whose many-job structure already averages
+    # out single-pause noise. The whole estimator choice is recorded
+    # in the JSON's `policy` key so cross-round totals are read
+    # against the same rules.
+    RERUN_CAP = 15.0
     for name, fn in qs.items():
-        if timings.get(name, 0.0) <= 2.0:
+        if not (2.0 < timings.get(name, 0.0) <= RERUN_CAP):
             continue
         t0 = time.time()
         try:
@@ -595,6 +604,189 @@ def main() -> None:
         finally:
             shutil.rmtree(root_cr, ignore_errors=True)
 
+        # RefinedWeb-ordered flagship at 200k docs — the scale twin of
+        # the refinedweb_pipeline driver row. Every failure class is
+        # PLANTED on a disjoint id residue, so each stage's removal
+        # count is an exact construction fact (near-dup and dedup
+        # counts use the joint-survivor predicate, since the quantile
+        # gate can drop either member of a pair):
+        #   %20==3  -> crawl VARIANT of doc (id-1)'s URL   (url dedup)
+        #   %40==1  -> 10-word doc                         (Gopher)
+        #   %20==5  -> exact text copy of doc (id-1)       (exact dedup)
+        #   %20==7  -> one-word mutation of doc (id-1)     (MinHash, J~0.9)
+        #   %41==0  -> shared 6-word phrase appended       (span removal)
+        #   %53==0  -> benchmark membership                (decontamination)
+        from cs533_big_data_data_mining_spark.operators.connected_components import (
+            connected_components,
+        )
+        from cs533_big_data_data_mining_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            remove_duplicated_spans,
+            url_dedup,
+        )
+        from cs533_big_data_data_mining_spark.operators.packing import shard_rows
+        from cs533_big_data_data_mining_spark.operators.quality import (
+            dsir_logratio,
+            dsir_resample,
+            gopher_rules,
+            lm_perplexity,
+            quantile_filter,
+        )
+
+        nrw = 200_000
+        rw_phrase = "zp1 zp2 zp3 zp4 zp5 zp6"
+        tbase = F.col("doc_id") - F.when(F.pmod("doc_id", F.lit(20)).isin(5, 7), 1).otherwise(0)
+
+        def _rw_word(j):
+            # 3-char base36 word (values 1296..46655 are exactly the
+            # 3-char range; ~98% contain a letter), 'the' every 7th
+            # position for the stopword rule, mean word length 3.0
+            return F.when(
+                j % 7 == 0, F.lit("the")
+            ).otherwise(
+                F.conv((F.pmod(F.xxhash64(tbase, j), F.lit(45360)) + 1296).cast("string"), 10, 36)
+            )
+
+        def _rw_text(n_words, mutate):
+            w = F.transform(
+                F.sequence(F.lit(1), F.lit(n_words)),
+                (lambda j: F.when(j == n_words, F.lit("zzmutzz")).otherwise(_rw_word(j)))
+                if mutate
+                else _rw_word,
+            )
+            return F.concat_ws(" ", w)
+
+        body = (
+            F.when(F.pmod("doc_id", F.lit(40)) == 1, _rw_text(10, False))
+            .when(F.pmod("doc_id", F.lit(20)) == 7, _rw_text(60, True))
+            .otherwise(_rw_text(60, False))
+        )
+        url_key = (
+            F.col("doc_id") - F.when(F.pmod("doc_id", F.lit(20)) == 3, 1).otherwise(0)
+        ).cast("string")
+        docs_rw = spark.range(nrw).select(
+            F.col("id").alias("doc_id"),
+            # phrase membership follows tbase so a %20∈{5,7} copy is
+            # byte-identical to its base (a doc_id-based phrase broke
+            # exactly 2/41 of the planted exact pairs)
+            F.when(
+                F.pmod(tbase, F.lit(41)) == 0, F.concat_ws(" ", body, F.lit(rw_phrase))
+            ).otherwise(body).alias("text"),
+            F.when(
+                F.pmod("id", F.lit(20)) == 3,
+                F.concat(F.lit("HTTPS://WWW.RW.example/p/"), url_key, F.lit("?utm_source=x")),
+            ).otherwise(F.concat(F.lit("https://rw.example/p/"), url_key)).alias("url"),
+        )
+        t0 = time.time()
+        try:
+            s1 = docs_rw.join(
+                url_dedup(docs_rw, "doc_id", "url").select(F.col("id").alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            ).select("doc_id", "text").localCheckpoint()
+            n1 = s1.count()
+            assert n1 == nrw - nrw // 20, n1  # every %20==3 row lost to id-1
+            # min_stopword_hits=1: the generator plants ONE stopword
+            # ('the', every 7th slot) — the default 2 would fail all
+            gk = gopher_rules(s1, "doc_id", "text", min_stopword_hits=1).filter("keep")
+            s2 = s1.join(gk.select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+            n2 = s2.count()
+            assert n2 == n1 - nrw // 40, n2  # exactly the 10-word docs fail
+            ppl = lm_perplexity(s2, id_col="doc_id", text_col="text")
+            s4 = quantile_filter(
+                s2.join(ppl.select(F.col("id").alias("doc_id"), "ppl"), "doc_id")
+                .withColumn("__negppl", -F.col("ppl")),
+                "__negppl",
+                0.9,
+            ).select("doc_id", "text").localCheckpoint()
+            n4 = s4.count()
+            assert 0.88 * n2 <= n4 <= 0.93 * n2, (n4, n2)  # ties can exceed 0.9
+            s4ids = s4.select("doc_id")
+            # joint-survivor predicates: a planted pair is removable
+            # only when BOTH members passed the ppl gate (identical
+            # texts always co-pass; mutated pairs can straddle)
+            pairs5 = s4ids.filter("doc_id % 20 = 5").join(
+                s4ids.select((F.col("doc_id") + 1).alias("doc_id")), "doc_id", "left_semi"
+            ).count()
+            s5 = exact_dedup(s4, "doc_id", "text").localCheckpoint()
+            n5 = s5.count()
+            assert n5 == n4 - pairs5, (n5, n4, pairs5)
+            s5ids = s5.select("doc_id")
+            pairs7 = s5ids.filter("doc_id % 20 = 7").join(
+                s5ids.select((F.col("doc_id") + 1).alias("doc_id")), "doc_id", "left_semi"
+            ).count()
+            mh = minhash_dedup_pairs(s5, "doc_id", "text", n=3, threshold=0.8)
+            comp = connected_components(
+                mh.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            )
+            s6 = s5.join(
+                comp.filter("node != component").select(F.col("node").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            ).localCheckpoint()
+            n6 = s6.count()
+            assert n6 == n5 - pairs7, (n6, n5, pairs7)
+            # tbase-based predicates from here on: a rare ppl-straddle
+            # leaves a mutated copy in s6 without its base ("straggler"),
+            # and its phrase/benchmark identity follows tbase, not doc_id
+            tb6 = F.col("doc_id") - F.when(F.pmod("doc_id", F.lit(20)).isin(5, 7), 1).otherwise(0)
+            n_phrase6 = s6.filter(F.pmod(tb6, F.lit(41)) == 0).count()
+            s7 = remove_duplicated_spans(s6, id_col="doc_id", text_col="text", k=5).select(
+                F.col("id").alias("doc_id"), F.col("clean").alias("text")
+            ).localCheckpoint()
+            assert s7.filter(F.col("text").contains("zp1")).count() == 0
+            assert s6.filter(F.col("text").contains("zp1")).count() == n_phrase6
+            bench_rw = docs_rw.filter("doc_id % 53 = 0").select("doc_id", "text")
+            flags_rw = decontaminate_bloom(s7, bench_rw, "doc_id", "text", n=5)
+            n_flag_rw = flags_rw.filter("NOT keep").count()
+            # expected flags: docs whose TEXT-SOURCE id is a benchmark
+            # member (covers self-hits and ppl-straddle stragglers) +
+            # bases whose removed twin was a benchmark member.
+            # Phrase-grams can't hit: span removal stripped them from
+            # every survivor BEFORE decon — the Lee-2022 ordering this
+            # smoke exists to pin.
+            exp_flag = s7.filter(
+                (F.pmod(tb6, F.lit(53)) == 0)
+                | (
+                    ((F.col("doc_id") + 1) % 53 == 0)
+                    & F.pmod(F.col("doc_id") + 1, F.lit(20)).isin(5, 7)
+                )
+            ).count()
+            assert n_flag_rw == exp_flag, (n_flag_rw, exp_flag)
+            s8 = s7.join(
+                flags_rw.filter("keep").select(F.col("id").alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            )
+            target_rw = docs_rw.filter("doc_id % 31 = 0").select("doc_id", "text")
+            k_rw = 50_000
+            sel_rw = dsir_resample(
+                dsir_logratio(s8, "doc_id", "text", target_rw, hash_buckets="xxhash64"),
+                k_rw,
+                seed=8,
+            )
+            picked = sel_rw.select(F.col("id").alias("doc_id"))
+            n_sel = picked.count()
+            assert n_sel == k_rw and picked.distinct().count() == k_rw
+            assert picked.join(s8, "doc_id", "left_anti").count() == 0
+            sh_rw = shard_rows(picked, "doc_id", 64, seed=9)
+            bal = sh_rw.groupBy("shard").count().agg(
+                F.min("count").alias("lo"), F.max("count").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).head()
+            assert bal["n"] == 64 and bal["hi"] < 2.0 * k_rw / 64, dict(bal.asDict())
+            timings["refinedweb_200k"] = round(time.time() - t0, 3)
+            print(
+                f"# refinedweb_200k: {timings['refinedweb_200k']}s "
+                f"({nrw} -> url {n1} -> gopher {n2} -> ppl {n4} -> exact {n5} "
+                f"-> minhash {n6} -> decon -{n_flag_rw} -> select {n_sel}; "
+                f"spans/order exact)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["refinedweb_200k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# refinedweb_200k: ERROR {errors['refinedweb_200k']}", file=sys.stderr)
+
         # Duplicated-span detection at 1M docs: per-doc hash words are
         # ~unique 5-grams (vocab 99991, 12 words), every 41st doc gets
         # a shared 10-word phrase appended — exactly those docs must
@@ -821,6 +1013,16 @@ def main() -> None:
     # stays diffable against prior rounds' totals
     total = round(sum(v for k, v in timings.items() if "." not in k), 3)
     out = {"metric": "total_runtime", "value": total, "unit": "sec", "queries": timings, "sf": sf}
+    # estimator + machine-load provenance: r6->r7 burned a half-round
+    # of verdict analysis on load jitter because neither lived in the
+    # artifact (they were only in session memory / commit messages)
+    out["policy"] = (
+        "per key: min(cold, warm) when 2s < cold <= 15s (first run kept as"
+        " .cold); single cold run when cold > 15s (multi-stage composites)"
+        " or cold <= 2s; REF workloads always min of two full runs"
+    )
+    out["loadavg_start"] = LOAD_START
+    out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     if errors:
         out["errors"] = errors
     payload = json.dumps(out)
@@ -848,9 +1050,9 @@ def main() -> None:
     # expensive extension queries; the full map is one line up and in
     # BENCH_local.json.
     headline = [w[0] for w in REF_WORKLOADS] + [
-        "curate_docs", "curate_corpus", "dedup_minhash", "dedup_ngram_jaccard",
-        "sim_topk_ivf", "embed_neardup", "pack_sequences", "sessionize",
-        "tfidf", "funnel", "asof_purchase_click", "balance_sources",
+        "refinedweb_pipeline", "curate_docs", "curate_corpus", "dedup_minhash",
+        "dedup_ngram_jaccard", "sim_topk_ivf", "embed_neardup", "pack_sequences",
+        "sessionize", "tfidf", "funnel", "asof_purchase_click", "balance_sources",
     ]
     compact_q: dict[str, float] = {}
     budget = 1400 - 120  # envelope overhead
@@ -865,6 +1067,9 @@ def main() -> None:
         "metric": "total_runtime", "value": total, "unit": "sec",
         "queries": compact_q, "sf": sf,
         "n_queries": len(timings), "n_errors": len(errors),
+        # 1-min loadavg at start/end — the noise-provenance field the
+        # full record carries in loadavg_start/_end + policy
+        "load": [LOAD_START[0], round(os.getloadavg()[0], 2)],
     }
     print(json.dumps(compact), flush=True)
     spark.stop()

@@ -275,12 +275,15 @@ def shard_rows(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    from cs533_big_data_data_mining_spark.operators.quality import _uniform_unit_of
+    from cs533_big_data_data_mining_spark.operators.quality import _uniform_unit_seeded
 
-    # seed folds into the hashed string so each seed is an independent
-    # permutation, still ANSI-reproducible; the scatter constants live
-    # in ONE place (quality._uniform_unit_of)
-    u = _uniform_unit_of(f"CONCAT(CAST({int(seed)} AS STRING), '_', CAST({id_col} AS STRING))")
+    # the seed enters as a per-seed scatter MULTIPLIER, not a string
+    # fold: poly31 is affine in a folded prefix, so two string-folded
+    # seeds give u-streams that differ by a CONSTANT (mod 1) — i.e.
+    # the same permutation rotated, which both breaks the fresh-
+    # permutation contract and skews any consumer that selects by one
+    # seed and buckets by another. One definition in quality.py.
+    u = _uniform_unit_seeded(id_col, seed)
     shard = F.floor(u * F.lit(int(n_shards))).cast("int")
     return df.withColumn("shard", shard).withColumn("sort_key", u)
 

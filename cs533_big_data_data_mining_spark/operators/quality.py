@@ -138,8 +138,7 @@ def _uniform_unit(id_col: str) -> F.Column:
 
 def _uniform_unit_of(sql_expr: str) -> F.Column:
     """The scatter itself, over any SQL string expression — the ONE
-    spelling of the constants (also used by ``packing.shard_rows``
-    with a seed-folded CONCAT; a second copy would eventually de-sync
+    spelling of the constants (a second copy would eventually de-sync
     a DuckDB oracle)."""
     from cs533_big_data_data_mining_spark.functions.text import (
         FINGERPRINT_MOD,
@@ -148,6 +147,31 @@ def _uniform_unit_of(sql_expr: str) -> F.Column:
 
     pri = fingerprint(sql_expr)
     scattered = F.pmod(pri.cast("long") * F.lit(2654435761) + F.lit(12345), F.lit(FINGERPRINT_MOD))
+    return scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
+
+
+def _uniform_unit_seeded(id_col: str, seed: int) -> F.Column:
+    """Seeded variant — the ONE definition shared by
+    ``packing.shard_rows`` and :func:`dsir_resample`.
+
+    The seed enters as a per-seed MULTIPLIER in the scatter, never as
+    a string folded into the fingerprint: poly31 is affine in its
+    suffix/prefix, so ``fp(f"{s2}_{id}") - fp(f"{s1}_{id}")`` is a
+    CONSTANT for fixed-length ids and two "independent" seeded
+    streams are in fact a constant rotation of each other (observed:
+    Gumbel top-k on seed 8 then sharding on seed 9 put 2974 of 50k
+    docs in one of 64 shards and left 27 empty). Distinct multipliers
+    decorrelate the streams (same construction: 718..830 per shard).
+    The product stays ANSI-safe: fp < 2^31 and the reduced multiplier
+    < 2^31, so fp * m + 12345 < 2^63 on every engine."""
+    from cs533_big_data_data_mining_spark.functions.text import (
+        FINGERPRINT_MOD,
+        fingerprint,
+    )
+
+    m = (2654435761 + (int(seed) + 1) * 1013904223) % FINGERPRINT_MOD
+    pri = fingerprint(f"CAST({id_col} AS STRING)")
+    scattered = F.pmod(pri.cast("long") * F.lit(m) + F.lit(12345), F.lit(FINGERPRINT_MOD))
     return scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))
 
 
@@ -883,8 +907,11 @@ def dsir_resample(
     ``g_key_i = logratio_i + g_i`` with ``g_i`` standard Gumbel.
 
     RNG-free: ``g_i = -ln(-ln(u_i))`` where ``u_i`` is the
-    cross-engine uniform hash of ``(seed, id)`` (the
-    ``shard_rows`` seed-folded spelling), so the selected set is
+    cross-engine seeded uniform hash of the id (the
+    ``shard_rows`` seed-multiplier spelling,
+    :func:`_uniform_unit_seeded` — seeds decorrelate by construction,
+    so Gumbel selection and downstream shard keys never align), so
+    the selected set is
     reproducible across runs, engines, and partitionings — and a
     DuckDB oracle can replay it exactly. ``u`` is clamped to
     ``>= 1e-12`` (a zero hash would send the Gumbel to -inf on both
@@ -907,9 +934,7 @@ def dsir_resample(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
-    u = _uniform_unit_of(
-        f"CONCAT(CAST({int(seed)} AS STRING), '_', CAST({id_col} AS STRING))"
-    )
+    u = _uniform_unit_seeded(id_col, seed)
     gumbel = -F.log(-F.log(F.greatest(u, F.lit(1e-12))))
     key = F.round(F.col(logratio_col) + gumbel, 6)
     return (

@@ -34,6 +34,11 @@ def _uniform(id_val) -> float:
     return ((_poly31(str(id_val)) * 2654435761 + 12345) % FINGERPRINT_MOD) / FINGERPRINT_MOD
 
 
+def _uniform_seeded(id_val, seed) -> float:
+    m = (2654435761 + (seed + 1) * 1013904223) % FINGERPRINT_MOD
+    return ((_poly31(str(id_val)) * m + 12345) % FINGERPRINT_MOD) / FINGERPRINT_MOD
+
+
 # ---------------------------------------------------------------- url
 
 
@@ -264,7 +269,7 @@ def test_dsir_resample_brute_force(spark):
         for i, lr in rows:
             if lr is None:
                 continue
-            u = max(_uniform(f"{seed}_{i}"), 1e-12)
+            u = max(_uniform_seeded(i, seed), 1e-12)
             g = -math.log(-math.log(u))
             keyed.append((round(lr + g, 6), -i, i, lr))
         keyed.sort(reverse=True)
@@ -488,7 +493,7 @@ def test_shard_rows_brute_force(spark):
     df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
     out = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in shard_rows(df, "doc_id", 16, seed=3).collect()}
     for i in range(500):
-        u = _uniform(f"3_{i}")
+        u = _uniform_seeded(i, 3)
         assert out[i][0] == int(u * 16) and out[i][1] == pytest.approx(u, abs=1e-12), i
     # different seed -> different permutation
     out2 = {r["doc_id"]: r["shard"] for r in shard_rows(df, "doc_id", 16, seed=4).collect()}
@@ -524,6 +529,21 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     exp = {r["doc_id"]: r["shard"] for r in shard_rows(df, "doc_id", 8, seed=7).collect()}
     got = {r["doc_id"]: r["shard"] for r in r1.collect()}
     assert got == exp
+
+
+def test_seeded_uniform_streams_decorrelated():
+    # regression: string-folded seeds made u_seed2 - u_seed1 CONSTANT
+    # (poly31 is affine in a folded prefix), so top-k selection by one
+    # seed then bucketing by another skewed catastrophically. With the
+    # multiplier scheme, select the top half by seed 8 and bucket by
+    # seed 9: every one of 16 buckets must land near n/2/16.
+    n, k = 20_000, 10_000
+    u8 = sorted(range(n), key=lambda i: -_uniform_seeded(i, 8))[:k]
+    from collections import Counter
+
+    c = Counter(int(_uniform_seeded(i, 9) * 16) for i in u8)
+    assert len(c) == 16
+    assert max(c.values()) < 1.25 * k / 16 and min(c.values()) > 0.75 * k / 16, c
 
 
 def test_write_training_shards_multifile(spark, tmp_path):
