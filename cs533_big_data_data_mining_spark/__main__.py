@@ -386,8 +386,199 @@ def _mix_main(argv: list[str]) -> int:
     return 0
 
 
+def _refinedweb_main(argv: list[str]) -> int:
+    """``... refinedweb -i docs.parquet -o outdir`` — the complete
+    production-ordered curation pipeline (RefinedWeb stage order:
+    Penedo 2023, with the Rae 2021 / Lee 2022 / Xie 2023 stages in
+    their published positions) from a raw corpus to shuffled training
+    shards on disk: URL dedup -> Gopher rules -> boilerplate removal
+    -> perplexity quantile gate -> exact dedup -> MinHash near-dup
+    dedup -> duplicated-span removal -> decontamination -> DSIR
+    select -> split -> shards. Every stage is optional via its flag;
+    per-stage survivor counts print as the pipeline runs. This is the
+    CLI twin of the ``refinedweb_pipeline`` driver row."""
+    ap = argparse.ArgumentParser(
+        prog="cs533_big_data_data_mining_spark refinedweb",
+        description="RefinedWeb-ordered curation: crawl -> training shards",
+    )
+    ap.add_argument("-i", "--input", required=True, help="documents parquet")
+    ap.add_argument("-o", "--output", required=True, help="output shard directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", default=None, help="enable stage-1 URL dedup on this column")
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--min-stopword-hits", type=int, default=2)
+    ap.add_argument("--skip-gopher", action="store_true")
+    ap.add_argument(
+        "--max-line-df", type=int, default=None,
+        help="boilerplate: drop lines occurring in more than this many docs",
+    )
+    ap.add_argument(
+        "--keep-ppl", type=float, default=1.0,
+        help="keep the lowest-perplexity fraction (1.0 = skip the gate)",
+    )
+    ap.add_argument("--ngram", type=int, default=3, help="near-dup shingle size")
+    ap.add_argument(
+        "--jaccard", type=float, default=0.8,
+        help="MinHash near-dup threshold (0 disables the stage)",
+    )
+    ap.add_argument(
+        "--spans-k", type=int, default=0,
+        help="duplicated-span removal k-gram width (0 disables; Lee 2022 uses "
+        "a 50-token floor via --min-span-tokens)",
+    )
+    ap.add_argument("--min-span-tokens", type=int, default=None)
+    ap.add_argument("--bench", default=None, help="benchmark parquet to decontaminate against")
+    ap.add_argument("--decontam-ngram", type=int, default=5)
+    ap.add_argument(
+        "--target", default=None,
+        help="DSIR target-domain parquet: score every survivor's target-"
+        "likeness and Gumbel-resample --select-k docs (Xie 2023)",
+    )
+    ap.add_argument("--select-k", type=int, default=None)
+    ap.add_argument("--dsir-buckets", type=int, default=4096)
+    ap.add_argument(
+        "--splits", default="train=0.875,val=0.0625,test=0.0625",
+        help="deterministic split weights ('' disables)",
+    )
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--files-per-shard", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if (args.target is None) != (args.select_k is None):
+        raise SystemExit("--target and --select-k go together")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.connected_components import (
+        connected_components,
+    )
+    from cs533_big_data_data_mining_spark.operators.decontaminate import decontaminate
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        remove_duplicated_spans,
+        url_dedup,
+    )
+    from cs533_big_data_data_mining_spark.operators.packing import write_training_shards
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        assign_split,
+        dsir_logratio,
+        dsir_resample,
+        gopher_rules,
+        lm_perplexity,
+        quantile_filter,
+        remove_boilerplate_lines,
+    )
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_refinedweb_cli", master=args.master)
+    t0 = time.time()
+    idc, txc = args.id_col, args.text_col
+    docs = spark.read.parquet(args.input)
+
+    def stage(name, frame, checkpoint=False):
+        # localCheckpoint at the heavy boundaries: the fused ten-stage
+        # plan otherwise grows a whole-stage-codegen string past the
+        # JVM's 1 GB literal limit (plan-size failure, not data-size)
+        frame = frame.localCheckpoint() if checkpoint else frame
+        print(f"{name}: {frame.count()} docs ({time.time() - t0:.1f}s)", flush=True)
+        return frame
+
+    cur = stage("input", docs)
+    if args.url_col:
+        keep = url_dedup(cur, idc, args.url_col).select(F.col("id").alias(idc))
+        cur = stage("url_dedup", cur.join(keep, idc, "left_semi"))
+    if not args.skip_gopher:
+        g = gopher_rules(
+            cur, idc, txc,
+            min_words=args.min_words, min_stopword_hits=args.min_stopword_hits,
+        )
+        cur = stage(
+            "gopher", cur.join(g.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi")
+        )
+    if args.max_line_df is not None:
+        cleaned = remove_boilerplate_lines(cur, idc, txc, args.max_line_df)
+        cur = stage(
+            "boilerplate",
+            cur.drop(txc).join(
+                cleaned.select(F.col("id").alias(idc), F.col("clean").alias(txc)), idc
+            ),
+            checkpoint=True,
+        )
+    if args.keep_ppl < 1.0:
+        ppl = lm_perplexity(cur, id_col=idc, text_col=txc)
+        scored = cur.join(ppl.select(F.col("id").alias(idc), "ppl"), idc)
+        cur = stage(
+            "ppl_gate",
+            quantile_filter(
+                scored.withColumn("__negppl", -F.col("ppl")), "__negppl", args.keep_ppl
+            ).drop("__negppl", "ppl"),
+        )
+    cur = stage("exact_dedup", exact_dedup(cur, idc, txc), checkpoint=True)
+    if args.jaccard > 0:
+        pairs = minhash_dedup_pairs(cur, idc, txc, n=args.ngram, threshold=args.jaccard)
+        comp = connected_components(
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        drop = comp.filter("node != component").select(F.col("node").alias(idc))
+        cur = stage("minhash_dedup", cur.join(drop, idc, "left_anti"))
+    if args.spans_k > 0:
+        sr = remove_duplicated_spans(
+            cur, id_col=idc, text_col=txc, k=args.spans_k,
+            min_span_tokens=args.min_span_tokens,
+        )
+        cur = stage(
+            "span_removal",
+            cur.drop(txc).join(
+                sr.select(F.col("id").alias(idc), F.col("clean").alias(txc)), idc
+            ),
+            checkpoint=True,
+        )
+    if args.bench:
+        bench = spark.read.parquet(args.bench)
+        flags = decontaminate(cur, bench, idc, txc, n=args.decontam_ngram)
+        cur = stage(
+            "decontaminate",
+            cur.join(flags.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+        )
+    if args.target:
+        target = spark.read.parquet(args.target)
+        scores = dsir_logratio(
+            cur, idc, txc, target,
+            target_text_col=txc, n_buckets=args.dsir_buckets, hash_buckets="xxhash64",
+        )
+        sel = dsir_resample(scores, args.select_k, seed=args.seed)
+        cur = stage("dsir_select", cur.join(sel.select(F.col("id").alias(idc)), idc, "left_semi"))
+    if args.splits:
+        weights = {
+            k: float(v) for k, v in (p.split("=", 1) for p in args.splits.split(","))
+        }
+        spl = assign_split(cur, idc, weights=weights)
+        cur = cur.join(spl.select(F.col("id").alias(idc), "split"), idc)
+    write_training_shards(
+        cur, args.output, idc, args.shards,
+        seed=args.seed + 1,  # never the DSIR selection seed (multiplier-
+        # decorrelated anyway, but distinct by construction is free)
+        mode="overwrite", files_per_shard=args.files_per_shard,
+    )
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        f"wrote {n_out} docs into {args.shards} shards "
+        f"x {args.files_per_shard} files at {args.output} ({time.time() - t0:.1f}s)"
+    )
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "refinedweb":
+        return _refinedweb_main(argv[1:])
     if argv and argv[0] == "curate":
         return _curate_main(argv[1:])
     if argv and argv[0] == "mix":

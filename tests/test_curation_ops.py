@@ -391,6 +391,47 @@ def test_cli_mix_and_score_gopher(spark, tmp_path):
     assert "gopher_keep" in srows.columns and srows.count() == 10
 
 
+def test_cli_refinedweb_end_to_end(spark, tmp_path):
+    # the full ordered pipeline from the shell: url dups and exact
+    # dups planted, DSIR target selects half, output shards readable
+    # with split + shard columns and within-shard sort order
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "rw_docs.parquet")
+    tgt = str(tmp_path / "rw_target.parquet")
+    out = str(tmp_path / "rw_shards")
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again with many more words "
+        + " ".join(f"w{i}x{j}" for j in range(40))
+        for i in range(40)
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append((i, text, f"https://ex.com/p/{i}"))
+    # url dups of docs 0..4 (variant urls), exact dups of docs 5..9
+    for i in range(5):
+        rows.append((100 + i, base[20 + i], f"HTTPS://WWW.ex.com/p/{i}?utm_source=z"))
+        rows.append((200 + i, base[5 + i], f"https://ex.com/q/{200 + i}"))
+    spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(src)
+    spark.createDataFrame(
+        [(1000 + i, base[i]) for i in range(10)], "doc_id long, text string"
+    ).write.parquet(tgt)
+    rc = main([
+        "refinedweb", "-i", src, "-o", out,
+        "--url-col", "url", "--min-stopword-hits", "1",
+        "--keep-ppl", "0.95", "--jaccard", "0.8", "--spans-k", "0",
+        "--target", tgt, "--select-k", "20",
+        "--shards", "4", "--files-per-shard", "2", "--seed", "3",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert {"doc_id", "text", "split", "shard", "sort_key", "subfile"} <= set(got.columns)
+    # url dups (100..104) and exact-dup higher ids (200..204) never survive
+    assert got.filter("doc_id >= 100").count() == 0
+    assert got.select("shard").distinct().count() >= 2
+
+
 def test_cli_curate_url_dedup(spark, tmp_path):
     from cs533_big_data_data_mining_spark.__main__ import main
 
