@@ -2090,6 +2090,16 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     # null-text docs flow as '' from the start (the WET lesson from
     # crawl_shards): gopher's min-word rule drops them first thing,
     # identically on both engines
+    # persistent-RDD ids before the run: the three localCheckpoints
+    # below are not in the cache manager (DataFrame.unpersist cannot
+    # release them), so the cleanup at the end sweeps exactly the ids
+    # this row created — a long driver session runs ~80 queries back
+    # to back and leaked checkpoint blocks would accumulate
+    try:
+        _rdds_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:  # noqa: BLE001 — py4j surface; cleanup is best-effort
+        _rdds_before = None
+
     docs0 = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", F.coalesce("text", F.lit("")).alias("text"), "source")
@@ -2198,6 +2208,13 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     )
     for fr in (docs0, s1, s2, s4, s6, s8):
         fr.unpersist()
+    if _rdds_before is not None:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in set(jmap.keySet().toArray()) - _rdds_before:
+                jmap.get(rid).unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     rows = [
         (
             r["doc_id"],
