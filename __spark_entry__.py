@@ -2534,6 +2534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "sketches_all": _q_sketches_all,
         "stream_eq_all": _q_stream_eq_all,
+        # shard_assign's seeding changed this round (string-folded ->
+        # multiplier scatter) and its oracle spelling with it — its r7
+        # row was recorded against the OLD semantics, so it records now
+        "shard_assign": _q_shard_assign,
         # --- rotation: latest driver row is r6; re-record now ---
         "sim_topk_ivf": _q_sim_topk_ivf,
         "sim_topk_ivf_full": _q_sim_topk_ivf_full,
@@ -2603,7 +2607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "mix_to_budget": _q_mix_to_budget,
         "remove_dup_spans": _q_remove_dup_spans,
-        "shard_assign": _q_shard_assign,
         "span_dup_stats": _q_span_dup_stats,
         "contam_spans": _q_contam_spans,
         "spans_bipartite": _q_spans_bipartite,
@@ -2631,6 +2634,8 @@ def _uniform_sql_seeded(expr: str, seed: int) -> str:
     string-folded seed, so folded streams are constant rotations of
     each other; see the operator docstring)."""
     m = (2654435761 + (int(seed) + 1) * 1013904223) % 2147483647
+    if m == 0:  # degenerate-multiplier guard — keep in sync with the operator
+        m = 1
     return (
         f"CAST((list_reduce(list_prepend(0, range(1, length({expr}) + 1)),\n"
         f"  (acc, i) -> (acc * 31 + ascii(substring({expr}, CAST(i AS INT), 1)))\n"

@@ -679,6 +679,12 @@ def main() -> None:
         )
         t0 = time.time()
         try:
+            # sweep this block's localCheckpoint blocks afterwards —
+            # they are invisible to the cache manager and the smoke
+            # session continues into 1M-doc workloads
+            _rw_rdds_before = set(
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+            )
             s1 = docs_rw.join(
                 url_dedup(docs_rw, "doc_id", "url").select(F.col("id").alias("doc_id")),
                 "doc_id",
@@ -745,8 +751,13 @@ def main() -> None:
             # Phrase-grams can't hit: span removal stripped them from
             # every survivor BEFORE decon — the Lee-2022 ordering this
             # smoke exists to pin.
+            # three flagged classes: text-source id in bench (self-hits
+            # AND stragglers whose base was bench), the doc's OWN id in
+            # bench (a straggler is itself a bench row sharing its own
+            # body grams), and bases whose removed twin was bench
             exp_flag = s7.filter(
                 (F.pmod(tb6, F.lit(53)) == 0)
+                | (F.col("doc_id") % 53 == 0)
                 | (
                     ((F.col("doc_id") + 1) % 53 == 0)
                     & F.pmod(F.col("doc_id") + 1, F.lit(20)).isin(5, 7)
@@ -786,6 +797,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors["refinedweb_200k"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# refinedweb_200k: ERROR {errors['refinedweb_200k']}", file=sys.stderr)
+        finally:
+            try:
+                _jm = spark.sparkContext._jsc.getPersistentRDDs()
+                for _rid in set(_jm.keySet().toArray()) - _rw_rdds_before:
+                    _jm.get(_rid).unpersist()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
 
         # Duplicated-span detection at 1M docs: per-doc hash words are
         # ~unique 5-grams (vocab 99991, 12 words), every 41st doc gets

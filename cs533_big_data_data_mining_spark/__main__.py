@@ -525,7 +525,7 @@ def _refinedweb_main(argv: list[str]) -> int:
             pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         )
         drop = comp.filter("node != component").select(F.col("node").alias(idc))
-        cur = stage("minhash_dedup", cur.join(drop, idc, "left_anti"))
+        cur = stage("minhash_dedup", cur.join(drop, idc, "left_anti"), checkpoint=True)
     if args.spans_k > 0:
         sr = remove_duplicated_spans(
             cur, id_col=idc, text_col=txc, k=args.spans_k,
@@ -544,6 +544,7 @@ def _refinedweb_main(argv: list[str]) -> int:
         cur = stage(
             "decontaminate",
             cur.join(flags.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+            checkpoint=True,
         )
     if args.target:
         target = spark.read.parquet(args.target)

@@ -170,6 +170,12 @@ def _uniform_unit_seeded(id_col: str, seed: int) -> F.Column:
     )
 
     m = (2654435761 + (int(seed) + 1) * 1013904223) % FINGERPRINT_MOD
+    # degenerate-multiplier guard: m == 0 (seed ≡ 1407624823 mod 2^31-1)
+    # would collapse the whole stream to the constant 12345/M — every
+    # row in shard 0, Gumbel noise constant. One deterministic branch,
+    # mirrored in the SQL twin and the test twin.
+    if m == 0:
+        m = 1
     pri = fingerprint(f"CAST({id_col} AS STRING)")
     scattered = F.pmod(pri.cast("long") * F.lit(m) + F.lit(12345), F.lit(FINGERPRINT_MOD))
     return scattered.cast("double") / F.lit(float(FINGERPRINT_MOD))

@@ -35,7 +35,7 @@ def _uniform(id_val) -> float:
 
 
 def _uniform_seeded(id_val, seed) -> float:
-    m = (2654435761 + (seed + 1) * 1013904223) % FINGERPRINT_MOD
+    m = (2654435761 + (seed + 1) * 1013904223) % FINGERPRINT_MOD or 1
     return ((_poly31(str(id_val)) * m + 12345) % FINGERPRINT_MOD) / FINGERPRINT_MOD
 
 
@@ -299,8 +299,6 @@ def test_dsir_hash_route_equivalence(spark):
     # differ, so values differ — but on a corpus with a REAL target/
     # off-target split both routes must rank every target-like doc
     # above every noise doc, and hence select the same top-k
-    from cs533_big_data_data_mining_spark.operators.quality import dsir_resample
-
     tvoc = ["alpha", "beta", "gamma", "delta", "epsilon"]
     nvoc = ["zork", "quux", "blorp", "fnord", "grue"]
     docs = []
