@@ -1097,37 +1097,53 @@ DSIR_ALPHA = 0.5
 # THE one copy of the DSIR oracle CTE chain (poly31 bucket recurrence,
 # add-alpha smoothing, round-9dp-then-DECIMAL-sum) — shared by the
 # dsir_weights and dsir_resample oracles so the two can't de-sync
-_DSIR_CTES = f"""toks AS (
-              SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents
-            ),
-            grams AS (
-              SELECT doc_id, source,
-                     unnest(t || list_transform(range(1, len(t)),
-                                                i -> t[i] || ' ' || t[i + 1])) AS g
-              FROM toks
-            ),
-            b AS (
-              SELECT doc_id, source,
-                     list_reduce(list_prepend(0, range(1, length(g) + 1)),
-                       (acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1)))
-                                   % 2147483647) % {DSIR_BUCKETS} AS bk
-              FROM grams
-            ),
-            tb AS (SELECT bk, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY bk),
-            rb AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
-            tt AS (SELECT COALESCE(sum(ct), 0) AS t_tot FROM tb),
-            rt AS (SELECT COALESCE(sum(cr), 0) AS r_tot FROM rb),
-            lr AS (
-              SELECT rb.bk,
-                     round(ln((COALESCE(tb.ct, 0) + {DSIR_ALPHA}) / (t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
-                         - ln((rb.cr + {DSIR_ALPHA}) / (r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9) AS lr
-              FROM rb LEFT JOIN tb USING (bk), tt, rt
-            ),
-            per AS (
-              SELECT doc_id, count(*) AS n_grams,
-                     round(CAST(sum(CAST(lr AS DECIMAL(24,9))) AS DOUBLE), 6) AS logratio
-              FROM b JOIN lr USING (bk) GROUP BY doc_id
-            )"""
+_DSIR_GRAMS = "unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))"
+_DSIR_BUCKET = (
+    "list_reduce(list_prepend(0, range(1, length(g) + 1)), "
+    "(acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1))) "
+    f"% 2147483647) % {DSIR_BUCKETS}"
+)
+
+
+def _dsir_chain_sql(target_toks: str, raw_toks: str) -> str:
+    """THE one DuckDB spelling of the DSIR chain (poly31 gram buckets,
+    add-alpha smoothing, round-9dp-then-DECIMAL-sum, 6-dp logratio) —
+    shared by the ``dsir_weights``, ``dsir_resample``, and
+    ``refinedweb_pipeline`` oracles so the three can never de-sync.
+    Both arguments are CTE names exposing ``(doc_id, t)`` token-array
+    rows; emits CTEs ``dtg drg dbt dbr dsir_tb dsir_rb dsir_tt
+    dsir_rt dsir_lr per`` where ``per`` holds
+    ``(doc_id, n_grams, logratio)`` over the raw relation. CTE names
+    start in column 0 so the refinedweb MATERIALIZED rewrite sees
+    them."""
+    return f"""dtg AS (SELECT {_DSIR_GRAMS} AS g FROM {target_toks}),
+drg AS (SELECT doc_id, {_DSIR_GRAMS} AS g FROM {raw_toks}),
+dbt AS (SELECT {_DSIR_BUCKET} AS bk FROM dtg),
+dbr AS (SELECT doc_id, {_DSIR_BUCKET} AS bk FROM drg),
+dsir_tb AS (SELECT bk, count(*) AS ct FROM dbt GROUP BY bk),
+dsir_rb AS (SELECT bk, count(*) AS cr FROM dbr GROUP BY bk),
+dsir_tt AS (SELECT COALESCE(sum(ct), 0) AS t_tot FROM dsir_tb),
+dsir_rt AS (SELECT COALESCE(sum(cr), 0) AS r_tot FROM dsir_rb),
+dsir_lr AS (
+  SELECT dsir_rb.bk,
+         round(ln((COALESCE(dsir_tb.ct, 0) + {DSIR_ALPHA}) / (t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+             - ln((dsir_rb.cr + {DSIR_ALPHA}) / (r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9) AS lr
+  FROM dsir_rb LEFT JOIN dsir_tb USING (bk), dsir_tt, dsir_rt
+),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         round(CAST(sum(CAST(lr AS DECIMAL(24,9))) AS DOUBLE), 6) AS logratio
+  FROM dbr JOIN dsir_lr USING (bk) GROUP BY doc_id
+)"""
+
+
+# dsir_weights / dsir_resample instantiation: target = the src0 slice,
+# raw = the whole documents table
+_DSIR_CTES = (
+    f"toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),\n"
+    f"ttoks AS (SELECT d.doc_id, {_TOKS_SQL} AS t FROM documents d WHERE source = 'src0'),\n"
+    + _dsir_chain_sql("ttoks", "toks")
+)
 
 MIX_BUDGET = 50_000  # chars; src0 repeats ~2.5x, src3 ~0.65x
 MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
@@ -2807,43 +2823,15 @@ contam AS (SELECT DISTINCT s.doc_id FROM sh7 s JOIN bsh USING (shingle)),
 s8 AS (SELECT s7.doc_id, s7.text FROM s7
        WHERE s7.doc_id NOT IN (SELECT doc_id FROM contam)),
 -- 9. DSIR weights toward src0 over the survivor corpus + Gumbel top-k
+-- (the chain CTEs are the shared _dsir_chain_sql spelling)
 dtt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM doc0 WHERE source = 'src0'),
 drt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM s8),
-dtg AS (SELECT unnest(t || list_transform(range(1, len(t)),
-                                          i -> t[i] || ' ' || t[i + 1])) AS g FROM dtt),
-drg AS (SELECT doc_id,
-               unnest(t || list_transform(range(1, len(t)),
-                                          i -> t[i] || ' ' || t[i + 1])) AS g FROM drt),
-dbr AS (
-  SELECT doc_id,
-         list_reduce(list_prepend(0, range(1, length(g) + 1)),
-           (acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1)))
-                       % 2147483647) % {DSIR_BUCKETS} AS bk
-  FROM drg
-),
-dbt AS (
-  SELECT list_reduce(list_prepend(0, range(1, length(g) + 1)),
-           (acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1)))
-                       % 2147483647) % {DSIR_BUCKETS} AS bk
-  FROM dtg
-),
-dtb AS (SELECT bk, count(*) AS ct FROM dbt GROUP BY bk),
-drb AS (SELECT bk, count(*) AS cr FROM dbr GROUP BY bk),
-dtt2 AS (SELECT COALESCE(sum(ct), 0) AS t_tot FROM dtb),
-drt2 AS (SELECT COALESCE(sum(cr), 0) AS r_tot FROM drb),
-dlr AS (
-  SELECT drb.bk,
-         round(ln((COALESCE(dtb.ct, 0) + {DSIR_ALPHA}) / (t_tot + {DSIR_ALPHA} * {DSIR_BUCKETS}))
-             - ln((drb.cr + {DSIR_ALPHA}) / (r_tot + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9) AS lr
-  FROM drb LEFT JOIN dtb USING (bk), dtt2, drt2
-),
-dper AS (SELECT doc_id, round(CAST(sum(CAST(lr AS DECIMAL(24,9))) AS DOUBLE), 6) AS logratio
-         FROM dbr JOIN dlr USING (bk) GROUP BY doc_id),
+{{RW_DSIR_CHAIN}},
 keyed AS (
   SELECT doc_id AS id, logratio,
          round(logratio - ln(-ln(greatest(
            {{RW_U_SEL}}, 1e-12))), 6) AS g_key
-  FROM dper
+  FROM per
 ),
 sel AS (SELECT * FROM keyed ORDER BY g_key DESC, id LIMIT {RW_K}),
 -- 10. split + shard hashes on the selected set
@@ -2869,7 +2857,8 @@ FROM sel JOIN spl USING (id) JOIN shd USING (id) CROSS JOIN cnts
 # the three uniform-hash spellings (Gumbel seed, split, shard seed) —
 # injected via replace so the big f-string above stays readable
 _REFINEDWEB_SQL = (
-    _REFINEDWEB_SQL.replace(
+    _REFINEDWEB_SQL.replace("{RW_DSIR_CHAIN}", _dsir_chain_sql("dtt", "drt"))
+    .replace(
         "{RW_U_SEL}", _uniform_sql_seeded("CAST(doc_id AS VARCHAR)", RW_SEED_SEL)
     )
     .replace("{RW_U_SPLIT}", _uniform_sql("CAST(id AS VARCHAR)"))
