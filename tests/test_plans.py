@@ -231,6 +231,18 @@ def test_dsir_plan_shape(spark):
     out.unpersist()
 
 
+def test_dsir_resample_plan_shape(spark):
+    """Gumbel top-k must plan as TakeOrderedAndProject (per-partition
+    heap top-k, driver merge of k-row slices) — a global Sort+Limit
+    exchange would shuffle the whole scored corpus."""
+    from cs533_big_data_data_mining_spark.operators.quality import dsir_resample
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS logratio")
+    out = dsir_resample(df, 10, seed=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p[:800]
+
+
 def test_mix_to_budget_plan_shape(spark):
     """Budget mixing: the #sources repeat table must broadcast and the
     corpus side must carry NO exchange (the explode composes into the
