@@ -725,6 +725,64 @@ def _q_multimodal_frames(spark, sf_dir):
     return out.withColumn("frame_index", F.col("frame_index").cast("long"))
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    # REAL codec-free decoding (round 8): every doc gets a planted
+    # payload — a solid-color binary PPM (dims and channel colors are
+    # pure functions of doc_id), every 11th a PCM WAV, every 17th
+    # garbage — and the numpy decode route + pixel-level image_stats
+    # must recover dimensions, validity, and the exact channel means
+    # the construction dictates (solid color => mean == the color).
+    # The fixture is driver-built at oracle SFs (the byte payloads are
+    # Python-constructed; the pipeline itself is distributed
+    # mapInPandas either way).
+    _ensure_shipped(spark)
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        decode_media,
+        image_stats,
+        pack_ppm,
+        pack_wav_pcm16,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()
+    ]
+    rows = []
+    for i in sorted(ids):
+        if i % 17 == 0:
+            payload = b"garbage"
+        elif i % 11 == 0:
+            n = 10 + i % 23
+            payload = pack_wav_pcm16(np.full((n, 1), 777, dtype=np.int16), 8000)
+        else:
+            w, h = 4 + i % 13, 3 + i % 7
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[..., 0] = i % 256
+            px[..., 1] = (i * 7) % 256
+            px[..., 2] = (i * 13) % 256
+            payload = pack_ppm(px)
+        rows.append((i, "media", bytearray(payload), "syn"))
+    media = local_df(
+        spark, rows, "media_id long, modality string, payload binary, source string"
+    )
+    meta = decode_media(media, decode="numpy")
+    st = image_stats(media)
+    return meta.join(st.select("media_id", "channel_means"), "media_id").select(
+        F.col("media_id").alias("id"),
+        "width",
+        "height",
+        "channels",
+        F.col("payload_ok").alias("ok"),
+        # try_element_at: ANSI mode is ON, and non-image rows carry []
+        F.try_element_at("channel_means", F.lit(1)).alias("mean_r"),
+        F.try_element_at("channel_means", F.lit(2)).alias("mean_g"),
+        F.try_element_at("channel_means", F.lit(3)).alias("mean_b"),
+    )
+
+
 # DuckDB twin of byte_histogram_features: bytes recovered from the
 # hex encoding of the utf-8 payload, bucketed by value >> 2 (64 bins),
 # counted per (doc, bin) and divided by the byte count — the same two
@@ -2541,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refinedweb_pipeline": _q_refinedweb_pipeline,
         "dsir_resample": _q_dsir_resample,
         "dsir_route_eq": _q_dsir_route_eq,
+        "multimodal_decode": _q_multimodal_decode,
         # crawl_shards: oracle gained the COALESCE null/empty-text
         # grouping fix this round
         "crawl_shards": _q_crawl_shards,
@@ -3537,6 +3596,31 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             "SELECT TRUE AS poly31_separates, TRUE AS xxhash64_separates, "
             "TRUE AS topk_sets_equal, CAST(120 AS BIGINT) AS n_docs"
         ),
+        # multimodal_decode: construction-derived — the planted
+        # payloads' dims/validity/solid-color means are pure functions
+        # of doc_id (every 17th garbage, every 11th a PCM WAV, rest
+        # solid-color PPMs), so the real numpy decoders are checked
+        # value-for-value without DuckDB parsing any bytes
+        "multimodal_decode": """
+            SELECT doc_id AS id,
+              CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                        WHEN doc_id % 11 = 0 THEN 10 + doc_id % 23
+                        ELSE 4 + doc_id % 13 END AS INTEGER) AS width,
+              CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                        WHEN doc_id % 11 = 0 THEN 1
+                        ELSE 3 + doc_id % 7 END AS INTEGER) AS height,
+              CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                        WHEN doc_id % 11 = 0 THEN 1
+                        ELSE 3 END AS INTEGER) AS channels,
+              doc_id % 17 <> 0 AS ok,
+              CASE WHEN doc_id % 17 <> 0 AND doc_id % 11 <> 0
+                   THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+              CASE WHEN doc_id % 17 <> 0 AND doc_id % 11 <> 0
+                   THEN CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
+              CASE WHEN doc_id % 17 <> 0 AND doc_id % 11 <> 0
+                   THEN CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b
+            FROM documents
+        """,
         # shard_assign: the assign_split uniform-hash spelling with
         # the seed-specific scatter multiplier
         "shard_assign": f"""

@@ -7,15 +7,22 @@ them). Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` kernels so payload bytes cross the
 JVM->Python boundary exactly once per batch.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-the decode step is gated: ``decode='stub'`` parses a deterministic
-fake header (tests exercise the full Spark plumbing — schema,
-batching, partitioning); ``decode='real'`` raises NotImplementedError
-at the point where the codec import would happen. The Spark-side
-machinery is identical either way.
+Decode routes:
 
-Stub payload format (used by tests and the synthetic fixture):
-``b'FAKE' + uint16 width + uint16 height + uint8 channels + raw``.
+* ``decode='numpy'`` — REAL decoding for the codec-free container
+  formats pure NumPy can parse: PPM ``P6`` images, uncompressed
+  24/32-bit ``BM`` bitmaps, and PCM 8/16-bit ``RIFF/WAVE`` audio.
+  Structural validation is complete (dims/bit-depth/chunk sizes must
+  be consistent with the payload length) and the pixel/sample paths
+  (:func:`image_stats`, :func:`resize_image`, :func:`audio_stats`)
+  operate on real decoded arrays.
+* ``decode='stub'`` — deterministic fake header (``b'FAKE'`` +
+  uint16 width + uint16 height + uint8 channels + raw); tests use it
+  to exercise the Spark plumbing independent of any format.
+* ``decode='real'`` — the compressed-codec route (JPEG/PNG/MP3/
+  H.264). PIL/librosa/ffmpeg are NOT in this container, so it raises
+  NotImplementedError at the point where the codec import would
+  happen; the Spark-side machinery is identical to the numpy route.
 """
 
 from __future__ import annotations
@@ -55,18 +62,183 @@ def pack_stub_payload(width: int, height: int, channels: int, body: bytes = b"")
     return b"FAKE" + struct.pack("<HHB", width, height, channels) + body
 
 
+def pack_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("pack_ppm wants (h, w, 3) uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def pack_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """(n_samples, n_channels) int16 -> minimal RIFF/WAVE PCM file."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError("pack_wav_pcm16 wants (n, ch) int16")
+    n, ch = samples.shape
+    data = samples.tobytes()  # interleaved (row-major == frame-major)
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_ppm(buf: bytes):
+    """P6 header + pixels -> (w, h, 3, (h, w, 3) uint8) or None.
+    Handles whitespace and ``#`` comments per the netpbm spec; only
+    maxval <= 255 (1 byte/sample) is accepted."""
+    if len(buf) < 2 or buf[:2] != b"P6":
+        return None
+    i, fields = 2, []
+    while len(fields) < 3 and i < len(buf):
+        ch = buf[i : i + 1]
+        if ch.isspace():
+            i += 1
+        elif ch == b"#":
+            j = buf.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+        elif ch.isdigit():
+            j = i
+            while j < len(buf) and buf[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(buf[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= len(buf) or not buf[i : i + 1].isspace():
+        return None
+    i += 1  # single whitespace after maxval, then raw RGB
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    need = w * h * 3
+    if len(buf) - i < need:
+        return None
+    px = np.frombuffer(buf, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+    return w, h, 3, px
+
+
+def _parse_bmp(buf: bytes):
+    """Uncompressed 24/32-bit BITMAPINFOHEADER BMP ->
+    (w, h, ch, (h, w, ch) uint8, RGB order, top row first) or None."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h_raw = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if w <= 0 or h_raw == 0 or planes != 1 or compression != 0 or bpp not in (24, 32):
+        return None
+    h = abs(h_raw)
+    ch = bpp // 8
+    row_bytes = (w * ch + 3) & ~3  # rows pad to 4-byte boundaries
+    if data_off + row_bytes * h > len(buf):
+        return None
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * ch].reshape(h, w, ch)
+    if h_raw > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    # BGR(A) -> RGB(A)
+    px = np.concatenate([rows[:, :, 2::-1][:, :, :3], rows[:, :, 3:]], axis=2)
+    return w, h, ch, px
+
+
+def _parse_wav(buf: bytes):
+    """RIFF/WAVE PCM (8- or 16-bit) ->
+    (n_samples, n_channels, sample_rate, (n, ch) float64 in [-1, 1])
+    or None. Walks the chunk list (fmt may not be first)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(buf):
+        cid = buf[i : i + 4]
+        size = struct.unpack_from("<I", buf, i + 4)[0]
+        if i + 8 + size > len(buf):
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", buf, i + 8)
+        elif cid == b"data":
+            data = buf[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        return None
+    audio_fmt, ch, rate, _, block, bits = fmt
+    if audio_fmt != 1 or ch < 1 or bits not in (8, 16) or block != ch * bits // 8:
+        return None
+    if len(data) % block:
+        return None
+    n = len(data) // block
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2").reshape(n, ch) / 32768.0
+    else:
+        s = (np.frombuffer(data, dtype=np.uint8).reshape(n, ch) - 128.0) / 128.0
+    return n, ch, rate, s
+
+
+def _numpy_decode_one(buf: bytes):
+    """Dispatch on magic: (width, height, channels) for any format the
+    pure-NumPy decoders handle, else None. WAV maps to
+    (n_samples, 1, n_channels) — 'width' is the sample axis."""
+    r = _parse_ppm(buf)
+    if r is not None:
+        return r[0], r[1], r[2]
+    r = _parse_bmp(buf)
+    if r is not None:
+        return r[0], r[1], r[2]
+    r = _parse_wav(buf)
+    if r is not None:
+        return r[0], 1, r[1]
+    return None
+
+
 def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) -> DataFrame:
     """payload BINARY -> typed metadata frame (DECODED_SCHEMA).
 
-    The kernel sees Arrow batches; per-batch NumPy work, no per-row
-    Python. ``batch_rows`` bounds peak memory per worker
+    The kernel sees Arrow batches; per-batch NumPy work (per-row
+    Python only in the ``numpy`` route's bounded header parsing).
+    ``batch_rows`` bounds peak memory per worker
     (spark.sql.execution.arrow.maxRecordsPerBatch governs the Arrow
     slice size upstream of this)."""
     if decode == "real":
         raise NotImplementedError(
-            "real media codecs (PIL/av) are not available in this environment; "
-            "plug the codec into _decode_batch and pass decode='real'"
+            "compressed-media codecs (PIL/av) are not available in this "
+            "environment; plug the codec into the kernel and pass "
+            "decode='real' — or use decode='numpy' for the codec-free "
+            "container formats (PPM P6, uncompressed BMP, PCM WAV)"
         )
+    if decode == "numpy":
+
+        def np_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for lo in range(0, len(pdf), batch_rows):
+                    chunk = pdf.iloc[lo : lo + batch_rows]
+                    w, h, c, ok, nb = [], [], [], [], []
+                    for p in chunk["payload"]:
+                        buf = bytes(p) if p is not None else b""
+                        nb.append(len(buf))
+                        r = _numpy_decode_one(buf)
+                        if r is None:
+                            w.append(0), h.append(0), c.append(0), ok.append(False)
+                        else:
+                            w.append(r[0]), h.append(r[1]), c.append(r[2]), ok.append(True)
+                    yield pd.DataFrame(
+                        {
+                            "media_id": chunk["media_id"].to_numpy(),
+                            "modality": chunk["modality"].to_numpy(),
+                            "width": np.asarray(w, dtype=np.int32),
+                            "height": np.asarray(h, dtype=np.int32),
+                            "channels": np.asarray(c, dtype=np.int32),
+                            "n_bytes": np.asarray(nb, dtype=np.int64),
+                            "payload_ok": np.asarray(ok, dtype=bool),
+                        }
+                    )
+
+        return df.mapInPandas(np_kernel, schema=DECODED_SCHEMA)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,6 +316,121 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
             starts = np.repeat(np.cumsum(counts) - counts, counts)
             frames = ((np.arange(total, dtype=np.int64) - starts) * every_n).astype(np.int32)
             yield pd.DataFrame({"media_id": mids, "frame_index": frames})
+
+    return df.select("media_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel-level feature extraction (numpy route, PPM/BMP):
+    per-image dimensions + per-channel mean pixel value, rounded to
+    6 dp so a SQL oracle over a planted construction can pin the
+    values exactly. Output ``(media_id, width, height, channels,
+    channel_means ARRAY<DOUBLE>)``; undecodable payloads get
+    (0, 0, 0, empty array).
+
+    Scale shape: one ``mapInPandas`` pass — payload bytes cross the
+    JVM->Python boundary once, each image reduces to <= 4 doubles,
+    and the output frame is metadata-sized (payloads do not survive
+    into the result, so downstream aggregation never reshuffles
+    media bytes)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(p) if p is not None else b""
+                r = _parse_ppm(buf) or _parse_bmp(buf)
+                if r is None:
+                    rows.append((mid, 0, 0, 0, []))
+                else:
+                    w, h, c, px = r
+                    means = np.round(px.reshape(-1, c).mean(axis=0), 6)
+                    rows.append((mid, w, h, c, means.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "channel_means"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def resize_image(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize for PPM payloads — pure NumPy
+    fancy indexing (one gather per axis), payload-in/payload-out, so
+    the result is again a valid P6 file. Non-PPM payloads pass
+    through unchanged (BMPs can be round-tripped via
+    ``image_stats``-style decoding later; compressed formats need the
+    ``decode='real'`` codec route). The source-index formula is the
+    standard floor((i + 0.5) * src / dst) center mapping."""
+    if target_w < 1 or target_h < 1:
+        raise ValueError("target dims must be >= 1")
+    out_schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _resize(payload):
+                buf = bytes(payload) if payload is not None else b""
+                r = _parse_ppm(buf)
+                if r is None:
+                    return buf
+                w, h, _, px = r
+                yi = np.minimum(((np.arange(target_h) + 0.5) * h / target_h), h - 1).astype(np.int64)
+                xi = np.minimum(((np.arange(target_w) + 0.5) * w / target_w), w - 1).astype(np.int64)
+                return pack_ppm(np.ascontiguousarray(px[yi][:, xi]))
+
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(_resize)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL sample-level audio features (numpy route, PCM WAV):
+    ``(media_id, n_samples, n_channels, sample_rate, mean_abs,
+    peak_abs)`` over the decoded [-1, 1] samples, rounded to 6 dp.
+    Undecodable payloads get zeros. Same metadata-sized output
+    contract as :func:`image_stats`."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("mean_abs", T.DoubleType()),
+            T.StructField("peak_abs", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(p) if p is not None else b""
+                r = _parse_wav(buf)
+                if r is None:
+                    rows.append((mid, 0, 0, 0, 0.0, 0.0))
+                else:
+                    n, ch, rate, s = r
+                    a = np.abs(s)
+                    # zero-length data chunk is structurally valid
+                    ma = round(float(a.mean()), 6) if a.size else 0.0
+                    pk = round(float(a.max()), 6) if a.size else 0.0
+                    rows.append((mid, n, ch, rate, ma, pk))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_channels", "sample_rate", "mean_abs", "peak_abs",
+                ],
+            )
 
     return df.select("media_id", "payload").mapInPandas(kernel, schema=schema)
 

@@ -108,3 +108,141 @@ def test_byte_histogram_feeds_similarity(spark):
         feats, feats.filter("media_id = 1"), k=1, id_col="media_id", vec_col="features"
     ).collect()
     assert top[0]["neighbor_id"] == 2  # near-identical byte profile wins
+
+
+# ------------------------------------------------- numpy decode route
+
+
+def _bmp24(px):
+    """(h, w, 3) uint8 RGB -> bottom-up 24-bit BMP bytes (row pad 4)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + b"\0" * pad for y in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + info + body
+
+
+def test_numpy_decode_real_formats(spark):
+    import struct
+
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        decode_media,
+        pack_ppm,
+        pack_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(7)
+    ppm_px = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    bmp_px = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    wav = rng.integers(-3000, 3000, (50, 2)).astype(np.int16)
+    ppm_comment = b"P6\n# a comment\n 9  5 \n255\n" + ppm_px.tobytes()
+    rows = [
+        (1, "image", bytearray(pack_ppm(ppm_px)), "s"),
+        (2, "image", bytearray(_bmp24(bmp_px)), "s"),
+        (3, "audio", bytearray(pack_wav_pcm16(wav, 8000)), "s"),
+        (4, "image", bytearray(ppm_comment), "s"),
+        (5, "image", bytearray(b"P6\n9 5\n255\n" + b"\0" * 10), "s"),  # truncated
+        (6, "image", bytearray(b"garbage"), "s"),
+        (7, "image", None, "s"),
+        # WAV with a junk chunk before fmt/data (chunk walking)
+        (8, "audio", bytearray(
+            b"RIFF" + struct.pack("<I", 4 + 8 + 2 + 8 + 16 + 8 + 4) + b"WAVE"
+            + b"junk" + struct.pack("<I", 2) + b"zz"
+            + b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+            + b"data" + struct.pack("<I", 4) + struct.pack("<hh", 100, -200)
+        ), "s"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary, source string")
+    got = {r["media_id"]: r for r in decode_media(df, decode="numpy").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"], got[1]["payload_ok"]) == (9, 5, 3, True)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"], got[2]["payload_ok"]) == (7, 6, 3, True)
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"], got[3]["payload_ok"]) == (50, 1, 2, True)
+    assert (got[4]["width"], got[4]["height"], got[4]["payload_ok"]) == (9, 5, True)
+    assert not got[5]["payload_ok"] and not got[6]["payload_ok"] and not got[7]["payload_ok"]
+    assert (got[8]["width"], got[8]["channels"], got[8]["payload_ok"]) == (2, 1, True)
+
+
+def test_image_stats_exact(spark):
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        image_stats,
+        pack_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(pack_ppm(px)), "s"), (2, "image", bytearray(b"nope"), "s")],
+        "media_id long, modality string, payload binary, source string",
+    )
+    got = {r["media_id"]: r for r in image_stats(df).collect()}
+    want = np.round(px.reshape(-1, 3).mean(axis=0), 6)
+    assert got[1]["channel_means"] == pytest.approx(want.tolist(), abs=1e-9)
+    assert (got[1]["width"], got[1]["height"]) == (6, 4)
+    assert got[2]["channels"] == 0 and got[2]["channel_means"] == []
+
+
+def test_resize_image_nearest_exact(spark):
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_ppm,
+        pack_ppm,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(pack_ppm(px)), "s"), (2, "image", bytearray(b"raw"), "s")],
+        "media_id long, modality string, payload binary, source string",
+    )
+    out = {r["media_id"]: bytes(r["payload"]) for r in resize_image(df, 4, 5).collect()}
+    w, h, _, got_px = _parse_ppm(out[1])
+    assert (w, h) == (4, 5)
+    yi = np.minimum(((np.arange(5) + 0.5) * 8 / 5), 7).astype(int)
+    xi = np.minimum(((np.arange(4) + 0.5) * 10 / 4), 9).astype(int)
+    assert np.array_equal(got_px, px[yi][:, xi])
+    assert out[2] == b"raw"  # non-PPM passes through
+    # upscale then stats: still a valid P6 the decoder accepts
+    from cs533_big_data_data_mining_spark.operators.multimodal import image_stats
+
+    up = image_stats(resize_image(df.filter("media_id = 1"), 20, 16)).collect()[0]
+    assert (up["width"], up["height"]) == (20, 16)
+    with pytest.raises(ValueError):
+        resize_image(df, 0, 5)
+
+
+def test_audio_stats_exact(spark):
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        audio_stats,
+        pack_wav_pcm16,
+    )
+
+    s = np.array([[0, 16384], [-32768, 8192], [100, -100]], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(pack_wav_pcm16(s, 22050)), "x"),
+         (2, "audio", bytearray(b"not audio"), "x")],
+        "media_id long, modality string, payload binary, source string",
+    )
+    got = {r["media_id"]: r for r in audio_stats(df).collect()}
+    a = np.abs(s / 32768.0)
+    assert got[1]["n_samples"] == 3 and got[1]["n_channels"] == 2
+    assert got[1]["sample_rate"] == 22050
+    assert got[1]["mean_abs"] == pytest.approx(round(float(a.mean()), 6))
+    assert got[1]["peak_abs"] == pytest.approx(1.0)
+    assert got[2]["n_samples"] == 0 and got[2]["mean_abs"] == 0.0
