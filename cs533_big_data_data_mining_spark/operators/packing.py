@@ -296,6 +296,7 @@ def write_training_shards(
     seed: int = 0,
     mode: str = "error",
     files_per_shard: int = 1,
+    manifest: bool = False,
 ) -> None:
     """Materialize the final training layout: rows shuffled into
     ``n_shards`` deterministic shards (:func:`shard_rows`), one
@@ -328,6 +329,15 @@ def write_training_shards(
     volume drops F-fold while re-runs stay byte-identical (each
     (shard, subfile) bucket is still written by one task in one
     deterministic order).
+
+    ``manifest=True`` additionally writes ``_MANIFEST.json`` inside
+    ``path`` after the data commit: the layout config (n_shards,
+    files_per_shard, seed, id column, total rows) plus per-shard row
+    counts — what a training loader needs to size epochs and validate
+    a download WITHOUT scanning the data. The counts come from one
+    #shards-row aggregate over the written files (read-after-write,
+    so the manifest describes what is actually on disk).
+
     """
     if int(files_per_shard) < 1:
         raise ValueError("files_per_shard must be >= 1")
@@ -346,18 +356,46 @@ def write_training_shards(
             .partitionBy("shard")
             .parquet(path)
         )
-        return
-    # within shard K, sort_key is confined to [K/n, (K+1)/n) — the
-    # bucket must use the within-shard RESIDUAL (itself uniform on
-    # [0,1) and monotone in sort_key inside a shard), not sort_key
-    # raw, or every row of a shard lands in subfile 0
-    frac = F.col("sort_key") * F.lit(int(n_shards)) - F.col("shard")
-    sub = F.least(F.floor(frac * F.lit(fps)), F.lit(fps - 1)).cast("int")
-    (
-        out.withColumn("subfile", sub)
-        .repartition(int(n_shards) * fps, "shard", "subfile")
-        .sortWithinPartitions("shard", "subfile", "sort_key", id_col)
-        .write.mode(mode)
-        .partitionBy("shard", "subfile")
-        .parquet(path)
-    )
+    else:
+        # within shard K, sort_key is confined to [K/n, (K+1)/n) — the
+        # bucket must use the within-shard RESIDUAL (itself uniform on
+        # [0,1) and monotone in sort_key inside a shard), not sort_key
+        # raw, or every row of a shard lands in subfile 0
+        frac = F.col("sort_key") * F.lit(int(n_shards)) - F.col("shard")
+        sub = F.least(F.floor(frac * F.lit(fps)), F.lit(fps - 1)).cast("int")
+        (
+            out.withColumn("subfile", sub)
+            .repartition(int(n_shards) * fps, "shard", "subfile")
+            .sortWithinPartitions("shard", "subfile", "sort_key", id_col)
+            .write.mode(mode)
+            .partitionBy("shard", "subfile")
+            .parquet(path)
+        )
+    if manifest:
+        _write_manifest(df.sparkSession, path, id_col, int(n_shards), int(seed), fps)
+
+
+def _write_manifest(spark, path: str, id_col: str, n_shards: int, seed: int, fps: int) -> None:
+    """Read-after-write ``_MANIFEST.json``: layout config + per-shard
+    row counts from one #shards-row aggregate over the written files."""
+    import json
+    import os
+
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    doc = {
+        "format": "cs533_training_shards_v1",
+        "id_col": id_col,
+        "n_shards": n_shards,
+        "files_per_shard": fps,
+        "seed": seed,
+        "total_rows": sum(counts.values()),
+        "rows_per_shard": {str(k): counts.get(k, 0) for k in range(n_shards)},
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)

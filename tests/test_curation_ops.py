@@ -636,6 +636,26 @@ def test_write_training_shards_multifile(spark, tmp_path):
         write_training_shards(df, str(tmp_path / "bad"), "doc_id", 4, files_per_shard=0)
 
 
+def test_write_training_shards_manifest(spark, tmp_path):
+    import json
+
+    from cs533_big_data_data_mining_spark.operators.packing import write_training_shards
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(200)], "doc_id long, text string")
+    p = str(tmp_path / "mshards")
+    write_training_shards(df, p, "doc_id", 5, seed=2, files_per_shard=2, manifest=True)
+    doc = json.load(open(f"{p}/_MANIFEST.json"))
+    assert doc["n_shards"] == 5 and doc["files_per_shard"] == 2 and doc["seed"] == 2
+    assert doc["total_rows"] == 200 and doc["id_col"] == "doc_id"
+    got = {
+        r["shard"]: r["n"]
+        for r in spark.read.parquet(p).groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert doc["rows_per_shard"] == {str(k): got.get(k, 0) for k in range(5)}
+    # every shard key present even if some shard were empty
+    assert set(doc["rows_per_shard"]) == {str(k) for k in range(5)}
+
+
 def test_temperature_weights_flatten(spark):
     from cs533_big_data_data_mining_spark.operators.quality import temperature_weights
 
