@@ -133,6 +133,8 @@ def _parse_bmp(buf: bytes):
     compression = struct.unpack_from("<I", buf, 30)[0]
     if w <= 0 or h_raw == 0 or planes != 1 or compression != 0 or bpp not in (24, 32):
         return None
+    if data_off < 14 + hdr_size:  # pixel run may not overlap the headers
+        return None
     h = abs(h_raw)
     ch = bpp // 8
     row_bytes = (w * ch + 3) & ~3  # rows pad to 4-byte boundaries
@@ -204,6 +206,12 @@ def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) ->
     ``batch_rows`` bounds peak memory per worker
     (spark.sql.execution.arrow.maxRecordsPerBatch governs the Arrow
     slice size upstream of this)."""
+    if decode not in ("stub", "numpy", "real"):
+        raise ValueError(
+            f"decode must be 'stub', 'numpy', or 'real' (got {decode!r}) — "
+            "a silent fall-through to the stub would mark every real "
+            "payload undecodable"
+        )
     if decode == "real":
         raise NotImplementedError(
             "compressed-media codecs (PIL/av) are not available in this "
@@ -377,7 +385,9 @@ def resize_image(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def _resize(payload):
-                buf = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    return None  # missing stays missing, not empty bytes
+                buf = bytes(payload)
                 r = _parse_ppm(buf)
                 if r is None:
                     return buf

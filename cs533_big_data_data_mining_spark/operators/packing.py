@@ -377,17 +377,28 @@ def write_training_shards(
 
 def _write_manifest(spark, path: str, id_col: str, n_shards: int, seed: int, fps: int) -> None:
     """Read-after-write ``_MANIFEST.json``: layout config + per-shard
-    row counts from one #shards-row aggregate over the written files."""
+    row counts from one #shards-row aggregate over the written files.
+    Written through the Hadoop FileSystem API so URI paths (file:/,
+    hdfs://, s3a://) land next to the data, not on the driver's local
+    disk. An all-rows-filtered write leaves no parquet files; the
+    manifest then records zero rows instead of crashing the job after
+    the data commit."""
     import json
-    import os
 
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    try:
+        counts = {
+            int(r["shard"]): int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except Exception:  # noqa: BLE001 — empty write: only _SUCCESS exists
+        counts = {}
+    # enumerate the UNION of configured and on-disk shard keys: under
+    # mode='append' over a prior wider layout, on-disk shards past
+    # n_shards must still appear or sum(rows_per_shard) != total_rows
+    keys = sorted(set(range(n_shards)) | set(counts))
     doc = {
         "format": "cs533_training_shards_v1",
         "id_col": id_col,
@@ -395,7 +406,14 @@ def _write_manifest(spark, path: str, id_col: str, n_shards: int, seed: int, fps
         "files_per_shard": fps,
         "seed": seed,
         "total_rows": sum(counts.values()),
-        "rows_per_shard": {str(k): counts.get(k, 0) for k in range(n_shards)},
+        "rows_per_shard": {str(k): counts.get(k, 0) for k in keys},
     }
-    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
-        json.dump(doc, fh, indent=1, sort_keys=True)
+    payload = json.dumps(doc, indent=1, sort_keys=True).encode()
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_MANIFEST.json")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()

@@ -759,3 +759,18 @@ def test_exact_dedup_bipartite_preserves_all_columns(spark):
     out2 = exact_dedup_bipartite(new, hist2, "id", "text", history_content_col="body")
     assert sorted(r["id"] for r in out2.collect()) == [1]
     assert out2.columns == new.columns
+
+
+def test_write_training_shards_manifest_empty_input(spark, tmp_path):
+    # all rows filtered out: the write leaves only _SUCCESS; the
+    # manifest must record zero rows, not crash after the data commit
+    import json
+
+    from cs533_big_data_data_mining_spark.operators.packing import write_training_shards
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string").filter("doc_id < 0")
+    p = str(tmp_path / "empty_shards")
+    write_training_shards(df, p, "doc_id", 3, manifest=True)
+    doc = json.load(open(f"{p}/_MANIFEST.json"))
+    assert doc["total_rows"] == 0
+    assert doc["rows_per_shard"] == {"0": 0, "1": 0, "2": 0}

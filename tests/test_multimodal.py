@@ -246,3 +246,33 @@ def test_audio_stats_exact(spark):
     assert got[1]["mean_abs"] == pytest.approx(round(float(a.mean()), 6))
     assert got[1]["peak_abs"] == pytest.approx(1.0)
     assert got[2]["n_samples"] == 0 and got[2]["mean_abs"] == 0.0
+
+
+def test_numpy_decode_hardening(spark):
+    # review findings: bad decode value raises; NULL payload survives
+    # resize as NULL; a BMP whose data offset overlaps the headers is
+    # rejected (would otherwise 'decode' header bytes as pixels)
+    import struct
+
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_bmp,
+        decode_media,
+        pack_ppm,
+        resize_image,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", None, "s"),
+         (2, "image", bytearray(pack_ppm(np.zeros((2, 2, 3), np.uint8))), "s")],
+        "media_id long, modality string, payload binary, source string",
+    )
+    with pytest.raises(ValueError):
+        decode_media(df, decode="np")
+    out = {r["media_id"]: r["payload"] for r in resize_image(df, 2, 2).collect()}
+    assert out[1] is None and out[2] is not None
+    # data_off pointing into the header region -> reject
+    bad = bytearray(_bmp24(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<I", bad, 10, 0)
+    assert _parse_bmp(bytes(bad)) is None
