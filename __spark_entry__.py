@@ -741,6 +741,7 @@ def _q_multimodal_decode(spark, sf_dir):
     from cs533_big_data_data_mining_spark.operators.multimodal import (
         decode_media,
         image_stats,
+        pack_bmp24,
         pack_ppm,
         pack_wav_pcm16,
     )
@@ -754,6 +755,13 @@ def _q_multimodal_decode(spark, sf_dir):
     for i in sorted(ids):
         if i % 17 == 0:
             payload = b"garbage"
+        elif i % 13 == 0:
+            w, h = 3 + i % 9, 2 + i % 5
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[..., 0] = i % 256
+            px[..., 1] = (i * 3) % 256
+            px[..., 2] = (i * 5) % 256
+            payload = pack_bmp24(px)
         elif i % 11 == 0:
             n = 10 + i % 23
             payload = pack_wav_pcm16(np.full((n, 1), 777, dtype=np.int16), 8000)
@@ -3604,21 +3612,26 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         "multimodal_decode": """
             SELECT doc_id AS id,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                        WHEN doc_id % 13 = 0 THEN 3 + doc_id % 9
                         WHEN doc_id % 11 = 0 THEN 10 + doc_id % 23
                         ELSE 4 + doc_id % 13 END AS INTEGER) AS width,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+                        WHEN doc_id % 13 = 0 THEN 2 + doc_id % 5
                         WHEN doc_id % 11 = 0 THEN 1
                         ELSE 3 + doc_id % 7 END AS INTEGER) AS height,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
-                        WHEN doc_id % 11 = 0 THEN 1
+                        WHEN doc_id % 11 = 0 AND doc_id % 13 <> 0 THEN 1
                         ELSE 3 END AS INTEGER) AS channels,
               doc_id % 17 <> 0 AS ok,
-              CASE WHEN doc_id % 17 <> 0 AND doc_id % 11 <> 0
-                   THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
-              CASE WHEN doc_id % 17 <> 0 AND doc_id % 11 <> 0
-                   THEN CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
-              CASE WHEN doc_id % 17 <> 0 AND doc_id % 11 <> 0
-                   THEN CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b
+              CASE WHEN doc_id % 17 = 0 OR (doc_id % 11 = 0 AND doc_id % 13 <> 0) THEN NULL
+                   WHEN doc_id % 13 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                   ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+              CASE WHEN doc_id % 17 = 0 OR (doc_id % 11 = 0 AND doc_id % 13 <> 0) THEN NULL
+                   WHEN doc_id % 13 = 0 THEN CAST((doc_id * 3) % 256 AS DOUBLE)
+                   ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
+              CASE WHEN doc_id % 17 = 0 OR (doc_id % 11 = 0 AND doc_id % 13 <> 0) THEN NULL
+                   WHEN doc_id % 13 = 0 THEN CAST((doc_id * 5) % 256 AS DOUBLE)
+                   ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b
             FROM documents
         """,
         # shard_assign: the assign_split uniform-hash spelling with

@@ -70,6 +70,22 @@ def pack_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
+def pack_bmp24(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> bottom-up 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, rows padded to 4 bytes, BGR on disk)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("pack_bmp24 wants (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    pad = (-(w * 3)) % 4
+    body = b"".join(
+        pixels[y, :, ::-1].tobytes() + b"\0" * pad for y in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + info + body
+
+
 def pack_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """(n_samples, n_channels) int16 -> minimal RIFF/WAVE PCM file."""
     if samples.ndim != 2 or samples.dtype != np.int16:

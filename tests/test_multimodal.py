@@ -276,3 +276,10 @@ def test_numpy_decode_hardening(spark):
     bad = bytearray(_bmp24(np.zeros((2, 2, 3), np.uint8)))
     struct.pack_into("<I", bad, 10, 0)
     assert _parse_bmp(bytes(bad)) is None
+    # product packer agrees byte-for-byte with this test's independent twin
+    from cs533_big_data_data_mining_spark.operators.multimodal import pack_bmp24
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    assert pack_bmp24(px) == _bmp24(px)
+    assert np.array_equal(_parse_bmp(pack_bmp24(px))[3], px)
