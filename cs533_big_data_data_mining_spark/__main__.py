@@ -593,6 +593,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",
+        epilog="data-pipeline subcommands: refinedweb curate mix chunk pack "
+        "score (run '<subcommand> --help' for each)",
     )
     ap.add_argument("-i", "--input", required=True, help="input file (.bin with -b, else parquet)")
     ap.add_argument("-b", "--binary", action="store_true", help="input is the reference's .bin format")
