@@ -1233,6 +1233,41 @@ def _url_variants(base):
     )
 
 
+URLF_BLOCKED = ["bad.example"]
+URLF_KW = {"casino": 0.6, "poker": 0.6}
+
+
+def _q_url_filter(spark, sf_dir):
+    # RefinedWeb stage ZERO — provenance filtering before URL dedup:
+    # planted URLs per doc_id residue (exact-blocked domain, suffix-
+    # blocked subdomain, keyword-blocked path, below-threshold
+    # keyword, clean), so host/kw_score/keep are all pure functions
+    # of doc_id the oracle derives from the construction
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import url_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    url = (
+        F.when(i % 10 == 0, F.concat(F.lit("https://bad.example/p/"), sid))
+        .when(i % 10 == 1, F.concat(F.lit("https://sub.bad.example/p/"), sid))
+        .when(i % 10 == 2, F.concat(F.lit("https://ok.example/casino/poker/"), sid))
+        .when(i % 10 == 3, F.concat(F.lit("https://ok.example/casino/"), sid))
+        .otherwise(
+            F.concat(F.lit("https://h"), (i % 50).cast("string"), F.lit(".example/p/"), sid)
+        )
+    )
+    return url_filter(
+        docs.select("doc_id", url.alias("url")),
+        "doc_id",
+        "url",
+        blocked_domains=URLF_BLOCKED,
+        keyword_weights=URLF_KW,
+        max_keyword_score=1.0,
+    )
+
+
 def _q_url_dedup(spark, sf_dir):
     # URL-level exact dedup (RefinedWeb stage one): the operator must
     # collapse all five planted variants and keep the min doc_id. The
@@ -2608,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,
         "dsir_route_eq": _q_dsir_route_eq,
         "multimodal_decode": _q_multimodal_decode,
+        "url_filter": _q_url_filter,
         # crawl_shards: oracle gained the COALESCE null/empty-text
         # grouping fix this round
         "crawl_shards": _q_crawl_shards,
@@ -3520,6 +3556,20 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # url_dedup: an INDEPENDENT expectation — every planted
         # variant group must collapse to one canonical URL + min id
         # (not a SQL re-spelling of the normalizer)
+        # url_filter: construction-derived — host/score/keep are pure
+        # functions of the planted doc_id residue
+        "url_filter": """
+            SELECT doc_id AS id,
+              CASE WHEN doc_id % 10 = 0 THEN 'bad.example'
+                   WHEN doc_id % 10 = 1 THEN 'sub.bad.example'
+                   WHEN doc_id % 10 IN (2, 3) THEN 'ok.example'
+                   ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' END AS host,
+              CASE WHEN doc_id % 10 = 2 THEN CAST(1.2 AS DOUBLE)
+                   WHEN doc_id % 10 = 3 THEN CAST(0.6 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END AS kw_score,
+              doc_id % 10 NOT IN (0, 1, 2) AS keep
+            FROM documents
+        """,
         "url_dedup": f"""
             SELECT min(doc_id) AS id,
                    'https://site.com/page/' || g || '?q=1' AS url_norm

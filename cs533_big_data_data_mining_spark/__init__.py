@@ -80,6 +80,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     sample_sources,
     temperature_fractions,
     temperature_weights,
+    url_filter,
 )
 from cs533_big_data_data_mining_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -90,7 +91,7 @@ from cs533_big_data_data_mining_spark.operators.similarity import (
     semdedup,
 )
 from cs533_big_data_data_mining_spark.functions.text import clean_text, redact_pii
-from cs533_big_data_data_mining_spark.functions.url import normalize_url
+from cs533_big_data_data_mining_spark.functions.url import normalize_url, url_host
 from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
 from cs533_big_data_data_mining_spark.sources.documents import (
     jsonl_to_parquet,
@@ -129,6 +130,8 @@ __all__ = [
     "shard_rows",
     "write_training_shards",
     "normalize_url",
+    "url_filter",
+    "url_host",
     "gopher_rules",
     "dsir_logratio",
     "dsir_resample",

@@ -406,6 +406,18 @@ def _refinedweb_main(argv: list[str]) -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--url-col", default=None, help="enable stage-1 URL dedup on this column")
+    ap.add_argument(
+        "--blocked-domains", default=None,
+        help="comma-separated domain blocklist (stage 0, needs --url-col): "
+        "a host is dropped if it equals or dot-suffixes a listed domain",
+    )
+    ap.add_argument(
+        "--url-kw", default=None,
+        help="URL keyword weights 'casino=0.6,poker=0.6' (stage 0, needs "
+        "--url-col): documents whose lowercased URL's summed keyword "
+        "weight reaches --url-kw-max are dropped",
+    )
+    ap.add_argument("--url-kw-max", type=float, default=1.0)
     ap.add_argument("--min-words", type=int, default=50)
     ap.add_argument("--min-stopword-hits", type=int, default=2)
     ap.add_argument("--skip-gopher", action="store_true")
@@ -471,9 +483,12 @@ def _refinedweb_main(argv: list[str]) -> int:
         lm_perplexity,
         quantile_filter,
         remove_boilerplate_lines,
+        url_filter,
     )
     from cs533_big_data_data_mining_spark.session import get_spark
 
+    if (args.blocked_domains or args.url_kw) and not args.url_col:
+        raise SystemExit("--blocked-domains / --url-kw need --url-col")
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="cs533_refinedweb_cli", master=args.master)
     t0 = time.time()
@@ -489,6 +504,22 @@ def _refinedweb_main(argv: list[str]) -> int:
         return frame
 
     cur = stage("input", docs)
+    if args.blocked_domains or args.url_kw:
+        kw = (
+            {k: float(v) for k, v in (p.split("=", 1) for p in args.url_kw.split(","))}
+            if args.url_kw
+            else None
+        )
+        bl = args.blocked_domains.split(",") if args.blocked_domains else None
+        uf = url_filter(
+            cur, idc, args.url_col,
+            blocked_domains=bl, keyword_weights=kw,
+            max_keyword_score=args.url_kw_max,
+        )
+        cur = stage(
+            "url_filter",
+            cur.join(uf.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+        )
     if args.url_col:
         keep = url_dedup(cur, idc, args.url_col).select(F.col("id").alias(idc))
         cur = stage("url_dedup", cur.join(keep, idc, "left_semi"))

@@ -75,3 +75,35 @@ def normalize_url(col: str | Column) -> Column:
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
         F.when(newq == "", pre).otherwise(F.concat(pre, F.lit("?"), newq))
     )
+
+
+#: ``host`` capture out of ``scheme://[user@]host[:port]/...`` —
+#: userinfo and port excluded, lowercased by the caller.
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def url_host(col: str | Column) -> Column:
+    """Lowercased host of a URL (no scheme/userinfo/port/path); empty
+    string for non-URLs, null for null input. Pure Column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    )
+
+
+def host_suffixes(col: str | Column) -> Column:
+    """``array<string>`` of a host's dot-suffixes —
+    ``a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+    com]`` — so a domain blocklist becomes one EQUI semi-join on the
+    exploded suffixes instead of a non-equi ``LIKE '%.d'`` join (the
+    blocklist side broadcasts; the suffix fan-out is the host's label
+    count, <= ~5 in practice). Empty array for empty/null hosts."""
+    h = F.col(col) if isinstance(col, str) else col
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.when(h.isNull() | (h == ""), F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n), "."),
+        )
+    )

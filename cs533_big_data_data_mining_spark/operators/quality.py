@@ -741,6 +741,83 @@ def gopher_rules(
     )
 
 
+def url_filter(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    blocked_domains: list[str] | DataFrame | None = None,
+    keyword_weights: dict[str, float] | None = None,
+    max_keyword_score: float = 1.0,
+) -> DataFrame:
+    """RefinedWeb stage ZERO (Penedo 2023 §3.1 "URL filtering", before
+    even URL dedup): drop documents by where they came from — (a) a
+    domain blocklist (adult/fraud/malware lists; a host is blocked if
+    it IS a listed domain or any dot-suffix of it matches, so
+    ``bad.example`` blocks ``a.b.bad.example``), and (b) a weighted
+    URL-keyword score (sum of weights of keywords contained in the
+    lowercased URL; ``score >= max_keyword_score`` blocks — soft
+    matching so ``casino`` alone can pass while ``casino``+``poker``
+    trips). Returns ``(id, host, kw_score, keep)`` for EVERY row so
+    audits can rank near-blocked URLs; survivors are
+    ``filter(keep)``. Null/non-URL rows keep (no host to judge —
+    filter them on content, not provenance).
+
+    Scale shape: host + suffixes + keyword score are pure Column; the
+    blocklist check is one semi-join of exploded host-suffixes
+    against the (broadcastable: blocklists are ~10^5-10^6 rows) domain
+    set — an EQUI join, never a ``LIKE`` scan. ``blocked_domains``
+    accepts a Python list (tests, small lists) or a one-column
+    DataFrame (read the list once at 100 TB, not per-driver-script).
+    """
+    from cs533_big_data_data_mining_spark.functions.url import host_suffixes, url_host
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("__url"),
+        url_host(url_col).alias("host"),
+    )
+    kw = {str(k).lower(): float(v) for k, v in (keyword_weights or {}).items()}
+    score = F.lit(0.0)
+    lowered = F.lower(F.col("__url"))
+    for k, w in sorted(kw.items()):
+        score = score + F.when(lowered.contains(k), F.lit(w)).otherwise(F.lit(0.0))
+    scored = base.withColumn("kw_score", F.round(score, 6))
+
+    if blocked_domains is None:
+        blocked_hit = scored.select("id").limit(0)
+    else:
+        if isinstance(blocked_domains, DataFrame):
+            dom = blocked_domains.select(
+                F.lower(F.col(blocked_domains.columns[0])).alias("__d")
+            ).distinct()
+        else:
+            from cs533_big_data_data_mining_spark.session import local_df
+
+            dom = local_df(
+                spark, [(str(d).lower(),) for d in blocked_domains], "__d string"
+            ).distinct()
+        blocked_hit = (
+            scored.select("id", F.explode(host_suffixes("host")).alias("__d"))
+            .join(F.broadcast(dom), "__d", "left_semi")
+            .select("id")
+            .distinct()
+        )
+    flagged = blocked_hit.withColumn("__blocked", F.lit(True))
+    return (
+        scored.join(flagged, "id", "left")
+        .select(
+            "id",
+            "host",
+            "kw_score",
+            (
+                F.col("__blocked").isNull()
+                & (F.col("kw_score") < F.lit(float(max_keyword_score)))
+            ).alias("keep"),
+        )
+    )
+
+
 def dsir_logratio(
     df: DataFrame,
     id_col: str,

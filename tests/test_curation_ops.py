@@ -417,6 +417,8 @@ def test_cli_refinedweb_end_to_end(spark, tmp_path):
     rc = main([
         "refinedweb", "-i", src, "-o", out,
         "--url-col", "url", "--min-stopword-hits", "1",
+        "--blocked-domains", "blocked.example",
+        "--url-kw", "zzspam=1.0",
         "--keep-ppl", "0.95", "--jaccard", "0.8", "--spans-k", "0",
         "--target", tgt, "--select-k", "20",
         "--shards", "4", "--files-per-shard", "2", "--seed", "3",
@@ -774,3 +776,61 @@ def test_write_training_shards_manifest_empty_input(spark, tmp_path):
     doc = json.load(open(f"{p}/_MANIFEST.json"))
     assert doc["total_rows"] == 0
     assert doc["rows_per_shard"] == {"0": 0, "1": 0, "2": 0}
+
+
+# ----------------------------------------------------------- url_filter
+
+
+def test_url_host_and_suffixes(spark):
+    from cs533_big_data_data_mining_spark.functions.url import host_suffixes, url_host
+
+    rows = [
+        (0, "https://A.B.Example.COM:8080/p?q=1"),
+        (1, "http://user:pw@Host.example/x"),
+        (2, "not a url"),
+        (3, None),
+        (4, "https://single/x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r["id"]: (r["h"], r["s"])
+        for r in df.select(
+            "id", url_host("url").alias("h"), host_suffixes(url_host("url")).alias("s")
+        ).collect()
+    }
+    assert out[0] == ("a.b.example.com", ["a.b.example.com", "b.example.com", "example.com", "com"])
+    assert out[1] == ("host.example", ["host.example", "example"])
+    assert out[2] == ("", [])
+    assert out[3] == (None, [])
+    assert out[4] == ("single", ["single"])
+
+
+def test_url_filter_brute_force(spark):
+    from cs533_big_data_data_mining_spark.operators.quality import url_filter
+
+    rows = [
+        (0, "https://bad.example/x"),            # exact blocked domain
+        (1, "https://a.sub.bad.example/y"),      # suffix blocked
+        (2, "https://ok.example/casino/poker"),  # kw 0.6+0.6 >= 1.0
+        (3, "https://ok.example/casino-night"),  # kw 0.6 < 1.0 -> keep
+        (4, "https://ok.example/clean"),
+        (5, None),                               # null -> keep
+        (6, "https://badexample.net/z"),         # NOT a dot-suffix match
+        (7, "https://ok.example/CASINO/POKER"),  # case-insensitive kw
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = url_filter(
+        df, "id", "url",
+        blocked_domains=["bad.example"],
+        keyword_weights={"casino": 0.6, "poker": 0.6},
+        max_keyword_score=1.0,
+    )
+    got = {r["id"]: (r["keep"], r["kw_score"]) for r in out.collect()}
+    assert {i: k for i, (k, _) in got.items()} == {
+        0: False, 1: False, 2: False, 3: True, 4: True, 5: True, 6: True, 7: False,
+    }
+    assert got[2][1] == pytest.approx(1.2) and got[3][1] == pytest.approx(0.6)
+    # DataFrame-typed blocklist takes the same path
+    bl = spark.createDataFrame([("BAD.example",)], "domain string")
+    out2 = url_filter(df, "id", "url", blocked_domains=bl)
+    assert {r["id"] for r in out2.filter("NOT keep").collect()} == {0, 1}

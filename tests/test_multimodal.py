@@ -283,3 +283,60 @@ def test_numpy_decode_hardening(spark):
     px = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
     assert pack_bmp24(px) == _bmp24(px)
     assert np.array_equal(_parse_bmp(pack_bmp24(px))[3], px)
+
+
+# ----------------------------------------------- parser fuzz (pure py)
+
+
+def test_media_parsers_fuzz_roundtrip():
+    # hypothesis-style fuzz without Spark: random valid media round-
+    # trips bit-exactly; random byte noise never raises, only returns
+    # None or a structurally consistent parse
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _numpy_decode_one,
+        _parse_bmp,
+        _parse_ppm,
+        _parse_wav,
+        pack_bmp24,
+        pack_ppm,
+        pack_wav_pcm16,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        kind=st.sampled_from(["ppm", "bmp", "wav"]),
+    )
+    def roundtrip(w, h, seed, kind):
+        rng = np.random.default_rng(seed)
+        if kind == "wav":
+            s = rng.integers(-32768, 32768, (w * h, min(h, 4))).astype(np.int16)
+            r = _parse_wav(pack_wav_pcm16(s, 8000 + w))
+            assert r is not None and r[0] == w * h and r[1] == min(h, 4)
+            assert np.array_equal((r[3] * 32768.0).astype(np.int16), s)
+        else:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            buf = pack_ppm(px) if kind == "ppm" else pack_bmp24(px)
+            r = (_parse_ppm if kind == "ppm" else _parse_bmp)(buf)
+            assert r is not None and (r[0], r[1]) == (w, h)
+            assert np.array_equal(r[3], px)
+
+    @settings(max_examples=120, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=200), magic=st.sampled_from(
+        [b"", b"P6", b"BM", b"RIFF", b"RIFFxxxxWAVE", b"P6\n"]
+    ))
+    def noise(data, magic):
+        buf = magic + data
+        r = _numpy_decode_one(buf)  # must never raise
+        if r is not None:
+            w, h, c = r
+            assert w > 0 and h > 0 and c > 0
+
+    roundtrip()
+    noise()
