@@ -489,6 +489,11 @@ def _refinedweb_main(argv: list[str]) -> int:
 
     if (args.blocked_domains or args.url_kw) and not args.url_col:
         raise SystemExit("--blocked-domains / --url-kw need --url-col")
+    if args.url_kw_max <= 0:
+        raise SystemExit(
+            "--url-kw-max must be > 0 (keep requires kw_score < max, and every "
+            "row scores >= 0 — a non-positive max drops the whole corpus)"
+        )
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="cs533_refinedweb_cli", master=args.master)
     t0 = time.time()
@@ -505,12 +510,24 @@ def _refinedweb_main(argv: list[str]) -> int:
 
     cur = stage("input", docs)
     if args.blocked_domains or args.url_kw:
-        kw = (
-            {k: float(v) for k, v in (p.split("=", 1) for p in args.url_kw.split(","))}
-            if args.url_kw
+        kw = None
+        if args.url_kw:
+            try:
+                kw = {
+                    k.strip(): float(v)
+                    for k, v in (p.split("=", 1) for p in args.url_kw.split(","))
+                }
+            except ValueError as exc:
+                raise SystemExit(
+                    f"--url-kw wants 'word=weight[,word=weight...]': {exc}"
+                ) from exc
+        # strip + drop empties: ' evil.example' or a trailing comma
+        # would otherwise silently never match any host suffix
+        bl = (
+            [d.strip() for d in args.blocked_domains.split(",") if d.strip()]
+            if args.blocked_domains
             else None
         )
-        bl = args.blocked_domains.split(",") if args.blocked_domains else None
         uf = url_filter(
             cur, idc, args.url_col,
             blocked_domains=bl, keyword_weights=kw,

@@ -759,8 +759,10 @@ def url_filter(
     matching so ``casino`` alone can pass while ``casino``+``poker``
     trips). Returns ``(id, host, kw_score, keep)`` for EVERY row so
     audits can rank near-blocked URLs; survivors are
-    ``filter(keep)``. Null/non-URL rows keep (no host to judge —
-    filter them on content, not provenance).
+    ``filter(keep)``. Null/non-URL rows keep unconditionally — both
+    gates are provenance gates, and a hostless value gives no
+    provenance to judge (its ``kw_score`` is still reported for
+    audits); filter such rows on content, not provenance.
 
     Scale shape: host + suffixes + keyword score are pure Column; the
     blocklist check is one semi-join of exploded host-suffixes
@@ -784,37 +786,48 @@ def url_filter(
         score = score + F.when(lowered.contains(k), F.lit(w)).otherwise(F.lit(0.0))
     scored = base.withColumn("kw_score", F.round(score, 6))
 
-    if blocked_domains is None:
-        blocked_hit = scored.select("id").limit(0)
-    else:
-        if isinstance(blocked_domains, DataFrame):
-            dom = blocked_domains.select(
-                F.lower(F.col(blocked_domains.columns[0])).alias("__d")
-            ).distinct()
-        else:
-            from cs533_big_data_data_mining_spark.session import local_df
+    # hostless rows (null / non-URL) are exempt from BOTH gates — the
+    # documented contract: no provenance to judge, filter on content
+    hostless = F.col("host").isNull() | (F.col("host") == "")
+    kw_pass = F.col("kw_score") < F.lit(float(max_keyword_score))
 
-            dom = local_df(
-                spark, [(str(d).lower(),) for d in blocked_domains], "__d string"
-            ).distinct()
+    if blocked_domains is None:
+        blocked = F.lit(False)
+        joined = scored
+    elif not isinstance(blocked_domains, DataFrame):
+        # list blocklist: pure-Column suffix-set intersection — zero
+        # joins, zero extra scans (the broadcast semi-join shape below
+        # exists for blocklists big enough to arrive as a DataFrame)
+        doms = sorted({str(d).lower() for d in blocked_domains})
+        blocked = (
+            F.size(
+                F.array_intersect(
+                    host_suffixes("host"), F.array(*[F.lit(d) for d in doms])
+                )
+            )
+            > 0
+            if doms
+            else F.lit(False)
+        )
+        joined = scored
+    else:
+        dom = blocked_domains.select(
+            F.lower(F.col(blocked_domains.columns[0])).alias("__d")
+        ).distinct()
         blocked_hit = (
             scored.select("id", F.explode(host_suffixes("host")).alias("__d"))
             .join(F.broadcast(dom), "__d", "left_semi")
             .select("id")
             .distinct()
+            .withColumn("__blocked", F.lit(True))
         )
-    flagged = blocked_hit.withColumn("__blocked", F.lit(True))
-    return (
-        scored.join(flagged, "id", "left")
-        .select(
-            "id",
-            "host",
-            "kw_score",
-            (
-                F.col("__blocked").isNull()
-                & (F.col("kw_score") < F.lit(float(max_keyword_score)))
-            ).alias("keep"),
-        )
+        joined = scored.join(blocked_hit, "id", "left")
+        blocked = F.coalesce(F.col("__blocked"), F.lit(False))
+    return joined.select(
+        "id",
+        "host",
+        "kw_score",
+        (hostless | (~blocked & kw_pass)).alias("keep"),
     )
 
 

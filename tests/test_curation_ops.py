@@ -817,6 +817,7 @@ def test_url_filter_brute_force(spark):
         (5, None),                               # null -> keep
         (6, "https://badexample.net/z"),         # NOT a dot-suffix match
         (7, "https://ok.example/CASINO/POKER"),  # case-insensitive kw
+        (8, "best casino and poker deals"),       # non-URL: keep even w/ kw
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     out = url_filter(
@@ -827,7 +828,8 @@ def test_url_filter_brute_force(spark):
     )
     got = {r["id"]: (r["keep"], r["kw_score"]) for r in out.collect()}
     assert {i: k for i, (k, _) in got.items()} == {
-        0: False, 1: False, 2: False, 3: True, 4: True, 5: True, 6: True, 7: False,
+        0: False, 1: False, 2: False, 3: True, 4: True, 5: True, 6: True,
+        7: False, 8: True,
     }
     assert got[2][1] == pytest.approx(1.2) and got[3][1] == pytest.approx(0.6)
     # DataFrame-typed blocklist takes the same path

@@ -336,7 +336,9 @@ def test_media_parsers_fuzz_roundtrip():
         r = _numpy_decode_one(buf)  # must never raise
         if r is not None:
             w, h, c = r
-            assert w > 0 and h > 0 and c > 0
+            # w == 0 is legal: a structurally valid WAV may carry an
+            # empty data chunk; images guarantee positive dims
+            assert w >= 0 and h > 0 and c > 0
 
     roundtrip()
     noise()
