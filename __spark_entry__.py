@@ -1241,8 +1241,9 @@ def _q_url_filter(spark, sf_dir):
     # RefinedWeb stage ZERO — provenance filtering before URL dedup:
     # planted URLs per doc_id residue (exact-blocked domain, suffix-
     # blocked subdomain, keyword-blocked path, below-threshold
-    # keyword, clean), so host/kw_score/keep are all pure functions
-    # of doc_id the oracle derives from the construction
+    # keyword, TRAILING-DOT FQDN spelling of the blocked domain,
+    # clean), so host/kw_score/keep are all pure functions of doc_id
+    # the oracle derives from the construction
     _ensure_shipped(spark)
     from cs533_big_data_data_mining_spark.operators.quality import url_filter
 
@@ -1254,6 +1255,9 @@ def _q_url_filter(spark, sf_dir):
         .when(i % 10 == 1, F.concat(F.lit("https://sub.bad.example/p/"), sid))
         .when(i % 10 == 2, F.concat(F.lit("https://ok.example/casino/poker/"), sid))
         .when(i % 10 == 3, F.concat(F.lit("https://ok.example/casino/"), sid))
+        # the FQDN bypass: 'bad.example.' resolves to the same host —
+        # url_host strips the root-label dot, so this row must block
+        .when(i % 10 == 4, F.concat(F.lit("https://bad.example./p/"), sid))
         .otherwise(
             F.concat(F.lit("https://h"), (i % 50).cast("string"), F.lit(".example/p/"), sid)
         )
@@ -3560,14 +3564,14 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # functions of the planted doc_id residue
         "url_filter": """
             SELECT doc_id AS id,
-              CASE WHEN doc_id % 10 = 0 THEN 'bad.example'
+              CASE WHEN doc_id % 10 IN (0, 4) THEN 'bad.example'
                    WHEN doc_id % 10 = 1 THEN 'sub.bad.example'
                    WHEN doc_id % 10 IN (2, 3) THEN 'ok.example'
                    ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' END AS host,
               CASE WHEN doc_id % 10 = 2 THEN CAST(1.2 AS DOUBLE)
                    WHEN doc_id % 10 = 3 THEN CAST(0.6 AS DOUBLE)
                    ELSE CAST(0.0 AS DOUBLE) END AS kw_score,
-              doc_id % 10 NOT IN (0, 1, 2) AS keep
+              doc_id % 10 NOT IN (0, 1, 2, 4) AS keep
             FROM documents
         """,
         "url_dedup": f"""

@@ -84,10 +84,14 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
 
 def url_host(col: str | Column) -> Column:
     """Lowercased host of a URL (no scheme/userinfo/port/path); empty
-    string for non-URLs, null for null input. Pure Column."""
+    string for non-URLs, null for null input. A single trailing ``.``
+    (the fully-qualified root-label form — ``bad.example.`` — which
+    browsers/DNS resolve to the same host) is stripped, so blocklist
+    suffix matching can't be bypassed by the FQDN spelling. Pure
+    Column."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
-        F.lower(F.regexp_extract(c, _HOST_RE, 1))
+        F.lower(F.regexp_replace(F.regexp_extract(c, _HOST_RE, 1), r"\.$", ""))
     )
 
 

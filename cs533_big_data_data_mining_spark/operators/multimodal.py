@@ -132,6 +132,13 @@ def _parse_ppm(buf: bytes):
     if len(buf) - i < need:
         return None
     px = np.frombuffer(buf, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+    if maxval != 255:
+        # netpbm samples are proportional to maxval: rescale to the
+        # full 8-bit range (half-up quantization — +0.5 floor on
+        # non-negative values) so channel means aren't off by
+        # 255/maxval for externally-produced low-maxval PPMs. The
+        # in-repo packer always writes maxval=255 (no rescale).
+        px = (px.astype(np.float64) * (255.0 / maxval) + 0.5).astype(np.uint8)
     return w, h, 3, px
 
 

@@ -385,6 +385,8 @@ def _write_manifest(spark, path: str, id_col: str, n_shards: int, seed: int, fps
     the data commit."""
     import json
 
+    from pyspark.errors import AnalysisException
+
     try:
         counts = {
             int(r["shard"]): int(r["n"])
@@ -393,7 +395,11 @@ def _write_manifest(spark, path: str, id_col: str, n_shards: int, seed: int, fps
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-    except Exception:  # noqa: BLE001 — empty write: only _SUCCESS exists
+    except AnalysisException:  # empty write: only _SUCCESS exists, no
+        # parquet files to infer a schema from. ONLY that case may
+        # fall back to zero counts — a transient FS/permission error
+        # must crash here rather than commit a manifest asserting
+        # total_rows=0 over data that was in fact written.
         counts = {}
     # enumerate the UNION of configured and on-disk shard keys: under
     # mode='append' over a prior wider layout, on-disk shards past

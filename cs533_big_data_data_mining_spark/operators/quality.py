@@ -780,10 +780,24 @@ def url_filter(
         url_host(url_col).alias("host"),
     )
     kw = {str(k).lower(): float(v) for k, v in (keyword_weights or {}).items()}
-    score = F.lit(0.0)
     lowered = F.lower(F.col("__url"))
-    for k, w in sorted(kw.items()):
-        score = score + F.when(lowered.contains(k), F.lit(w)).otherwise(F.lit(0.0))
+    if kw:
+        # one flat fold over literal keyword/weight arrays instead of
+        # a when(contains)-chain per keyword: same O(K) substring
+        # probes and the same left-to-right IEEE sum in sorted-key
+        # order (kw_score is bit-identical), but a SINGLE shallow
+        # expression node — a chain of K whens at K in the hundreds
+        # blows whole-stage codegen's per-method bytecode budget and
+        # falls back to interpreted evaluation
+        items = sorted(kw.items())
+        kws = F.array(*[F.lit(k) for k, _ in items])
+        wts = F.array(*[F.lit(w) for _, w in items])
+        hits = F.zip_with(
+            kws, wts, lambda k, w: F.when(lowered.contains(k), w).otherwise(F.lit(0.0))
+        )
+        score = F.aggregate(hits, F.lit(0.0), lambda acc, x: acc + x)
+    else:
+        score = F.lit(0.0)
     scored = base.withColumn("kw_score", F.round(score, 6))
 
     # hostless rows (null / non-URL) are exempt from BOTH gates — the

@@ -790,6 +790,7 @@ def test_url_host_and_suffixes(spark):
         (2, "not a url"),
         (3, None),
         (4, "https://single/x"),
+        (5, "https://Bad.Example./x"),  # trailing-dot FQDN == same host
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     out = {
@@ -803,6 +804,8 @@ def test_url_host_and_suffixes(spark):
     assert out[2] == ("", [])
     assert out[3] == (None, [])
     assert out[4] == ("single", ["single"])
+    # the root-label dot strips, so the blocklist suffix join matches
+    assert out[5] == ("bad.example", ["bad.example", "example"])
 
 
 def test_url_filter_brute_force(spark):
@@ -818,6 +821,7 @@ def test_url_filter_brute_force(spark):
         (6, "https://badexample.net/z"),         # NOT a dot-suffix match
         (7, "https://ok.example/CASINO/POKER"),  # case-insensitive kw
         (8, "best casino and poker deals"),       # non-URL: keep even w/ kw
+        (9, "https://bad.example./q"),            # FQDN trailing dot: blocked
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     out = url_filter(
@@ -829,10 +833,10 @@ def test_url_filter_brute_force(spark):
     got = {r["id"]: (r["keep"], r["kw_score"]) for r in out.collect()}
     assert {i: k for i, (k, _) in got.items()} == {
         0: False, 1: False, 2: False, 3: True, 4: True, 5: True, 6: True,
-        7: False, 8: True,
+        7: False, 8: True, 9: False,
     }
     assert got[2][1] == pytest.approx(1.2) and got[3][1] == pytest.approx(0.6)
     # DataFrame-typed blocklist takes the same path
     bl = spark.createDataFrame([("BAD.example",)], "domain string")
     out2 = url_filter(df, "id", "url", blocked_domains=bl)
-    assert {r["id"] for r in out2.filter("NOT keep").collect()} == {0, 1}
+    assert {r["id"] for r in out2.filter("NOT keep").collect()} == {0, 1, 9}

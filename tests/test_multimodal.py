@@ -225,6 +225,24 @@ def test_resize_image_nearest_exact(spark):
         resize_image(df, 0, 5)
 
 
+def test_parse_ppm_low_maxval_rescales():
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import _parse_ppm
+
+    # maxval=15 PPM: samples are 15ths of full scale; the decoder must
+    # rescale to 8-bit (half-up) or channel means come out 17x low
+    px4 = np.array([[[0, 7, 15], [15, 1, 0]]], dtype=np.uint8)  # (1, 2, 3)
+    buf = b"P6\n2 1\n15\n" + px4.tobytes()
+    w, h, c, got = _parse_ppm(buf)
+    assert (w, h, c) == (2, 1, 3)
+    expect = (px4.astype(np.float64) * (255.0 / 15) + 0.5).astype(np.uint8)
+    assert np.array_equal(got, expect)
+    assert got[0, 0, 2] == 255 and got[0, 1, 0] == 255  # full scale hits 255
+    # maxval > 255 (2-byte samples) stays rejected
+    assert _parse_ppm(b"P6\n2 1\n65535\n" + b"\0" * 12) is None
+
+
 def test_audio_stats_exact(spark):
     import numpy as np
 
