@@ -726,12 +726,16 @@ def _q_multimodal_frames(spark, sf_dir):
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    # REAL codec-free decoding (round 8): every doc gets a planted
-    # payload — a solid-color binary PPM (dims and channel colors are
-    # pure functions of doc_id), every 11th a PCM WAV, every 17th
-    # garbage — and the numpy decode route + pixel-level image_stats
-    # must recover dimensions, validity, and the exact channel means
-    # the construction dictates (solid color => mean == the color).
+    # REAL codec-free decoding (round 8; PNG added round 9): every doc
+    # gets a planted payload — a solid-color binary PPM (dims and
+    # channel colors are pure functions of doc_id), every 13th a BMP,
+    # every 11th a PCM WAV, every 7th an RGB PNG (cycling row filters,
+    # so all five unfilter paths run under the oracle), every 19th a
+    # greyscale PNG, every 17th garbage — and the numpy decode route +
+    # pixel-level image_stats must recover dimensions, validity, and
+    # the exact channel means the construction dictates (solid color
+    # => mean == the color; PNG means only come out right if the
+    # zlib-inflate + unfiltering reconstruction is exact).
     # The fixture is driver-built at oracle SFs (the byte payloads are
     # Python-constructed; the pipeline itself is distributed
     # mapInPandas either way).
@@ -742,6 +746,7 @@ def _q_multimodal_decode(spark, sf_dir):
         decode_media,
         image_stats,
         pack_bmp24,
+        pack_png,
         pack_ppm,
         pack_wav_pcm16,
     )
@@ -765,6 +770,16 @@ def _q_multimodal_decode(spark, sf_dir):
         elif i % 11 == 0:
             n = 10 + i % 23
             payload = pack_wav_pcm16(np.full((n, 1), 777, dtype=np.int16), 8000)
+        elif i % 7 == 0:
+            w, h = 5 + i % 11, 2 + i % 6
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[..., 0] = i % 256
+            px[..., 1] = (i * 11) % 256
+            px[..., 2] = (i * 17) % 256
+            payload = pack_png(px, filters="cycle")
+        elif i % 19 == 0:
+            w, h = 3 + i % 8, 2 + i % 4
+            payload = pack_png(np.full((h, w, 1), (i * 23) % 256, dtype=np.uint8), filters="cycle")
         else:
             w, h = 4 + i % 13, 3 + i % 7
             px = np.empty((h, w, 3), dtype=np.uint8)
@@ -3660,31 +3675,49 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         ),
         # multimodal_decode: construction-derived — the planted
         # payloads' dims/validity/solid-color means are pure functions
-        # of doc_id (every 17th garbage, every 11th a PCM WAV, rest
-        # solid-color PPMs), so the real numpy decoders are checked
+        # of doc_id (precedence: every 17th garbage, 13th a BMP, 11th
+        # a PCM WAV, 7th an RGB PNG, 19th a greyscale PNG, rest
+        # solid-color PPMs), so the real numpy decoders — incl. the
+        # zlib-inflate + NumPy-unfilter PNG path — are checked
         # value-for-value without DuckDB parsing any bytes
         "multimodal_decode": """
             SELECT doc_id AS id,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
                         WHEN doc_id % 13 = 0 THEN 3 + doc_id % 9
                         WHEN doc_id % 11 = 0 THEN 10 + doc_id % 23
+                        WHEN doc_id % 7 = 0 THEN 5 + doc_id % 11
+                        WHEN doc_id % 19 = 0 THEN 3 + doc_id % 8
                         ELSE 4 + doc_id % 13 END AS INTEGER) AS width,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
                         WHEN doc_id % 13 = 0 THEN 2 + doc_id % 5
                         WHEN doc_id % 11 = 0 THEN 1
+                        WHEN doc_id % 7 = 0 THEN 2 + doc_id % 6
+                        WHEN doc_id % 19 = 0 THEN 2 + doc_id % 4
                         ELSE 3 + doc_id % 7 END AS INTEGER) AS height,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
-                        WHEN doc_id % 11 = 0 AND doc_id % 13 <> 0 THEN 1
+                        WHEN doc_id % 13 = 0 THEN 3
+                        WHEN doc_id % 11 = 0 THEN 1
+                        WHEN doc_id % 7 = 0 THEN 3
+                        WHEN doc_id % 19 = 0 THEN 1
                         ELSE 3 END AS INTEGER) AS channels,
               doc_id % 17 <> 0 AS ok,
-              CASE WHEN doc_id % 17 = 0 OR (doc_id % 11 = 0 AND doc_id % 13 <> 0) THEN NULL
+              CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                   WHEN doc_id % 11 = 0 THEN NULL
+                   WHEN doc_id % 7 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                   WHEN doc_id % 19 = 0 THEN CAST((doc_id * 23) % 256 AS DOUBLE)
                    ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
-              CASE WHEN doc_id % 17 = 0 OR (doc_id % 11 = 0 AND doc_id % 13 <> 0) THEN NULL
+              CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST((doc_id * 3) % 256 AS DOUBLE)
+                   WHEN doc_id % 11 = 0 THEN NULL
+                   WHEN doc_id % 7 = 0 THEN CAST((doc_id * 11) % 256 AS DOUBLE)
+                   WHEN doc_id % 19 = 0 THEN NULL
                    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
-              CASE WHEN doc_id % 17 = 0 OR (doc_id % 11 = 0 AND doc_id % 13 <> 0) THEN NULL
+              CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST((doc_id * 5) % 256 AS DOUBLE)
+                   WHEN doc_id % 11 = 0 THEN NULL
+                   WHEN doc_id % 7 = 0 THEN CAST((doc_id * 17) % 256 AS DOUBLE)
+                   WHEN doc_id % 19 = 0 THEN NULL
                    ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b
             FROM documents
         """,

@@ -9,25 +9,29 @@ JVM->Python boundary exactly once per batch.
 
 Decode routes:
 
-* ``decode='numpy'`` — REAL decoding for the codec-free container
-  formats pure NumPy can parse: PPM ``P6`` images, uncompressed
-  24/32-bit ``BM`` bitmaps, and PCM 8/16-bit ``RIFF/WAVE`` audio.
-  Structural validation is complete (dims/bit-depth/chunk sizes must
-  be consistent with the payload length) and the pixel/sample paths
+* ``decode='numpy'`` — REAL decoding for the formats stdlib+NumPy
+  can parse: PPM ``P6`` images, uncompressed 24/32-bit ``BM``
+  bitmaps, **8-bit PNG** (IDAT inflate via stdlib ``zlib``, scanline
+  unfiltering — None/Sub/Up/Average/Paeth — in NumPy; grey / RGB /
+  grey+alpha / RGBA), and PCM 8/16-bit ``RIFF/WAVE`` audio.
+  Structural validation is complete (dims/bit-depth/chunk sizes/CRCs
+  must be consistent with the payload) and the pixel/sample paths
   (:func:`image_stats`, :func:`resize_image`, :func:`audio_stats`)
   operate on real decoded arrays.
 * ``decode='stub'`` — deterministic fake header (``b'FAKE'`` +
   uint16 width + uint16 height + uint8 channels + raw); tests use it
   to exercise the Spark plumbing independent of any format.
-* ``decode='real'`` — the compressed-codec route (JPEG/PNG/MP3/
-  H.264). PIL/librosa/ffmpeg are NOT in this container, so it raises
-  NotImplementedError at the point where the codec import would
-  happen; the Spark-side machinery is identical to the numpy route.
+* ``decode='real'`` — the lossy-codec route (JPEG/MP3/H.264; also
+  palette/16-bit/interlaced PNG). PIL/librosa/ffmpeg are NOT in this
+  container, so it raises NotImplementedError at the point where the
+  codec import would happen; the Spark-side machinery is identical
+  to the numpy route.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -96,6 +100,158 @@ def pack_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+#: PNG color type -> sample count (bit depth 8 only): greyscale,
+#: truecolor, greyscale+alpha, truecolor+alpha (RFC 2083 §4.1.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predictor(a, b, c):
+    """Vectorized PaethPredictor (RFC 2083 §6.6) over int arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def pack_png(pixels: np.ndarray, filters: str = "cycle", level: int = 6) -> bytes:
+    """uint8 pixels -> 8-bit PNG via stdlib ``zlib`` — no codec
+    dependency. Shape picks the color type: ``(h, w)`` or ``(h, w, 1)``
+    greyscale, ``(h, w, 2)`` grey+alpha, ``(h, w, 3)`` RGB,
+    ``(h, w, 4)`` RGBA. ``filters`` is the per-row filter strategy:
+    ``"none"`` (all rows filter 0) or ``"cycle"`` (row y uses filter
+    y % 5 — every decoder unfilter path gets exercised)."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("pack_png wants uint8 pixels")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    if pixels.ndim != 3 or pixels.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("pack_png wants (h, w[, 1|2|3|4]) uint8")
+    if filters not in ("none", "cycle"):
+        raise ValueError("filters must be 'none' or 'cycle'")
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = pixels.reshape(h, w * ch).astype(np.int16)
+    zero = np.zeros(w * ch, dtype=np.int16)
+    out_rows = []
+    for y in range(h):
+        r = flat[y]
+        p = flat[y - 1] if y else zero
+        left = np.concatenate([np.zeros(ch, dtype=np.int16), r[:-ch]]) if w * ch > ch else np.zeros_like(r)
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int16), p[:-ch]]) if w * ch > ch else np.zeros_like(p)
+        f = 0 if filters == "none" else y % 5
+        if f == 0:
+            filt = r
+        elif f == 1:
+            filt = r - left
+        elif f == 2:
+            filt = r - p
+        elif f == 3:
+            filt = r - ((left + p) >> 1)
+        else:
+            filt = r - _paeth_predictor(left, p, upleft)
+        out_rows.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_rows), level)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(buf: bytes):
+    """8-bit non-interlaced PNG -> (w, h, ch, (h, w, ch) uint8) or
+    None — REAL decoding with stdlib ``zlib`` (IDAT inflate) + NumPy
+    scanline unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+    Structural validation is complete: signature, chunk CRCs, IHDR
+    first / IEND terminator, bit depth 8, color types 0/2/4/6,
+    interlace 0, exact decompressed length, filter bytes in 0..4.
+    Palette (PLTE), 16-bit, and interlaced images return None (the
+    codec route), as does any structural damage."""
+    if len(buf) < len(_PNG_SIG) + 12 or buf[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    i, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    while i + 12 <= len(buf):
+        (clen,) = struct.unpack_from(">I", buf, i)
+        ctype = buf[i + 4 : i + 8]
+        if i + 12 + clen > len(buf):
+            return None
+        data = buf[i + 8 : i + 8 + clen]
+        (crc,) = struct.unpack_from(">I", buf, i + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ihdr is None:
+            if ctype != b"IHDR" or clen != 13:  # IHDR must come first
+                return None
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = clen == 0
+            break
+        elif ctype == b"PLTE":  # indexed-color route not supported
+            return None
+        i += 12 + clen
+    if ihdr is None or not idat or not ended:
+        return None
+    w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0 or depth != 8 or comp != 0 or filt_m != 0 or interlace != 0:
+        return None
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    if ftypes.max(initial=0) > 4:
+        return None
+    data = rows[:, 1:].astype(np.int32)
+    out = np.empty((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, r = int(ftypes[y]), data[y]
+        if f == 0:
+            rec = r.copy()
+        elif f == 1:
+            # Sub is a per-byte-lane prefix sum mod 256 — vectorized
+            rec = np.cumsum(r.reshape(w, ch), axis=0, dtype=np.int64).reshape(stride) & 0xFF
+            rec = rec.astype(np.int32)
+        elif f == 2:
+            rec = (r + prev) & 0xFF
+        else:
+            # Average/Paeth depend on the reconstructed LEFT pixel —
+            # inherently sequential along the row; vectorize across
+            # the ch byte lanes and walk the w pixels
+            rec = np.empty(stride, dtype=np.int32)
+            a = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                sl = slice(x * ch, (x + 1) * ch)
+                b = prev[sl]
+                c = prev[x * ch - ch : x * ch] if x else np.zeros(ch, dtype=np.int32)
+                pred = (a + b) >> 1 if f == 3 else _paeth_predictor(a, b, c)
+                a = (r[sl] + pred) & 0xFF
+                rec[sl] = a
+        out[y] = rec
+        prev = rec
+    return w, h, ch, out.astype(np.uint8).reshape(h, w, ch)
 
 
 def _parse_ppm(buf: bytes):
@@ -215,6 +371,9 @@ def _numpy_decode_one(buf: bytes):
     r = _parse_bmp(buf)
     if r is not None:
         return r[0], r[1], r[2]
+    r = _parse_png(buf)
+    if r is not None:
+        return r[0], r[1], r[2]
     r = _parse_wav(buf)
     if r is not None:
         return r[0], 1, r[1]
@@ -237,10 +396,10 @@ def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) ->
         )
     if decode == "real":
         raise NotImplementedError(
-            "compressed-media codecs (PIL/av) are not available in this "
+            "lossy-media codecs (PIL/av) are not available in this "
             "environment; plug the codec into the kernel and pass "
             "decode='real' — or use decode='numpy' for the codec-free "
-            "container formats (PPM P6, uncompressed BMP, PCM WAV)"
+            "formats (PPM P6, uncompressed BMP, 8-bit PNG, PCM WAV)"
         )
     if decode == "numpy":
 
@@ -352,7 +511,7 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def image_stats(df: DataFrame) -> DataFrame:
-    """REAL pixel-level feature extraction (numpy route, PPM/BMP):
+    """REAL pixel-level feature extraction (numpy route, PPM/BMP/PNG):
     per-image dimensions + per-channel mean pixel value, rounded to
     6 dp so a SQL oracle over a planted construction can pin the
     values exactly. Output ``(media_id, width, height, channels,
@@ -379,7 +538,7 @@ def image_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(p) if p is not None else b""
-                r = _parse_ppm(buf) or _parse_bmp(buf)
+                r = _parse_ppm(buf) or _parse_bmp(buf) or _parse_png(buf)
                 if r is None:
                     rows.append((mid, 0, 0, 0, []))
                 else:
@@ -394,13 +553,14 @@ def image_stats(df: DataFrame) -> DataFrame:
 
 
 def resize_image(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """REAL nearest-neighbor resize for PPM payloads — pure NumPy
-    fancy indexing (one gather per axis), payload-in/payload-out, so
-    the result is again a valid P6 file. Non-PPM payloads pass
-    through unchanged (BMPs can be round-tripped via
-    ``image_stats``-style decoding later; compressed formats need the
-    ``decode='real'`` codec route). The source-index formula is the
-    standard floor((i + 0.5) * src / dst) center mapping."""
+    """REAL nearest-neighbor resize for PPM and PNG payloads — pure
+    NumPy fancy indexing (one gather per axis), payload-in/payload-out
+    in the SAME format (a P6 stays a P6; an 8-bit PNG re-encodes as an
+    8-bit PNG of the same color type). Other payloads pass through
+    unchanged (BMPs can be round-tripped via ``image_stats``-style
+    decoding later; lossy formats need the ``decode='real'`` codec
+    route). The source-index formula is the standard
+    floor((i + 0.5) * src / dst) center mapping."""
     if target_w < 1 or target_h < 1:
         raise ValueError("target dims must be >= 1")
     out_schema = df.schema
@@ -413,7 +573,13 @@ def resize_image(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 buf = bytes(payload)
                 r = _parse_ppm(buf)
                 if r is None:
-                    return buf
+                    rp = _parse_png(buf)
+                    if rp is None:
+                        return buf
+                    w, h, _, px = rp
+                    yi = np.minimum(((np.arange(target_h) + 0.5) * h / target_h), h - 1).astype(np.int64)
+                    xi = np.minimum(((np.arange(target_w) + 0.5) * w / target_w), w - 1).astype(np.int64)
+                    return pack_png(np.ascontiguousarray(px[yi][:, xi]))
                 w, h, _, px = r
                 yi = np.minimum(((np.arange(target_h) + 0.5) * h / target_h), h - 1).astype(np.int64)
                 xi = np.minimum(((np.arange(target_w) + 0.5) * w / target_w), w - 1).astype(np.int64)

@@ -243,6 +243,72 @@ def test_parse_ppm_low_maxval_rescales():
     assert _parse_ppm(b"P6\n2 1\n65535\n" + b"\0" * 12) is None
 
 
+def test_png_decode_real(spark):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_png,
+        decode_media,
+        image_stats,
+        pack_png,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    grey = rng.integers(0, 256, (4, 7, 1), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (5, 3, 4), dtype=np.uint8)
+    ga = rng.integers(0, 256, (3, 8, 2), dtype=np.uint8)
+    good = pack_png(rgb, filters="cycle")
+    # corruption: flipped CRC byte, truncated IDAT, 16-bit depth
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF
+    depth16 = bytearray(good)
+    depth16[24] = 16  # IHDR bit-depth byte — CRC now wrong too
+    # structurally valid chunks but IDAT inflates to the WRONG length
+    sig = good[:8]
+    ihdr = struct.pack(">IIBBBBB", 9, 6, 8, 2, 0, 0, 0)
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    short = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\0" * 10)) + chunk(b"IEND", b"")
+    rows = [
+        (1, "image", bytearray(good), "s"),
+        (2, "image", bytearray(pack_png(grey, filters="none")), "s"),
+        (3, "image", bytearray(pack_png(rgba, filters="cycle")), "s"),
+        (4, "image", bytearray(pack_png(ga, filters="cycle")), "s"),
+        (5, "image", bytearray(bytes(bad_crc)), "s"),
+        (6, "image", bytearray(bytes(depth16)), "s"),
+        (7, "image", bytearray(short), "s"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary, source string")
+    got = {r["media_id"]: r for r in decode_media(df, decode="numpy").collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"], got[1]["payload_ok"]) == (9, 6, 3, True)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"], got[2]["payload_ok"]) == (7, 4, 1, True)
+    assert (got[3]["width"], got[3]["height"], got[3]["channels"], got[3]["payload_ok"]) == (3, 5, 4, True)
+    assert (got[4]["width"], got[4]["height"], got[4]["channels"], got[4]["payload_ok"]) == (8, 3, 2, True)
+    assert not got[5]["payload_ok"] and not got[6]["payload_ok"] and not got[7]["payload_ok"]
+    # pixel path: exact per-channel means through image_stats
+    st_ = {r["media_id"]: r for r in image_stats(df.filter("media_id <= 4")).collect()}
+    for mid, px in ((1, rgb), (2, grey), (3, rgba), (4, ga)):
+        want = np.round(px.reshape(-1, px.shape[2]).mean(axis=0), 6)
+        assert st_[mid]["channel_means"] == pytest.approx(want.tolist(), abs=1e-9)
+    # resize: PNG in -> PNG out, same color type, exact nearest gather
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_image(df.filter("media_id IN (1, 3)"), 4, 3).collect()
+    }
+    for mid, px in ((1, rgb), (3, rgba)):
+        r = _parse_png(out[mid])
+        assert r is not None and (r[0], r[1], r[2]) == (4, 3, px.shape[2])
+        h, w = px.shape[:2]
+        yi = np.minimum(((np.arange(3) + 0.5) * h / 3), h - 1).astype(int)
+        xi = np.minimum(((np.arange(4) + 0.5) * w / 4), w - 1).astype(int)
+        assert np.array_equal(r[3], px[yi][:, xi])
+
+
 def test_audio_stats_exact(spark):
     import numpy as np
 
@@ -317,19 +383,21 @@ def test_media_parsers_fuzz_roundtrip():
     from cs533_big_data_data_mining_spark.operators.multimodal import (
         _numpy_decode_one,
         _parse_bmp,
+        _parse_png,
         _parse_ppm,
         _parse_wav,
         pack_bmp24,
+        pack_png,
         pack_ppm,
         pack_wav_pcm16,
     )
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=80, deadline=None)
     @given(
         w=st.integers(1, 12),
         h=st.integers(1, 12),
         seed=st.integers(0, 2**31 - 1),
-        kind=st.sampled_from(["ppm", "bmp", "wav"]),
+        kind=st.sampled_from(["ppm", "bmp", "wav", "png1", "png2", "png3", "png4"]),
     )
     def roundtrip(w, h, seed, kind):
         rng = np.random.default_rng(seed)
@@ -338,6 +406,12 @@ def test_media_parsers_fuzz_roundtrip():
             r = _parse_wav(pack_wav_pcm16(s, 8000 + w))
             assert r is not None and r[0] == w * h and r[1] == min(h, 4)
             assert np.array_equal((r[3] * 32768.0).astype(np.int16), s)
+        elif kind.startswith("png"):
+            ch = int(kind[3])
+            px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            r = _parse_png(pack_png(px, filters="cycle" if seed % 2 else "none"))
+            assert r is not None and (r[0], r[1], r[2]) == (w, h, ch)
+            assert np.array_equal(r[3], px)
         else:
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             buf = pack_ppm(px) if kind == "ppm" else pack_bmp24(px)
@@ -347,7 +421,7 @@ def test_media_parsers_fuzz_roundtrip():
 
     @settings(max_examples=120, deadline=None)
     @given(data=st.binary(min_size=0, max_size=200), magic=st.sampled_from(
-        [b"", b"P6", b"BM", b"RIFF", b"RIFFxxxxWAVE", b"P6\n"]
+        [b"", b"P6", b"BM", b"RIFF", b"RIFFxxxxWAVE", b"P6\n", b"\x89PNG\r\n\x1a\n"]
     ))
     def noise(data, magic):
         buf = magic + data
