@@ -1727,6 +1727,53 @@ def _q_semdedup_eq(spark, sf_dir):
     )
 
 
+def _q_semdedup_bi(spark, sf_dir):
+    # incremental SemDeDup (round 9): history = embeddings with
+    # vec_id % 5 != 0; the new shard plants all three outcomes on
+    # disjoint id ranges — +10000 fresh vectors (not in history:
+    # survive), +20000 exact copies of history vectors (component
+    # touches history: dropped), +30000/+40000 twin copies of
+    # non-history vectors (history-free new-new component: min id
+    # +30000 survives, +40000 dropped). History is clustered ONCE;
+    # new vectors ride assign_to_centroids. The oracle replays the
+    # full transitive closure by brute force (identical vectors
+    # always co-cluster, so at threshold ~1 recall is 1 by
+    # construction — the semdedup_eq argument).
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        ivf_index,
+        semdedup_bipartite,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    hist = emb.filter("vec_id % 5 != 0")
+    new = (
+        emb.filter("vec_id % 5 = 0 AND vec_id % 3 != 0")
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+        .union(
+            emb.filter("vec_id % 5 != 0 AND vec_id % 7 = 0").select(
+                (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+            )
+        )
+        .union(
+            emb.filter("vec_id % 5 = 0 AND vec_id % 3 = 0").select(
+                (F.col("vec_id") + 30000).alias("vec_id"), "embedding"
+            )
+        )
+        .union(
+            emb.filter("vec_id % 5 = 0 AND vec_id % 3 = 0").select(
+                (F.col("vec_id") + 40000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    idx = ivf_index(hist, SEM_EQ_C, iters=1)
+    return semdedup_bipartite(hist, new, LSH_EQ_T, SEM_EQ_C, index=idx).select(
+        F.col("id").cast("long").alias("id")
+    )
+
+
 # planted geometry for the far-from-centroid survivor policy: two
 # 2-degree-apart duplicate pairs + two singletons, ids arranged so the
 # far survivor differs from the min-id survivor. cos(2°)=0.99939083,
@@ -2658,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already pin, and they rotate back in next round.
     return {
         # --- new / changed this round (must-record) ---
+        "semdedup_bi": _q_semdedup_bi,
         "refinedweb_pipeline": _q_refinedweb_pipeline,
         "dsir_resample": _q_dsir_resample,
         "dsir_route_eq": _q_dsir_route_eq,
@@ -4066,6 +4114,53 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             SELECT CAST(emb.vec_id AS BIGINT) AS id
             FROM emb LEFT JOIN mins m ON emb.vec_id = m.id
             WHERE m.id IS NULL OR m.mn >= emb.vec_id
+        """,
+        # semdedup_bi: brute-force twin of the incremental survivor
+        # rule — pairs touch the new shard only (history-history edges
+        # exist in neither engine); a new id survives iff it has no
+        # pair or the min of its transitive reach exceeds its own id
+        # (all history ids < 10000 < every new id, so a component
+        # touching history always yields reach-min < id — exactly the
+        # "history wins, else min new id" policy)
+        "semdedup_bi": f"""
+            WITH RECURSIVE
+            hist AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+            newt AS (
+              SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 5 = 0 AND vec_id % 3 <> 0
+              UNION ALL
+              SELECT vec_id + 20000, embedding FROM embeddings
+              WHERE vec_id % 5 <> 0 AND vec_id % 7 = 0
+              UNION ALL
+              SELECT vec_id + 30000, embedding FROM embeddings
+              WHERE vec_id % 5 = 0 AND vec_id % 3 = 0
+              UNION ALL
+              SELECT vec_id + 40000, embedding FROM embeddings
+              WHERE vec_id % 5 = 0 AND vec_id % 3 = 0
+            ),
+            allv AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM hist
+              UNION ALL
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM newt
+            ),
+            jp AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+              WHERE (a.vec_id >= 10000 OR b.vec_id >= 10000)
+                AND round({_dot_sql('a.v', 'b.v')}
+                          / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6)
+                    >= {LSH_EQ_T}
+            ),
+            e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            mins AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u)
+            SELECT CAST(n.vec_id AS BIGINT) AS id
+            FROM newt n LEFT JOIN mins m ON n.vec_id = m.id
+            WHERE m.id IS NULL OR m.mn >= n.vec_id
         """,
         # semdedup_far: the planted 2-D geometry is inlined as VALUES
         # (one source of truth: SEMFAR_VECS); with C=1 the Spark-side

@@ -327,6 +327,62 @@ def main() -> None:
             errors["semdedup_scale600k"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# semdedup_scale600k: ERROR {errors['semdedup_scale600k']}", file=sys.stderr)
 
+        # incremental SemDeDup against the same 600k history: a
+        # 2000-doc "daily shard" with every outcome planted — 1000
+        # exact copies of history vectors (components touch history:
+        # dropped), 1000 fresh vectors (survive), 500 twin pairs of
+        # non-history vectors (min id survives). History is clustered
+        # once and NEVER re-paired — per-shard gram work is
+        # new-blocks x history-blocks-in-cluster, not history^2.
+        from cs533_big_data_data_mining_spark.operators.similarity import (
+            ivf_index,
+            semdedup_bipartite,
+        )
+
+        t0 = time.time()
+        try:
+            dup_bi = spark.range(1000).select(
+                (F.col("id") + ne).alias("id"), F.col("id").alias("base_id")
+            ).select("id", vec.alias("embedding"))
+            fresh_bi = spark.range(1000).select(
+                (F.col("id") + ne + 10_000).alias("id"),
+                (F.col("id") + ne).alias("base_id"),
+            ).select("id", vec.alias("embedding"))
+            twin_a = spark.range(500).select(
+                (F.col("id") + ne + 20_000).alias("id"),
+                (F.col("id") + ne + 1000).alias("base_id"),
+            ).select("id", vec.alias("embedding"))
+            twin_b = spark.range(500).select(
+                (F.col("id") + ne + 30_000).alias("id"),
+                (F.col("id") + ne + 1000).alias("base_id"),
+            ).select("id", vec.alias("embedding"))
+            new_bi = dup_bi.unionByName(fresh_bi).unionByName(twin_a).unionByName(twin_b)
+            idx_bi = ivf_index(base6, 64, id_col="id", vec_col="embedding")
+            surv_bi = semdedup_bipartite(
+                base6, new_bi, 0.9999, 64, id_col="id", vec_col="embedding", index=idx_bi
+            )
+            n_bi = surv_bi.count()
+            n_dup_left = surv_bi.filter(
+                (F.col("id") >= ne) & (F.col("id") < ne + 1000)
+            ).count()
+            n_twin_b_left = surv_bi.filter(F.col("id") >= ne + 30_000).count()
+            surv_bi.unpersist()
+            assert (n_bi, n_dup_left, n_twin_b_left) == (1500, 0, 0), (
+                n_bi, n_dup_left, n_twin_b_left,
+            )
+            timings["semdedup_bi_scale600k"] = round(time.time() - t0, 3)
+            print(
+                f"# semdedup_bi_scale600k: {timings['semdedup_bi_scale600k']}s "
+                "(1000 history-dups + 500 twin losers dropped, 1500 kept)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["semdedup_bi_scale600k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(
+                f"# semdedup_bi_scale600k: ERROR {errors['semdedup_bi_scale600k']}",
+                file=sys.stderr,
+            )
+
         # source balancing with one domain holding 90% of 1M rows —
         # the shape where the plain per-source window is a single-task
         # mega-sort. Asserted: (a) the histogram prefilter's survivor

@@ -223,11 +223,15 @@ def embedding_neardup_pairs(
     return _block_gram_pairs(pairs, threshold)
 
 
-def _block_gram_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
+def _block_gram_pairs(pairs: DataFrame, threshold: float, bipartite: bool = False) -> DataFrame:
     """Shared BLAS block-pair kernel: ``pairs`` rows hold two packed
     blocks (``blk, ids, vecs, yblk, yids, yvecs``); emits every
     cross-block id pair (a < b) with exact cosine >= threshold.
-    Same-block rows (``blk == yblk``) dedup ordered pairs via a < b."""
+    Same-block rows (``blk == yblk``) dedup ordered pairs via a < b.
+    ``bipartite=True``: the two blocks come from DIFFERENT corpora —
+    every (x, y) pair is emitted as ``(a=x, b=y)`` with no reorder and
+    no same-block dedup (only ``a != b``, the shared-id-means-same-doc
+    convention of ``minhash_dedup_pairs_bipartite``)."""
     import numpy as np
     import pandas as pd
 
@@ -259,7 +263,9 @@ def _block_gram_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
                 G = Xn @ Yn.T
                 ii, jj = np.nonzero(G >= thr - 1e-6)
                 a, b = xi[ii], yi[jj]
-                if row.blk == row.yblk:
+                if bipartite:
+                    keep = a != b
+                elif row.blk == row.yblk:
                     keep = a < b
                 else:
                     keep = a != b
@@ -271,7 +277,10 @@ def _block_gram_pairs(pairs: DataFrame, threshold: float) -> DataFrame:
                 c = np.round(dotab / (_ltr_sq_norm(Xc) * _ltr_sq_norm(Yc)), 6)
                 final = c >= thr
                 a, b, c = a[final], b[final], c[final]
-                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                if bipartite:
+                    lo, hi = a, b  # x-side stays a, y-side stays b
+                else:
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
                 yield pd.DataFrame({"a": lo, "b": hi, "cosine": c})
 
     return pairs.mapInPandas(gram, "a long, b long, cosine double")
@@ -691,4 +700,210 @@ def semdedup(
     survivors.count()
     edges.unpersist()
     assignments.unpersist()
+    return survivors
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to an EXISTING centroid set — the incremental
+    half of :func:`ivf_index`: one broadcast-argmax ``mapInPandas``
+    pass, no re-clustering. ``centroids`` is the ``(cid, cvec)``
+    frame an earlier ``ivf_index`` fit (KB-scale — collected to the
+    driver and closure-shipped, the ``ivf_topk`` probe pattern).
+    Returns ``(id, vec, cid)``; ties break to the lowest cid exactly
+    as the original fit does, so a vector identical to a history
+    vector lands in the same cluster deterministically."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(centroids.collect(), key=lambda r: r["cid"])  # KB-scale by design
+    if not crows:
+        raise ValueError("assign_to_centroids needs a non-empty centroid set")
+    C = np.asarray([r["cvec"] for r in crows], dtype=np.float64)
+    cids = np.asarray([r["cid"] for r in crows], dtype=np.int32)
+
+    c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    vec_type = c.schema["vec"].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["vec"]), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            idx = np.argmax(Xn @ C.T, axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "vec": pdf["vec"], "cid": cids[idx]})
+
+    return c.mapInPandas(assign, f"id long, vec {vec_type}, cid int")
+
+
+def _pack_by_cluster(assignments: DataFrame, block_rows: int, prefix: str = ""):
+    """(id, vec, cid) -> one packed row per (cid, block): ids + vecs
+    lists, block count sized per cluster (``m_c = ceil(n_c /
+    block_rows)`` from one tiny collected groupBy — the
+    :func:`semdedup_pairs` skew guarantee). Returns ``(packed,
+    mmap)`` where mmap is the {cid: m_c} dict; column names get
+    ``prefix`` so two packings can join without aliases."""
+    sizes = assignments.groupBy("cid").count().collect()
+    mmap = {int(r["cid"]): max(1, -(-int(r["count"]) // block_rows)) for r in sizes}
+    spark = assignments.sparkSession
+    if not mmap:
+        return None, mmap
+    m_df = F.broadcast(local_df(spark, sorted(mmap.items()), "cid int, _m int"))
+    packed = (
+        assignments.join(m_df, "cid")
+        .withColumn(f"{prefix}blk", F.pmod(F.xxhash64("id"), F.col("_m")).cast("int"))
+        .groupBy("cid", f"{prefix}blk")
+        .agg(
+            F.collect_list("id").alias(f"{prefix}ids"),
+            F.collect_list("vec").alias(f"{prefix}vecs"),
+        )
+    )
+    return packed, mmap
+
+
+def semdedup_pairs_bipartite(
+    index: tuple[DataFrame, DataFrame],
+    new: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Incremental SemDeDup pair generation: near-dup pairs ``(a, b,
+    cosine, b_side)`` where ``a`` is always a NEW-shard id and ``b``
+    is either another new id (``b_side='new'``, a < b) or a HISTORY
+    id (``b_side='history'``) — the embedding-space completion of the
+    incremental-dedup family (``minhash_dedup_pairs_bipartite``,
+    ``url_dedup_bipartite``, ``spans``): a daily-ingest pipeline
+    checks each new shard against the corpus without ever re-pairing
+    (or re-clustering) the history against itself.
+
+    ``index`` is the ``(centroids, assignments)`` pair a prior
+    :func:`ivf_index` fit on the HISTORY corpus. New vectors are
+    assigned to the EXISTING centroids (:func:`assign_to_centroids`,
+    one broadcast argmax — history is never re-clustered), then
+    within each cluster the block-gram kernel scores (a) new-vs-new
+    block pairs and (b) new-blocks x history-blocks-in-cluster. As in
+    :func:`semdedup_pairs`, a pair straddling a cluster boundary is
+    by design never tested, and identical vectors always co-cluster
+    (same argmax, ties to the lowest cid) so exact duplicates are
+    found with recall 1. Id spaces must be disjoint across the two
+    corpora: a shared id is treated as the same document (pairs with
+    ``a == b`` are dropped, never reported as near-dups).
+
+    Scale shape: per-cluster block counts are sized per SIDE (two
+    tiny collected groupBys), so a skewed mega-cluster fans out over
+    ``m_new x m_hist`` bounded-memory tasks; per-shard cost is the
+    new side (small) plus ONE packing pass over the history — cache
+    the history assignments across shard cycles to amortize it.
+    """
+    cent, hist = index
+    new_a = assign_to_centroids(new, cent, id_col=id_col, vec_col=vec_col)
+    spark = new.sparkSession
+    empty = spark.createDataFrame([], "a long, b long, cosine double, b_side string")
+
+    # new-new pairs within the history-defined clusters (a < b)
+    new_a = new_a.persist()
+    try:
+        nn = semdedup_pairs(new_a, threshold, block_rows=block_rows).withColumn(
+            "b_side", F.lit("new")
+        )
+
+        # new x history-in-cluster pairs
+        packed_n, mmap_n = _pack_by_cluster(new_a, block_rows)
+        packed_h, mmap_h = _pack_by_cluster(
+            hist.select("id", "vec", "cid"), block_rows, prefix="y"
+        )
+        if packed_n is None or packed_h is None:
+            nh = empty
+        else:
+            n_pairs = sum(m * mmap_h.get(cid, 0) for cid, m in mmap_n.items())
+            if n_pairs == 0:
+                nh = empty
+            else:
+                pairs = packed_n.join(packed_h, "cid").repartition(n_pairs)
+                nh = _block_gram_pairs(pairs, threshold, bipartite=True).withColumn(
+                    "b_side", F.lit("history")
+                )
+        out = nn.union(nh)
+        # materialize before releasing the shared assignment cache
+        # (pair frames are near-dup-sized; the semdedup contract)
+        out = out.persist()
+        out.count()
+    finally:
+        new_a.unpersist()
+    return out
+
+
+def semdedup_bipartite(
+    history: DataFrame,
+    new: DataFrame,
+    threshold: float,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    seed: int = 42,
+    block_rows: int = 4096,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: surviving NEW-shard ``(id)`` rows, with
+    the history corpus immutable — a new document is dropped iff its
+    near-dup component (transitive closure over the
+    :func:`semdedup_pairs_bipartite` graph) touches ANY history
+    document, or it is not the minimum-id new member of a
+    history-free component (the ``min_id`` survivor policy — history
+    members always win, matching ``exact_dedup_bipartite``
+    semantics). Pass ``index`` (an :func:`ivf_index` fit on
+    ``history``) to reuse one clustering across shard cycles;
+    otherwise it is fit here. Same cache contract as
+    :func:`semdedup`: the returned frame is materialized and
+    caller-owned; internal caches are released."""
+    from cs533_big_data_data_mining_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    if index is None:
+        index = ivf_index(
+            history, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters, seed=seed
+        )
+    pairs = semdedup_pairs_bipartite(
+        index, new, threshold, id_col=id_col, vec_col=vec_col, block_rows=block_rows
+    )  # arrives persisted
+    try:
+        edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        comp = connected_components(edges, edge_count_hint=pairs.count())
+        # a component touches history iff it contains a history-side
+        # pair endpoint (history ids enter the graph ONLY through
+        # b_side='history' pairs)
+        hist_comps = (
+            comp.join(
+                pairs.filter("b_side = 'history'").select(F.col("b").alias("node")).distinct(),
+                "node",
+            )
+            .select("component")
+            .distinct()
+        )
+        new_ids = new.select(F.col(id_col).alias("id"))
+        in_graph = comp.select(F.col("node").alias("id"), "component").join(new_ids, "id")
+        dropped = (
+            in_graph.join(hist_comps, "component", "left_semi")
+            .select("id")
+            .union(
+                # history-free component: every member is new, so the
+                # min-label IS the min new id — survivor = label node
+                in_graph.join(hist_comps, "component", "left_anti")
+                .filter(F.col("id") != F.col("component"))
+                .select("id")
+            )
+        )
+        survivors = new_ids.join(dropped, "id", "left_anti").persist()
+        survivors.count()
+    finally:
+        pairs.unpersist()
     return survivors

@@ -183,3 +183,86 @@ def test_semdedup_bad_keep_raises(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         semdedup(df, 0.9, 1, keep="random")
+
+
+def test_semdedup_bipartite_planted(spark):
+    """Incremental SemDeDup: history immutable, new shard checked
+    against history-in-cluster + itself; planted geometry covers all
+    three outcomes (dup-of-history dropped, new-new min-id survivor,
+    fresh kept) plus transitive new->new->history chains."""
+    import math
+
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        ivf_index,
+        semdedup_bipartite,
+        semdedup_pairs_bipartite,
+    )
+
+    def unit(theta_deg):
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t), 0.0]
+
+    # history: two well-separated direction groups
+    hist_rows = [(1, unit(0.0)), (2, unit(1.0)), (3, unit(90.0)), (4, unit(89.0))]
+    # new shard (ids 100+):
+    #   100 = copy of hist 1            -> dropped (history dup)
+    #   101 ~ 100 (0.5 deg)             -> dropped TRANSITIVELY (chain
+    #       101-100-1 touches history even if 101-1 is below T... at
+    #       these angles both edges exist; the closure pin is id 101's
+    #       drop without any direct assertion about which edge fired)
+    #   110, 111 = twin fresh vectors (45 deg, not near history)
+    #       -> 110 survives (min id), 111 dropped
+    #   120 = lone fresh vector (-45 deg) -> survives
+    new_rows = [
+        (100, unit(0.0)),
+        (101, unit(0.5)),
+        (110, unit(45.0)),
+        (111, unit(45.0)),
+        (120, unit(-45.0)),
+    ]
+    hist = spark.createDataFrame(hist_rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    # cos(1 deg) = 0.9998477 > T=0.9998 > cos(2 deg): pairs are exactly
+    # the <= 1-degree ones
+    T = 0.9998
+    idx = ivf_index(hist, 2, iters=2, seed=1)
+    pairs = semdedup_pairs_bipartite(idx, new, T)
+    got = {(r["a"], r["b"], r["b_side"]) for r in pairs.collect()}
+    pairs.unpersist()
+    assert (100, 1, "history") in got
+    assert (101, 1, "history") in got or (101, 100, "new") in got
+    assert (110, 111, "new") in got
+    assert all(a >= 100 for a, _, _ in got)  # a is always a new id
+    assert not any(b >= 100 for _, b, side in got if side == "history")
+
+    surv = semdedup_bipartite(hist, new, T, 2, index=idx)
+    ids = sorted(r["id"] for r in surv.collect())
+    surv.unpersist()
+    assert ids == [110, 120]
+
+    # empty new shard: everything trivially survives (no pairs)
+    empty = new.filter("vec_id < 0")
+    surv2 = semdedup_bipartite(hist, empty, T, 2, index=idx)
+    assert surv2.count() == 0
+    surv2.unpersist()
+
+
+def test_assign_to_centroids_matches_index(spark):
+    """A vector identical to a history vector gets that vector's
+    cluster (same argmax + tie rule), so exact dups always co-cluster
+    across the history/new boundary."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_index,
+    )
+
+    rows = [(i, [float((i * 7) % 5 + 1), float((i * 3) % 4), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent, assigned = ivf_index(df, 4, iters=2, seed=3)
+    copies = df.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    re_assigned = assign_to_centroids(copies, cent)
+    orig = {r["id"]: r["cid"] for r in assigned.collect()}
+    got = {r["id"] - 1000: r["cid"] for r in re_assigned.collect()}
+    assert got == orig
