@@ -1422,6 +1422,30 @@ def _q_dsir_route_eq(spark, sf_dir):
     )
 
 
+def _q_dsir_bigk_eq(spark, sf_dir):
+    # the automatic k > driver_k_limit THRESHOLD route (round 9):
+    # same scores, same k/seed as dsir_resample, but driver_k_limit=10
+    # forces the approxQuantile + conditional-count cut instead of
+    # TakeOrderedAndProject. The routes are set-identical by contract,
+    # so this row shares dsir_resample's exact replay oracle — a wrong
+    # threshold, broken tie top-up, or dropped boundary row flips the
+    # hash against the independently-computed SQL top-k.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        dsir_logratio,
+        dsir_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("source") == "src0")
+    scores = dsir_logratio(
+        docs, "doc_id", "text", target, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+    return dsir_resample(
+        scores, DSIR_RESAMPLE_K, seed=DSIR_RESAMPLE_SEED, driver_k_limit=10
+    )
+
+
 SHARD_N = 16
 SHARD_SEED = 1
 
@@ -2706,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new / changed this round (must-record) ---
         "semdedup_bi": _q_semdedup_bi,
+        "dsir_bigk_eq": _q_dsir_bigk_eq,
         "refinedweb_pipeline": _q_refinedweb_pipeline,
         "dsir_resample": _q_dsir_resample,
         "dsir_route_eq": _q_dsir_route_eq,
@@ -3703,6 +3728,21 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # seeded cross-engine uniform hash (clamped away from 0), id
         # as the tiebreak
         "dsir_resample": f"""
+            WITH {_DSIR_CTES},
+            keyed AS (
+              SELECT doc_id AS id, logratio,
+                     round(logratio - ln(-ln(greatest(
+                       {_uniform_sql_seeded("CAST(doc_id AS VARCHAR)", DSIR_RESAMPLE_SEED)},
+                       1e-12))), 6) AS g_key
+              FROM per
+            )
+            SELECT id, logratio, g_key FROM keyed
+            ORDER BY g_key DESC, id LIMIT {DSIR_RESAMPLE_K}
+        """,
+        # dsir_bigk_eq: the threshold (big-k) route must reproduce the
+        # SAME selected set — the oracle is dsir_resample's exact
+        # replay verbatim (the routes are set-identical by contract)
+        "dsir_bigk_eq": f"""
             WITH {_DSIR_CTES},
             keyed AS (
               SELECT doc_id AS id, logratio,

@@ -1009,6 +1009,7 @@ def dsir_resample(
     id_col: str = "id",
     logratio_col: str = "logratio",
     seed: int = 0,
+    driver_k_limit: int = 100_000,
 ) -> DataFrame:
     """DSIR importance RESAMPLING (Xie et al. 2023 §2) — the step
     that completes :func:`dsir_logratio`: select ``k`` documents
@@ -1034,29 +1035,101 @@ def dsir_resample(
     discipline). Returns ``(id, logratio, g_key)`` of the selected
     docs.
 
-    Scale shape: pure-Column key + global top-k — Spark plans
-    ``orderBy(desc).limit(k)`` as TakeOrderedAndProject (per-
-    partition heap top-k, driver merges #partitions k-row slices),
-    so there is NO global sort shuffle and the corpus is scanned
-    once. k is training-subset-sized; for k too large to merge on
-    the driver, gate on the key's k-th quantile via
-    :func:`quantile_filter` instead.
+    Scale shape — two routes, selected automatically, SAME selected
+    set either way (route equivalence pinned by pytest):
+
+    * ``k <= driver_k_limit``: pure-Column key + global top-k — Spark
+      plans ``orderBy(desc).limit(k)`` as TakeOrderedAndProject (per-
+      partition heap top-k, driver merges #partitions k-row slices),
+      NO global sort shuffle, one corpus scan. Right for training-
+      subset-sized k.
+    * ``k > driver_k_limit``: the #partitions-x-k driver merge is the
+      bottleneck, so the cut moves to a THRESHOLD: an approxQuantile
+      pass estimates the k-th largest ``g_key``, conditional counts
+      refine it until ``count(> t) < k <= count(>= t)`` (keys round
+      to 6 dp, so the k-th key value is an exact gate), and the
+      result is ``filter(g_key > t)`` — fully distributed, never
+      driver-merged — plus the ``== t`` tie sliver topped up by
+      smallest id (a heap of ``k - count(> t)`` <= one key's tie
+      count). Typically 1-2 quantile passes + 1-2 count passes; if
+      the search hasn't landed after ``8`` rounds (adversarial key
+      distributions), it falls back to top-k over the smallest
+      examined band that still contains the answer and says so in a
+      UserWarning.
     """
     if k < 0:
         raise ValueError("k must be >= 0")
     u = _uniform_unit_seeded(id_col, seed)
     gumbel = -F.log(-F.log(F.greatest(u, F.lit(1e-12))))
     key = F.round(F.col(logratio_col) + gumbel, 6)
-    return (
-        scores.filter(F.col(logratio_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(logratio_col).alias("logratio"),
-            key.alias("g_key"),
-        )
-        .orderBy(F.desc("g_key"), F.asc("id"))
-        .limit(int(k))
+    keyed = scores.filter(F.col(logratio_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(logratio_col).alias("logratio"),
+        key.alias("g_key"),
     )
+    if k <= int(driver_k_limit) or k == 0:
+        return keyed.orderBy(F.desc("g_key"), F.asc("id")).limit(int(k))
+
+    # big-k route: threshold gate. The search runs on a persisted copy
+    # (one scan materialized, then quantile/count jobs read the
+    # cache); the RETURNED frame is rebuilt lazily from `scores` with
+    # the found literal threshold, so no cache ownership leaks.
+    keyed_c = keyed.persist()
+    try:
+        n = keyed_c.count()
+        if k >= n:
+            return keyed  # everything is selected — no cut to find
+        kt = float(k)
+        t = None
+        c_gt = c_eq = 0
+        t_safe = None  # highest examined t covering >= k rows (smallest safe band)
+        for _ in range(8):
+            q = min(1.0, max(0.0, 1.0 - kt / n))
+            # rank error well under k so the refinement loop converges
+            err = max(1e-7, min(1e-3, k / (20.0 * n)))
+            t = keyed_c.approxQuantile("g_key", [q], err)[0]
+            row = keyed_c.agg(
+                F.count(F.when(F.col("g_key") > t, 1)).alias("gt"),
+                F.count(F.when(F.col("g_key") == t, 1)).alias("eq"),
+            ).head()
+            c_gt, c_eq = int(row["gt"]), int(row["eq"])
+            if c_gt + c_eq >= k and (t_safe is None or t > t_safe[0]):
+                t_safe = (t, c_gt + c_eq)
+            if c_gt == k:
+                # the strict cut IS the top-k — no tie top-up needed
+                return keyed.filter(F.col("g_key") > F.lit(t))
+            if c_gt < k <= c_gt + c_eq:
+                break
+            # t too low (too many above) -> aim at a smaller rank;
+            # too high -> larger. kt tracks the observed miss ratio.
+            kt = kt * (k / (c_gt + 1.0)) if c_gt >= k else kt * (k / max(c_gt + c_eq, 1))
+        if not (c_gt < k <= c_gt + c_eq):
+            import warnings
+
+            t, band = t_safe if t_safe is not None else (float("-inf"), n)
+            warnings.warn(
+                f"dsir_resample big-k threshold search did not land after 8 "
+                f"rounds; falling back to top-{k} over the {band}-row band "
+                f"g_key >= {t!r} (exact result, driver merge ~band-sized)",
+                stacklevel=2,
+            )
+            return (
+                keyed.filter(F.col("g_key") >= F.lit(t))
+                .orderBy(F.desc("g_key"), F.asc("id"))
+                .limit(int(k))
+            )
+        # exact cut: everything above t, plus the == t ties by
+        # smallest id (the (g_key desc, id asc) global order) — the
+        # only driver-merged piece is the tie sliver's heap
+        above = keyed.filter(F.col("g_key") > F.lit(t))
+        ties = (
+            keyed.filter(F.col("g_key") == F.lit(t))
+            .orderBy(F.asc("id"))
+            .limit(int(k - c_gt))
+        )
+        return above.unionByName(ties)
+    finally:
+        keyed_c.unpersist()
 
 
 def mix_to_budget(

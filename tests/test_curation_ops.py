@@ -294,6 +294,33 @@ def test_dsir_resample_brute_force(spark):
         dsir_resample(df, -1)
 
 
+def test_dsir_resample_bigk_route_equivalence(spark):
+    # the automatic k > driver_k_limit threshold route must select the
+    # EXACT same set as the TakeOrderedAndProject route, including tie
+    # resolution at the 6-dp boundary key (heavy ties planted via a
+    # coarse logratio grid) and the k >= n clamp
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.quality import dsir_resample
+
+    scores = spark.range(5_000).select(
+        "id",
+        # 13 distinct logratios -> many 6-dp g_key collisions at the cut
+        (F.pmod(F.xxhash64("id"), F.lit(13)).cast("double") / 100.0).alias("logratio"),
+    )
+    for k in (1, 97, 2_048, 4_999, 5_000, 9_000):
+        small = {r["id"] for r in dsir_resample(scores, k, seed=7).collect()}
+        big = {
+            r["id"] for r in dsir_resample(scores, k, seed=7, driver_k_limit=0).collect()
+        }
+        assert big == small, k
+        assert len(big) == min(k, 5_000)
+    # null logratios stay unselected on the big route too
+    s2 = scores.withColumn("logratio", F.when(F.col("id") % 3 == 0, F.col("logratio")))
+    sel = dsir_resample(s2, 1_200, seed=7, driver_k_limit=10)
+    assert sel.count() == 1_200 and sel.filter("logratio IS NULL").count() == 0
+
+
 def test_dsir_hash_route_equivalence(spark):
     # poly31 (oracle route) vs xxhash64 (scale route): bucket hashes
     # differ, so values differ — but on a corpus with a REAL target/
