@@ -459,6 +459,50 @@ def test_cli_refinedweb_end_to_end(spark, tmp_path):
     assert got.select("shard").distinct().count() >= 2
 
 
+def test_cli_refinedweb_checkpoint_dir_identical(spark, tmp_path):
+    # --checkpoint-dir swaps localCheckpoint for reliable checkpoint()
+    # at the stage boundaries (the cluster fault-tolerance spelling)
+    # and --no-stage-counts drops the non-checkpoint count actions;
+    # neither may change the produced shards in any way
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "ck_docs.parquet")
+    rows = [
+        (
+            i,
+            "the quick brown fox jumps over the lazy dog with many words "
+            + " ".join(f"c{i}k{j}" for j in range(45)),
+        )
+        for i in range(30)
+    ]
+    # exact dups force survivors through the checkpointed dedup stage
+    rows += [(100 + i, rows[i][1]) for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out_local = str(tmp_path / "ck_local")
+    out_rel = str(tmp_path / "ck_rel")
+    common = ["--min-stopword-hits", "1", "--keep-ppl", "0.9",
+              "--jaccard", "0.8", "--shards", "4", "--seed", "2"]
+    assert main(["refinedweb", "-i", src, "-o", out_local, *common]) == 0
+    assert main([
+        "refinedweb", "-i", src, "-o", out_rel,
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--no-stage-counts", *common,
+    ]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out_local).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_rel).collect()))
+    assert a == b and len(a) > 0
+    # the reliable checkpoint actually wrote under the requested dir
+    import os
+
+    ck_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(str(tmp_path / "ckpt"))
+        for f in fs
+    ]
+    assert ck_files, "checkpoint dir is empty — checkpoint() never engaged"
+
+
 def test_cli_curate_url_dedup(spark, tmp_path):
     from cs533_big_data_data_mining_spark.__main__ import main
 
