@@ -95,6 +95,46 @@ def url_host(col: str | Column) -> Column:
     )
 
 
+def url_keyword_score(col: str | Column, keyword_weights: dict[str, float] | None) -> Column:
+    """Weighted URL-keyword score, rounded to 6 dp: the sum of the
+    weights of every keyword contained (case-insensitively) in the
+    URL. ONE flat ``zip_with``/``aggregate`` fold over literal
+    keyword/weight arrays in sorted-key order — the IEEE sum order is
+    fixed, so the value is bit-identical across plans/engines, and
+    the expression stays a single shallow node at hundreds of
+    keywords (a when-chain would blow codegen's per-method budget).
+    Pure Column — streams with zero state."""
+    c = F.col(col) if isinstance(col, str) else col
+    kw = {str(k).lower(): float(v) for k, v in (keyword_weights or {}).items()}
+    if not kw:
+        return F.round(F.lit(0.0), 6)
+    lowered = F.lower(c)
+    items = sorted(kw.items())
+    kws = F.array(*[F.lit(k) for k, _ in items])
+    wts = F.array(*[F.lit(w) for _, w in items])
+    hits = F.zip_with(
+        kws, wts, lambda k, w: F.when(lowered.contains(k), w).otherwise(F.lit(0.0))
+    )
+    return F.round(F.aggregate(hits, F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+def host_blocked(col: str | Column, blocked_domains) -> Column:
+    """TRUE iff the HOST (from :func:`url_host`) equals or
+    dot-suffixes any listed domain — the pure-Column suffix-set
+    intersection (list route: zero joins, streams with zero state).
+    For blocklists big enough to live as a DataFrame (10^5+ rows) use
+    the broadcast semi-join route in ``operators.quality.url_filter``.
+    Null/empty hosts are simply not blocked (the caller decides what
+    hostless means — ``url_filter`` exempts them from both gates)."""
+    h = F.col(col) if isinstance(col, str) else col
+    doms = sorted({str(d).lower() for d in (blocked_domains or [])})
+    if not doms:
+        return F.lit(False)
+    return (
+        F.size(F.array_intersect(host_suffixes(h), F.array(*[F.lit(d) for d in doms]))) > 0
+    )
+
+
 def host_suffixes(col: str | Column) -> Column:
     """``array<string>`` of a host's dot-suffixes —
     ``a.b.example.com -> [a.b.example.com, b.example.com, example.com,

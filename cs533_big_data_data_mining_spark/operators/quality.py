@@ -771,7 +771,12 @@ def url_filter(
     accepts a Python list (tests, small lists) or a one-column
     DataFrame (read the list once at 100 TB, not per-driver-script).
     """
-    from cs533_big_data_data_mining_spark.functions.url import host_suffixes, url_host
+    from cs533_big_data_data_mining_spark.functions.url import (
+        host_blocked,
+        host_suffixes,
+        url_host,
+        url_keyword_score,
+    )
 
     spark = df.sparkSession
     base = df.select(
@@ -779,26 +784,10 @@ def url_filter(
         F.col(url_col).alias("__url"),
         url_host(url_col).alias("host"),
     )
-    kw = {str(k).lower(): float(v) for k, v in (keyword_weights or {}).items()}
-    lowered = F.lower(F.col("__url"))
-    if kw:
-        # one flat fold over literal keyword/weight arrays instead of
-        # a when(contains)-chain per keyword: same O(K) substring
-        # probes and the same left-to-right IEEE sum in sorted-key
-        # order (kw_score is bit-identical), but a SINGLE shallow
-        # expression node — a chain of K whens at K in the hundreds
-        # blows whole-stage codegen's per-method bytecode budget and
-        # falls back to interpreted evaluation
-        items = sorted(kw.items())
-        kws = F.array(*[F.lit(k) for k, _ in items])
-        wts = F.array(*[F.lit(w) for _, w in items])
-        hits = F.zip_with(
-            kws, wts, lambda k, w: F.when(lowered.contains(k), w).otherwise(F.lit(0.0))
-        )
-        score = F.aggregate(hits, F.lit(0.0), lambda acc, x: acc + x)
-    else:
-        score = F.lit(0.0)
-    scored = base.withColumn("kw_score", F.round(score, 6))
+    # one flat fold over literal keyword/weight arrays (see
+    # functions.url.url_keyword_score): bit-identical sum, single
+    # shallow expression node at hundreds of keywords
+    scored = base.withColumn("kw_score", url_keyword_score(F.col("__url"), keyword_weights))
 
     # hostless rows (null / non-URL) are exempt from BOTH gates — the
     # documented contract: no provenance to judge, filter on content
@@ -812,17 +801,7 @@ def url_filter(
         # list blocklist: pure-Column suffix-set intersection — zero
         # joins, zero extra scans (the broadcast semi-join shape below
         # exists for blocklists big enough to arrive as a DataFrame)
-        doms = sorted({str(d).lower() for d in blocked_domains})
-        blocked = (
-            F.size(
-                F.array_intersect(
-                    host_suffixes("host"), F.array(*[F.lit(d) for d in doms])
-                )
-            )
-            > 0
-            if doms
-            else F.lit(False)
-        )
+        blocked = host_blocked("host", blocked_domains)
         joined = scored
     else:
         dom = blocked_domains.select(

@@ -48,11 +48,24 @@ def curate_ingest(
     bench_text_col: str | None = None,
     n_shingle: int = 5,
     bloom_fpp: float = 1e-4,
+    url_col: str | None = None,
+    blocked_domains: list[str] | None = None,
+    keyword_weights: dict[str, float] | None = None,
+    max_keyword_score: float = 1.0,
 ) -> DataFrame:
     """``(id, ts, clean, quality)``: scored, filtered, redacted,
     exact-deduped documents. Works on a stream (watermark-bounded
     dedup state) and a batch frame (plain dropDuplicates) — one
     definition, two execution modes.
+
+    ``url_col`` (+ ``blocked_domains`` / ``keyword_weights``) adds
+    RefinedWeb stage ZERO at ingest time: the domain-blocklist
+    suffix-intersection and weighted keyword score are pure Column
+    expressions (``functions.url``, the LIST route only — zero joins,
+    zero stream state), applied before anything else so blocked
+    provenance never even reaches scoring. Semantics match the batch
+    ``operators.quality.url_filter`` exactly (hostless rows pass both
+    gates; ``kw_score >= max_keyword_score`` drops).
 
     ``benchmark`` (a BATCH frame of held-out eval documents) adds
     ingest-time decontamination: a Bloom filter over the benchmark's
@@ -65,6 +78,22 @@ def curate_ingest(
     where the exact audit (``operators.decontaminate``) runs in the
     batch stage anyway and over-dropped docs cost nothing vs a leaked
     benchmark."""
+    if (blocked_domains or keyword_weights) and url_col is None:
+        raise ValueError("blocked_domains / keyword_weights need url_col")
+    if url_col is not None:
+        from cs533_big_data_data_mining_spark.functions.url import (
+            host_blocked,
+            url_host,
+            url_keyword_score,
+        )
+
+        host = url_host(url_col)
+        hostless = host.isNull() | (host == "")
+        keep = hostless | (
+            ~host_blocked(host, blocked_domains)
+            & (url_keyword_score(url_col, keyword_weights) < F.lit(float(max_keyword_score)))
+        )
+        docs = docs.filter(keep)
     scored = docs.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),

@@ -184,3 +184,70 @@ def test_curate_ingest_decontamination(spark, tmp_path):
     got = spark.sql("SELECT clean FROM curate_decontam_t")
     batch = out.select("clean")
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_curate_ingest_url_gates_stream_matches_batch(spark, tmp_path):
+    """RefinedWeb stage ZERO at ingest: blocked-domain hosts (incl.
+    subdomain and trailing-dot FQDN spellings) and keyword-scored URLs
+    drop in BOTH execution modes with the same survivor set; hostless
+    rows pass both gates; the filter is stateless Column-only."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        if i % 6 == 0:
+            url = f"https://bad.example/p/{i}"          # exact block
+        elif i % 6 == 1:
+            url = f"https://a.sub.bad.example/p/{i}"    # suffix block
+        elif i % 6 == 2:
+            url = f"https://bad.example./p/{i}"         # FQDN block
+        elif i % 6 == 3:
+            url = f"https://ok.example/casino/poker/{i}"  # kw 1.2 >= 1.0
+        elif i % 6 == 4:
+            url = None                                   # hostless: keep
+        else:
+            url = f"https://h{i}.example/casino/{i}"     # kw 0.6 < 1.0: keep
+        rows.append((i, f"unique doc body {i} with the and of words", url,
+                     base + datetime.timedelta(seconds=i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string, ts timestamp")
+    kwargs = dict(
+        url_col="url",
+        blocked_domains=["bad.example"],
+        keyword_weights={"casino": 0.6, "poker": 0.6},
+    )
+    batch = curate_ingest(docs, **kwargs)
+    ids = {r["id"] for r in batch.collect()}
+    assert ids == {i for i in range(30) if i % 6 in (4, 5)}
+
+    src = str(tmp_path / "urlgate_src")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_stream_to_memory(
+        curate_ingest(stream, watermark="1 hour", **kwargs),
+        "curate_urlgate_t",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT clean FROM curate_urlgate_t")
+    bclean = batch.select("clean")
+    assert got.count() == bclean.count()
+    assert got.exceptAll(bclean).count() == 0 and bclean.exceptAll(got).count() == 0
+
+    # gates without a URL column refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_ingest(docs, blocked_domains=["bad.example"])
