@@ -2721,78 +2721,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # holds at most ~50 rows, so: (1) queries that are new — or whose
     # implementation changed this round — come FIRST; (2) the rotation
     # block: every registered query gets a driver row at most two
-    # rounds old, so the 24 queries whose latest row is
-    # CORRECTNESS_r06 move to the front this round; (3) stable r7
-    # greens fill the middle; (4) the remaining queries with fresh
-    # green CORRECTNESS_r07 rows and untouched code sit past position
-    # 50 — a fixed-size cut only drops rows the r7 record + pytest
-    # already pin, and they rotate back in next round.
+    # rounds old, so the 29 queries whose latest row is
+    # CORRECTNESS_r07 move to the front this round; (3) the oldest of
+    # the r8-recorded stable queries fill the middle; (4) the
+    # remaining queries with fresh green CORRECTNESS_r08 rows and
+    # untouched code sit past position 50 — a fixed-size cut only
+    # drops rows the r8 record + pytest already pin, and they rotate
+    # back in next round.
     return {
         # --- new / changed this round (must-record) ---
+        # semdedup_bi: NEW — incremental SemDeDup vs immutable history
         "semdedup_bi": _q_semdedup_bi,
+        # dsir_bigk_eq: NEW — forces the k>driver_k_limit threshold
+        # route against dsir_resample's exact replay oracle
         "dsir_bigk_eq": _q_dsir_bigk_eq,
-        "refinedweb_pipeline": _q_refinedweb_pipeline,
-        "dsir_resample": _q_dsir_resample,
-        "dsir_route_eq": _q_dsir_route_eq,
+        # multimodal_decode: PNG payloads (zlib inflate + NumPy
+        # unfilter) planted this round
         "multimodal_decode": _q_multimodal_decode,
+        # url_filter: url_host trailing-dot fix + flattened keyword
+        # fold + new FQDN-bypass plant
         "url_filter": _q_url_filter,
-        # crawl_shards: oracle gained the COALESCE null/empty-text
-        # grouping fix this round
-        "crawl_shards": _q_crawl_shards,
-        # decontaminate / sketches_all / stream_eq_all exercise the
-        # Bloom probe path whose might_contain_any kernel was
-        # vectorized (flattened offsets + segmented reduce) this round
-        "decontaminate": _q_decontaminate,
-        "sketches_all": _q_sketches_all,
+        # dsir_resample: implementation gained the route dispatch (the
+        # small-k plan is unchanged, but the code path moved)
+        "dsir_resample": _q_dsir_resample,
+        # stream_eq_all: curate_ingest grew the URL stage-zero gate
+        # (off by default here, but the ingest code changed)
         "stream_eq_all": _q_stream_eq_all,
-        # shard_assign's seeding changed this round (string-folded ->
-        # multiplier scatter) and its oracle spelling with it — its r7
-        # row was recorded against the OLD semantics, so it records now
-        "shard_assign": _q_shard_assign,
-        # --- rotation: latest driver row is r6; re-record now ---
-        "sim_topk_ivf": _q_sim_topk_ivf,
-        "sim_topk_ivf_full": _q_sim_topk_ivf_full,
-        "multimodal_features": _q_multimodal_features,
-        "multimodal_frames": _q_multimodal_frames,
-        "curate_embeds": _q_curate_embeds,
-        "redact_pii": _q_redact_pii,
-        "knn_classify": _q_knn_classify,
-        "scan_project_filter": _q_scan_project_filter,
-        "retention": _q_retention,
-        "profile_lineitem": _q_profile_lineitem,
-        "expectations": _q_expectations,
-        "clean_text": _q_clean_text,
-        "lm_perplexity": _q_lm_perplexity,
-        "text_stats": _q_text_stats,
-        "tfidf": _q_tfidf,
-        "balance_sources": _q_balance_sources,
-        "salted_join_eq": _q_salted_join_eq,
-        "sample_sources": _q_sample_sources,
-        "quantile_filter_by": _q_quantile_filter_by,
-        "lsh_route_eq": _q_lsh_route_eq,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "stream_windowed_counts": _q_stream_windowed_counts,
-        "chunk_documents": _q_chunk_documents,
-        "dedup_minhash_2t": _q_dedup_minhash_2t,
-        # --- stable CORRECTNESS_r07 greens, code untouched; the ones
-        # inside the cap re-record, the rest keep their 1-round-old
-        # r7 rows ---
-        "label_centroids": _q_label_centroids,
-        "repetition_stats": _q_repetition_stats,
-        "assign_split": _q_assign_split,
-        "asof_purchase_click": _q_asof_purchase_click,
-        "funnel": _q_funnel,
-        "sessionize": _q_sessionize,
-        "agg_q1": _q_agg_q1,
-        "eps_join": _q_eps_join,
-        "join_revenue_by_nation": _q_join_revenue_by_nation,
-        "window_topk": _q_window_topk,
-        "rollup_revenue": _q_rollup_revenue,
-        "simhash_sigs": _q_simhash,
-        "multimodal_meta": _q_multimodal_meta,
-        "quantile_filter": _q_quantile_filter,
-        "bbox": _q_bbox,
-        "median_dim": _q_median_dim,
+        # --- rotation: latest driver row is r7; re-record now ---
         "grid_cells": _q_grid_cells,
         "ghost_rows": _q_ghost_rows,
         "neighbor_count": _q_neighbor_count,
@@ -2810,8 +2765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "curate_docs": _q_curate_docs,
         "curate_corpus": _q_curate_corpus,
-        # --- past the ~50-row cap: fresh green CORRECTNESS_r07 rows,
-        # code untouched this round; they rotate back in next round ---
         "url_dedup": _q_url_dedup,
         "url_dedup_bi": _q_url_dedup_bi,
         "gopher_rules": _q_gopher_rules,
@@ -2824,6 +2777,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_far": _q_semdedup_far,
         "pack_sequences": _q_pack_sequences,
         "semdedup_eq": _q_semdedup_eq,
+        # --- r8-recorded stable queries filling to the cap (the
+        # flagship stays inside it every round) ---
+        "refinedweb_pipeline": _q_refinedweb_pipeline,
+        "dsir_route_eq": _q_dsir_route_eq,
+        "crawl_shards": _q_crawl_shards,
+        "decontaminate": _q_decontaminate,
+        "sketches_all": _q_sketches_all,
+        "shard_assign": _q_shard_assign,
+        "sim_topk_ivf": _q_sim_topk_ivf,
+        "sim_topk_ivf_full": _q_sim_topk_ivf_full,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
+        "curate_embeds": _q_curate_embeds,
+        "redact_pii": _q_redact_pii,
+        "knn_classify": _q_knn_classify,
+        "scan_project_filter": _q_scan_project_filter,
+        "retention": _q_retention,
+        # --- past the ~50-row cap: fresh green CORRECTNESS_r08 rows,
+        # code untouched this round; they rotate back in next round ---
+        "profile_lineitem": _q_profile_lineitem,
+        "expectations": _q_expectations,
+        "clean_text": _q_clean_text,
+        "lm_perplexity": _q_lm_perplexity,
+        "text_stats": _q_text_stats,
+        "tfidf": _q_tfidf,
+        "balance_sources": _q_balance_sources,
+        "salted_join_eq": _q_salted_join_eq,
+        "sample_sources": _q_sample_sources,
+        "quantile_filter_by": _q_quantile_filter_by,
+        "lsh_route_eq": _q_lsh_route_eq,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+        "chunk_documents": _q_chunk_documents,
+        "dedup_minhash_2t": _q_dedup_minhash_2t,
+        "label_centroids": _q_label_centroids,
+        "repetition_stats": _q_repetition_stats,
+        "assign_split": _q_assign_split,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "funnel": _q_funnel,
+        "sessionize": _q_sessionize,
+        "agg_q1": _q_agg_q1,
+        "eps_join": _q_eps_join,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "window_topk": _q_window_topk,
+        "rollup_revenue": _q_rollup_revenue,
+        "simhash_sigs": _q_simhash,
+        "multimodal_meta": _q_multimodal_meta,
+        "quantile_filter": _q_quantile_filter,
+        "bbox": _q_bbox,
+        "median_dim": _q_median_dim,
     }
 
 

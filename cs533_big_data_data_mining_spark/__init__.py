@@ -83,12 +83,16 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     url_filter,
 )
 from cs533_big_data_data_mining_spark.operators.similarity import (
+    assign_to_centroids,
     cosine_topk_bruteforce,
     knn_classify,
     label_centroids,
     embedding_neardup_pairs,
+    ivf_index,
     ivf_topk,
     semdedup,
+    semdedup_bipartite,
+    semdedup_pairs_bipartite,
 )
 from cs533_big_data_data_mining_spark.functions.text import clean_text, redact_pii
 from cs533_big_data_data_mining_spark.functions.url import normalize_url, url_host
@@ -146,6 +150,10 @@ __all__ = [
     "duplicated_spans_bipartite",
     "span_dup_stats",
     "semdedup",
+    "semdedup_bipartite",
+    "semdedup_pairs_bipartite",
+    "assign_to_centroids",
+    "ivf_index",
     "lm_perplexity",
     "clean_text",
     "curate_corpus",
