@@ -26,6 +26,7 @@ from cs533_big_data_data_mining_spark.operators.decontaminate import (
     decontaminate_bloom,
 )
 from cs533_big_data_data_mining_spark.operators.dedup import (
+    bipartite_survivors,
     duplicated_spans,
     duplicated_spans_bipartite,
     exact_dedup,
@@ -143,6 +144,7 @@ __all__ = [
     "temperature_weights",
     "minhash_dedup_pairs",
     "minhash_dedup_pairs_bipartite",
+    "bipartite_survivors",
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_neardup_pairs",

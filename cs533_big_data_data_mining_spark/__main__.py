@@ -653,10 +653,128 @@ def _refinedweb_main(argv: list[str]) -> int:
     return 0
 
 
+def _ingest_shard_main(argv: list[str]) -> int:
+    """``... ingest-shard -i new.parquet --history admitted.parquet -o out``
+    — incremental admission of ONE shard against an immutable
+    already-admitted corpus, composing the bipartite twins in the
+    RefinedWeb stage order: URL dedup (``url_dedup_bipartite``) ->
+    exact dedup (``exact_dedup_bipartite``) -> MinHash near-dup
+    (within-shard pairs + shard-vs-history pairs, history-wins
+    survivor rule via ``bipartite_survivors``) [-> semantic near-dup
+    (``semdedup_bipartite``) with ``--embeddings``]. History is NEVER
+    re-paired or re-clustered against itself — per-shard cost is the
+    shard plus one banded/packed pass over history (persist those
+    once per ingest cycle at scale). New-shard ids must be disjoint
+    from history ids (the bipartite convention)."""
+    ap = argparse.ArgumentParser(
+        prog="cs533_big_data_data_mining_spark ingest-shard",
+        description="Incremental shard admission vs an immutable history corpus",
+    )
+    ap.add_argument("-i", "--input", required=True, help="new shard parquet (doc_id, text, ...)")
+    ap.add_argument("--history", required=True, help="admitted-corpus parquet (same columns)")
+    ap.add_argument("-o", "--output", required=True, help="output parquet for admitted new rows")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", default=None, help="enable incremental URL dedup on this column")
+    ap.add_argument("--ngram", type=int, default=3, help="near-dup shingle size")
+    ap.add_argument(
+        "--jaccard", type=float, default=0.8,
+        help="MinHash near-dup threshold (0 disables the stage)",
+    )
+    ap.add_argument(
+        "--embeddings", default=None,
+        help="new-shard embeddings parquet (vec_id, embedding; vec_id == "
+        "the document id, the curate-CLI convention) — adds incremental "
+        "SemDeDup; needs --history-embeddings",
+    )
+    ap.add_argument("--history-embeddings", default=None)
+    ap.add_argument("--cosine", type=float, default=0.95, help="semantic near-dup threshold")
+    ap.add_argument("--centroids", type=int, default=64, help="IVF clusters fit on history")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if (args.embeddings is None) != (args.history_embeddings is None):
+        raise SystemExit("--embeddings and --history-embeddings go together")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        bipartite_survivors,
+        exact_dedup_bipartite,
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_bipartite,
+        url_dedup_bipartite,
+    )
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_ingest_shard_cli", master=args.master)
+    t0 = time.time()
+    idc, txc = args.id_col, args.text_col
+    new = spark.read.parquet(args.input)
+    hist = spark.read.parquet(args.history)
+    n_in = new.count()
+
+    def stage(name, frame):
+        print(f"{name}: {frame.count()} docs ({time.time() - t0:.1f}s)", flush=True)
+        return frame
+
+    cur = new
+    if args.url_col:
+        if args.url_col not in cur.columns or args.url_col not in hist.columns:
+            raise SystemExit(
+                f"--url-col {args.url_col!r} must exist in BOTH inputs "
+                f"(new: {cur.columns}, history: {hist.columns})"
+            )
+        keep_u = url_dedup_bipartite(cur, hist, idc, args.url_col).select(
+            F.col("id").alias(idc)
+        )
+        cur = stage("url_dedup_bi", cur.join(keep_u, idc, "left_semi"))
+    cur = stage("exact_dedup_bi", exact_dedup_bipartite(cur, hist, idc, txc))
+    if args.jaccard > 0:
+        nn = minhash_dedup_pairs(cur, idc, txc, n=args.ngram, threshold=args.jaccard)
+        nh = minhash_dedup_pairs_bipartite(
+            cur, hist, idc, txc, n=args.ngram, threshold=args.jaccard
+        )
+        keep_m = bipartite_survivors(cur.select(F.col(idc).alias("id")), nn, nh).select(
+            F.col("id").alias(idc)
+        )
+        cur = stage("minhash_bi", cur.join(keep_m, idc, "left_semi"))
+    if args.embeddings:
+        from cs533_big_data_data_mining_spark.operators.similarity import (
+            semdedup_bipartite,
+        )
+
+        emb_new = spark.read.parquet(args.embeddings)
+        emb_hist = spark.read.parquet(args.history_embeddings)
+        # only embeddings of still-surviving new docs are candidates
+        emb_new = emb_new.join(
+            cur.select(F.col(idc).alias("vec_id")), "vec_id", "left_semi"
+        )
+        keep_s_raw = semdedup_bipartite(emb_hist, emb_new, args.cosine, args.centroids)
+        keep_s = keep_s_raw.select(F.col("id").alias(idc))
+        cur = stage("semdedup_bi", cur.join(keep_s, idc, "left_semi"))
+    else:
+        keep_s_raw = None
+    cur.write.mode("overwrite").parquet(args.output)
+    if keep_s_raw is not None:  # released only after the write consumed it
+        keep_s_raw.unpersist()
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        f"admitted {n_out} of {n_in} new docs vs {hist.count()}-doc history "
+        f"({time.time() - t0:.1f}s); wrote {args.output}"
+    )
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "refinedweb":
         return _refinedweb_main(argv[1:])
+    if argv and argv[0] == "ingest-shard":
+        return _ingest_shard_main(argv[1:])
     if argv and argv[0] == "curate":
         return _curate_main(argv[1:])
     if argv and argv[0] == "mix":
@@ -670,8 +788,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",
-        epilog="data-pipeline subcommands: refinedweb curate mix chunk pack "
-        "score (run '<subcommand> --help' for each)",
+        epilog="data-pipeline subcommands: refinedweb ingest-shard curate mix "
+        "chunk pack score (run '<subcommand> --help' for each)",
     )
     ap.add_argument("-i", "--input", required=True, help="input file (.bin with -b, else parquet)")
     ap.add_argument("-b", "--binary", action="store_true", help="input is the reference's .bin format")

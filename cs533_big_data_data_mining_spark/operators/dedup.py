@@ -95,6 +95,55 @@ def exact_dedup_bipartite(
     return new.join(keepers, id_col, "left_semi")
 
 
+def bipartite_survivors(
+    new_ids: DataFrame,
+    new_new_pairs: DataFrame,
+    new_hist_pairs: DataFrame,
+) -> DataFrame:
+    """Shared survivor rule for every incremental NEAR-dup flow
+    (MinHash, SemDeDup, ...): given the new shard's ids and the two
+    pair classes a finder produced — ``new_new_pairs`` ``(a, b)``
+    with both ends new, ``new_hist_pairs`` ``(a, b)`` with ``a`` new
+    and ``b`` history — return the ``(id)`` rows of the new shard
+    that survive under *history always wins*: a new doc is dropped
+    iff its transitive component (over the union pair graph) touches
+    ANY history doc, or it is not the minimum-id new member of a
+    history-free component. Matches :func:`exact_dedup_bipartite`
+    semantics at the near-dup level; ``semdedup_bipartite`` is this
+    rule over its pair generator. Ids must be integral and disjoint
+    across the two corpora (the bipartite convention). Returns a lazy
+    frame — pair inputs are small (near-dup-sized); persist them
+    yourself if the finder was expensive.
+    """
+    from cs533_big_data_data_mining_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    nn = new_new_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nh = new_hist_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = nn.union(nh)
+    comp = connected_components(edges)
+    hist_comps = (
+        comp.join(new_hist_pairs.select(F.col("b").alias("node")).distinct(), "node")
+        .select("component")
+        .distinct()
+    )
+    ids = new_ids.select(F.col(new_ids.columns[0]).alias("id"))
+    in_graph = comp.select(F.col("node").alias("id"), "component").join(ids, "id")
+    dropped = (
+        in_graph.join(hist_comps, "component", "left_semi")
+        .select("id")
+        .union(
+            # history-free component: every member is new, so the
+            # min-label IS the min new id — survivor = label node
+            in_graph.join(hist_comps, "component", "left_anti")
+            .filter(F.col("id") != F.col("component"))
+            .select("id")
+        )
+    )
+    return ids.join(dropped, "id", "left_anti")
+
+
 def url_dedup(
     df: DataFrame, id_col: str, url_col: str, normalize: bool = True
 ) -> DataFrame:

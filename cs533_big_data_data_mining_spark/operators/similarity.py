@@ -859,14 +859,14 @@ def semdedup_bipartite(
     document, or it is not the minimum-id new member of a
     history-free component (the ``min_id`` survivor policy — history
     members always win, matching ``exact_dedup_bipartite``
-    semantics). Pass ``index`` (an :func:`ivf_index` fit on
-    ``history``) to reuse one clustering across shard cycles;
-    otherwise it is fit here. Same cache contract as
-    :func:`semdedup`: the returned frame is materialized and
-    caller-owned; internal caches are released."""
-    from cs533_big_data_data_mining_spark.operators.connected_components import (
-        connected_components,
-    )
+    semantics — the shared
+    :func:`~cs533_big_data_data_mining_spark.operators.dedup.bipartite_survivors`
+    rule). Pass ``index`` (an :func:`ivf_index` fit on ``history``)
+    to reuse one clustering across shard cycles; otherwise it is fit
+    here. Same cache contract as :func:`semdedup`: the returned
+    frame is materialized and caller-owned; internal caches are
+    released."""
+    from cs533_big_data_data_mining_spark.operators.dedup import bipartite_survivors
 
     if index is None:
         index = ivf_index(
@@ -876,33 +876,11 @@ def semdedup_bipartite(
         index, new, threshold, id_col=id_col, vec_col=vec_col, block_rows=block_rows
     )  # arrives persisted
     try:
-        edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        comp = connected_components(edges, edge_count_hint=pairs.count())
-        # a component touches history iff it contains a history-side
-        # pair endpoint (history ids enter the graph ONLY through
-        # b_side='history' pairs)
-        hist_comps = (
-            comp.join(
-                pairs.filter("b_side = 'history'").select(F.col("b").alias("node")).distinct(),
-                "node",
-            )
-            .select("component")
-            .distinct()
-        )
-        new_ids = new.select(F.col(id_col).alias("id"))
-        in_graph = comp.select(F.col("node").alias("id"), "component").join(new_ids, "id")
-        dropped = (
-            in_graph.join(hist_comps, "component", "left_semi")
-            .select("id")
-            .union(
-                # history-free component: every member is new, so the
-                # min-label IS the min new id — survivor = label node
-                in_graph.join(hist_comps, "component", "left_anti")
-                .filter(F.col("id") != F.col("component"))
-                .select("id")
-            )
-        )
-        survivors = new_ids.join(dropped, "id", "left_anti").persist()
+        survivors = bipartite_survivors(
+            new.select(F.col(id_col).alias("id")),
+            pairs.filter("b_side = 'new'"),
+            pairs.filter("b_side = 'history'"),
+        ).persist()
         survivors.count()
     finally:
         pairs.unpersist()

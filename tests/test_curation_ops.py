@@ -911,3 +911,64 @@ def test_url_filter_brute_force(spark):
     bl = spark.createDataFrame([("BAD.example",)], "domain string")
     out2 = url_filter(df, "id", "url", blocked_domains=bl)
     assert {r["id"] for r in out2.filter("NOT keep").collect()} == {0, 1, 9}
+
+
+def test_cli_ingest_shard_end_to_end(spark, tmp_path):
+    """Incremental shard admission composing the bipartite twins: URL
+    re-crawls, exact text dups, MinHash near-dups (vs history AND
+    within the shard), and embedding near-dups all drop; genuinely
+    fresh docs admit. History is immutable throughout."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    hist_p = str(tmp_path / "is_hist.parquet")
+    new_p = str(tmp_path / "is_new.parquet")
+    ne_p = str(tmp_path / "is_new_emb.parquet")
+    he_p = str(tmp_path / "is_hist_emb.parquet")
+    out = str(tmp_path / "is_out.parquet")
+
+    def body(tag, i):
+        return f"{tag} document {i} body " + " ".join(f"{tag}{i}w{j}" for j in range(25))
+
+    hist_rows = [(i, body("hist", i), f"https://ex.com/h/{i}") for i in range(20)]
+    new_rows = [
+        # 100: URL re-crawl of history page 3 (variant spelling) -> drop
+        (100, body("fresh", 100), "HTTPS://WWW.ex.com/h/3?utm_source=z"),
+        # 101: exact text dup of history doc 5 -> drop
+        (101, hist_rows[5][1], "https://ex.com/n/101"),
+        # 102: MinHash near-dup of history doc 7 (one word changed) -> drop
+        (102, hist_rows[7][1].replace("w3", "wX"), "https://ex.com/n/102"),
+        # 103/104: within-shard near-dup pair -> 103 survives, 104 drops
+        (103, body("pair", 103), "https://ex.com/n/103"),
+        (104, body("pair", 103).replace("w7", "wY"), "https://ex.com/n/104"),
+        # 105: fresh text, embedding identical to history vec 2 -> drop
+        (105, body("fresh", 105), "https://ex.com/n/105"),
+        # 106: fresh everything -> admit
+        (106, body("fresh", 106), "https://ex.com/n/106"),
+    ]
+    spark.createDataFrame(hist_rows, "doc_id long, text string, url string").write.parquet(hist_p)
+    spark.createDataFrame(new_rows, "doc_id long, text string, url string").write.parquet(new_p)
+
+    def vec(seed):
+        # injective over seeds < 101 (mod-101 lattice), so distinct
+        # seeds give genuinely different directions
+        return [float((seed * 13 + j * 29) % 101 - 50) for j in range(8)]
+
+    spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+    ).write.parquet(he_p)
+    # seeds picked so 103/106 stay below cosine 0.999 vs every history
+    # vector (max 0.958/0.985) while 105 is bit-identical to hist 2
+    spark.createDataFrame(
+        [(103, vec(51)), (104, vec(70)), (105, vec(2)), (106, vec(60))],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(ne_p)
+
+    rc = main([
+        "ingest-shard", "-i", new_p, "--history", hist_p, "-o", out,
+        "--url-col", "url", "--jaccard", "0.7",
+        "--embeddings", ne_p, "--history-embeddings", he_p,
+        "--cosine", "0.999", "--centroids", "2",
+    ])
+    assert rc == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {103, 106}
