@@ -256,3 +256,42 @@ def test_mix_to_budget_plan_shape(spark):
     assert "CartesianProduct" not in p
     # the only Exchange allowed is the broadcast of the repeat table
     assert "Exchange hashpartitioning" not in p and "Exchange rangepartitioning" not in p
+
+
+def test_dsir_resample_bigk_plan_shape(spark):
+    """The big-k threshold route's returned frame must be a plain
+    filtered scan union (plus the tie sliver's bounded TakeOrdered) —
+    never a global Sort+Limit of the corpus, and no k-sized heap on
+    the above-threshold branch."""
+    from cs533_big_data_data_mining_spark.operators.quality import dsir_resample
+
+    df = spark.range(4_000).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS logratio")
+    out = dsir_resample(df, 1_000, seed=2, driver_k_limit=10)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # a bare-Sort global ordering of the corpus would read "Sort ...
+    # Exchange rangepartitioning"; the route must not contain one
+    assert "Exchange rangepartitioning" not in p, p[:800]
+    # the only TakeOrdered allowed is the == t tie sliver (limit is
+    # k - count(>t), bounded by one key's tie count). If the strict
+    # cut landed exactly, there is no TakeOrdered at all.
+    assert p.count("TakeOrderedAndProject") <= 1, p[:800]
+
+
+def test_semdedup_bipartite_assign_plan_shape(spark):
+    """assign_to_centroids must be ONE mapInPandas pass over the new
+    side — no join against a centroid table, no shuffle (the centroid
+    matrix is driver-held and closure-shipped)."""
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cent, _ = ivf_index(df, 2, iters=1, seed=3)
+    out = assign_to_centroids(df, cent)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p, p[:500]
+    assert "Exchange" not in p and "Join" not in p, p[:800]
