@@ -106,6 +106,13 @@ def pack_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
 #: truecolor, greyscale+alpha, truecolor+alpha (RFC 2083 §4.1.1)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: decode ceiling for untrusted crawl payloads: unlike PPM/BMP/WAV
+#: (whose pixel bytes must be physically present in the payload), a
+#: PNG declares its size in IHDR and DEFLATE can expand ~1000x — a
+#: few-MB forged payload could otherwise demand a multi-GB decode
+#: buffer inside an executor. 64 MP (~256 MB RGBA) rejects nothing a
+#: training pipeline keeps; larger images are the codec route's job.
+_PNG_MAX_PIXELS = 64_000_000
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -212,12 +219,18 @@ def _parse_png(buf: bytes):
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None:
         return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    if w * h > _PNG_MAX_PIXELS:  # forged-IHDR allocation guard
         return None
     stride = w * ch
-    if len(raw) != h * (1 + stride):
+    expect = h * (1 + stride)
+    try:
+        # bounded inflate: never produce more than the IHDR-declared
+        # size + 1 sentinel byte, whatever the DEFLATE stream holds
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expect or not d.eof or d.unconsumed_tail or d.unused_data:
         return None
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     ftypes = rows[:, 0]

@@ -434,3 +434,43 @@ def test_media_parsers_fuzz_roundtrip():
 
     roundtrip()
     noise()
+
+
+def test_png_decode_bomb_hardening():
+    """Untrusted-payload guards: a DEFLATE stream inflating past the
+    IHDR-declared size is rejected by the bounded inflate (never
+    materialized), and forged giant IHDR dims are rejected before any
+    allocation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        pack_png,
+    )
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    bomb = (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\0" * 1_000_000))
+        + chunk(b"IEND", b"")
+    )
+    assert _parse_png(bomb) is None
+    ihdr_big = struct.pack(">IIBBBBB", 2**20, 2**20, 8, 2, 0, 0, 0)
+    giant = (
+        _PNG_SIG + chunk(b"IHDR", ihdr_big)
+        + chunk(b"IDAT", zlib.compress(b"\0" * 100))
+        + chunk(b"IEND", b"")
+    )
+    assert _parse_png(giant) is None
+    # an exact-size stream still decodes
+    px = np.full((3, 3, 3), 7, dtype=np.uint8)
+    assert _parse_png(pack_png(px)) is not None
