@@ -731,11 +731,18 @@ def _ingest_shard_main(argv: list[str]) -> int:
         )
         cur = stage("url_dedup_bi", cur.join(keep_u, idc, "left_semi"))
     cur = stage("exact_dedup_bi", exact_dedup_bipartite(cur, hist, idc, txc))
+    to_release = []
     if args.jaccard > 0:
-        nn = minhash_dedup_pairs(cur, idc, txc, n=args.ngram, threshold=args.jaccard)
+        # the pair finders are the expensive stages; persist their
+        # (near-dup-sized) outputs so the survivor closure, the stage
+        # count, and the final write don't re-run MinHash per action
+        nn = minhash_dedup_pairs(
+            cur, idc, txc, n=args.ngram, threshold=args.jaccard
+        ).persist()
         nh = minhash_dedup_pairs_bipartite(
             cur, hist, idc, txc, n=args.ngram, threshold=args.jaccard
-        )
+        ).persist()
+        to_release += [nn, nh]
         keep_m = bipartite_survivors(cur.select(F.col(idc).alias("id")), nn, nh).select(
             F.col("id").alias(idc)
         )
@@ -752,13 +759,12 @@ def _ingest_shard_main(argv: list[str]) -> int:
             cur.select(F.col(idc).alias("vec_id")), "vec_id", "left_semi"
         )
         keep_s_raw = semdedup_bipartite(emb_hist, emb_new, args.cosine, args.centroids)
+        to_release.append(keep_s_raw)
         keep_s = keep_s_raw.select(F.col("id").alias(idc))
         cur = stage("semdedup_bi", cur.join(keep_s, idc, "left_semi"))
-    else:
-        keep_s_raw = None
     cur.write.mode("overwrite").parquet(args.output)
-    if keep_s_raw is not None:  # released only after the write consumed it
-        keep_s_raw.unpersist()
+    for frame in to_release:  # released only after the write consumed them
+        frame.unpersist()
     n_out = spark.read.parquet(args.output).count()
     print(
         f"admitted {n_out} of {n_in} new docs vs {hist.count()}-doc history "
