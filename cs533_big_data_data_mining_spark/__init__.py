@@ -90,6 +90,8 @@ from cs533_big_data_data_mining_spark.operators.similarity import (
     label_centroids,
     embedding_neardup_pairs,
     ivf_index,
+    ivf_load,
+    ivf_save,
     ivf_topk,
     semdedup,
     semdedup_bipartite,
@@ -156,6 +158,8 @@ __all__ = [
     "semdedup_pairs_bipartite",
     "assign_to_centroids",
     "ivf_index",
+    "ivf_save",
+    "ivf_load",
     "lm_perplexity",
     "clean_text",
     "curate_corpus",

@@ -690,6 +690,13 @@ def _ingest_shard_main(argv: list[str]) -> int:
     ap.add_argument("--history-embeddings", default=None)
     ap.add_argument("--cosine", type=float, default=0.95, help="semantic near-dup threshold")
     ap.add_argument("--centroids", type=int, default=64, help="IVF clusters fit on history")
+    ap.add_argument(
+        "--ivf-dir", default=None,
+        help="IVF index artifact dir (needs --embeddings): if it already "
+        "holds a saved index, load it instead of re-clustering history; "
+        "otherwise fit on the history embeddings and SAVE it there for "
+        "the next shard cycle",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if (args.embeddings is None) != (args.history_embeddings is None):
@@ -749,6 +756,9 @@ def _ingest_shard_main(argv: list[str]) -> int:
         cur = stage("minhash_bi", cur.join(keep_m, idc, "left_semi"))
     if args.embeddings:
         from cs533_big_data_data_mining_spark.operators.similarity import (
+            ivf_index,
+            ivf_load,
+            ivf_save,
             semdedup_bipartite,
         )
 
@@ -758,7 +768,28 @@ def _ingest_shard_main(argv: list[str]) -> int:
         emb_new = emb_new.join(
             cur.select(F.col(idc).alias("vec_id")), "vec_id", "left_semi"
         )
-        keep_s_raw = semdedup_bipartite(emb_hist, emb_new, args.cosine, args.centroids)
+        from pyspark.errors import AnalysisException
+
+        idx = None
+        if args.ivf_dir:
+            try:
+                idx = ivf_load(spark, args.ivf_dir)
+                print(f"ivf: loaded index from {args.ivf_dir}", flush=True)
+            except AnalysisException:  # no artifact yet: fit + save below.
+                # A malformed artifact (ivf_load's ValueError) still
+                # crashes loudly — silently re-fitting over it would
+                # hide a corrupted ingest-cycle state.
+                idx = None
+        if idx is None:
+            idx = ivf_index(emb_hist, args.centroids)
+            if args.ivf_dir:
+                ivf_save(idx, args.ivf_dir)
+                idx = ivf_load(spark, args.ivf_dir)  # read back: later stages
+                # scan the parquet artifact, not the fit's lineage
+                print(f"ivf: fit + saved index to {args.ivf_dir}", flush=True)
+        keep_s_raw = semdedup_bipartite(
+            emb_hist, emb_new, args.cosine, args.centroids, index=idx
+        )
         to_release.append(keep_s_raw)
         keep_s = keep_s_raw.select(F.col("id").alias(idc))
         cur = stage("semdedup_bi", cur.join(keep_s, idc, "left_semi"))

@@ -464,6 +464,40 @@ def ivf_topk(
     )
 
 
+def ivf_save(index: tuple[DataFrame, DataFrame], path: str) -> None:
+    """Persist an :func:`ivf_index` ``(centroids, assignments)`` pair
+    to Parquet (``path/centroids``, ``path/assignments``) — the
+    once-per-ingest-cycle artifact every incremental embedding flow
+    reuses (:func:`semdedup_bipartite`, repeated :func:`ivf_topk`
+    query batches, the ``ingest-shard`` CLI's ``--ivf-dir``). The
+    save is the cluster-durable spelling of "compute the history
+    index once": a daily shard job loads it instead of re-running
+    the k-means fit + corpus argmax per shard."""
+    base = path.rstrip("/")
+    cent, assigned = index
+    cent.write.mode("overwrite").parquet(f"{base}/centroids")
+    assigned.write.mode("overwrite").parquet(f"{base}/assignments")
+
+
+def ivf_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Inverse of :func:`ivf_save`: ``(centroids, assignments)`` read
+    back from Parquet, schemas validated so a wrong/partial artifact
+    fails loudly instead of mis-probing."""
+    base = path.rstrip("/")
+    cent = spark.read.parquet(f"{base}/centroids")
+    assigned = spark.read.parquet(f"{base}/assignments")
+    if not {"cid", "cvec"} <= set(cent.columns):
+        raise ValueError(
+            f"ivf_load({path!r}): centroids must have (cid, cvec), found {cent.columns}"
+        )
+    if not {"id", "vec", "cid"} <= set(assigned.columns):
+        raise ValueError(
+            f"ivf_load({path!r}): assignments must have (id, vec, cid), "
+            f"found {assigned.columns}"
+        )
+    return cent, assigned
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold: float,

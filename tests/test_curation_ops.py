@@ -968,7 +968,13 @@ def test_cli_ingest_shard_end_to_end(spark, tmp_path):
         "--url-col", "url", "--jaccard", "0.7",
         "--embeddings", ne_p, "--history-embeddings", he_p,
         "--cosine", "0.999", "--centroids", "2",
+        "--ivf-dir", str(tmp_path / "ivf_art"),
     ])
     assert rc == 0
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {103, 106}
+    # --ivf-dir persisted the history index for the next shard cycle
+    import os
+
+    assert os.path.isdir(str(tmp_path / "ivf_art" / "centroids"))
+    assert os.path.isdir(str(tmp_path / "ivf_art" / "assignments"))

@@ -266,3 +266,36 @@ def test_assign_to_centroids_matches_index(spark):
     orig = {r["id"]: r["cid"] for r in assigned.collect()}
     got = {r["id"] - 1000: r["cid"] for r in re_assigned.collect()}
     assert got == orig
+
+
+def test_ivf_save_load_roundtrip(spark, tmp_path):
+    """The persisted index must reproduce the fit's behavior exactly:
+    loaded centroids assign every vector to the same cluster, and the
+    loaded assignments equal the saved ones row for row. Malformed
+    artifacts fail loudly."""
+    import pytest
+
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_index,
+        ivf_load,
+        ivf_save,
+    )
+
+    rows = [(i, [float((i * 13 + j * 29) % 101 - 50) for j in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = ivf_index(df, 4, iters=2, seed=9)
+    path = str(tmp_path / "ivf_idx")
+    ivf_save(idx, path)
+    cent2, assigned2 = ivf_load(spark, path)
+    orig = {r["id"]: r["cid"] for r in idx[1].collect()}
+    loaded = {r["id"]: r["cid"] for r in assigned2.collect()}
+    assert loaded == orig
+    re_assigned = {r["id"]: r["cid"] for r in assign_to_centroids(df, cent2).collect()}
+    assert re_assigned == orig
+    # malformed artifact: wrong schema fails loudly, not silently
+    bad = str(tmp_path / "ivf_bad")
+    spark.range(3).write.parquet(bad + "/centroids")
+    spark.range(3).write.parquet(bad + "/assignments")
+    with pytest.raises(ValueError):
+        ivf_load(spark, bad)
