@@ -1792,10 +1792,20 @@ def _q_semdedup_bi(spark, sf_dir):
             )
         )
     )
-    idx = ivf_index(hist, SEM_EQ_C, iters=1)
-    return semdedup_bipartite(hist, new, LSH_EQ_T, SEM_EQ_C, index=idx).select(
-        F.col("id").cast("long").alias("id")
-    )
+    # ~2k vectors through ~15 tiny jobs (k-means fit, per-side
+    # packing, grams, CC rounds): 32-way shuffles are pure scheduling
+    # overhead — pin partitions low for the duration (set/restore is
+    # a fixed point under re-entry; the semdedup_far pattern). The
+    # returned frame arrives PERSISTED (materialized inside the pin),
+    # so the driver's later collect reads cached blocks.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        idx = ivf_index(hist, SEM_EQ_C, iters=1)
+        out = semdedup_bipartite(hist, new, LSH_EQ_T, SEM_EQ_C, index=idx)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(F.col("id").cast("long").alias("id"))
 
 
 # planted geometry for the far-from-centroid survivor policy: two
