@@ -693,14 +693,21 @@ def _ingest_shard_main(argv: list[str]) -> int:
     ap.add_argument(
         "--ivf-dir", default=None,
         help="IVF index artifact dir (needs --embeddings): if it already "
-        "holds a saved index, load it instead of re-clustering history; "
-        "otherwise fit on the history embeddings and SAVE it there for "
-        "the next shard cycle",
+        "holds a saved index, reuse its CENTROIDS (assignments are "
+        "refreshed against the current --history-embeddings with one "
+        "argmax pass, so history growth since the save is still dedup'd "
+        "against); otherwise fit on the history embeddings and SAVE it "
+        "there for the next shard cycle",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if (args.embeddings is None) != (args.history_embeddings is None):
         raise SystemExit("--embeddings and --history-embeddings go together")
+    if args.ivf_dir and not args.embeddings:
+        raise SystemExit(
+            "--ivf-dir needs --embeddings/--history-embeddings (there is "
+            "no semantic stage to index without them)"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -740,15 +747,15 @@ def _ingest_shard_main(argv: list[str]) -> int:
     cur = stage("exact_dedup_bi", exact_dedup_bipartite(cur, hist, idc, txc))
     to_release = []
     if args.jaccard > 0:
-        # the pair finders are the expensive stages; persist their
-        # (near-dup-sized) outputs so the survivor closure, the stage
-        # count, and the final write don't re-run MinHash per action
-        nn = minhash_dedup_pairs(
-            cur, idc, txc, n=args.ngram, threshold=args.jaccard
-        ).persist()
+        # with caches=None the pair finders return CACHED, materialized
+        # frames (the _release_index_caches contract) — so the survivor
+        # closure, the stage count, and the final write all read one
+        # MinHash evaluation; this CLI owns releasing them after the
+        # write consumes the plan
+        nn = minhash_dedup_pairs(cur, idc, txc, n=args.ngram, threshold=args.jaccard)
         nh = minhash_dedup_pairs_bipartite(
             cur, hist, idc, txc, n=args.ngram, threshold=args.jaccard
-        ).persist()
+        )
         to_release += [nn, nh]
         keep_m = bipartite_survivors(cur.select(F.col(idc).alias("id")), nn, nh).select(
             F.col("id").alias(idc)
@@ -770,16 +777,40 @@ def _ingest_shard_main(argv: list[str]) -> int:
         )
         from pyspark.errors import AnalysisException
 
+        from cs533_big_data_data_mining_spark.operators.similarity import (
+            assign_to_centroids,
+        )
+
         idx = None
         if args.ivf_dir:
-            try:
-                idx = ivf_load(spark, args.ivf_dir)
-                print(f"ivf: loaded index from {args.ivf_dir}", flush=True)
-            except AnalysisException:  # no artifact yet: fit + save below.
-                # A malformed artifact (ivf_load's ValueError) still
-                # crashes loudly — silently re-fitting over it would
-                # hide a corrupted ingest-cycle state.
-                idx = None
+            jvm = spark.sparkContext._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(args.ivf_dir)
+            hfs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            if hfs.exists(hpath):
+                # artifact dir present: it must LOAD. A partial write
+                # from a crashed prior cycle (centroids/ without
+                # assignments/, or malformed schemas) crashes loudly
+                # here — silently re-fitting over it would hide the
+                # corrupted ingest-cycle state.
+                try:
+                    cent_only, _stale = ivf_load(spark, args.ivf_dir)
+                except AnalysisException as exc:
+                    raise SystemExit(
+                        f"--ivf-dir {args.ivf_dir!r} exists but is not a "
+                        f"loadable index (partial write from a crashed "
+                        f"cycle?): {exc}. Delete it or point elsewhere."
+                    ) from exc
+                # the saved ASSIGNMENTS describe history as of save
+                # time; --history-embeddings is the current corpus —
+                # refresh with one broadcast argmax (no re-clustering),
+                # so docs admitted in prior cycles are still compared
+                # against. Only the centroid fit is reused.
+                idx = (cent_only, assign_to_centroids(emb_hist, cent_only))
+                print(
+                    f"ivf: loaded centroids from {args.ivf_dir}; assignments "
+                    "refreshed against current history",
+                    flush=True,
+                )
         if idx is None:
             idx = ivf_index(emb_hist, args.centroids)
             if args.ivf_dir:

@@ -162,14 +162,20 @@ def url_dedup(
     combinable groupBy on the normalized key + a broadcast-free
     min-id semi-join on the unique id — the same scale shape as
     :func:`exact_dedup`, with a key that is bytes instead of
-    documents. NULL urls form their own group (one survivor).
+    documents. NULL urls are EXEMPT (all kept): a document without
+    provenance cannot be a re-crawl of anything — collapsing the
+    null group to one survivor would delete distinct documents
+    (the ``url_filter`` hostless stance; dedup them on content).
     """
     from cs533_big_data_data_mining_spark.functions.url import normalize_url
 
     norm = normalize_url(url_col) if normalize else F.col(url_col)
     base = df.select(F.col(id_col).alias("id"), norm.alias("url_norm"))
-    keepers = base.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
-    return base.join(keepers, "id", "left_semi")
+    nonnull = base.filter(F.col("url_norm").isNotNull())
+    keepers = nonnull.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
+    return base.filter(F.col("url_norm").isNull()).unionByName(
+        nonnull.join(keepers, "id", "left_semi")
+    )
 
 
 def url_dedup_bipartite(
@@ -187,7 +193,8 @@ def url_dedup_bipartite(
     ``duplicated_spans_bipartite``). History contributes only its
     distinct normalized-URL set (one combinable groupBy — or persist
     it once per ingest); the anti-join build side is URL-count-sized,
-    never document-sized. Returns ``(id, url_norm)``.
+    never document-sized. Returns ``(id, url_norm)``. NULL urls are
+    EXEMPT (all kept) — the :func:`url_dedup` contract.
     """
     from cs533_big_data_data_mining_spark.functions.url import normalize_url
 
@@ -195,10 +202,13 @@ def url_dedup_bipartite(
     n_norm = normalize_url(url_col) if normalize else F.col(url_col)
     h_norm = normalize_url(hcol) if normalize else F.col(hcol)
     base = new.select(F.col(id_col).alias("id"), n_norm.alias("url_norm"))
+    nonnull = base.filter(F.col("url_norm").isNotNull())
     seen = history.select(h_norm.alias("url_norm")).distinct()
-    fresh = base.join(seen, "url_norm", "left_anti")
+    fresh = nonnull.join(seen, "url_norm", "left_anti")
     keepers = fresh.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
-    return fresh.join(keepers, "id", "left_semi")
+    return base.filter(F.col("url_norm").isNull()).unionByName(
+        fresh.join(keepers, "id", "left_semi")
+    )
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -110,9 +110,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: (whose pixel bytes must be physically present in the payload), a
 #: PNG declares its size in IHDR and DEFLATE can expand ~1000x — a
 #: few-MB forged payload could otherwise demand a multi-GB decode
-#: buffer inside an executor. 64 MP (~256 MB RGBA) rejects nothing a
-#: training pipeline keeps; larger images are the codec route's job.
-_PNG_MAX_PIXELS = 64_000_000
+#: buffer inside an executor, and the Average/Paeth unfilter walk is
+#: O(pixels) Python-loop work an adversary can force on every row.
+#: 24 MP (~raw 96 MB RGBA working set with the per-row conversion
+#: below; >= any web/DSLR crawl image) bounds both; larger images are
+#: the codec route's job.
+_PNG_MAX_PIXELS = 24_000_000
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -236,35 +239,41 @@ def _parse_png(buf: bytes):
     ftypes = rows[:, 0]
     if ftypes.max(initial=0) > 4:
         return None
-    data = rows[:, 1:].astype(np.int32)
-    out = np.empty((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
+    # memory posture: `rows` stays a uint8 VIEW of the inflated bytes;
+    # each scanline converts to int16 only while being reconstructed
+    # (predictor sums max out at 510), and the output accumulates as
+    # uint8 — peak working set ~2x the raw image, not the ~9x a
+    # whole-image int32 conversion would cost at the pixel ceiling
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
-        f, r = int(ftypes[y]), data[y]
+        f = int(ftypes[y])
+        r = rows[y, 1:].astype(np.int16)
         if f == 0:
-            rec = r.copy()
+            rec = r
         elif f == 1:
             # Sub is a per-byte-lane prefix sum mod 256 — vectorized
-            rec = np.cumsum(r.reshape(w, ch), axis=0, dtype=np.int64).reshape(stride) & 0xFF
-            rec = rec.astype(np.int32)
+            rec = (
+                np.cumsum(r.reshape(w, ch), axis=0, dtype=np.int64).reshape(stride) & 0xFF
+            ).astype(np.int16)
         elif f == 2:
             rec = (r + prev) & 0xFF
         else:
             # Average/Paeth depend on the reconstructed LEFT pixel —
             # inherently sequential along the row; vectorize across
             # the ch byte lanes and walk the w pixels
-            rec = np.empty(stride, dtype=np.int32)
-            a = np.zeros(ch, dtype=np.int32)
+            rec = np.empty(stride, dtype=np.int16)
+            a = np.zeros(ch, dtype=np.int16)
             for x in range(w):
                 sl = slice(x * ch, (x + 1) * ch)
                 b = prev[sl]
-                c = prev[x * ch - ch : x * ch] if x else np.zeros(ch, dtype=np.int32)
+                c = prev[x * ch - ch : x * ch] if x else np.zeros(ch, dtype=np.int16)
                 pred = (a + b) >> 1 if f == 3 else _paeth_predictor(a, b, c)
                 a = (r[sl] + pred) & 0xFF
                 rec[sl] = a
         out[y] = rec
         prev = rec
-    return w, h, ch, out.astype(np.uint8).reshape(h, w, ch)
+    return w, h, ch, out.reshape(h, w, ch)
 
 
 def _parse_ppm(buf: bytes):
@@ -302,9 +311,13 @@ def _parse_ppm(buf: bytes):
         return None
     px = np.frombuffer(buf, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
     if maxval != 255:
-        # netpbm samples are proportional to maxval: rescale to the
-        # full 8-bit range (half-up quantization — +0.5 floor on
-        # non-negative values) so channel means aren't off by
+        # netpbm samples must not exceed maxval — a violating payload
+        # is structurally invalid (and would otherwise drive the
+        # rescale cast out of uint8 range: C-cast wrap, garbage means)
+        if int(px.max(initial=0)) > maxval:
+            return None
+        # rescale to the full 8-bit range (half-up quantization — +0.5
+        # floor on non-negative values) so channel means aren't off by
         # 255/maxval for externally-produced low-maxval PPMs. The
         # in-repo packer always writes maxval=255 (no rescale).
         px = (px.astype(np.float64) * (255.0 / maxval) + 0.5).astype(np.uint8)

@@ -359,29 +359,16 @@ def ivf_index(
     centroids: (cid, cvec) — unit-norm, k-means-refined.
     assignments: (id, vec, cid) — one vectorized argmax pass.
     """
-    import numpy as np
-    import pandas as pd
-
     C = _centroid_matrix(corpus, n_centroids, id_col, vec_col, iters, seed)
     spark = corpus.sparkSession
     cent = local_df(
         spark, [(i, C[i].tolist()) for i in range(len(C))], "cid int, cvec array<double>"
     )
-
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    vec_type = c.schema["vec"].dataType.simpleString()
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(list(pdf["vec"]), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cid = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
-            yield pd.DataFrame({"id": pdf["id"], "vec": pdf["vec"], "cid": cid})
-
-    assignments = c.mapInPandas(assign, f"id long, vec {vec_type}, cid int")
-    return cent, assignments
+    # ONE assignment kernel for fit-time and incremental use: the
+    # exact-dup co-clustering guarantee (identical vector -> identical
+    # cid, across the history/new boundary) holds because this IS the
+    # same normalize/argmax/tie code path assign_to_centroids runs
+    return cent, assign_to_centroids(corpus, cent, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_topk(
@@ -472,7 +459,12 @@ def ivf_save(index: tuple[DataFrame, DataFrame], path: str) -> None:
     query batches, the ``ingest-shard`` CLI's ``--ivf-dir``). The
     save is the cluster-durable spelling of "compute the history
     index once": a daily shard job loads it instead of re-running
-    the k-means fit + corpus argmax per shard."""
+    the k-means fit + corpus argmax per shard. NOTE the assignments
+    describe the history AS OF SAVE TIME — if the history corpus has
+    grown since, reuse only the centroids and refresh with
+    ``assign_to_centroids(current_history, centroids)`` (one argmax
+    pass, no re-clustering; the ``ingest-shard`` CLI does exactly
+    this), or stale history is silently never compared against."""
     base = path.rstrip("/")
     cent, assigned = index
     cent.write.mode("overwrite").parquet(f"{base}/centroids")
@@ -632,19 +624,11 @@ def semdedup_pairs(
     bounded by ``block_rows`` regardless of cluster size, the same
     guarantee :func:`embedding_neardup_pairs` gives globally.
     """
-    sizes = assignments.groupBy("cid").count().collect()
-    mmap = [(int(r["cid"]), max(1, -(-int(r["count"]) // block_rows))) for r in sizes]
+    packed, mmap = _pack_by_cluster(assignments, block_rows)
     spark = assignments.sparkSession
-    if not mmap:
+    if packed is None:
         return spark.createDataFrame([], "a long, b long, cosine double")
-    m_df = F.broadcast(local_df(spark, mmap, "cid int, _m int"))
-    packed = (
-        assignments.join(m_df, "cid")
-        .withColumn("blk", F.pmod(F.xxhash64("id"), F.col("_m")).cast("int"))
-        .groupBy("cid", "blk")
-        .agg(F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs"))
-    )
-    n_pairs = sum(m * (m + 1) // 2 for _, m in mmap)
+    n_pairs = sum(m * (m + 1) // 2 for m in mmap.values())
     pairs = packed.join(
         packed.select(
             "cid",

@@ -91,8 +91,15 @@ def test_url_dedup_keeps_min_id(spark):
     ]
     out = url_dedup(spark.createDataFrame(rows, "id long, url string"), "id", "url")
     got = sorted((r["id"], r["url_norm"]) for r in out.collect())
-    # 1 beats 3 (same normalized URL), null group keeps 4
-    assert got == [(1, "https://example.com/Path?a=1"), (2, "https://other.com"), (4, None)]
+    # 1 beats 3 (same normalized URL); NULL urls are exempt — a doc
+    # without provenance can't be a re-crawl, so BOTH 4 and 5 survive
+    # (collapsing them would delete a distinct document)
+    assert got == [
+        (1, "https://example.com/Path?a=1"),
+        (2, "https://other.com"),
+        (4, None),
+        (5, None),
+    ]
 
 
 # ------------------------------------------------------------- gopher
@@ -760,13 +767,21 @@ def test_url_dedup_bipartite(spark):
             (3, "https://a.com/new"),           # fresh -> kept
             (4, "HTTPS://a.com/new/"),          # same as 3 -> min id 3 wins
             (5, "https://a.com/other"),         # fresh -> kept
+            (6, None),                          # null URL: exempt -> kept
+            (7, None),                          # null URL: exempt -> kept (NOT
+            # collapsed into 6 — no provenance means no re-crawl evidence)
         ],
         "id long, url string",
     )
     got = sorted(
         (r["id"], r["url_norm"]) for r in url_dedup_bipartite(new, hist, "id", "url").collect()
     )
-    assert got == [(3, "https://a.com/new"), (5, "https://a.com/other")]
+    assert got == [
+        (3, "https://a.com/new"),
+        (5, "https://a.com/other"),
+        (6, None),
+        (7, None),
+    ]
 
 
 def test_normalize_url_idempotent_property(spark):
