@@ -1341,6 +1341,29 @@ def _q_gopher_rules(spark, sf_dir):
     )
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    # Gopher REPETITION bundle (Rae 2021 A1.2 — the half RefinedWeb's
+    # "repetition removal" reuses; gopher_rules is A1.1): planted
+    # repetition classes ride on the corpus text — every 7th doc gets
+    # a duplicated line, every 11th a repeated phrase (dup n-grams),
+    # every 13th a doubled paragraph — so all three rule families
+    # actually fire; the oracle is a full construction-independent
+    # SQL twin over the same modified text
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import gopher_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    planted = (
+        F.when(i % 7 == 0, F.concat(t, F.lit("\nrepeat me line\nrepeat me line")))
+        .when(i % 11 == 0, F.concat(t, F.lit(" "), F.concat_ws(" ", *[F.lit("spam phrase again")] * 4)))
+        .when(i % 13 == 0, F.concat(t, F.lit("\n\ndup para block\n\ndup para block")))
+        .otherwise(F.col("text"))
+    )
+    return gopher_repetition(docs.select("doc_id", planted.alias("text")), "doc_id", "text")
+
+
 def _q_dsir_weights(spark, sf_dir):
     # DSIR importance weights: target = the src0 slice, raw = the
     # whole corpus; scores say how src0-like every document's hashed
@@ -2740,6 +2763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back in next round.
     return {
         # --- new / changed this round (must-record) ---
+        # gopher_repetition: NEW — Rae 2021 A1.2 repetition bundle
+        "gopher_repetition": _q_gopher_repetition,
         # semdedup_bi: NEW — incremental SemDeDup vs immutable history
         "semdedup_bi": _q_semdedup_bi,
         # dsir_bigk_eq: NEW — forces the k>driver_k_limit threshold
@@ -2881,6 +2906,111 @@ def _shingle5_sql(tok_expr: str = "t") -> str:
 # Full SQL twin of _q_refinedweb_pipeline (stage numbering matches the
 # Spark side). Each stage reuses its unit oracle's spelling; stages 1
 # and 3 are construction-derived (see the oracle_sql comment).
+def _rep_gram_unit_sql(n: int) -> str:
+    """One UNION ALL branch of the gopher_repetition unit stream: all
+    word n-grams (duplicates kept), space-joined, with their non-space
+    char length — the word_ngrams spelling."""
+    return (
+        f"SELECT doc_id, 'g{n}' AS kind, u, CAST(length(u) - {n - 1} AS BIGINT) AS cl\n"
+        f"  FROM rp_t, LATERAL unnest(CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')) "
+        f"ELSE [] END) AS un(u)"
+    )
+
+
+_REP_KINDS = ["line", "para"] + [f"g{n}" for n in range(2, 11)]
+_REP_THR = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18, "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14, "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12, "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
+}
+_REP_WIDE = ",\n".join(
+    f"    max(CASE WHEN kind = '{k}' THEN {a} END) AS {k}_{al}"
+    for k in _REP_KINDS
+    for a, al in [
+        ("n_units", "n"), ("tot_chars", "tc"), ("du", "du"), ("dc", "dc"), ("tp", "tp"),
+    ]
+)
+_REP_TOP_SQL = "\n".join(
+    f"  CASE WHEN g{n}_tp IS NOT NULL THEN CASE WHEN g{n}_tp // 1000000000 > 1 "
+    f"THEN round(CAST((g{n}_tp // 1000000000) * (g{n}_tp % 1000000000) AS DOUBLE) "
+    f"/ tok_chars, 6) ELSE CAST(0.0 AS DOUBLE) END END AS top_{n}gram_char_frac,"
+    for n in (2, 3, 4)
+)
+_REP_DUP_SQL = "\n".join(
+    f"  CASE WHEN g{n}_dc IS NOT NULL THEN round(least(CAST(1.0 AS DOUBLE), "
+    f"CAST(g{n}_dc AS DOUBLE) / tok_chars), 6) END AS dup_{n}gram_char_frac,"
+    for n in range(5, 11)
+)
+_REP_KEEP_SQL = "\n     AND ".join(
+    f"NOT COALESCE({name} > {thr}, FALSE)" for name, thr in _REP_THR.items()
+)
+
+# full twin of _q_gopher_repetition: replant the repetition classes,
+# rebuild the unit streams (lines / paragraphs / word 2..10-grams),
+# aggregate the same (count, char-length) statistics — incl. the
+# packed lexicographic (count, len) maximum for the top-gram rule —
+# and apply the published Rae 2021 A1.2 thresholds
+_GOPHER_REP_SQL = f"""
+WITH rp_p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN COALESCE(text, '')
+           || chr(10) || 'repeat me line' || chr(10) || 'repeat me line'
+         WHEN doc_id % 11 = 0 THEN COALESCE(text, '')
+           || ' spam phrase again spam phrase again spam phrase again spam phrase again'
+         WHEN doc_id % 13 = 0 THEN COALESCE(text, '')
+           || chr(10) || chr(10) || 'dup para block' || chr(10) || chr(10) || 'dup para block'
+         ELSE text END AS text
+  FROM documents),
+rp_t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM rp_p),
+rp_b AS (SELECT doc_id, text IS NULL AS is_null,
+                CAST(length(array_to_string(toks, '')) AS DOUBLE) AS tok_chars
+         FROM rp_t),
+rp_units AS (
+  SELECT doc_id, 'line' AS kind, u, CAST(length(u) AS BIGINT) AS cl
+  FROM rp_t, LATERAL unnest(list_filter(list_transform(
+    string_split(text, chr(10)), x -> trim(x)), x -> x != '')) AS un(u)
+  UNION ALL
+  SELECT doc_id, 'para', u, CAST(length(u) AS BIGINT)
+  FROM rp_t, LATERAL unnest(list_filter(list_transform(
+    string_split_regex(text, '\\n{{2,}}'), x -> trim(x)), x -> x != '')) AS un(u)
+  UNION ALL
+{(chr(10) + "  UNION ALL" + chr(10)).join("  " + _rep_gram_unit_sql(n) for n in range(2, 11))}
+),
+rp_c AS (SELECT doc_id, kind, u, cl, count(*) AS c FROM rp_units GROUP BY doc_id, kind, u, cl),
+rp_per AS (
+  SELECT doc_id, kind, sum(c) AS n_units, sum(c * cl) AS tot_chars,
+         sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS du,
+         sum(CASE WHEN c > 1 THEN (c - 1) * cl ELSE 0 END) AS dc,
+         max(c * 1000000000 + cl) AS tp
+  FROM rp_c GROUP BY doc_id, kind),
+rp_wide AS (
+  SELECT doc_id,
+{_REP_WIDE}
+  FROM rp_per GROUP BY doc_id),
+rp_sig AS (
+  SELECT b.doc_id AS id, b.is_null,
+  round(CAST(line_du AS DOUBLE) / line_n, 6) AS dup_line_frac,
+  round(CAST(line_dc AS DOUBLE) / line_tc, 6) AS dup_line_char_frac,
+  round(CAST(para_du AS DOUBLE) / para_n, 6) AS dup_para_frac,
+  round(CAST(para_dc AS DOUBLE) / para_tc, 6) AS dup_para_char_frac,
+{_REP_TOP_SQL}
+{_REP_DUP_SQL}
+  TRUE AS _pad
+  FROM rp_b b LEFT JOIN rp_wide w ON b.doc_id = w.doc_id)
+SELECT id, dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac,
+       top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+       dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+       dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac,
+       CASE WHEN is_null THEN FALSE ELSE (
+         {_REP_KEEP_SQL}
+       ) END AS keep
+FROM rp_sig
+"""
+
 _REFINEDWEB_SQL = f"""
 WITH RECURSIVE
 doc0 AS (SELECT doc_id, COALESCE(text, '') AS text, source FROM documents),
@@ -3752,6 +3882,9 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             SELECT id, logratio, g_key FROM keyed
             ORDER BY g_key DESC, id LIMIT {DSIR_RESAMPLE_K}
         """,
+        # gopher_repetition: full construction-independent twin (unit
+        # streams + packed top-gram max + published A1.2 thresholds)
+        "gopher_repetition": _GOPHER_REP_SQL,
         # dsir_bigk_eq: the threshold (big-k) route must reproduce the
         # SAME selected set — the oracle is dsir_resample's exact
         # replay verbatim (the routes are set-identical by contract)

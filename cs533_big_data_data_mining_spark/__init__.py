@@ -71,6 +71,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     balance_sources,
     dsir_logratio,
     dsir_resample,
+    gopher_repetition,
     gopher_rules,
     lm_perplexity,
     mix_to_budget,
@@ -140,6 +141,7 @@ __all__ = [
     "url_filter",
     "url_host",
     "gopher_rules",
+    "gopher_repetition",
     "dsir_logratio",
     "dsir_resample",
     "mix_to_budget",

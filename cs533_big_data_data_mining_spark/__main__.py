@@ -422,6 +422,13 @@ def _refinedweb_main(argv: list[str]) -> int:
     ap.add_argument("--min-stopword-hits", type=int, default=2)
     ap.add_argument("--skip-gopher", action="store_true")
     ap.add_argument(
+        "--repetition", action="store_true",
+        help="apply the Gopher REPETITION bundle (Rae 2021 A1.2 — dup "
+        "line/paragraph fractions, top 2-4-gram and dup 5-10-gram char "
+        "fractions at the published thresholds) right after the A1.1 "
+        "quality rules, completing RefinedWeb's 'repetition removal'",
+    )
+    ap.add_argument(
         "--max-line-df", type=int, default=None,
         help="boilerplate: drop lines occurring in more than this many docs",
     )
@@ -576,6 +583,14 @@ def _refinedweb_main(argv: list[str]) -> int:
         )
         cur = stage(
             "gopher", cur.join(g.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi")
+        )
+    if args.repetition:
+        from cs533_big_data_data_mining_spark.operators.quality import gopher_repetition
+
+        rep = gopher_repetition(cur, idc, txc)
+        cur = stage(
+            "repetition",
+            cur.join(rep.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
         )
     if args.max_line_df is not None:
         cleaned = remove_boilerplate_lines(cur, idc, txc, args.max_line_df)

@@ -646,6 +646,172 @@ def temperature_fractions(
 #: the frequency list in functions.text.STOPWORDS_EN.
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+#: packing base for the lexicographic (count, char_len) maximum used
+#: by the top-n-gram stats: packed = count * BASE + char_len decodes
+#: exactly in int64 for char_len < BASE and count <= ~9e9 — the SAME
+#: spelling on both engines, so the tie-break is bit-identical.
+_REP_PACK = 1_000_000_000
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_ngram_char_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
+    max_dup_ngram_char_frac: tuple[float, ...] = (0.15, 0.14, 0.13, 0.12, 0.11, 0.10),
+) -> DataFrame:
+    """Gopher REPETITION removal (Rae et al. 2021 A1.2 — the second
+    half of the Gopher quality bundle, reused verbatim by RefinedWeb;
+    :func:`gopher_rules` is the A1.1 half): per-document repetition
+    signals with the paper's published thresholds.
+
+    Signals (all rounded to 6 dp; ``keep`` = every rule passes):
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — fraction of line /
+      paragraph OCCURRENCES beyond each value's first (lines split on
+      ``\\n``, paragraphs on ``\\n{2,}``, trimmed, empties dropped);
+      thresholds 0.30 / 0.30.
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — the same
+      beyond-first occurrences weighted by character length, over the
+      total line/paragraph characters; thresholds 0.20 / 0.20.
+    * ``top_{2,3,4}gram_char_frac`` — characters of the most frequent
+      word n-gram (count x its non-space char length) over the
+      document's total token characters; thresholds 0.20/0.18/0.16.
+      Count ties break to the LONGEST gram (lexicographic
+      (count, char_len) max — packed into one int64 so both engines
+      break ties identically).
+    * ``dup_{5..10}gram_char_frac`` — characters in n-gram occurrences
+      beyond each distinct gram's first, over total token characters,
+      clamped to 1; thresholds 0.15/0.14/0.13/0.12/0.11/0.10.
+      (Overlapping repeats can push the raw sum past 1 — the paper
+      does not pin overlap handling and public reimplementations
+      differ; this spelling is deterministic and clamp-documented.)
+
+    Null text -> ``keep = FALSE`` (the :func:`gopher_rules`
+    contract); a rule whose signal is null (no lines, < n tokens)
+    passes vacuously.
+
+    Scale shape: ONE unit explosion (lines + paragraphs + the nine
+    n-gram streams, each unit tagged by kind) -> one combinable
+    groupBy on (id, kind, unit) -> one combinable groupBy on
+    (id, kind) -> a #kinds-wide conditional-aggregation pivot. Unit
+    multiplicity is ~9x the token count — the same order as
+    ``lm_perplexity``'s explode — with no joins against anything
+    document-sized.
+    """
+    from cs533_big_data_data_mining_spark.functions.text import tokenize, word_ngrams
+
+    top_ns, dup_ns = (2, 3, 4), tuple(range(5, 5 + len(max_dup_ngram_char_frac)))
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    toks = tokenize("__t")
+    # total non-whitespace characters — the n-gram fraction basis
+    docs = base.select(
+        "id",
+        F.col("__t").isNull().alias("__null"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("tok_chars"),
+    )
+
+    def _units(arr, kind, char_off):
+        return base.select(
+            "id",
+            F.lit(kind).alias("kind"),
+            F.explode(arr).alias("u"),
+        ).select(
+            "id", "kind", "u", (F.length("u") - F.lit(char_off)).cast("long").alias("cl")
+        )
+
+    lines = F.filter(F.transform(F.split("__t", r"\n"), F.trim), lambda x: x != "")
+    paras = F.filter(F.transform(F.split("__t", r"\n{2,}"), F.trim), lambda x: x != "")
+    parts = [_units(lines, "line", 0), _units(paras, "para", 0)]
+    for n in top_ns + dup_ns:
+        # grams are space-joined: non-space char length = len - (n-1)
+        parts.append(_units(word_ngrams("__t", n), f"g{n}", n - 1))
+    units = parts[0]
+    for p in parts[1:]:
+        units = units.unionByName(p)
+
+    counts = units.groupBy("id", "kind", "u", "cl").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("id", "kind").agg(
+        F.sum("c").alias("n_units"),
+        F.sum(F.col("c") * F.col("cl")).alias("tot_chars"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))).alias("dup_units"),
+        F.sum(
+            F.when(F.col("c") > 1, (F.col("c") - 1) * F.col("cl")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+        F.max(F.col("c") * F.lit(_REP_PACK) + F.col("cl")).alias("top_packed"),
+    )
+    kinds = ["line", "para"] + [f"g{n}" for n in top_ns + dup_ns]
+    wide = per.groupBy("id").pivot("kind", kinds).agg(
+        F.first("n_units").alias("n"),
+        F.first("tot_chars").alias("tc"),
+        F.first("dup_units").alias("du"),
+        F.first("dup_chars").alias("dc"),
+        F.first("top_packed").alias("tp"),
+    )
+    j = docs.join(wide, "id", "left")
+
+    def _ratio(num, den):
+        return F.round(num.cast("double") / den.cast("double"), 6)
+
+    cols = {
+        "dup_line_frac": _ratio(F.col("line_du"), F.col("line_n")),
+        "dup_line_char_frac": _ratio(F.col("line_dc"), F.col("line_tc")),
+        "dup_para_frac": _ratio(F.col("para_du"), F.col("para_n")),
+        "dup_para_char_frac": _ratio(F.col("para_dc"), F.col("para_tc")),
+    }
+    for n in top_ns:
+        # integer `div` decode: double division would lose exactness
+        # past 2^53 on pathological repeat counts
+        mc = F.expr(f"g{n}_tp div {_REP_PACK}")
+        ml = F.col(f"g{n}_tp") % F.lit(_REP_PACK)
+        top_frac = (mc * ml).cast("double") / F.col("tok_chars").cast("double")
+        # a gram occurring ONCE is not repetition — the published
+        # implementations require count > 1 before the top-gram rule
+        # can reject (otherwise every short doc's unique top 4-gram
+        # trips the 0.16 bar). Absent stream (< n tokens) stays null.
+        cols[f"top_{n}gram_char_frac"] = F.when(
+            F.col(f"g{n}_tp").isNotNull(),
+            F.when(mc > 1, F.round(top_frac, 6)).otherwise(F.lit(0.0)),
+        )
+    for n in dup_ns:
+        # guard the absent-stream case explicitly: least(1.0, NULL)
+        # returns 1.0 (least ignores nulls), which would fail docs
+        # too short to even have an n-gram
+        cols[f"dup_{n}gram_char_frac"] = F.when(
+            F.col(f"g{n}_dc").isNotNull(),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col(f"g{n}_dc").cast("double") / F.col("tok_chars").cast("double"),
+                ),
+                6,
+            ),
+        )
+
+    thr = dict(
+        zip(
+            ["dup_line_frac", "dup_para_frac", "dup_line_char_frac", "dup_para_char_frac"],
+            [max_dup_line_frac, max_dup_para_frac, max_dup_line_char_frac, max_dup_para_char_frac],
+        )
+    )
+    thr.update({f"top_{n}gram_char_frac": t for n, t in zip(top_ns, max_top_ngram_char_frac)})
+    thr.update({f"dup_{n}gram_char_frac": t for n, t in zip(dup_ns, max_dup_ngram_char_frac)})
+    out = j.select("id", "__null", *[expr.alias(name) for name, expr in cols.items()])
+    keep = F.lit(True)
+    for name, t in thr.items():
+        # a null signal (no lines / < n tokens / empty doc) passes
+        # vacuously — rejecting needs evidence over the threshold
+        keep = keep & ~F.coalesce(F.col(name) > F.lit(float(t)), F.lit(False))
+    return out.select(
+        "id",
+        *cols.keys(),
+        F.when(F.col("__null"), F.lit(False)).otherwise(keep).alias("keep"),
+    )
+
 
 def gopher_rules(
     df: DataFrame,

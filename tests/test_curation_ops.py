@@ -488,7 +488,7 @@ def test_cli_refinedweb_checkpoint_dir_identical(spark, tmp_path):
 
     out_local = str(tmp_path / "ck_local")
     out_rel = str(tmp_path / "ck_rel")
-    common = ["--min-stopword-hits", "1", "--keep-ppl", "0.9",
+    common = ["--min-stopword-hits", "1", "--keep-ppl", "0.9", "--repetition",
               "--jaccard", "0.8", "--shards", "4", "--seed", "2"]
     assert main(["refinedweb", "-i", src, "-o", out_local, *common]) == 0
     assert main([
@@ -993,3 +993,114 @@ def test_cli_ingest_shard_end_to_end(spark, tmp_path):
 
     assert os.path.isdir(str(tmp_path / "ivf_art" / "centroids"))
     assert os.path.isdir(str(tmp_path / "ivf_art" / "assignments"))
+
+
+# ---------------------------------------------------- gopher repetition
+
+
+def _rep_expected(text):
+    """Plain-Python twin of gopher_repetition's signal definitions."""
+    if text is None:
+        return None
+    toks = [t for t in re.split(r"\s+", text) if t]
+    tok_chars = sum(len(t) for t in toks)
+
+    def unit_stats(units):
+        if not units:
+            return None
+        counts = {}
+        for u in units:
+            counts[u] = counts.get(u, 0) + 1
+        n = len(units)
+        tot = sum(c * len(u) for u, c in counts.items())
+        du = sum(c - 1 for c in counts.values() if c > 1)
+        dc = sum((c - 1) * len(u) for u, c in counts.items() if c > 1)
+        top = max((c, len(u)) for u, c in counts.items())
+        return n, tot, du, dc, top
+
+    out = {}
+    lines = [x.strip() for x in text.split("\n")]
+    lines = [x for x in lines if x]
+    paras = [x.strip() for x in re.split(r"\n{2,}", text)]
+    paras = [x for x in paras if x]
+    for kind, units in (("line", lines), ("para", paras)):
+        st = unit_stats(units)
+        if st is None:
+            out[f"dup_{kind}_frac"] = None
+            out[f"dup_{kind}_char_frac"] = None
+        else:
+            n, tot, du, dc, _ = st
+            out[f"dup_{kind}_frac"] = round(du / n, 6)
+            out[f"dup_{kind}_char_frac"] = round(dc / tot, 6)
+    for n_ in range(2, 11):
+        grams = [" ".join(toks[i : i + n_]) for i in range(len(toks) - n_ + 1)]
+        st = unit_stats(grams)
+        key = (
+            f"top_{n_}gram_char_frac" if n_ in (2, 3, 4) else f"dup_{n_}gram_char_frac"
+        )
+        if st is None:
+            out[key] = None
+        elif n_ in (2, 3, 4):
+            _, _, _, _, (mc, ml) = st
+            # gram char length excludes the n-1 joining spaces
+            out[key] = round(mc * (ml - (n_ - 1)) / tok_chars, 6) if mc > 1 else 0.0
+        else:
+            # dc uses joined length; subtract the spaces per occurrence
+            counts = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            dc = sum((c - 1) * (len(g) - (n_ - 1)) for g, c in counts.items() if c > 1)
+            out[key] = round(min(1.0, dc / tok_chars), 6)
+    return out
+
+
+def test_gopher_repetition_brute_force(spark):
+    from cs533_big_data_data_mining_spark.operators.quality import gopher_repetition
+
+    docs = [
+        (0, "dup line\nalpha beta gamma\ndup line\ndelta"),
+        (1, "x y " * 8),
+        (2, "the quick brown fox jumps over a lazy dog near the river bank today"),
+        (3, "p one here\n\np one here\n\np two other thing"),
+        (4, None),
+        (5, ""),
+        (6, "a b c d e " * 3),
+        (7, "one two three four five six seven eight nine ten eleven twelve"),
+        (8, "w1 w2 w3 " * 2 + "tail word"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {r["id"]: r.asDict() for r in gopher_repetition(df, "id", "text").collect()}
+    thr = {
+        "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+        "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+        "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+        "top_4gram_char_frac": 0.16, "dup_5gram_char_frac": 0.15,
+        "dup_6gram_char_frac": 0.14, "dup_7gram_char_frac": 0.13,
+        "dup_8gram_char_frac": 0.12, "dup_9gram_char_frac": 0.11,
+        "dup_10gram_char_frac": 0.10,
+    }
+    for i, text in docs:
+        exp = _rep_expected(text)
+        r = got[i]
+        if exp is None:
+            assert r["keep"] is False, i
+            continue
+        for k, want in exp.items():
+            if want is None:
+                assert r[k] is None, (i, k, r[k])
+            else:
+                assert r[k] == pytest.approx(want, abs=1e-6), (i, k, r[k], want)
+        want_keep = all(
+            not (exp[k] is not None and exp[k] > t) for k, t in thr.items()
+        )
+        assert r["keep"] == want_keep, (i, r.asDict(), want_keep)
+    # the published thresholds are overridable
+    loose = gopher_repetition(
+        df, "id", "text",
+        max_dup_line_frac=1.0, max_dup_para_frac=1.0,
+        max_dup_line_char_frac=1.0, max_dup_para_char_frac=1.0,
+        max_top_ngram_char_frac=(2.0, 2.0, 2.0),
+        max_dup_ngram_char_frac=(1.0,) * 6,
+    )
+    kept = {r["id"] for r in loose.filter("keep").collect()}
+    assert kept == {0, 1, 2, 3, 5, 6, 7, 8}  # only null text fails
