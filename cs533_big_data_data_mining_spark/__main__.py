@@ -265,6 +265,13 @@ def _score_main(argv: list[str]) -> int:
         help="also emit the Gopher rule-bundle verdict (gopher_keep) and its "
         "word/symbol metrics (Rae 2021 A1.1 thresholds)",
     )
+    ap.add_argument(
+        "--repetition",
+        action="store_true",
+        help="also emit the Gopher repetition-bundle verdict "
+        "(repetition_keep) and its dup-line/paragraph + top/dup n-gram "
+        "char fractions (Rae 2021 A1.2 thresholds)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -309,6 +316,16 @@ def _score_main(argv: list[str]) -> int:
             F.col("stopword_hits").alias("gopher_stopword_hits"),
         )
         out = out.join(g, "id", "left")
+    if args.repetition:
+        from cs533_big_data_data_mining_spark.operators.quality import gopher_repetition
+
+        rep = gopher_repetition(docs, args.id_col, args.text_col)
+        rep = rep.select(
+            "id",
+            F.col("keep").alias("repetition_keep"),
+            *[c for c in rep.columns if c not in ("id", "keep")],
+        )
+        out = out.join(rep, "id", "left")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     ppl.unpersist()

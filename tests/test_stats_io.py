@@ -409,7 +409,7 @@ def test_cli_score(spark, tmp_path):
         "doc_id long, text string",
     )
     docs.write.parquet(src)
-    assert main(["score", "-i", src, "-o", out, "--spans-k", "3"]) == 0
+    assert main(["score", "-i", src, "-o", out, "--spans-k", "3", "--repetition"]) == 0
     rows = {r["id"]: r for r in spark.read.parquet(out).collect()}
     assert set(rows) == {1, 2, 3}
     # dups 1/2 are fully duplicated spans; 3 is clean
@@ -418,6 +418,10 @@ def test_cli_score(spark, tmp_path):
     # identical texts score identical perplexity; all scores present
     assert rows[1]["ppl"] == rows[2]["ppl"] and rows[3]["ppl"] is not None
     assert all(rows[i]["quality"] > 0 for i in rows)
+    # --repetition emits the A1.2 verdict + signals; these varied
+    # one-off texts have no within-doc repetition
+    assert all(rows[i]["repetition_keep"] is True for i in rows)
+    assert all(rows[i]["dup_line_frac"] == 0.0 for i in rows)
 
 
 def test_cli_curate_cross_modal(spark, tmp_path):
