@@ -1341,6 +1341,36 @@ def _q_gopher_rules(spark, sf_dir):
     )
 
 
+def _q_c4_filters(spark, sf_dir):
+    # C4 cleaning rules (Raffel 2020 §2.2): planted per doc_id residue
+    # so every rule fires somewhere — clean pages keep; a
+    # terminal-punctuated JavaScript line is dropped by the line rule
+    # ALONE (page survives); 'lorem ipsum' and '{' drop the page; an
+    # unpunctuated page dies on the sentence floor. The oracle is a
+    # full SQL twin of the rules over the same planted text (the
+    # clean string rides in the hash, so a wrong line verdict
+    # anywhere flips it).
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import c4_filters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    base = F.concat(
+        F.lit("A proper opening sentence stands here. It continues with words. doc "),
+        sid,
+        F.lit(" tail marker.\nSecond line has enough words to pass muster. Indeed it does. Final sentence here."),
+    )
+    text = (
+        F.when(i % 5 == 0, base)
+        .when(i % 5 == 1, F.concat(base, F.lit("\nPlease enable JavaScript to continue now.")))
+        .when(i % 5 == 2, F.concat(base, F.lit(" lorem ipsum")))
+        .when(i % 5 == 3, F.concat(base, F.lit(" { code")))
+        .otherwise(F.lit("no terminal punctuation anywhere\nstill nothing here"))
+    )
+    return c4_filters(docs.select("doc_id", text.alias("text")), "doc_id", "text")
+
+
 def _q_gopher_repetition(spark, sf_dir):
     # Gopher REPETITION bundle (Rae 2021 A1.2 — the half RefinedWeb's
     # "repetition removal" reuses; gopher_rules is A1.1): planted
@@ -2763,6 +2793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back in next round.
     return {
         # --- new / changed this round (must-record) ---
+        # c4_filters: NEW — Raffel 2020 §2.2 line/page cleaning rules
+        "c4_filters": _q_c4_filters,
         # gopher_repetition: NEW — Rae 2021 A1.2 repetition bundle
         "gopher_repetition": _q_gopher_repetition,
         # semdedup_bi: NEW — incremental SemDeDup vs immutable history
@@ -3885,6 +3917,50 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # gopher_repetition: full construction-independent twin (unit
         # streams + packed top-gram max + published A1.2 thresholds)
         "gopher_repetition": _GOPHER_REP_SQL,
+        # c4_filters: replant the residue text, re-run the line/page
+        # rules in SQL — line survival, the re-joined clean string,
+        # the terminal-punct sentence count, and the page verdict all
+        # ride in the hash
+        "c4_filters": r"""
+            WITH c4p AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 4 THEN 'no terminal punctuation anywhere' || chr(10) || 'still nothing here'
+                     ELSE 'A proper opening sentence stands here. It continues with words. doc '
+                          || CAST(doc_id AS VARCHAR) || ' tail marker.' || chr(10)
+                          || 'Second line has enough words to pass muster. Indeed it does. Final sentence here.'
+                          || CASE WHEN doc_id % 5 = 1 THEN chr(10) || 'Please enable JavaScript to continue now.'
+                                  WHEN doc_id % 5 = 2 THEN ' lorem ipsum'
+                                  WHEN doc_id % 5 = 3 THEN ' { code'
+                                  ELSE '' END
+                END AS text
+              FROM documents),
+            c4k AS (
+              SELECT doc_id, text,
+                -- COALESCE: DuckDB's array_to_string([]) is NULL where
+                -- Spark's array_join([]) is '' (planted text is never
+                -- null, so '' is always the right empty spelling here)
+                COALESCE(array_to_string(list_filter(string_split(text, chr(10)), x ->
+                  regexp_matches(x, '[.!?]["”]?\s*$')
+                  AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> w != '')) >= 3
+                  AND NOT contains(lower(x), 'javascript')), chr(10)), '') AS clean,
+                len(list_filter(string_split(text, chr(10)), x ->
+                  regexp_matches(x, '[.!?]["”]?\s*$')
+                  AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> w != '')) >= 3
+                  AND NOT contains(lower(x), 'javascript'))) AS n_lines_kept
+              FROM c4p),
+            c4s AS (
+              SELECT doc_id, clean, n_lines_kept,
+                     length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) AS n_sentences,
+                     text
+              FROM c4k)
+            SELECT doc_id AS id, clean,
+                   CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   (text IS NOT NULL AND n_sentences >= 5
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS keep
+            FROM c4s
+        """,
         # dsir_bigk_eq: the threshold (big-k) route must reproduce the
         # SAME selected set — the oracle is dsir_resample's exact
         # replay verbatim (the routes are set-identical by contract)

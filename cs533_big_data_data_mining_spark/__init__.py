@@ -71,6 +71,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     balance_sources,
     dsir_logratio,
     dsir_resample,
+    c4_filters,
     gopher_repetition,
     gopher_rules,
     lm_perplexity,
@@ -142,6 +143,7 @@ __all__ = [
     "url_host",
     "gopher_rules",
     "gopher_repetition",
+    "c4_filters",
     "dsir_logratio",
     "dsir_resample",
     "mix_to_budget",

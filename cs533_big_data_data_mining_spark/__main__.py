@@ -439,6 +439,14 @@ def _refinedweb_main(argv: list[str]) -> int:
     ap.add_argument("--min-stopword-hits", type=int, default=2)
     ap.add_argument("--skip-gopher", action="store_true")
     ap.add_argument(
+        "--c4", action="store_true",
+        help="apply the C4 cleaning rules (Raffel 2020 §2.2) before the "
+        "Gopher stages: lines must end in terminal punctuation, carry >= 3 "
+        "words, and not mention javascript; pages with < 5 sentences, "
+        "'lorem ipsum', or '{' drop; surviving docs continue with the "
+        "line-filtered text",
+    )
+    ap.add_argument(
         "--repetition", action="store_true",
         help="apply the Gopher REPETITION bundle (Rae 2021 A1.2 — dup "
         "line/paragraph fractions, top 2-4-gram and dup 5-10-gram char "
@@ -593,6 +601,18 @@ def _refinedweb_main(argv: list[str]) -> int:
     if args.url_col:
         keep = url_dedup(cur, idc, args.url_col).select(F.col("id").alias(idc))
         cur = stage("url_dedup", cur.join(keep, idc, "left_semi"))
+    if args.c4:
+        from cs533_big_data_data_mining_spark.operators.quality import c4_filters
+
+        c4 = c4_filters(cur, idc, txc)
+        cur = stage(
+            "c4",
+            cur.drop(txc).join(
+                c4.filter("keep").select(F.col("id").alias(idc), F.col("clean").alias(txc)),
+                idc,
+            ),
+            checkpoint=True,
+        )
     if not args.skip_gopher:
         g = gopher_rules(
             cur, idc, txc,

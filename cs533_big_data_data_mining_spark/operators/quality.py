@@ -653,6 +653,75 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _REP_PACK = 1_000_000_000
 
 
+def c4_filters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2, public — the
+    canonical heuristic set alongside Gopher's): line-level retention
+    plus page-level rejection, in the paper's order.
+
+    Line rules (a line survives iff ALL hold):
+
+    * ends in a terminal punctuation mark (``.``, ``!``, ``?``, or a
+      closing double quote after one);
+    * contains at least ``min_words_per_line`` whitespace words;
+    * does not contain the word ``javascript`` (case-insensitive —
+      the paper's cookie/JS-warning heuristic).
+
+    Page rules (the document is dropped iff ANY holds, evaluated on
+    the ORIGINAL text per the paper's "removed any page that
+    contained" wording):
+
+    * fewer than ``min_sentences`` sentences AFTER line filtering
+      (sentences approximated as terminal-punctuation occurrences in
+      the kept lines — the paper does not pin a splitter);
+    * contains ``lorem ipsum`` (case-insensitive);
+    * contains a curly brace ``{`` (code heuristic).
+
+    Returns ``(id, clean, n_lines_kept, n_sentences, keep)`` —
+    ``clean`` is the kept lines re-joined with ``\\n`` (null text ->
+    null clean, ``keep = FALSE``). Survivor texts for the pipeline
+    are ``filter(keep).select(id, clean)``.
+
+    Scale shape: pure Column end to end (line split + array filter +
+    regexp counts fused into the scan) — zero shuffle, zero Python;
+    the same class as :func:`gopher_rules`.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, r"\n")
+    term = r'[.!?]["”]?\s*$'
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(term)
+        & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= min_words_per_line)
+        & ~F.lower(x).contains("javascript"),
+    )
+    clean = F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(kept, "\n")
+    )
+    joined = F.array_join(kept, "\n")
+    n_sent = F.when(c.isNull(), F.lit(None)).otherwise(
+        F.length(joined) - F.length(F.regexp_replace(joined, r"[.!?]", ""))
+    )
+    keep = (
+        c.isNotNull()
+        & (n_sent >= F.lit(int(min_sentences)))
+        & ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        clean.alias("clean"),
+        F.when(c.isNull(), F.lit(None)).otherwise(F.size(kept)).cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 def gopher_repetition(
     df: DataFrame,
     id_col: str,

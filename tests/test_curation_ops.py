@@ -1104,3 +1104,69 @@ def test_gopher_repetition_brute_force(spark):
     )
     kept = {r["id"] for r in loose.filter("keep").collect()}
     assert kept == {0, 1, 2, 3, 5, 6, 7, 8}  # only null text fails
+
+
+# --------------------------------------------------------- c4 filters
+
+
+def test_c4_filters_rules(spark):
+    from cs533_big_data_data_mining_spark.operators.quality import c4_filters
+
+    rows = [
+        # clean page: two proper lines, >= 5 sentences -> keep
+        (0, "First sentence here today. Second one also lands well. Third now.\n"
+            "Fourth proper sentence arrives. And a fifth one closes it."),
+        # a terminal-punctuated JavaScript line drops by the LINE rule
+        # alone; page still keeps on the remaining sentences
+        (1, "First sentence here today. Second one also lands well. Third now.\n"
+            "Please enable JavaScript to continue browsing now.\n"
+            "Fourth proper sentence arrives. And a fifth one closes it."),
+        (2, "Has lorem ipsum inside. Two. Three. Four. Five sentences total."),
+        (3, "Contains a { brace. Two. Three. Four. Five sentences total."),
+        (4, "no terminal punctuation\nanother bare line"),
+        (5, "Too short. Only two here."),
+        (6, None),
+        # short lines (< 3 words) drop even with punctuation
+        (7, "Yes.\nNo!\nFirst real sentence lands here. Two. Three. Four. Five sentences now."),
+        # quoted terminal ending counts
+        (8, 'He said "stop." and left. Two more words here. Three. Four. Five now here.'),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in c4_filters(df, "id", "text").collect()}
+    assert {i: got[i]["keep"] for i in got} == {
+        0: True, 1: True, 2: False, 3: False, 4: False, 5: False,
+        6: False, 7: True, 8: True,
+    }
+    assert got[1]["n_lines_kept"] == 2  # the javascript line is gone
+    assert "JavaScript" not in got[1]["clean"]
+    assert got[4]["n_lines_kept"] == 0 and got[4]["clean"] == ""
+    assert got[6]["clean"] is None and got[6]["n_sentences"] is None
+    assert got[7]["n_lines_kept"] == 1  # 'Yes.' / 'No!' fail the word floor
+    # thresholds move
+    loose = c4_filters(df, "id", "text", min_words_per_line=1, min_sentences=2)
+    lk = {r["id"]: r for r in loose.collect()}
+    assert lk[7]["n_lines_kept"] == 3 and lk[5]["keep"] is True
+
+
+def test_cli_refinedweb_c4_stage(spark, tmp_path):
+    # --c4 gates pages AND rewrites text to the line-filtered form
+    # before downstream stages see it
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "c4_docs.parquet")
+    out = str(tmp_path / "c4_out")
+    good = (
+        "First sentence stands here today. Second one also lands well. Third now.\n"
+        "bare junk line without punctuation\n"
+        "Fourth proper sentence arrives. And a fifth one closes it."
+    )
+    rows = [(1, good), (2, good + " lorem ipsum"), (3, "no punctuation at all here")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main([
+        "refinedweb", "-i", src, "-o", out, "--c4", "--skip-gopher",
+        "--jaccard", "0", "--splits", "", "--shards", "2",
+    ])
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1}          # 2 dies on lorem ipsum, 3 on sentences
+    assert "bare junk line" not in got[1]  # text continues line-filtered
