@@ -669,8 +669,11 @@ def c4_filters(
     * ends in a terminal punctuation mark (``.``, ``!``, ``?``, or a
       closing double quote after one);
     * contains at least ``min_words_per_line`` whitespace words;
-    * does not contain the word ``javascript`` (case-insensitive —
-      the paper's cookie/JS-warning heuristic).
+    * does not contain the SUBSTRING ``javascript`` (case-insensitive
+      — a deliberately blunt rendering of the paper's "any line with
+      the word Javascript" cookie/JS-warning heuristic: substring
+      matching also catches ``javascript:`` URLs and glued variants,
+      at the cost of the rare prose mention).
 
     Page rules (the document is dropped iff ANY holds, evaluated on
     the ORIGINAL text per the paper's "removed any page that
@@ -764,44 +767,62 @@ def gopher_repetition(
     contract); a rule whose signal is null (no lines, < n tokens)
     passes vacuously.
 
-    Scale shape: ONE unit explosion (lines + paragraphs + the nine
-    n-gram streams, each unit tagged by kind) -> one combinable
-    groupBy on (id, kind, unit) -> one combinable groupBy on
-    (id, kind) -> a #kinds-wide conditional-aggregation pivot. Unit
+    Scale shape: genuinely ONE pass — the corpus is scanned once,
+    tokenized once (the token array is a materialized column every
+    gram stream slices), all eleven unit streams (lines + paragraphs
+    + the nine n-gram sizes, each unit tagged by kind) concatenate
+    into a single per-doc struct array, and ONE explode feeds one
+    combinable groupBy on (id, kind, unit), one combinable groupBy on
+    (id, kind), and a #kinds-wide conditional-aggregation pivot. Unit
     multiplicity is ~9x the token count — the same order as
     ``lm_perplexity``'s explode — with no joins against anything
     document-sized.
     """
-    from cs533_big_data_data_mining_spark.functions.text import tokenize, word_ngrams
+    from cs533_big_data_data_mining_spark.functions.text import tokenize
 
     top_ns, dup_ns = (2, 3, 4), tuple(range(5, 5 + len(max_dup_ngram_char_frac)))
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    toks = tokenize("__t")
+    # tokenize ONCE: the nine gram streams below slice this column
+    # instead of re-splitting the text per n
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t"), tokenize(text_col).alias("__toks")
+    )
     # total non-whitespace characters — the n-gram fraction basis
     docs = base.select(
         "id",
         F.col("__t").isNull().alias("__null"),
-        F.length(F.concat_ws("", toks)).cast("long").alias("tok_chars"),
+        F.length(F.concat_ws("", F.col("__toks"))).cast("long").alias("tok_chars"),
     )
 
-    def _units(arr, kind, char_off):
-        return base.select(
-            "id",
-            F.lit(kind).alias("kind"),
-            F.explode(arr).alias("u"),
-        ).select(
-            "id", "kind", "u", (F.length("u") - F.lit(char_off)).cast("long").alias("cl")
+    def _tag(arr, kind, char_off):
+        # array<struct<kind,u,cl>> for one unit stream
+        return F.transform(
+            arr,
+            lambda x: F.struct(
+                F.lit(kind).alias("kind"),
+                x.alias("u"),
+                (F.length(x) - F.lit(char_off)).cast("long").alias("cl"),
+            ),
         )
+
+    def _grams(n):
+        # word_ngrams over the materialized token column (duplicates
+        # kept, same short-input empty guard)
+        cnt = F.size(F.col("__toks")) - F.lit(n - 1)
+        g = F.transform(
+            F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))
+        )
+        return F.when(cnt >= 1, g).otherwise(F.array().cast("array<string>"))
 
     lines = F.filter(F.transform(F.split("__t", r"\n"), F.trim), lambda x: x != "")
     paras = F.filter(F.transform(F.split("__t", r"\n{2,}"), F.trim), lambda x: x != "")
-    parts = [_units(lines, "line", 0), _units(paras, "para", 0)]
-    for n in top_ns + dup_ns:
+    streams = [_tag(lines, "line", 0), _tag(paras, "para", 0)] + [
         # grams are space-joined: non-space char length = len - (n-1)
-        parts.append(_units(word_ngrams("__t", n), f"g{n}", n - 1))
-    units = parts[0]
-    for p in parts[1:]:
-        units = units.unionByName(p)
+        _tag(_grams(n), f"g{n}", n - 1)
+        for n in top_ns + dup_ns
+    ]
+    units = base.select("id", F.explode(F.concat(*streams)).alias("s")).select(
+        "id", "s.kind", "s.u", "s.cl"
+    )
 
     counts = units.groupBy("id", "kind", "u", "cl").agg(F.count(F.lit(1)).alias("c"))
     per = counts.groupBy("id", "kind").agg(

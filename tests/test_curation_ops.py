@@ -1019,9 +1019,12 @@ def _rep_expected(text):
         return n, tot, du, dc, top
 
     out = {}
-    lines = [x.strip() for x in text.split("\n")]
+    # space-only trim: the operator uses F.trim / DuckDB trim, which
+    # strip ' ' only — an all-whitespace strip() here would diverge on
+    # \t/\r-edged lines and mask (or fake) a real trim bug
+    lines = [x.strip(" ") for x in text.split("\n")]
     lines = [x for x in lines if x]
-    paras = [x.strip() for x in re.split(r"\n{2,}", text)]
+    paras = [x.strip(" ") for x in re.split(r"\n{2,}", text)]
     paras = [x for x in paras if x]
     for kind, units in (("line", lines), ("para", paras)):
         st = unit_stats(units)
