@@ -1186,6 +1186,14 @@ _DSIR_BUCKET = (
 )
 
 
+# the same poly31 gram bucket at the NB classifier's width
+_NB_BUCKET_SQL = (
+    "list_reduce(list_prepend(0, range(1, length(g) + 1)), "
+    "(acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1))) "
+    "% 2147483647) % {B}"
+)
+
+
 def _dsir_chain_sql(target_toks: str, raw_toks: str) -> str:
     """THE one DuckDB spelling of the DSIR chain (poly31 gram buckets,
     add-alpha smoothing, round-9dp-then-DECIMAL-sum, 6-dp logratio) —
@@ -1392,6 +1400,40 @@ def _q_gopher_repetition(spark, sf_dir):
         .otherwise(F.col("text"))
     )
     return gopher_repetition(docs.select("doc_id", planted.alias("text")), "doc_id", "text")
+
+
+NB_BUCKETS = 256
+NB_ALPHA = 0.5
+
+
+def _q_nb_classify(spark, sf_dir):
+    # supervised hashed-unigram Naive Bayes (the fastText-style
+    # model filter of CCNet/GPT-3 — Joulin 2016, Wenzek 2020 §4.3):
+    # train on every 3rd document with its source as the label, then
+    # predict the source of the held-out rest. The oracle is a full
+    # SQL twin of the count/smooth/argmax chain, so priors, per-bucket
+    # likelihoods, tie-breaks, and margins all ride in the hash.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.classify import (
+        nb_classify,
+        nb_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = nb_train(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        "text",
+        "source",
+        n_buckets=NB_BUCKETS,
+        alpha=NB_ALPHA,
+    )
+    return nb_classify(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        "doc_id",
+        "text",
+        model,
+        n_buckets=NB_BUCKETS,
+    )
 
 
 def _q_dsir_weights(spark, sf_dir):
@@ -2793,6 +2835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back in next round.
     return {
         # --- new / changed this round (must-record) ---
+        # nb_classify: NEW — supervised hashed-n-gram Naive Bayes
+        # (fastText-style model filter, Joulin 2016 / Wenzek 2020)
+        "nb_classify": _q_nb_classify,
         # c4_filters: NEW — Raffel 2020 §2.2 line/page cleaning rules
         "c4_filters": _q_c4_filters,
         # gopher_repetition: NEW — Rae 2021 A1.2 repetition bundle
@@ -3892,6 +3937,65 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # dsir_weights: full twin of the hashed-n-gram importance
         # weights — same poly31 bucket recurrence, same smoothing,
         # same round-to-9dp-then-DECIMAL-sum discipline
+        # nb_classify: full SQL twin of the multinomial-NB chain —
+        # per-(label,bucket) counts, add-alpha smoothing at 9 dp,
+        # DECIMAL per-doc sums, 6-dp scores, argmax with min-label
+        # tie-break, runner-up margin. Same train/test split and
+        # poly31 buckets as the Spark side.
+        "nb_classify": f"""
+            WITH nbtr AS (SELECT source AS label, {_TOKS_SQL} AS t
+                          FROM documents WHERE doc_id % 3 = 0),
+            nbte AS (SELECT doc_id, {_TOKS_SQL} AS t
+                     FROM documents WHERE doc_id % 3 <> 0),
+            nbtrg AS (SELECT label, unnest(t) AS g FROM nbtr),
+            nbteg AS (SELECT doc_id, unnest(t) AS g FROM nbte),
+            nbtrb AS (SELECT label, {_NB_BUCKET_SQL.format(B=NB_BUCKETS)} AS bk FROM nbtrg),
+            nbteb AS (SELECT doc_id, {_NB_BUCKET_SQL.format(B=NB_BUCKETS)} AS bk FROM nbteg),
+            nbcnt AS (SELECT label, bk, count(*) AS c FROM nbtrb GROUP BY label, bk),
+            nbdocs AS (SELECT label, count(*) AS nd FROM nbtr GROUP BY label),
+            nbtot AS (SELECT d.label, COALESCE(t.tot, 0) AS tot FROM nbdocs d
+                      LEFT JOIN (SELECT label, count(*) AS tot FROM nbtrb GROUP BY label) t
+                      USING (label)),
+            nbsz AS (SELECT count(*) AS k, sum(nd) AS n FROM nbdocs),
+            nbpri AS (SELECT label, round(ln((nd + {NB_ALPHA}) / (n + {NB_ALPHA} * k)), 9) AS lp
+                      FROM nbdocs, nbsz),
+            nbllh AS (SELECT label, bk,
+                             round(ln((c + {NB_ALPHA}) / (tot + {NB_ALPHA} * {NB_BUCKETS})), 9) AS lh
+                      FROM nbcnt JOIN nbtot USING (label)),
+            nbmiss AS (SELECT label,
+                              round(ln({NB_ALPHA} / (tot + {NB_ALPHA} * {NB_BUCKETS})), 9) AS lm
+                       FROM nbtot),
+            nbsum AS (
+              SELECT b.doc_id, l.label, count(*) AS ng,
+                     sum(CAST(COALESCE(h.lh, m.lm) AS DECIMAL(24,9))) AS s
+              FROM nbteb b
+              CROSS JOIN (SELECT label FROM nbdocs) l
+              JOIN nbmiss m ON m.label = l.label
+              LEFT JOIN nbllh h ON h.label = l.label AND h.bk = b.bk
+              GROUP BY b.doc_id, l.label),
+            nbfull AS (
+              SELECT d.doc_id, p.label, COALESCE(s.ng, 0) AS ng,
+                     round(COALESCE(CAST(s.s AS DOUBLE), 0.0) + p.lp, 6) AS score
+              FROM (SELECT DISTINCT doc_id FROM nbte) d
+              CROSS JOIN nbpri p
+              LEFT JOIN nbsum s ON s.doc_id = d.doc_id AND s.label = p.label),
+            nbbest AS (SELECT doc_id, max(score) AS best FROM nbfull GROUP BY doc_id),
+            nbpred AS (
+              SELECT f.doc_id, min(f.label) AS pred, b.best
+              FROM nbfull f JOIN nbbest b ON f.doc_id = b.doc_id AND f.score = b.best
+              GROUP BY f.doc_id, b.best),
+            nbng AS (SELECT doc_id, CAST(max(ng) AS BIGINT) AS n_grams
+                     FROM nbfull GROUP BY doc_id),
+            nbmarg AS (
+              SELECT p.doc_id,
+                     round(p.best - COALESCE(
+                       max(f.score) FILTER (WHERE f.label <> p.pred), p.best), 6) AS margin
+              FROM nbpred p JOIN nbfull f ON f.doc_id = p.doc_id
+              GROUP BY p.doc_id, p.best, p.pred)
+            SELECT p.doc_id AS id, g.n_grams, p.pred, p.best AS score, m.margin
+            FROM nbpred p JOIN nbng g ON g.doc_id = p.doc_id
+            JOIN nbmarg m ON m.doc_id = p.doc_id
+        """,
         "dsir_weights": f"""
             WITH {_DSIR_CTES}
             SELECT d.doc_id AS id,

@@ -62,6 +62,7 @@ from cs533_big_data_data_mining_spark.operators.sketches import (
     cms_save,
     heavy_hitters,
 )
+from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
 from cs533_big_data_data_mining_spark.operators.profile import (
     check_expectations,
     profile_numeric,
@@ -184,6 +185,8 @@ __all__ = [
     "chunk_documents",
     "knn_classify",
     "label_centroids",
+    "nb_classify",
+    "nb_train",
     "redact_pii",
     "decontaminate",
     "decontaminate_bloom",

@@ -335,6 +335,74 @@ def _score_main(argv: list[str]) -> int:
     return 0
 
 
+def _classify_main(argv: list[str]) -> int:
+    """``... classify -i docs.parquet -o preds.parquet --train
+    labeled.parquet`` — supervised hashed-n-gram Naive Bayes (the
+    fastText-style model filter): fit on the labeled frame (or load a
+    saved model), predict a label + margin for every input document."""
+    ap = argparse.ArgumentParser(prog="cs533_big_data_data_mining_spark classify")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--train", default=None, help="labeled parquet to fit on")
+    ap.add_argument("--label-col", default="label", help="label column in --train")
+    ap.add_argument("--model", default=None, help="load a saved model frame instead of --train")
+    ap.add_argument("--save-model", default=None, help="persist the fitted model frame here")
+    ap.add_argument("--buckets", type=int, default=65536, help="hashed feature buckets")
+    ap.add_argument("--alpha", type=float, default=1.0, help="add-alpha smoothing")
+    ap.add_argument("--max-n", type=int, default=1, help="max word-n-gram order")
+    ap.add_argument(
+        "--hash",
+        default="xxhash64",
+        choices=("xxhash64", "poly31"),
+        help="gram bucket hash (xxhash64 = the scale route; poly31 = SQL-replayable)",
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if (args.train is None) == (args.model is None):
+        ap.error("exactly one of --train / --model is required")
+
+    from pyspark.sql import SparkSession
+
+    from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_classify_cli", master=args.master)
+    t0 = time.time()
+    if args.model:
+        model = spark.read.parquet(args.model)
+    else:
+        model = nb_train(
+            spark.read.parquet(args.train),
+            args.text_col,
+            args.label_col,
+            n_buckets=args.buckets,
+            alpha=args.alpha,
+            max_n=args.max_n,
+            hash_buckets=args.hash,
+        )
+    if args.save_model:
+        model.write.mode("overwrite").parquet(args.save_model)
+        model = spark.read.parquet(args.save_model)  # don't recompute the fit to classify
+    out = nb_classify(
+        spark.read.parquet(args.input),
+        args.id_col,
+        args.text_col,
+        model,
+        n_buckets=args.buckets,
+        max_n=args.max_n,
+        hash_buckets=args.hash,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"classified {n} documents ({time.time() - t0:.1f}s); wrote {args.output}")
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def _mix_main(argv: list[str]) -> int:
     """``... mix -i docs.parquet -o mixed.parquet --budget N
     --weights 'a=0.5,b=0.5' [--tokens-col n_chars]`` — epoch-repeat
@@ -905,11 +973,13 @@ def main(argv: list[str] | None = None) -> int:
         return _pack_main(argv[1:])
     if argv and argv[0] == "score":
         return _score_main(argv[1:])
+    if argv and argv[0] == "classify":
+        return _classify_main(argv[1:])
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",
         epilog="data-pipeline subcommands: refinedweb ingest-shard curate mix "
-        "chunk pack score (run '<subcommand> --help' for each)",
+        "chunk pack score classify (run '<subcommand> --help' for each)",
     )
     ap.add_argument("-i", "--input", required=True, help="input file (.bin with -b, else parquet)")
     ap.add_argument("-b", "--binary", action="store_true", help="input is the reference's .bin format")

@@ -1080,6 +1080,37 @@ def url_filter(
     )
 
 
+def _ngrams_concat(col, max_n: int) -> F.Column:
+    """ALL word {1..max_n}-gram occurrences of ``col`` as one array —
+    the shared feature unit of :func:`dsir_logratio` and
+    :func:`cs533_big_data_data_mining_spark.operators.classify.nb_train`
+    (one definition so their oracles can't de-sync)."""
+    gs = word_ngrams(col, 1)
+    for k in range(2, int(max_n) + 1):
+        gs = F.concat(gs, word_ngrams(col, k))
+    return gs
+
+
+def _gram_bucket(gcol_name: str, hash_buckets: str, n_buckets: int) -> F.Column:
+    """gram -> feature bucket, shared by DSIR and the NB classifier.
+
+    ``"poly31"``: the cross-engine fingerprint a DuckDB oracle replays
+    exactly (per-character SQL ``aggregate(sequence(...))``);
+    ``"xxhash64"``: one JVM-native 64-bit hash per gram — the 100 TB
+    route (the ``duplicated_spans(hash_grams=...)`` pattern)."""
+    from cs533_big_data_data_mining_spark.functions.text import FINGERPRINT_MOD
+
+    if hash_buckets == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(gcol_name)), F.lit(int(n_buckets)))
+    if hash_buckets != "poly31":
+        raise ValueError("hash_buckets must be 'poly31' or 'xxhash64'")
+    fp = F.expr(
+        f"aggregate(sequence(1, length({gcol_name})), 0L, "
+        f"(acc, i) -> (acc * 31 + ascii(substring({gcol_name}, i, 1))) % {FINGERPRINT_MOD})"
+    )
+    return F.pmod(fp, F.lit(int(n_buckets)))
+
+
 def dsir_logratio(
     df: DataFrame,
     id_col: str,
@@ -1134,40 +1165,21 @@ def dsir_logratio(
     (contrast ``lm_perplexity``); the hot-bucket problem DSIR's
     hashing creates for counts is absorbed by partial aggregation.
     """
-    from cs533_big_data_data_mining_spark.functions.text import (
-        FINGERPRINT_MOD,
-        word_ngrams,
-    )
-
     a = float(alpha)
     if a <= 0:
         raise ValueError("alpha must be > 0")
     if n_buckets <= 0:
         raise ValueError("n_buckets must be > 0")
+    if hash_buckets not in ("poly31", "xxhash64"):
+        raise ValueError("hash_buckets must be 'poly31' or 'xxhash64'")
     r = raw if raw is not None else df
     tcol = target_text_col if target_text_col is not None else text_col
 
     def grams(col):
-        gs = word_ngrams(col, 1)
-        for k in range(2, int(max_n) + 1):
-            gs = F.concat(gs, word_ngrams(col, k))
-        return gs
+        return _ngrams_concat(col, max_n)
 
-    if hash_buckets not in ("poly31", "xxhash64"):
-        raise ValueError("hash_buckets must be 'poly31' or 'xxhash64'")
-
-    # poly31 fingerprint of the gram STRING mod n_buckets — the same
-    # recurrence as functions.text.fingerprint, applied to an exploded
-    # value instead of a named column (cross-engine reproducible);
-    # xxhash64 is the one-hash-per-gram scale route (see docstring)
     def bucket(gcol_name):
-        if hash_buckets == "xxhash64":
-            return F.pmod(F.xxhash64(F.col(gcol_name)), F.lit(int(n_buckets)))
-        fp = F.expr(
-            f"aggregate(sequence(1, length({gcol_name})), 0L, "
-            f"(acc, i) -> (acc * 31 + ascii(substring({gcol_name}, i, 1))) % {FINGERPRINT_MOD})"
-        )
-        return F.pmod(fp, F.lit(int(n_buckets)))
+        return _gram_bucket(gcol_name, hash_buckets, n_buckets)
 
     # CPU-bound per-row gram hashing must fan out on single-file
     # inputs — the shared dedup._spread (no-op at 100 TB)

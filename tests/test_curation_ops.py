@@ -1173,3 +1173,220 @@ def test_cli_refinedweb_c4_stage(spark, tmp_path):
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert set(got) == {1}          # 2 dies on lorem ipsum, 3 on sentences
     assert "bare junk line" not in got[1]  # text continues line-filtered
+
+
+# --------------------------------------------------------------- naive bayes
+
+
+def _nb_expected(train, test, B, alpha, labels=None):
+    """Brute-force multinomial NB with the engine's rounding discipline
+    (9-dp llh, order-free sums, 6-dp scores, lexicographic ties)."""
+
+    def toks(t):
+        return [x for x in re.split(r"\s+", t or "") if x]
+
+    def bucket(g):
+        return _poly31(g) % B
+
+    cnt, tot, nd = {}, {}, {}
+    for _, lb, t in train:
+        if lb is None:
+            continue
+        nd[lb] = nd.get(lb, 0) + 1
+        tot.setdefault(lb, 0)
+        for g in toks(t):
+            b = bucket(g)
+            cnt[(lb, b)] = cnt.get((lb, b), 0) + 1
+            tot[lb] += 1
+    labels = sorted(nd) if labels is None else labels
+    k, n = len(labels), sum(nd.values())
+    pri = {lb: round(math.log((nd[lb] + alpha) / (n + alpha * k)), 9) for lb in labels}
+    miss = {lb: round(math.log(alpha / (tot[lb] + alpha * B)), 9) for lb in labels}
+    out = {}
+    for i, t in test:
+        gs = toks(t)
+        scores = []
+        for lb in labels:
+            s = 0.0
+            for g in gs:
+                b = bucket(g)
+                c = cnt.get((lb, b))
+                s += (
+                    round(math.log((c + alpha) / (tot[lb] + alpha * B)), 9)
+                    if c
+                    else miss[lb]
+                )
+            scores.append(round(s + pri[lb], 6))
+        best = max(scores)
+        pred = labels[scores.index(best)]
+        second = sorted(scores)[-2] if k > 1 else best
+        out[i] = (len(gs), pred, best, round(best - second, 6) if k > 1 else 0.0)
+    return out
+
+
+_NB_TRAIN = [
+    (0, "sports", "goal match team score goal win league cup"),
+    (1, "sports", "team win match referee goal pitch"),
+    (2, "finance", "market stock bond yield price trade market fund"),
+    (3, "finance", "stock price trade bond market rally"),
+    (4, "science", "atom cell quantum theory lab experiment data model"),
+    (5, "science", "quantum lab data cell theory particle"),
+    (6, "science", None),  # prior-only contribution
+    (7, None, "unlabeled row must be dropped"),
+]
+_NB_TEST = [
+    (10, "team goal win cup"),
+    (11, "stock market yield rally"),
+    (12, "quantum particle experiment data"),
+    (13, ""),
+    (14, None),
+    (15, "goal market quantum"),  # cross-class mix: still deterministic
+]
+
+
+def test_nb_brute_force(spark):
+    from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+
+    B, a = 64, 0.5
+    train = spark.createDataFrame(_NB_TRAIN, "id long, label string, text string")
+    test = spark.createDataFrame(_NB_TEST, "id long, text string")
+    model = nb_train(train, "text", "label", n_buckets=B, alpha=a)
+    out = nb_classify(test, "id", "text", model, n_buckets=B)
+    got = {r["id"]: (r["n_grams"], r["pred"], r["score"], r["margin"]) for r in out.collect()}
+    exp = _nb_expected(_NB_TRAIN, _NB_TEST, B, a)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0], (i, "n_grams")
+        assert got[i][1] == exp[i][1], (i, "pred")
+        assert got[i][2] == pytest.approx(exp[i][2], abs=2e-6), (i, "score")
+        assert got[i][3] == pytest.approx(exp[i][3], abs=2e-6), (i, "margin")
+    # the planted classes must actually be recovered
+    assert got[10][1] == "sports" and got[11][1] == "finance" and got[12][1] == "science"
+    # empty/null docs: prior-only -> argmax prior = science (3 docs incl. null text)
+    assert got[13] == got[14]
+    assert got[13][1] == "science" and got[13][0] == 0
+
+
+def test_nb_partition_invariance_and_xxhash(spark):
+    from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+
+    train = spark.createDataFrame(_NB_TRAIN, "id long, label string, text string")
+    test = spark.createDataFrame(_NB_TEST, "id long, text string")
+    for route in ("poly31", "xxhash64"):
+        m = nb_train(train, "text", "label", n_buckets=512, hash_buckets=route)
+        a = sorted(
+            nb_classify(test, "id", "text", m, n_buckets=512, hash_buckets=route).collect()
+        )
+        b = sorted(
+            nb_classify(
+                test.repartition(7), "id", "text", m, n_buckets=512, hash_buckets=route
+            ).collect()
+        )
+        assert a == b, route
+        preds = {r["id"]: r["pred"] for r in a}
+        assert preds[10] == "sports" and preds[11] == "finance" and preds[12] == "science"
+
+
+def test_nb_model_roundtrip(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+
+    train = spark.createDataFrame(_NB_TRAIN, "id long, label string, text string")
+    test = spark.createDataFrame(_NB_TEST, "id long, text string")
+    model = nb_train(train, "text", "label", n_buckets=64, alpha=0.5)
+    path = str(tmp_path / "nb_model.parquet")
+    model.write.parquet(path)
+    direct = sorted(nb_classify(test, "id", "text", model, n_buckets=64).collect())
+    loaded = sorted(
+        nb_classify(test, "id", "text", spark.read.parquet(path), n_buckets=64).collect()
+    )
+    assert direct == loaded
+
+
+def test_nb_single_class_and_ties(spark):
+    from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+
+    # k = 1: every doc predicts the one class, margin 0
+    one = spark.createDataFrame([(0, "only", "alpha beta")], "id long, label string, text string")
+    test = spark.createDataFrame([(1, "alpha"), (2, None)], "id long, text string")
+    m1 = nb_train(one, "text", "label", n_buckets=32)
+    got = {r["id"]: r for r in nb_classify(test, "id", "text", m1, n_buckets=32).collect()}
+    assert all(r["pred"] == "only" and r["margin"] == 0.0 for r in got.values())
+    # perfect symmetric tie: identical class-conditionals and priors
+    # -> lexicographically smallest label wins, margin 0
+    sym = spark.createDataFrame(
+        [(0, "b_class", "same words here"), (1, "a_class", "same words here")],
+        "id long, label string, text string",
+    )
+    m2 = nb_train(sym, "text", "label", n_buckets=32)
+    r = nb_classify(test, "id", "text", m2, n_buckets=32).collect()
+    assert all(x["pred"] == "a_class" and x["margin"] == 0.0 for x in r)
+
+
+def test_nb_validation(spark):
+    from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+
+    df = spark.createDataFrame([(0, "l", "x")], "id long, label string, text string")
+    test = df.select("id", "text")
+    with pytest.raises(ValueError):
+        nb_train(df, "text", "label", alpha=0.0)
+    with pytest.raises(ValueError):
+        nb_train(df, "text", "label", n_buckets=0)
+    with pytest.raises(ValueError):
+        nb_train(df, "text", "label", max_n=0)
+    with pytest.raises(ValueError):
+        nb_train(df, "text", "label", hash_buckets="md5")
+    with pytest.raises(ValueError):
+        nb_classify(test, "id", "text", nb_train(df, "text", "label"), hash_buckets="md5")
+    # empty / all-null-label training set -> no classes
+    empty = spark.createDataFrame([], "id long, label string, text string")
+    with pytest.raises(ValueError, match="no classes"):
+        nb_classify(test, "id", "text", nb_train(empty, "text", "label"))
+    # corrupt model: unknown sentinel bucket
+    bad = spark.createDataFrame([("l", -7, 0.0)], "label string, b long, llh double")
+    with pytest.raises(ValueError, match="sentinel"):
+        nb_classify(test, "id", "text", bad)
+
+
+def test_nb_all_empty_training_text(spark):
+    # labels whose docs are all empty still classify (prior + missing)
+    from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+
+    train = spark.createDataFrame(
+        [(0, "a", ""), (1, "a", None), (2, "b", "")], "id long, label string, text string"
+    )
+    test = spark.createDataFrame([(9, "some words")], "id long, text string")
+    out = nb_classify(
+        test, "id", "text", nb_train(train, "text", "label", n_buckets=16, alpha=1.0),
+        n_buckets=16,
+    ).collect()
+    # llh_miss = log(1/B) for both; 'a' has the larger prior
+    assert out[0]["pred"] == "a" and out[0]["n_grams"] == 2
+
+
+def test_classify_cli_roundtrip(spark, tmp_path):
+    # train -> save model -> classify; then reload the saved model and
+    # classify again: identical predictions, and the planted classes
+    # are recovered on the held-out docs
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    train_p = str(tmp_path / "nb_train.parquet")
+    test_p = str(tmp_path / "nb_test.parquet")
+    out1 = str(tmp_path / "nb_out1.parquet")
+    out2 = str(tmp_path / "nb_out2.parquet")
+    model_p = str(tmp_path / "nb_model.parquet")
+    spark.createDataFrame(_NB_TRAIN, "doc_id long, label string, text string").write.parquet(
+        train_p
+    )
+    spark.createDataFrame(_NB_TEST, "doc_id long, text string").write.parquet(test_p)
+    rc = main([
+        "classify", "-i", test_p, "-o", out1, "--train", train_p,
+        "--save-model", model_p, "--buckets", "512",
+    ])
+    assert rc == 0
+    rc = main(["classify", "-i", test_p, "-o", out2, "--model", model_p, "--buckets", "512"])
+    assert rc == 0
+    a = sorted(spark.read.parquet(out1).collect())
+    b = sorted(spark.read.parquet(out2).collect())
+    assert a == b
+    preds = {r["id"]: r["pred"] for r in a}
+    assert preds[10] == "sports" and preds[11] == "finance" and preds[12] == "science"
