@@ -1179,19 +1179,15 @@ DSIR_ALPHA = 0.5
 # add-alpha smoothing, round-9dp-then-DECIMAL-sum) — shared by the
 # dsir_weights and dsir_resample oracles so the two can't de-sync
 _DSIR_GRAMS = "unnest(t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))"
-_DSIR_BUCKET = (
-    "list_reduce(list_prepend(0, range(1, length(g) + 1)), "
-    "(acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1))) "
-    f"% 2147483647) % {DSIR_BUCKETS}"
-)
-
-
-# the same poly31 gram bucket at the NB classifier's width
+# ONE poly31 gram-bucket template (parameterized on the bucket count)
+# derives both the DSIR and the NB-classifier oracles — a recurrence
+# fix in one place can't de-sync the other
 _NB_BUCKET_SQL = (
     "list_reduce(list_prepend(0, range(1, length(g) + 1)), "
     "(acc, i) -> (acc * 31 + ascii(substring(g, CAST(i AS INT), 1))) "
     "% 2147483647) % {B}"
 )
+_DSIR_BUCKET = _NB_BUCKET_SQL.format(B=DSIR_BUCKETS)
 
 
 def _dsir_chain_sql(target_toks: str, raw_toks: str) -> str:
@@ -3941,7 +3937,10 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # per-(label,bucket) counts, add-alpha smoothing at 9 dp,
         # DECIMAL per-doc sums, 6-dp scores, argmax with min-label
         # tie-break, runner-up margin. Same train/test split and
-        # poly31 buckets as the Spark side.
+        # poly31 buckets as the Spark side. Precondition (holds for
+        # the testdata generator): doc_id is unique — on duplicate
+        # ids Spark emits one row per INPUT row while this twin's
+        # grouped CTEs emit one per id.
         "nb_classify": f"""
             WITH nbtr AS (SELECT source AS label, {_TOKS_SQL} AS t
                           FROM documents WHERE doc_id % 3 = 0),

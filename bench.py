@@ -1013,10 +1013,12 @@ def main() -> None:
 
         # NB model filter at 1M docs / 4 classes on the xxhash64 scale
         # route: each class writes from its own DISJOINT 500-word
-        # vocabulary (w0..w499 / w500..w999 / ...), train on the 10%
-        # id%10==0 slice, classify the held-out 90% — every prediction
-        # must recover the planted class (bucket collisions between
-        # class vocabs only dilute margins, never flip a 30-word doc)
+        # vocabulary (w0..w499 / w500..w999 / ...), train on the 20%
+        # id%5==0 slice (5 is COPRIME to the 4-class id%4 label, so
+        # every class appears in training — id%10==0 would see only
+        # the even classes), classify the held-out 80% — every
+        # prediction must recover the planted class (bucket collisions
+        # between class vocabs dilute margins, never flip a 30-word doc)
         from cs533_big_data_data_mining_spark.operators.classify import (
             nb_classify,
             nb_train,
@@ -1031,21 +1033,24 @@ def main() -> None:
                 (F.pmod(F.xxhash64(F.col("id"), j), F.lit(500)) + lab_nb * 500).cast("string"),
             )
 
+        # cache: the planted text (30 xxhash64 calls/row) would otherwise
+        # regenerate through three lineage branches (train, classify,
+        # label join-back)
         docs_nb = spark.range(nnb).select(
             F.col("id").alias("doc_id"),
             F.concat(F.lit("c"), lab_nb.cast("string")).alias("label"),
             F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(30)), _wc)).alias("text"),
-        )
+        ).cache()
         t0 = time.time()
         try:
             m_nb = nb_train(
-                docs_nb.filter(F.col("doc_id") % 10 == 0),
+                docs_nb.filter(F.col("doc_id") % 5 == 0),
                 "text",
                 "label",
                 n_buckets=16384,
                 hash_buckets="xxhash64",
             )
-            held = docs_nb.filter(F.col("doc_id") % 10 != 0)
+            held = docs_nb.filter(F.col("doc_id") % 5 != 0)
             out_nb = nb_classify(
                 held, "doc_id", "text", m_nb, n_buckets=16384, hash_buckets="xxhash64"
             )
@@ -1056,18 +1061,20 @@ def main() -> None:
                 F.sum((F.col("pred") != F.col("label")).cast("long")).alias("wrong"),
                 F.min("margin").alias("min_margin"),
             ).head()
-            assert (agg_nb["n"], agg_nb["wrong"]) == (nnb * 9 // 10, 0), dict(agg_nb.asDict())
+            assert (agg_nb["n"], agg_nb["wrong"]) == (nnb * 4 // 5, 0), dict(agg_nb.asDict())
             assert agg_nb["min_margin"] > 0, dict(agg_nb.asDict())
             timings["nb_scale1m"] = round(time.time() - t0, 3)
             print(
                 f"# nb_scale1m: {timings['nb_scale1m']}s "
-                f"(900k held-out docs, 0 misclassified, min margin "
+                f"(800k held-out docs, 0 misclassified, min margin "
                 f"{agg_nb['min_margin']:.1f})",
                 file=sys.stderr,
             )
         except Exception as exc:  # noqa: BLE001
             errors["nb_scale1m"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# nb_scale1m: ERROR {errors['nb_scale1m']}", file=sys.stderr)
+        finally:
+            docs_nb.unpersist()
 
         nmx = 1_000_000
         docs_mx = spark.range(nmx).select(

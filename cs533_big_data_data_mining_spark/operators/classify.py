@@ -13,7 +13,7 @@ its binary special case is exactly the DSIR importance log-ratio
 k >= 1 labeled classes with priors and argmax prediction, sharing the
 gram/bucket definitions so the two can't de-sync.
 
-``nb_train`` fits the model as a SMALL DataFrame (<= k * (B + 2)
+``nb_train`` fits the model as a SMALL DataFrame (<= k * (B + 2) + 1
 rows) that persists like any other table (write/read parquet — the
 ``ivf_save`` pattern); ``nb_classify`` broadcasts it and scores an
 unbounded corpus.
@@ -51,6 +51,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
 # sentinel bucket ids inside the model frame (real buckets are >= 0)
 NB_PRIOR_BUCKET = -1  # row holds the class log-prior
 NB_MISSING_BUCKET = -2  # row holds the unseen-bucket log-likelihood
+NB_META_BUCKET = -3  # label carries "nb:B=...;max_n=...;hash=..." (llh unused)
 
 
 def nb_train(
@@ -75,7 +76,13 @@ def nb_train(
       ``log((n_docs_label + alpha) / (n_docs + alpha * k))``,
     * ``b == -2`` (:data:`NB_MISSING_BUCKET`) — the label's
       unseen-bucket log-likelihood ``log(alpha / (tot_label +
-      alpha * B))``.
+      alpha * B))``,
+    * ``b == -3`` (:data:`NB_META_BUCKET`) — ONE self-description row
+      whose ``label`` is ``"nb:B=<n_buckets>;max_n=<max_n>;
+      hash=<hash_buckets>"``: :func:`nb_classify` verifies its own
+      feature-space parameters against it, so scoring a reloaded
+      model with mismatched ``n_buckets``/``max_n``/``hash_buckets``
+      raises instead of silently producing near-prior-only garbage.
 
     All values round to 9 dp IN-ENGINE (Spark ``round``, HALF_UP —
     the same rounding a DuckDB oracle applies; never Python's
@@ -83,7 +90,7 @@ def nb_train(
     are the supervised signal; a null is an unlabeled example, not a
     class).  NULL/empty text contributes to the prior only.
 
-    The frame is fully lazy and at most ``k * (n_buckets + 2)`` rows
+    The frame is fully lazy and at most ``k * (n_buckets + 2) + 1`` rows
     — persist it with ``model.write.parquet(...)`` and reload for
     later :func:`nb_classify` runs (train once on the labeled sample,
     score every future 100 TB crawl).
@@ -144,7 +151,14 @@ def nb_train(
             F.log((F.col("nd") + F.lit(a)) / (F.col("n") + F.lit(a) * F.col("k"))), 9
         ).alias("llh"),
     )
-    return obs.unionByName(miss).unionByName(pri)
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    meta = local_df(
+        train.sparkSession,
+        [(f"nb:B={B};max_n={int(max_n)};hash={hash_buckets}", NB_META_BUCKET, 0.0)],
+        "label string, b long, llh double",
+    )
+    return obs.unionByName(miss).unionByName(pri).unionByName(meta)
 
 
 def nb_classify(
@@ -162,7 +176,10 @@ def nb_classify(
 
     ``n_buckets`` / ``max_n`` / ``hash_buckets`` must match the
     values the model was trained with (they define the feature
-    space; the model frame doesn't carry them).
+    space): a :func:`nb_train` model carries them in its
+    :data:`NB_META_BUCKET` row and any mismatch raises; a frame
+    without a meta row is trusted except for the detectable
+    bucket-id-out-of-range case.
 
     Returns ``(id, n_grams, pred, score, margin)`` — ``pred`` the
     argmax label (ties break to the lexicographically smallest),
@@ -171,7 +188,7 @@ def nb_classify(
     the confidence signal CCNet thresholds on).  NULL/empty documents
     get ``n_grams = 0`` and prior-only scores.
 
-    The model collects to the driver ONCE (bounded by k*(B+2) rows by
+    The model collects to the driver ONCE (bounded by k*(B+2)+1 rows by
     construction) and goes back out as one Arrow-backed broadcast
     side: scoring is explode -> broadcast join -> one per-doc
     aggregate with k DECIMAL sums — a single shuffle on the doc id.
@@ -189,16 +206,37 @@ def nb_classify(
     pri: dict[str, float] = {}
     missing: dict[str, float] = {}
     obs: dict[tuple[str, int], float] = {}
+    metas: list[str] = []
     for r in rows:
         b = int(r["b"])
         if b == NB_PRIOR_BUCKET:
             pri[r["label"]] = float(r["llh"])
         elif b == NB_MISSING_BUCKET:
             missing[r["label"]] = float(r["llh"])
+        elif b == NB_META_BUCKET:
+            metas.append(r["label"])
         elif b >= 0:
             obs[(r["label"], b)] = float(r["llh"])
         else:
             raise ValueError(f"model frame holds unknown sentinel bucket {b}")
+    want = f"nb:B={int(n_buckets)};max_n={int(max_n)};hash={hash_buckets}"
+    if metas:
+        # the nb_train self-description row: a reloaded model scored
+        # with different feature-space params must fail loudly, not
+        # silently hash grams into buckets the model never saw
+        if len(metas) > 1:
+            raise ValueError(f"model frame holds {len(metas)} meta rows (corrupt union?)")
+        if metas[0] != want:
+            raise ValueError(
+                f"model/classify feature-space mismatch: model is '{metas[0]}', "
+                f"classify called with '{want}'"
+            )
+    elif any(b >= int(n_buckets) for (_, b) in obs):
+        # externally-assembled frame without a meta row: the one
+        # mismatch still detectable is a shrunken bucket space
+        raise ValueError(
+            f"model holds bucket ids >= n_buckets={n_buckets} (trained at a wider B?)"
+        )
     labels = sorted(pri)
     if not labels:
         raise ValueError("model has no classes (empty or unlabeled training set?)")

@@ -1347,6 +1347,28 @@ def test_nb_validation(spark):
         nb_classify(test, "id", "text", bad)
 
 
+def test_nb_feature_space_mismatch_raises(spark):
+    # the model meta row pins (B, max_n, hash); classifying with ANY
+    # different feature-space parameter must raise, not silently hash
+    # grams into buckets the model never saw (the CLI defaults differ
+    # from the library defaults — this is the guard that catches it)
+    from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+
+    train = spark.createDataFrame(_NB_TRAIN, "id long, label string, text string")
+    test = spark.createDataFrame(_NB_TEST, "id long, text string")
+    m = nb_train(train, "text", "label", n_buckets=64)
+    with pytest.raises(ValueError, match="mismatch"):
+        nb_classify(test, "id", "text", m, n_buckets=128)
+    with pytest.raises(ValueError, match="mismatch"):
+        nb_classify(test, "id", "text", m, n_buckets=64, max_n=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        nb_classify(test, "id", "text", m, n_buckets=64, hash_buckets="xxhash64")
+    # meta-less external frame: only the shrunken-B case is detectable
+    noneta = m.filter(F.col("b") != -3)
+    with pytest.raises(ValueError, match="n_buckets"):
+        nb_classify(test, "id", "text", noneta, n_buckets=8)
+
+
 def test_nb_all_empty_training_text(spark):
     # labels whose docs are all empty still classify (prior + missing)
     from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
