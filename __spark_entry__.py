@@ -1375,6 +1375,73 @@ def _q_c4_filters(spark, sf_dir):
     return c4_filters(docs.select("doc_id", text.alias("text")), "doc_id", "text")
 
 
+# SQL spellings of the fineweb_filters planted lines (residues 1-3)
+_FW_SID = "CAST(doc_id AS VARCHAR)"
+_FW_NOPUNCT_SQL = " || chr(10) || ".join(
+    f"'this line number {k} for doc ' || {_FW_SID} || ' just trails off with no stop'"
+    for k in range(9)
+)
+_FW_DUPLINE_SQL = (
+    f"'this exact long line repeats itself verbatim inside doc ' || {_FW_SID} || '.'"
+)
+_FW_SHORTS_SQL = " || chr(10) || ".join(
+    f"'T{k} d' || {_FW_SID} || ' x.'" for k in range(8)
+)
+
+
+def _q_fineweb_filters(spark, sf_dir):
+    # FineWeb custom filters (Penedo 2024 §3.6): planted per doc_id
+    # residue so each of the three gates fires somewhere — residue 0
+    # keeps (punctuated, long, distinct lines); residue 1 dies on the
+    # line-punctuation floor (1 punctuated line in 10 = 0.10 <= 0.12);
+    # residue 2 dies on duplicated-line characters (one long line x5);
+    # residue 3 dies on the short-line fraction (8 of 10 lines under
+    # 30 chars). The oracle recomputes all three signals from the same
+    # planted text, so every ratio and both boundary directions ride
+    # in the hash.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import fineweb_filters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    good = F.concat(
+        F.lit("This is a fine long opening sentence that ends properly for doc "),
+        sid,
+        F.lit(".\nAnother substantial line with plenty of characters to clear the bar.\n"
+              "A third distinct line also ends with a period, keeping punctuation high."),
+    )
+    nopunct_line = F.concat(
+        F.lit("this line number NN for doc "), sid, F.lit(" just trails off with no stop")
+    )
+    lowpunct = F.concat_ws(
+        "\n",
+        *[F.regexp_replace(nopunct_line, "NN", str(k)) for k in range(9)],
+        F.concat(F.lit("only this final line of doc "), sid, F.lit(" ends with a period.")),
+    )
+    dup_line = F.concat(
+        F.lit("this exact long line repeats itself verbatim inside doc "), sid, F.lit(".")
+    )
+    dupped = F.concat_ws(
+        "\n",
+        dup_line, dup_line, dup_line, dup_line, dup_line,
+        F.lit("one distinct closing line with enough characters to stay long."),
+    )
+    shorts = F.concat_ws(
+        "\n",
+        *[F.concat(F.lit(f"T{k} d"), sid, F.lit(" x.")) for k in range(8)],
+        F.lit("A long enough line to not count as short, ending with a stop."),
+        F.lit("Another long line comfortably past thirty characters, also stopped."),
+    )
+    text = (
+        F.when(i % 4 == 0, good)
+        .when(i % 4 == 1, lowpunct)
+        .when(i % 4 == 2, dupped)
+        .otherwise(shorts)
+    )
+    return fineweb_filters(docs.select("doc_id", text.alias("text")), "doc_id", "text")
+
+
 def _q_gopher_repetition(spark, sf_dir):
     # Gopher REPETITION bundle (Rae 2021 A1.2 — the half RefinedWeb's
     # "repetition removal" reuses; gopher_rules is A1.1): planted
@@ -2834,6 +2901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nb_classify: NEW — supervised hashed-n-gram Naive Bayes
         # (fastText-style model filter, Joulin 2016 / Wenzek 2020)
         "nb_classify": _q_nb_classify,
+        # fineweb_filters: NEW — Penedo 2024 §3.6 custom quality gates
+        "fineweb_filters": _q_fineweb_filters,
         # c4_filters: NEW — Raffel 2020 §2.2 line/page cleaning rules
         "c4_filters": _q_c4_filters,
         # gopher_repetition: NEW — Rae 2021 A1.2 repetition bundle
@@ -4016,6 +4085,57 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             )
             SELECT id, logratio, g_key FROM keyed
             ORDER BY g_key DESC, id LIMIT {DSIR_RESAMPLE_K}
+        """,
+        # fineweb_filters: replant the residue text, recompute all
+        # three Penedo 2024 §3.6 signals (line-punct fraction via the
+        # published stop set, duplicated-line chars via
+        # total - distinct-line chars, short-line fraction) and both
+        # boundary directions (<= removes on punct, >= on the others)
+        "fineweb_filters": f"""
+            WITH fwsrc AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN 'This is a fine long opening sentence that ends properly for doc '
+                    || {_FW_SID} || '.' || chr(10)
+                    || 'Another substantial line with plenty of characters to clear the bar.' || chr(10)
+                    || 'A third distinct line also ends with a period, keeping punctuation high.'
+                  WHEN 1 THEN {_FW_NOPUNCT_SQL} || chr(10)
+                    || 'only this final line of doc ' || {_FW_SID} || ' ends with a period.'
+                  WHEN 2 THEN {_FW_DUPLINE_SQL} || chr(10) || {_FW_DUPLINE_SQL} || chr(10)
+                    || {_FW_DUPLINE_SQL} || chr(10) || {_FW_DUPLINE_SQL} || chr(10)
+                    || {_FW_DUPLINE_SQL} || chr(10)
+                    || 'one distinct closing line with enough characters to stay long.'
+                  ELSE {_FW_SHORTS_SQL} || chr(10)
+                    || 'A long enough line to not count as short, ending with a stop.' || chr(10)
+                    || 'Another long line comfortably past thirty characters, also stopped.'
+                END AS text
+              FROM documents),
+            fwl AS (SELECT doc_id, text,
+                      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                  x -> x <> '') AS ls
+                    FROM fwsrc),
+            fws AS (SELECT doc_id, text, len(ls) AS n,
+                      len(list_filter(ls, x -> regexp_matches(x, '[.''"!?]$'))) AS np,
+                      len(list_filter(ls, x -> length(x) < 30)) AS nshort,
+                      COALESCE(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) AS tc,
+                      COALESCE(list_aggregate(list_transform(list_distinct(ls), x -> length(x)),
+                                              'sum'), 0) AS dtc
+                    FROM fwl),
+            fwr AS (SELECT doc_id, text,
+                      CASE WHEN text IS NOT NULL AND n > 0
+                           THEN round(CAST(np AS DOUBLE) / n, 6) END AS pf,
+                      CASE WHEN text IS NOT NULL AND n > 0 AND tc > 0
+                           THEN round(CAST(tc - dtc AS DOUBLE) / tc, 6) END AS dfr,
+                      CASE WHEN text IS NOT NULL AND n > 0
+                           THEN round(CAST(nshort AS DOUBLE) / n, 6) END AS sf
+                    FROM fws)
+            SELECT doc_id AS id, pf AS line_punct_frac, dfr AS dup_line_char_frac,
+                   sf AS short_line_frac,
+                   (text IS NOT NULL
+                    AND NOT COALESCE(pf <= 0.12, FALSE)
+                    AND NOT COALESCE(dfr >= 0.10, FALSE)
+                    AND NOT COALESCE(sf >= 0.67, FALSE)) AS keep
+            FROM fwr
         """,
         # gopher_repetition: full construction-independent twin (unit
         # streams + packed top-gram max + published A1.2 thresholds)

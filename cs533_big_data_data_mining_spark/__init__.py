@@ -73,6 +73,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     dsir_logratio,
     dsir_resample,
     c4_filters,
+    fineweb_filters,
     gopher_repetition,
     gopher_rules,
     lm_perplexity,
@@ -145,6 +146,7 @@ __all__ = [
     "gopher_rules",
     "gopher_repetition",
     "c4_filters",
+    "fineweb_filters",
     "dsir_logratio",
     "dsir_resample",
     "mix_to_budget",

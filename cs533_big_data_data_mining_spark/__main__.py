@@ -522,6 +522,13 @@ def _refinedweb_main(argv: list[str]) -> int:
         "quality rules, completing RefinedWeb's 'repetition removal'",
     )
     ap.add_argument(
+        "--fineweb", action="store_true",
+        help="apply the FineWeb custom filters (Penedo 2024 §3.6 — "
+        "line-punctuation fraction <= 0.12, duplicated-line char fraction "
+        ">= 0.10, short-line fraction >= 0.67 all remove) after the "
+        "repetition stage, the position FineWeb tuned them for",
+    )
+    ap.add_argument(
         "--max-line-df", type=int, default=None,
         help="boilerplate: drop lines occurring in more than this many docs",
     )
@@ -696,6 +703,14 @@ def _refinedweb_main(argv: list[str]) -> int:
         cur = stage(
             "repetition",
             cur.join(rep.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+        )
+    if args.fineweb:
+        from cs533_big_data_data_mining_spark.operators.quality import fineweb_filters
+
+        fw = fineweb_filters(cur, idc, txc)
+        cur = stage(
+            "fineweb",
+            cur.join(fw.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
         )
     if args.max_line_df is not None:
         cleaned = remove_boilerplate_lines(cur, idc, txc, args.max_line_df)

@@ -725,6 +725,82 @@ def c4_filters(
     )
 
 
+def fineweb_filters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_punct_frac: float = 0.12,
+    max_dup_line_char_frac: float = 0.10,
+    max_short_line_frac: float = 0.67,
+    short_line_len: int = 30,
+) -> DataFrame:
+    """The FineWeb custom quality filters (Penedo et al. 2024 §3.6,
+    public — the three C4-inspired gates FineWeb adds ON TOP of the
+    C4/Gopher sets, tuned against the full pipeline): a document is
+    removed when
+
+    * the fraction of lines ending in punctuation is
+      ``<= min_line_punct_frac`` (0.12 — punctuation is the published
+      stop set ``. ' " ! ?``),
+    * the fraction of characters in duplicated lines is
+      ``>= max_dup_line_char_frac`` (0.10 — Gopher's
+      ``dup_line_char_frac`` signal at FineWeb's stricter threshold),
+    * the fraction of lines shorter than ``short_line_len`` (30)
+      characters is ``>= max_short_line_frac`` (0.67).
+
+    Lines are trimmed and empties dropped (the
+    :func:`gopher_repetition` spelling; the paper does not pin
+    whitespace handling). Duplicated-line characters count occurrences
+    beyond each distinct value's first, over total line characters —
+    identical to ``gopher_repetition.dup_line_char_frac`` up to the
+    threshold. Note the boundary INCLUSIVITY mirrors the paper:
+    punctuation removes at-or-below, the other two remove at-or-above.
+
+    Returns ``(id, line_punct_frac, dup_line_char_frac,
+    short_line_frac, keep)`` — signals rounded to 6 dp; null text ->
+    null signals, ``keep = FALSE``; a doc with no non-empty lines has
+    null signals and passes vacuously (rejection needs evidence, the
+    Gopher-bundle contract).
+
+    Scale shape: pure Column end to end and — unlike
+    :func:`gopher_repetition`, which needs a unit explode for its
+    n-gram streams — genuinely ZERO shuffle: the duplicated-line
+    numerator is ``total_chars - chars(array_distinct(lines))``
+    (``array_distinct`` keeps first occurrences), so everything fuses
+    into the scan.
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.transform(F.split(c, r"\n"), F.trim), lambda x: x != "")
+    n = F.size(lines).cast("double")
+    n_punct = F.size(F.filter(lines, lambda x: x.rlike("[.'\"!?]$"))).cast("double")
+    n_short = F.size(
+        F.filter(lines, lambda x: F.length(x) < F.lit(int(short_line_len)))
+    ).cast("double")
+    tot_chars = F.length(F.concat_ws("", lines)).cast("double")
+    dup_chars = tot_chars - F.length(F.concat_ws("", F.array_distinct(lines))).cast("double")
+
+    # no-lines docs (n = 0) keep null signals: 0/0 division yields
+    # null under ANSI-off double semantics, but be explicit
+    has = c.isNotNull() & (n > 0)
+    punct_frac = F.when(has, F.round(n_punct / n, 6))
+    dup_frac = F.when(has & (tot_chars > 0), F.round(dup_chars / tot_chars, 6))
+    short_frac = F.when(has, F.round(n_short / n, 6))
+
+    keep = (
+        c.isNotNull()
+        & ~F.coalesce(punct_frac <= F.lit(float(min_line_punct_frac)), F.lit(False))
+        & ~F.coalesce(dup_frac >= F.lit(float(max_dup_line_char_frac)), F.lit(False))
+        & ~F.coalesce(short_frac >= F.lit(float(max_short_line_frac)), F.lit(False))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        punct_frac.alias("line_punct_frac"),
+        dup_frac.alias("dup_line_char_frac"),
+        short_frac.alias("short_line_frac"),
+        keep.alias("keep"),
+    )
+
+
 def gopher_repetition(
     df: DataFrame,
     id_col: str,

@@ -1109,6 +1109,66 @@ def test_gopher_repetition_brute_force(spark):
     assert kept == {0, 1, 2, 3, 5, 6, 7, 8}  # only null text fails
 
 
+# ----------------------------------------------------- fineweb filters
+
+
+def test_fineweb_filters_signals_and_boundaries(spark):
+    from cs533_big_data_data_mining_spark.operators.quality import fineweb_filters
+
+    long_p = "A comfortably long line that ends with terminal punctuation mark."  # 66 chars
+    long_n = "a comfortably long line that has no terminal punctuation at all"
+    dup = "this exact duplicated line is repeated and long enough to count."
+    rows = [
+        # clean: all punctuated, long, distinct
+        (0, f"{long_p}\n{long_p[:-1]}!\n{long_p[:-1]}?"),
+        # punct boundary: exactly 3/25 = 0.12 punctuated -> REMOVED (<= is inclusive)
+        (1, "\n".join([f"{long_p[:-1]} p{k}." for k in range(3)]
+                      + [f"{long_n} v{k}" for k in range(22)])),
+        # just above the punct bar: 4/25 = 0.16 -> kept
+        (2, "\n".join([f"{long_p[:-1]} p{k}." for k in range(4)]
+                      + [f"{long_n} v{k}" for k in range(21)])),
+        # 7/10 = 0.7 short lines -> removed (>= 0.67)
+        (3, "\n".join([f"Tiny {k}." for k in range(7)]
+                      + [f"{long_p[:-1]} p{k}." for k in range(3)])),
+        # duplicated chars: dup repeated x3 -> 2*65/(3*65+66) ~ 0.498 -> removed
+        (4, f"{dup}\n{dup}\n{dup}\n{long_p}"),
+        (5, None),
+        (6, ""),  # no non-empty lines -> null signals, keep (vacuous)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in fineweb_filters(df, "id", "text").collect()}
+    assert got[0]["keep"] and got[0]["line_punct_frac"] == 1.0
+    assert got[0]["dup_line_char_frac"] == 0.0 and got[0]["short_line_frac"] == 0.0
+    assert got[1]["line_punct_frac"] == 0.12 and not got[1]["keep"]
+    assert got[2]["line_punct_frac"] == 0.16 and got[2]["keep"]
+    assert got[3]["short_line_frac"] == 0.7 and not got[3]["keep"]
+    assert not got[4]["keep"]
+    exp_dup = round(2 * len(dup) / (3 * len(dup) + len(long_p)), 6)
+    assert got[4]["dup_line_char_frac"] == pytest.approx(exp_dup, abs=1e-9)
+    assert got[5]["keep"] is False and got[5]["line_punct_frac"] is None
+    assert got[6]["keep"] is True and got[6]["line_punct_frac"] is None
+
+
+def test_fineweb_dup_boundary_inclusive(spark):
+    # exactly 0.10 duplicated-line chars -> removed (>= is inclusive):
+    # one 10-char line duplicated once (10 dup chars) over 100 total
+    from cs533_big_data_data_mining_spark.operators.quality import fineweb_filters
+
+    ten = "abcdefghi."  # 10 chars, punctuated
+    eighty = "B" * 76 + "end."  # 80 chars
+    df = spark.createDataFrame(
+        [(0, f"{ten}\n{ten}\n{eighty}")], "id long, text string"
+    )
+    r = fineweb_filters(df, "id", "text").head()
+    assert r["dup_line_char_frac"] == 0.1 and not r["keep"]
+    # one char longer denominator drops it under the bar -> kept
+    df2 = spark.createDataFrame(
+        [(0, f"{ten}\n{ten}\n{eighty}x.")], "id long, text string"
+    )
+    r2 = fineweb_filters(df2, "id", "text").head()
+    assert r2["dup_line_char_frac"] < 0.1 and r2["keep"]
+
+
 # --------------------------------------------------------- c4 filters
 
 
@@ -1173,6 +1233,29 @@ def test_cli_refinedweb_c4_stage(spark, tmp_path):
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert set(got) == {1}          # 2 dies on lorem ipsum, 3 on sentences
     assert "bare junk line" not in got[1]  # text continues line-filtered
+
+
+def test_cli_refinedweb_fineweb_stage(spark, tmp_path):
+    # --fineweb drops low-punct / duplicated-line / short-line pages
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "fw_docs.parquet")
+    out = str(tmp_path / "fw_out")
+    long_p = "A comfortably long line that ends with terminal punctuation mark."
+    dup = "this exact duplicated line is repeated and long enough to count it."
+    rows = [
+        (1, "\n".join(f"{long_p[:-1]} v{k}." for k in range(4))),  # clean -> kept
+        (2, "\n".join(f"{long_p[:-5]} nothing v{k}" for k in range(5))),  # punct 0
+        (3, f"{dup}\n{dup}\n{dup}\n{long_p}"),  # dup-line chars
+        (4, "\n".join([f"Tn {k}." for k in range(8)] + [long_p])),  # short lines
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main([
+        "refinedweb", "-i", src, "-o", out, "--fineweb", "--skip-gopher",
+        "--jaccard", "0", "--splits", "", "--shards", "1",
+    ])
+    assert rc == 0
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
 
 
 # --------------------------------------------------------------- naive bayes
