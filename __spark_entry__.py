@@ -1375,6 +1375,41 @@ def _q_c4_filters(spark, sf_dir):
     return c4_filters(docs.select("doc_id", text.alias("text")), "doc_id", "text")
 
 
+PD_SHARED_MOD = 7  # paragraph_dedup plant: one shared paragraph per residue class
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    # CCNet-style paragraph-hash dedup as a transform (Wenzek 2020
+    # §3): every doc carries a per-doc-unique opening paragraph, one
+    # of PD_SHARED_MOD shared paragraph classes, and a corpus-derived
+    # third paragraph (substr of the real text — dedup'd too when it
+    # collides). keep_first retains each shared class only at its
+    # minimal (id, pos) occurrence; the drop_repeated survivor count
+    # rides along so ONE row pins both published policies. The
+    # reassembled clean string is in the hash — a wrong survivor or
+    # a wrong paragraph ORDER anywhere flips it.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text2 = F.concat(
+        F.lit("Unique opening paragraph for document "),
+        F.col("doc_id").cast("string"),
+        F.lit(".\nShared paragraph block number "),
+        (F.col("doc_id") % PD_SHARED_MOD).cast("string"),
+        F.lit(" appears in many documents.\n"),
+        F.substring(F.col("text"), 1, 60),
+    )
+    # null-text docs are excluded on BOTH engines (the null-flow
+    # contract — null clean/counts — is pinned by pytest instead)
+    planted = docs.filter(F.col("text").isNotNull()).select("doc_id", text2.alias("text"))
+    first = paragraph_dedup(planted, "doc_id", "text", mode="keep_first")
+    dropped = paragraph_dedup(planted, "doc_id", "text", mode="drop_repeated").select(
+        "id", F.col("n_kept").alias("n_kept_drop")
+    )
+    return first.join(dropped, "id")
+
+
 # SQL spellings of the fineweb_filters planted lines (residues 1-3)
 _FW_SID = "CAST(doc_id AS VARCHAR)"
 _FW_NOPUNCT_SQL = " || chr(10) || ".join(
@@ -2907,6 +2942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _q_c4_filters,
         # gopher_repetition: NEW — Rae 2021 A1.2 repetition bundle
         "gopher_repetition": _q_gopher_repetition,
+        # paragraph_dedup: NEW — CCNet paragraph-hash dedup transform
+        # (both keep_first and drop_repeated policies in one row)
+        "paragraph_dedup": _q_paragraph_dedup,
         # semdedup_bi: NEW — incremental SemDeDup vs immutable history
         "semdedup_bi": _q_semdedup_bi,
         # dsir_bigk_eq: NEW — forces the k>driver_k_limit threshold
@@ -3061,6 +3099,61 @@ def _rep_gram_unit_sql(n: int) -> str:
     )
 
 
+def _gopher_rep_ctes(src: str) -> str:
+    """THE gopher_repetition oracle chain (unit streams -> per-kind
+    aggregates -> signals -> A1.2 keep verdict) as CTE text over a
+    source CTE ``src(doc_id, text)`` — the ONE spelling shared by the
+    gopher_repetition unit oracle and the fineweb_pipeline twin
+    (the _dsir_chain_sql single-spelling rule). Ends with
+    ``rp_verdict(id, <13 signals>, keep)``; rp_* names are fixed, so
+    a query may include the block once."""
+    return f"""rp_t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM {src}),
+rp_b AS (SELECT doc_id, text IS NULL AS is_null,
+                CAST(length(array_to_string(toks, '')) AS DOUBLE) AS tok_chars
+         FROM rp_t),
+rp_units AS (
+  SELECT doc_id, 'line' AS kind, u, CAST(length(u) AS BIGINT) AS cl
+  FROM rp_t, LATERAL unnest(list_filter(list_transform(
+    string_split(text, chr(10)), x -> trim(x)), x -> x != '')) AS un(u)
+  UNION ALL
+  SELECT doc_id, 'para', u, CAST(length(u) AS BIGINT)
+  FROM rp_t, LATERAL unnest(list_filter(list_transform(
+    string_split_regex(text, '\\n{{2,}}'), x -> trim(x)), x -> x != '')) AS un(u)
+  UNION ALL
+{(chr(10) + "  UNION ALL" + chr(10)).join("  " + _rep_gram_unit_sql(n) for n in range(2, 11))}
+),
+rp_c AS (SELECT doc_id, kind, u, cl, count(*) AS c FROM rp_units GROUP BY doc_id, kind, u, cl),
+rp_per AS (
+  SELECT doc_id, kind, sum(c) AS n_units, sum(c * cl) AS tot_chars,
+         sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS du,
+         sum(CASE WHEN c > 1 THEN (c - 1) * cl ELSE 0 END) AS dc,
+         max(c * 1000000000 + cl) AS tp
+  FROM rp_c GROUP BY doc_id, kind),
+rp_wide AS (
+  SELECT doc_id,
+{_REP_WIDE}
+  FROM rp_per GROUP BY doc_id),
+rp_sig AS (
+  SELECT b.doc_id AS id, b.is_null,
+  round(CAST(line_du AS DOUBLE) / line_n, 6) AS dup_line_frac,
+  round(CAST(line_dc AS DOUBLE) / line_tc, 6) AS dup_line_char_frac,
+  round(CAST(para_du AS DOUBLE) / para_n, 6) AS dup_para_frac,
+  round(CAST(para_dc AS DOUBLE) / para_tc, 6) AS dup_para_char_frac,
+{_REP_TOP_SQL}
+{_REP_DUP_SQL}
+  TRUE AS _pad
+  FROM rp_b b LEFT JOIN rp_wide w ON b.doc_id = w.doc_id),
+rp_verdict AS (
+  SELECT id, dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac,
+       top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+       dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+       dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac,
+       CASE WHEN is_null THEN FALSE ELSE (
+         {_REP_KEEP_SQL}
+       ) END AS keep
+  FROM rp_sig)"""
+
+
 _REP_KINDS = ["line", "para"] + [f"g{n}" for n in range(2, 11)]
 _REP_THR = {
     "dup_line_frac": 0.30, "dup_para_frac": 0.30,
@@ -3107,51 +3200,165 @@ WITH rp_p AS (
            || chr(10) || chr(10) || 'dup para block' || chr(10) || chr(10) || 'dup para block'
          ELSE text END AS text
   FROM documents),
-rp_t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM rp_p),
-rp_b AS (SELECT doc_id, text IS NULL AS is_null,
-                CAST(length(array_to_string(toks, '')) AS DOUBLE) AS tok_chars
-         FROM rp_t),
-rp_units AS (
-  SELECT doc_id, 'line' AS kind, u, CAST(length(u) AS BIGINT) AS cl
-  FROM rp_t, LATERAL unnest(list_filter(list_transform(
-    string_split(text, chr(10)), x -> trim(x)), x -> x != '')) AS un(u)
-  UNION ALL
-  SELECT doc_id, 'para', u, CAST(length(u) AS BIGINT)
-  FROM rp_t, LATERAL unnest(list_filter(list_transform(
-    string_split_regex(text, '\\n{{2,}}'), x -> trim(x)), x -> x != '')) AS un(u)
-  UNION ALL
-{(chr(10) + "  UNION ALL" + chr(10)).join("  " + _rep_gram_unit_sql(n) for n in range(2, 11))}
-),
-rp_c AS (SELECT doc_id, kind, u, cl, count(*) AS c FROM rp_units GROUP BY doc_id, kind, u, cl),
-rp_per AS (
-  SELECT doc_id, kind, sum(c) AS n_units, sum(c * cl) AS tot_chars,
-         sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS du,
-         sum(CASE WHEN c > 1 THEN (c - 1) * cl ELSE 0 END) AS dc,
-         max(c * 1000000000 + cl) AS tp
-  FROM rp_c GROUP BY doc_id, kind),
-rp_wide AS (
-  SELECT doc_id,
-{_REP_WIDE}
-  FROM rp_per GROUP BY doc_id),
-rp_sig AS (
-  SELECT b.doc_id AS id, b.is_null,
-  round(CAST(line_du AS DOUBLE) / line_n, 6) AS dup_line_frac,
-  round(CAST(line_dc AS DOUBLE) / line_tc, 6) AS dup_line_char_frac,
-  round(CAST(para_du AS DOUBLE) / para_n, 6) AS dup_para_frac,
-  round(CAST(para_dc AS DOUBLE) / para_tc, 6) AS dup_para_char_frac,
-{_REP_TOP_SQL}
-{_REP_DUP_SQL}
-  TRUE AS _pad
-  FROM rp_b b LEFT JOIN rp_wide w ON b.doc_id = w.doc_id)
-SELECT id, dup_line_frac, dup_line_char_frac, dup_para_frac, dup_para_char_frac,
-       top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
-       dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
-       dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac,
-       CASE WHEN is_null THEN FALSE ELSE (
-         {_REP_KEEP_SQL}
-       ) END AS keep
-FROM rp_sig
+{_gopher_rep_ctes("rp_p")}
+SELECT * FROM rp_verdict
 """
+
+def _gopher_rules_ctes(src: str, min_words: int, min_stop: int) -> str:
+    """THE gopher_rules (A1.1) oracle chain as CTE text over
+    ``src(doc_id, text, ...)`` — the one spelling shared by the
+    refinedweb and fineweb pipeline twins (the unit gopher_rules
+    oracle spells signals it also RETURNS; the pipelines only need
+    the verdict). Ends with ``gr_keep(doc_id)``."""
+    return f"""gr_b AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS t,
+         list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lns
+  FROM {src}
+),
+gr_m AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CASE WHEN len(t) > 0 THEN round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(t), 6) END AS mean_word_len,
+    CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) / len(t), 6) END AS hash_ratio,
+    CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(t), 6) END AS ellipsis_ratio,
+    CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / len(lns), 6) END AS bullet_frac,
+    CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lns), 6) END AS ellipsis_frac,
+    CASE WHEN len(t) > 0 THEN round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) END AS alpha_frac,
+    CAST(len(list_intersect(list_distinct(t), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+  FROM gr_b
+),
+gr_keep AS (
+  SELECT doc_id
+  FROM gr_m
+  WHERE COALESCE(n_words >= {min_words}, FALSE)
+    AND COALESCE(n_words <= 100000, FALSE)
+    AND COALESCE(mean_word_len >= 3.0, FALSE)
+    AND COALESCE(mean_word_len <= 10.0, FALSE)
+    AND COALESCE(hash_ratio <= 0.1, FALSE)
+    AND COALESCE(ellipsis_ratio <= 0.1, FALSE)
+    AND NOT COALESCE(bullet_frac > 0.9, FALSE)
+    AND NOT COALESCE(ellipsis_frac > 0.3, FALSE)
+    AND COALESCE(alpha_frac >= 0.8, FALSE)
+    AND COALESCE(stopword_hits >= {min_stop}, FALSE)
+)"""
+
+
+def _jaccard_cc_ctes(src: str, threshold: float) -> str:
+    """THE near-dup dedup oracle chain (exact-Jaccard pairs over
+    distinct word 3-shingles -> symmetric edges -> recursive
+    reachability -> per-node min) shared by the refinedweb and
+    fineweb pipeline twins. Ends with ``jd_mins(id, mn)``; survivors
+    of ``{{src}}`` are ``LEFT JOIN jd_mins m ON doc_id = m.id WHERE
+    m.id IS NULL OR m.mn >= doc_id``. Requires WITH RECURSIVE at the
+    enclosing query (jd_reach declares a column list, which also
+    exempts it from the MATERIALIZED rewrite)."""
+    return f"""jd_t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM {src}),
+jd_sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t) - 1),
+                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+         ELSE [] END)) AS shingle
+  FROM jd_t
+),
+jd_sz AS (SELECT doc_id, count(*) AS sz FROM jd_sh GROUP BY doc_id),
+jd_in AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_inter
+  FROM jd_sh a JOIN jd_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jd_jp AS (
+  SELECT ia AS a, ib AS b
+  FROM jd_in JOIN jd_sz sa ON jd_in.ia = sa.doc_id JOIN jd_sz sb ON jd_in.ib = sb.doc_id
+  WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= {threshold}
+),
+jd_e AS (SELECT a AS u, b AS v FROM jd_jp UNION ALL SELECT b AS u, a AS v FROM jd_jp),
+jd_reach(u, v) AS (
+  SELECT u, v FROM jd_e
+  UNION
+  SELECT r.u, jd_e.v FROM jd_reach r JOIN jd_e ON r.v = jd_e.u
+),
+jd_mins AS (SELECT u AS id, min(v) AS mn FROM jd_reach GROUP BY u)"""
+
+
+def _c4_ctes(src: str, line_terminal_punct: bool = True) -> str:
+    """THE c4_filters oracle chain (line retention -> clean rejoin ->
+    sentence floor + page rules) over ``src(doc_id, text)`` — shared
+    by the c4_filters unit oracle (terminal punct ON) and the
+    fineweb pipeline twin (OFF, Penedo 2024 §3.4). Ends with
+    ``c4v(doc_id, clean, n_lines_kept, n_sentences, keep)``."""
+    term = "regexp_matches(x, '[.!?][\"”]?\\s*$')\n                  AND " if line_terminal_punct else ""
+    line_pred = (
+        f"{term}len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w != '')) >= 3\n"
+        "                  AND NOT contains(lower(x), 'javascript')"
+    )
+    return f"""c4k AS (
+  SELECT doc_id, text,
+    COALESCE(array_to_string(list_filter(string_split(text, chr(10)), x ->
+      {line_pred}), chr(10)), '') AS clean,
+    len(list_filter(string_split(text, chr(10)), x ->
+      {line_pred})) AS n_lines_kept
+  FROM {src}),
+c4s AS (
+  SELECT doc_id, clean, n_lines_kept,
+         length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) AS n_sentences,
+         text
+  FROM c4k),
+c4v AS (
+  SELECT doc_id, clean,
+         CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+         CAST(n_sentences AS BIGINT) AS n_sentences,
+         (text IS NOT NULL AND n_sentences >= 5
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')) AS keep
+  FROM c4s)"""
+
+
+def _fineweb_verdict_ctes(src: str) -> str:
+    """THE fineweb_filters oracle chain (Penedo 2024 §3.6 signals +
+    keep verdict) over ``src(doc_id, text)`` — shared by the unit
+    oracle and the fineweb pipeline twin. Ends with ``fwv(doc_id,
+    pf, dfr, sf, keep)``."""
+    return f"""fwl AS (SELECT doc_id, text,
+          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                      x -> x <> '') AS ls
+        FROM {src}),
+fws AS (SELECT doc_id, text, len(ls) AS n,
+          len(list_filter(ls, x -> regexp_matches(x, '[.''"!?]$'))) AS np,
+          len(list_filter(ls, x -> length(x) < 30)) AS nshort,
+          COALESCE(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) AS tc,
+          COALESCE(list_aggregate(list_transform(list_distinct(ls), x -> length(x)),
+                                  'sum'), 0) AS dtc
+        FROM fwl),
+fwr AS (SELECT doc_id, text,
+          CASE WHEN text IS NOT NULL AND n > 0
+               THEN round(CAST(np AS DOUBLE) / n, 6) END AS pf,
+          CASE WHEN text IS NOT NULL AND n > 0 AND tc > 0
+               THEN round(CAST(tc - dtc AS DOUBLE) / tc, 6) END AS dfr,
+          CASE WHEN text IS NOT NULL AND n > 0
+               THEN round(CAST(nshort AS DOUBLE) / n, 6) END AS sf
+        FROM fws),
+fwv AS (SELECT doc_id, pf, dfr, sf,
+          (text IS NOT NULL
+           AND NOT COALESCE(pf <= 0.12, FALSE)
+           AND NOT COALESCE(dfr >= 0.10, FALSE)
+           AND NOT COALESCE(sf >= 0.67, FALSE)) AS keep
+        FROM fwr)"""
+
+
+def _redact_sql(expr: str) -> str:
+    """THE redact_pii regex chain (email -> URL -> phone -> IPv4) as
+    a SQL expression — the one spelling shared by the redact_pii
+    unit oracle and the fineweb pipeline twin."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(\n"
+        f"                     {expr},\n"
+        "                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),\n"
+        "                     'https?://[^\\s]+', '<URL>', 'g'),\n"
+        "                     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),\n"
+        "                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')"
+    )
+
 
 _REFINEDWEB_SQL = f"""
 WITH RECURSIVE
@@ -4140,6 +4347,43 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # gopher_repetition: full construction-independent twin (unit
         # streams + packed top-gram max + published A1.2 thresholds)
         "gopher_repetition": _GOPHER_REP_SQL,
+        # paragraph_dedup: replant the shared-paragraph construction,
+        # re-derive both survivor policies with window functions over
+        # the NORMALIZED paragraph itself (no hash — the oracle pins
+        # the semantics, not the md5 spelling), reassemble in order
+        "paragraph_dedup": f"""
+            WITH pd0 AS (
+              SELECT doc_id,
+                'Unique opening paragraph for document ' || CAST(doc_id AS VARCHAR)
+                  || '.' || chr(10)
+                  || 'Shared paragraph block number ' || CAST(doc_id % {PD_SHARED_MOD} AS VARCHAR)
+                  || ' appears in many documents.' || chr(10)
+                  || substr(text, 1, 60) AS text
+              FROM documents WHERE text IS NOT NULL),
+            pdl AS (SELECT doc_id,
+                      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                  x -> x <> '') AS ps
+                    FROM pd0),
+            pdx AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
+                    FROM pdl, LATERAL unnest(range(1, len(ps) + 1)) AS u(i)),
+            pdw AS (SELECT doc_id, pos, para,
+                      row_number() OVER (PARTITION BY regexp_replace(lower(para), '\\s+', ' ', 'g')
+                                         ORDER BY doc_id, pos) AS rn,
+                      count(*) OVER (PARTITION BY regexp_replace(lower(para), '\\s+', ' ', 'g')) AS c
+                    FROM pdx),
+            pda AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean,
+                           count(*) AS n_kept
+                    FROM pdw WHERE rn = 1 GROUP BY doc_id),
+            pdd AS (SELECT doc_id, count(*) AS n_kept_drop
+                    FROM pdw WHERE c < 2 GROUP BY doc_id)
+            SELECT b.doc_id AS id, COALESCE(pda.clean, '') AS clean,
+                   CAST(len(b.ps) AS BIGINT) AS n_paras,
+                   CAST(COALESCE(pda.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(pdd.n_kept_drop, 0) AS BIGINT) AS n_kept_drop
+            FROM pdl b
+            LEFT JOIN pda ON b.doc_id = pda.doc_id
+            LEFT JOIN pdd ON b.doc_id = pdd.doc_id
+        """,
         # c4_filters: replant the residue text, re-run the line/page
         # rules in SQL — line survival, the re-joined clean string,
         # the terminal-punct sentence count, and the page verdict all

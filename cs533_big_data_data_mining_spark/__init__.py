@@ -32,6 +32,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_bipartite,
     minhash_dedup_pairs,
+    paragraph_dedup,
     remove_duplicated_spans,
     url_dedup,
     url_dedup_bipartite,
@@ -155,6 +156,7 @@ __all__ = [
     "minhash_dedup_pairs_bipartite",
     "bipartite_survivors",
     "ngram_jaccard_pairs",
+    "paragraph_dedup",
     "simhash64",
     "simhash_neardup_pairs",
     "duplicated_spans",

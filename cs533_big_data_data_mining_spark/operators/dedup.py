@@ -957,3 +957,109 @@ def remove_duplicated_spans(
     return joined.select(
         "id", F.when(F.col("__text").isNull(), F.lit(None)).otherwise(clean).alias(out_col)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "keep_first",
+    min_count: int = 2,
+    out_col: str = "clean",
+) -> DataFrame:
+    """Paragraph-level deduplication as a TRANSFORM — the CCNet
+    paragraph-hash dedup (Wenzek et al. 2020 §3 "deduplicating")
+    also used per-shard by Dolma: paragraphs repeated ACROSS the
+    corpus are excised in place and each document's survivors rejoin
+    with ``\\n``. Two published policies:
+
+    * ``mode="keep_first"`` (CCNet): every occurrence beyond the
+      corpus-wide FIRST — ordered by ``(id, position)`` — is
+      removed; exactly one copy of each distinct paragraph survives
+      somewhere.
+    * ``mode="drop_repeated"``: any paragraph occurring
+      ``>= min_count`` times in the corpus is removed EVERYWHERE
+      (the boilerplate-flavored policy; unlike
+      :func:`~..quality.remove_boilerplate_lines` the count is
+      occurrence-level, not document-frequency-level, and the unit
+      is the paragraph).
+
+    Paragraphs are ``\\n``-split, trimmed, empties dropped (the
+    :func:`~..quality.gopher_repetition` line spelling — CCNet's
+    unit is likewise the newline-delimited paragraph). The match key
+    is the NORMALIZED paragraph: lowercased, inner whitespace
+    collapsed to one space (a documented simplification of CCNet's
+    lowercase+digit-strip+punct-strip normalization — the repo's
+    corpus is synthetic ASCII, and the key spelling is pinned by the
+    oracle either way).
+
+    Returns ``(id, clean, n_paras, n_kept)`` for EVERY input row:
+    ``clean`` is the surviving paragraphs rejoined in original order
+    (null text -> null clean / null counts; a doc whose every
+    paragraph is removed -> empty string, filter downstream).
+
+    Scale shape: one explode (#paragraphs ~ lines of the corpus),
+    ONE combinable groupBy on the paragraph's 128-bit MD5 — the
+    shuffle carries the 32-hex-char key, never the paragraph text —
+    one equi-join back on that key, and one per-doc groupBy to
+    reassemble (collect_list bounded by the document's own paragraph
+    count). Exactness rides on MD5(normalized-paragraph) equality —
+    at 10^12 paragraphs the 128-bit birthday collision odds are
+    ~10^-14, the standard content-hash envelope (same contract as
+    the MinHash band hashes). Hot paragraphs (the whole point of the
+    operator) make the min/count aggregation skew-heavy — both
+    aggregates are partial+final combinable, so the hot key reduces
+    map-side instead of flooding one reducer; the join side fans the
+    verdict back out row-by-row (no bucket blowup: one row per
+    original occurrence).
+    """
+    if mode not in ("keep_first", "drop_repeated"):
+        raise ValueError(f"mode must be keep_first or drop_repeated, got {mode!r}")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    paras_arr = F.filter(F.transform(F.split("__text", r"\n"), lambda x: F.trim(x)), lambda x: x != "")
+    ex = base.select("id", F.posexplode(paras_arr).alias("pos", "para"))
+    norm = F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")
+    keyed = ex.select("id", "pos", "para", F.md5(norm).alias("__k"))
+    if mode == "keep_first":
+        firsts = keyed.groupBy("__k").agg(F.min(F.struct("id", "pos")).alias("__f"))
+        kept = (
+            keyed.join(firsts, "__k")
+            .filter((F.col("id") == F.col("__f.id")) & (F.col("pos") == F.col("__f.pos")))
+            .drop("__f")
+        )
+    else:
+        singles = (
+            keyed.groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") < int(min_count))
+            .select("__k")
+        )
+        kept = keyed.join(singles, "__k", "left_semi")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
+            ),
+            "\n",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    isnull = F.col("__text").isNull()
+    return (
+        base.select("id", isnull.alias("__null"), F.size(paras_arr).alias("__n_paras"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("__null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("__clean", F.lit("")))
+            .alias(out_col),
+            F.when(F.col("__null"), F.lit(None))
+            .otherwise(F.col("__n_paras"))
+            .cast("long")
+            .alias("n_paras"),
+            F.when(F.col("__null"), F.lit(None))
+            .otherwise(F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -659,6 +659,7 @@ def c4_filters(
     text_col: str,
     min_words_per_line: int = 3,
     min_sentences: int = 5,
+    line_terminal_punct: bool = True,
 ) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020 §2.2, public — the
     canonical heuristic set alongside Gopher's): line-level retention
@@ -667,7 +668,10 @@ def c4_filters(
     Line rules (a line survives iff ALL hold):
 
     * ends in a terminal punctuation mark (``.``, ``!``, ``?``, or a
-      closing double quote after one);
+      closing double quote after one) — SKIPPED when
+      ``line_terminal_punct=False`` (FineWeb applies the C4 set
+      "except terminal_punct", Penedo 2024 §3.4; the sentence floor
+      still counts terminal marks in the kept lines);
     * contains at least ``min_words_per_line`` whitespace words;
     * does not contain the SUBSTRING ``javascript`` (case-insensitive
       — a deliberately blunt rendering of the paper's "any line with
@@ -699,7 +703,7 @@ def c4_filters(
     term = r'[.!?]["”]?\s*$'
     kept = F.filter(
         lines,
-        lambda x: x.rlike(term)
+        lambda x: (x.rlike(term) if line_terminal_punct else F.lit(True))
         & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")) >= min_words_per_line)
         & ~F.lower(x).contains("javascript"),
     )
@@ -770,7 +774,7 @@ def fineweb_filters(
     into the scan.
     """
     c = F.col(text_col)
-    lines = F.filter(F.transform(F.split(c, r"\n"), F.trim), lambda x: x != "")
+    lines = F.filter(F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != "")
     n = F.size(lines).cast("double")
     n_punct = F.size(F.filter(lines, lambda x: x.rlike("[.'\"!?]$"))).cast("double")
     n_short = F.size(
@@ -889,8 +893,8 @@ def gopher_repetition(
         )
         return F.when(cnt >= 1, g).otherwise(F.array().cast("array<string>"))
 
-    lines = F.filter(F.transform(F.split("__t", r"\n"), F.trim), lambda x: x != "")
-    paras = F.filter(F.transform(F.split("__t", r"\n{2,}"), F.trim), lambda x: x != "")
+    lines = F.filter(F.transform(F.split("__t", r"\n"), lambda x: F.trim(x)), lambda x: x != "")
+    paras = F.filter(F.transform(F.split("__t", r"\n{2,}"), lambda x: F.trim(x)), lambda x: x != "")
     streams = [_tag(lines, "line", 0), _tag(paras, "para", 0)] + [
         # grams are space-joined: non-space char length = len - (n-1)
         _tag(_grams(n), f"g{n}", n - 1)

@@ -734,7 +734,18 @@ def assign_to_centroids(
     driver and closure-shipped, the ``ivf_topk`` probe pattern).
     Returns ``(id, vec, cid)``; ties break to the lowest cid exactly
     as the original fit does, so a vector identical to a history
-    vector lands in the same cluster deterministically."""
+    vector lands in the same cluster deterministically.
+
+    The dot products use a per-dimension left-to-right accumulation,
+    NOT a BLAS gemm: gemm reassociates the reduction by the batch's
+    ROW COUNT, so two bit-identical vectors processed in different
+    Arrow batch shapes can read 1 ulp apart — enough to flip an exact
+    argmax TIE (a vector equidistant from two centroids) and split
+    exact duplicates across clusters, breaking SemDeDup's recall-1
+    guarantee for exact dups. The fold makes cid a pure function of
+    the vector at a ~2-3x cost on this one O(N*C*D) pass (the
+    near-dup gram kernels keep BLAS: their candidates are re-scored
+    with the same deterministic fold before thresholding)."""
     import numpy as np
     import pandas as pd
 
@@ -752,8 +763,14 @@ def assign_to_centroids(
             if len(pdf) == 0:
                 continue
             X = np.array(list(pdf["vec"]), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            idx = np.argmax(Xn @ C.T, axis=1)
+            sq = np.zeros(len(X), dtype=np.float64)
+            for j in range(X.shape[1]):
+                sq += X[:, j] * X[:, j]
+            Xn = X / np.sqrt(sq)[:, None]
+            dots = np.zeros((len(X), C.shape[0]), dtype=np.float64)
+            for j in range(X.shape[1]):
+                dots += Xn[:, j, None] * C[None, :, j]
+            idx = np.argmax(dots, axis=1)
             yield pd.DataFrame({"id": pdf["id"], "vec": pdf["vec"], "cid": cids[idx]})
 
     return c.mapInPandas(assign, f"id long, vec {vec_type}, cid int")

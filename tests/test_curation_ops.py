@@ -1495,3 +1495,36 @@ def test_classify_cli_roundtrip(spark, tmp_path):
     assert a == b
     preds = {r["id"]: r["pred"] for r in a}
     assert preds[10] == "sports" and preds[11] == "finance" and preds[12] == "science"
+
+
+def test_line_trim_is_whitespace_not_index_chars(spark):
+    """Regression: ``F.transform(arr, F.trim)`` passes the element
+    INDEX as trim's optional second argument (PySpark counts the
+    callable's parameters, defaults included), so lines were trimmed
+    of the index's DIGIT characters instead of whitespace. Pin the
+    whitespace semantics on digit-edged padded lines for every
+    line-splitting operator that had the pattern."""
+    from cs533_big_data_data_mining_spark.operators.dedup import paragraph_dedup
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        fineweb_filters,
+        gopher_repetition,
+    )
+
+    # line 0 is digit-edged ('0...0' would be eaten by trim-by-'0'),
+    # line 1 is whitespace-padded (must become non-padded/empty)
+    df = spark.createDataFrame(
+        [(1, "0 zeros at the edges 0\n   \n  padded line  ")],
+        "doc_id long, text string",
+    )
+    rep = gopher_repetition(df, "doc_id", "text").collect()[0]
+    # 2 non-empty lines after a REAL trim ('   ' drops): no dups
+    assert rep["dup_line_frac"] == 0.0
+
+    fw = fineweb_filters(df, "doc_id", "text").collect()[0]
+    # 2 lines, neither ends in punctuation, both < 30 chars after trim
+    assert fw["short_line_frac"] == 1.0
+    assert fw["line_punct_frac"] == 0.0
+
+    pd_out = paragraph_dedup(df, "doc_id", "text").collect()[0]
+    assert pd_out["n_paras"] == 2
+    assert pd_out["clean"] == "0 zeros at the edges 0\npadded line"

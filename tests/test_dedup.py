@@ -574,3 +574,115 @@ def test_duplicated_spans_bipartite(spark):
         for r in duplicated_spans_bipartite(new, hist, k=5, hash_grams=True).collect()
     }
     assert bi_hash == got
+
+
+# ---------------------------------------------------------------- paragraph
+
+
+def _pd_corpus(spark):
+    from pyspark.sql import types as T
+
+    rows = [
+        (1, "alpha one\nSHARED BLOCK here\nbeta one"),
+        (2, "alpha two\nshared   block HERE\ngamma two"),   # normalized dup of SHARED
+        (3, "shared block here\nalpha three"),               # dup again, later id
+        (4, "delta four\ndelta four\nepsilon four"),         # within-doc repeat
+        (5, None),                                           # null text
+        (6, "   \n\n"),                                      # only empty paragraphs
+        (7, "unique seven"),
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _pd_brute(rows, mode, min_count=2):
+    import re
+
+    norm = lambda p: re.sub(r"\s+", " ", p.lower())
+    occ = []  # (id, pos, para) over trimmed non-empty paragraphs
+    metas = {}
+    for i, text in rows:
+        if text is None:
+            metas[i] = (None, None, None)
+            continue
+        ps = [p.strip() for p in text.split("\n")]
+        ps = [p for p in ps if p]
+        metas[i] = (len(ps), None, None)
+        for pos, p in enumerate(ps):
+            occ.append((i, pos, p))
+    counts = {}
+    for i, pos, p in occ:
+        counts[norm(p)] = counts.get(norm(p), 0) + 1
+    firsts = {}
+    for i, pos, p in sorted(occ):
+        firsts.setdefault(norm(p), (i, pos))
+    out = {}
+    for i, text in rows:
+        if text is None:
+            out[i] = (None, None, None)
+            continue
+        ps = [p.strip() for p in text.split("\n")]
+        ps = [p for p in ps if p]
+        if mode == "keep_first":
+            kept = [p for pos, p in enumerate(ps) if firsts[norm(p)] == (i, pos)]
+        else:
+            kept = [p for p in ps if counts[norm(p)] < min_count]
+        out[i] = ("\n".join(kept), len(ps), len(kept))
+    return out
+
+
+def test_paragraph_dedup_keep_first(spark):
+    from cs533_big_data_data_mining_spark.operators.dedup import paragraph_dedup
+
+    df = _pd_corpus(spark)
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    got = {
+        r["id"]: (r["clean"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(df, "doc_id", "text", mode="keep_first").collect()
+    }
+    assert got == _pd_brute(rows, "keep_first")
+    # spot contracts: doc 1 keeps the shared block (first occurrence),
+    # docs 2/3 lose it; doc 4 keeps one of its two identical paragraphs;
+    # null text -> all-null; empty-paragraph doc -> ('', 0, 0)
+    assert "SHARED BLOCK here" in got[1][0]
+    assert "block" not in got[2][0].lower() or "shared" not in got[2][0].lower()
+    assert got[3][0] == "alpha three"
+    assert got[4][0] == "delta four\nepsilon four"
+    assert got[5] == (None, None, None)
+    assert got[6] == ("", 0, 0)
+
+
+def test_paragraph_dedup_drop_repeated(spark):
+    from cs533_big_data_data_mining_spark.operators.dedup import paragraph_dedup
+
+    df = _pd_corpus(spark)
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    got = {
+        r["id"]: (r["clean"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(df, "doc_id", "text", mode="drop_repeated").collect()
+    }
+    assert got == _pd_brute(rows, "drop_repeated")
+    # the shared block disappears EVERYWHERE, incl. its first occurrence
+    assert got[1][0] == "alpha one\nbeta one"
+    # doc 4's within-doc repeat (2 occurrences) is also dropped everywhere
+    assert got[4][0] == "epsilon four"
+
+
+def test_paragraph_dedup_partition_invariance(spark):
+    from cs533_big_data_data_mining_spark.operators.dedup import paragraph_dedup
+
+    df = _pd_corpus(spark)
+    one = paragraph_dedup(df.coalesce(1), "doc_id", "text").collect()
+    many = paragraph_dedup(df.repartition(7), "doc_id", "text").collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_paragraph_dedup_bad_mode(spark):
+    import pytest as _pytest
+
+    from cs533_big_data_data_mining_spark.operators.dedup import paragraph_dedup
+
+    with _pytest.raises(ValueError):
+        paragraph_dedup(_pd_corpus(spark), "doc_id", "text", mode="nope")
