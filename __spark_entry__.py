@@ -2651,6 +2651,214 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     )
 
 
+# --- FineWeb-ordered flagship (Penedo et al. 2024 §3) -----------------
+# plant residues: each stage has a disjoint failure class riding on it
+FWP_URL_MOD, FWP_URL_RES = 23, 3        # blocked-domain URL -> stage 1
+FWP_LANG_MOD, FWP_LANG_RES = 19, 5      # French markers     -> stage 2
+FWP_REP_MOD, FWP_REP_RES = 17, 2        # dup-line spam      -> stage 3
+FWP_GOPHER_MOD, FWP_GOPHER_RES = 29, 7  # under min-words    -> stage 4
+FWP_DUP_MOD, FWP_DUP_RES = 37, 6        # near-dup of id-1   -> stage 5
+FWP_C4_MOD, FWP_C4_RES = 31, 4          # 'lorem ipsum' page -> stage 6
+FWP_FW_MOD, FWP_FW_RES = 41, 8          # short-lines page   -> stage 7
+FWP_MH_T = 0.8
+FWP_SHORT_K = 8
+FWP_BLOCKED = ["bad.example"]
+FWP_FRENCH = (
+    "le chat est sur la table et les oiseaux chantent.\n"
+    "une des raisons est que le temps est doux et calme.\n"
+    "les amis et le soleil sont une belle chose ce matin."
+)
+FWP_SPAM_LINE = "Repeat this exact spam line verbatim now."
+FWP_EXTRA_LINE = "Extra trailing words appended here now today."
+
+
+def _fwp_inner(i, txt):
+    """The per-doc constructed web page for the FineWeb flagship —
+    three punctuated sentence-lines carrying the real corpus text
+    (so dedup/ppl-class stages see per-doc variability) plus the
+    residue-class failure plants. Mirrored verbatim by
+    ``_fwp_inner_sql``; the near-dup plant wraps this at the caller
+    (text of doc id-1 plus one extra line)."""
+    sid = i.cast("string")
+    l1 = F.concat(
+        F.lit("Document "),
+        sid,
+        F.lit(
+            " of the corpus opens with a clear and steady sentence"
+            " that ends properly. It truly does so."
+        ),
+    )
+    l2 = F.concat(
+        F.lit("It is followed by the words "),
+        F.substring(txt, 1, 120),
+        F.lit(" and a final period."),
+    )
+    l3 = F.concat(
+        F.lit("The closing line is in the same style and mentions doc "),
+        sid,
+        F.lit(" again today. Contact user"),
+        sid,
+        F.lit("@mail.example.com now. All done."),
+    )
+    normal = F.concat(l1, F.lit("\n"), l2, F.lit("\n"), l3)
+    shorts = F.concat_ws(
+        "\n",
+        *[
+            F.concat(F.lit(f"Alpha{k} beta{k} d"), sid, F.lit(f" go{k}."))
+            for k in range(FWP_SHORT_K)
+        ],
+    )
+    spam = F.concat_ws("\n", *[F.lit(FWP_SPAM_LINE)] * 5)
+    return (
+        F.when(i % FWP_LANG_MOD == FWP_LANG_RES, F.lit(FWP_FRENCH))
+        .when(
+            i % FWP_GOPHER_MOD == FWP_GOPHER_RES,
+            F.concat(F.lit("The a of and to is in it for doc "), sid, F.lit(".")),
+        )
+        .when(i % FWP_REP_MOD == FWP_REP_RES, F.concat(normal, F.lit("\n"), spam))
+        .when(
+            i % FWP_C4_MOD == FWP_C4_RES,
+            F.concat(normal, F.lit("\nSee also lorem ipsum text.")),
+        )
+        .when(i % FWP_FW_MOD == FWP_FW_RES, F.concat(normal, F.lit("\n"), shorts))
+        .otherwise(normal)
+    )
+
+
+def _q_fineweb_pipeline(spark, sf_dir):
+    # The FineWeb-ordered curation pipeline (Penedo et al. 2024 §3 —
+    # the SECOND production preset next to refinedweb_pipeline, with
+    # the stages FineWeb adds/moves): URL filtering -> language ID
+    # (en) -> Gopher repetition removal -> Gopher quality rules ->
+    # MinHash near-dup dedup -> C4 rules MINUS terminal_punct (§3.4,
+    # clean text flows forward) -> FineWeb custom filters (§3.6) ->
+    # PII redaction. Every doc gets a constructed multi-line page
+    # (the corpus text is single-line); each stage has a planted
+    # failure class on its own id residue, so a wrong verdict at ANY
+    # stage flips both the survivor set and the stage counts. Output:
+    # one row per surviving doc with its REDACTED text (the planted
+    # email must read <EMAIL>) + the seven survivor counts as
+    # constant columns.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import lang_id
+    from cs533_big_data_data_mining_spark.functions.text import redact_pii as redact_col
+    from cs533_big_data_data_mining_spark.operators.connected_components import (
+        connected_components,
+    )
+    from cs533_big_data_data_mining_spark.operators.dedup import minhash_dedup_pairs
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        c4_filters,
+        fineweb_filters,
+        gopher_repetition,
+        gopher_rules,
+        url_filter,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    try:
+        _rdds_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:  # noqa: BLE001 — py4j surface; cleanup is best-effort
+        _rdds_before = None
+
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    withprev = docs0.join(
+        docs0.select((F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("__prev")),
+        "doc_id",
+        "left",
+    )
+    i = F.col("doc_id")
+    sid = i.cast("string")
+    isdup = (i % FWP_DUP_MOD == FWP_DUP_RES) & F.col("__prev").isNotNull()
+    text2 = F.when(
+        isdup,
+        F.concat(_fwp_inner(i - 1, F.col("__prev")), F.lit("\n" + FWP_EXTRA_LINE)),
+    ).otherwise(_fwp_inner(i, F.col("text")))
+    url = F.when(
+        i % FWP_URL_MOD == FWP_URL_RES,
+        F.concat(F.lit("https://malware.bad.example/p/"), sid),
+    ).otherwise(F.concat(F.lit("https://site"), sid, F.lit(".example.org/a/"), sid))
+    crawl = withprev.select("doc_id", text2.alias("text"), url.alias("url")).cache()
+
+    # 1. URL filtering (stage zero): domain blocklist
+    uf = url_filter(crawl, "doc_id", "url", blocked_domains=FWP_BLOCKED)
+    s1 = crawl.join(
+        uf.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    ).cache()
+    n_url = s1.count()
+
+    # 2. language ID: keep English (the heuristic marker argmax)
+    s2 = s1.filter(lang_id("text") == "en").cache()
+    n_lang = s2.count()
+
+    # 3. Gopher repetition removal (A1.2) — checkpoint: the 11-unit
+    # explode is the plan-heaviest stage
+    rep = gopher_repetition(s2, "doc_id", "text")
+    s3 = s2.join(
+        rep.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    ).localCheckpoint()
+    n_rep = s3.count()
+
+    # 4. Gopher quality rules (A1.1)
+    g = gopher_rules(
+        s3, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
+    )
+    s4 = s3.join(
+        g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    ).cache()
+    n_gopher = s4.count()
+
+    # 5. MinHash near-dup dedup (per-corpus; FineWeb dedups per
+    # snapshot — one snapshot here): verified pairs -> CC -> min-id
+    pairs = minhash_dedup_pairs(s4, "doc_id", "text", n=3, threshold=FWP_MH_T)
+    comp = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    s5 = s4.join(drop, "doc_id", "left_anti").localCheckpoint()
+    n_dedup = s5.count()
+
+    # 6. C4 rules minus terminal_punct (§3.4); clean text flows on
+    c4 = c4_filters(s5, "doc_id", "text", line_terminal_punct=False)
+    s6 = (
+        c4.filter("keep")
+        .select(F.col("id").alias("doc_id"), F.col("clean").alias("text"))
+        .cache()
+    )
+    n_c4 = s6.count()
+
+    # 7. FineWeb custom filters (§3.6)
+    fw = fineweb_filters(s6, "doc_id", "text")
+    s7 = s6.join(
+        fw.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    # 8. PII redaction on the survivors
+    final = s7.select("doc_id", redact_col("text").alias("clean")).collect()
+    for fr in (crawl, s1, s2, s4, s6):
+        fr.unpersist()
+    if _rdds_before is not None:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in set(jmap.keySet().toArray()) - _rdds_before:
+                jmap.get(rid).unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+    rows = [
+        (r["doc_id"], r["clean"], n_url, n_lang, n_rep, n_gopher, n_dedup, n_c4)
+        for r in final
+    ]
+    return local_df(
+        spark,
+        rows,
+        "id long, clean string, n_url long, n_lang long, n_rep long, "
+        "n_gopher long, n_dedup long, n_c4 long",
+    )
+
+
 RETENTION_PERIOD_DAYS = 7
 
 
@@ -2933,6 +3141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back in next round.
     return {
         # --- new / changed this round (must-record) ---
+        # fineweb_pipeline: NEW — the FineWeb-ordered flagship
+        # (Penedo 2024 §3): URL -> langid -> Gopher rep -> Gopher
+        # rules -> MinHash -> C4-minus-terminal-punct -> custom
+        # filters -> PII, planted failure class per stage
+        "fineweb_pipeline": _q_fineweb_pipeline,
         # nb_classify: NEW — supervised hashed-n-gram Naive Bayes
         # (fastText-style model filter, Joulin 2016 / Wenzek 2020)
         "nb_classify": _q_nb_classify,
@@ -3365,37 +3578,11 @@ WITH RECURSIVE
 doc0 AS (SELECT doc_id, COALESCE(text, '') AS text, source FROM documents),
 -- 1. URL dedup: planted variant rows (id % 10 == 7) lose to id - 1
 s1 AS (SELECT * FROM doc0 WHERE doc_id % {RW_URL_DUP_MOD} <> 7),
--- 2. Gopher rules (same metric spellings as the gopher_rules oracle)
-gb AS (
-  SELECT doc_id, text, {_TOKS_SQL} AS t,
-         list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lns
-  FROM s1
-),
-gm AS (
-  SELECT doc_id,
-    CAST(len(t) AS BIGINT) AS n_words,
-    CASE WHEN len(t) > 0 THEN round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(t), 6) END AS mean_word_len,
-    CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) / len(t), 6) END AS hash_ratio,
-    CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(t), 6) END AS ellipsis_ratio,
-    CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / len(lns), 6) END AS bullet_frac,
-    CASE WHEN len(lns) > 0 THEN round(CAST(len(list_filter(lns, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE) / len(lns), 6) END AS ellipsis_frac,
-    CASE WHEN len(t) > 0 THEN round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) END AS alpha_frac,
-    CAST(len(list_intersect(list_distinct(t), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
-  FROM gb
-),
+-- 2. Gopher rules (the shared _gopher_rules_ctes chain)
+{_gopher_rules_ctes("s1", GOPHER_MIN_WORDS, GOPHER_MIN_STOP)},
 s2 AS (
   SELECT s1.doc_id, s1.text, s1.source
-  FROM s1 JOIN gm USING (doc_id)
-  WHERE COALESCE(gm.n_words >= {GOPHER_MIN_WORDS}, FALSE)
-    AND COALESCE(gm.n_words <= 100000, FALSE)
-    AND COALESCE(gm.mean_word_len >= 3.0, FALSE)
-    AND COALESCE(gm.mean_word_len <= 10.0, FALSE)
-    AND COALESCE(gm.hash_ratio <= 0.1, FALSE)
-    AND COALESCE(gm.ellipsis_ratio <= 0.1, FALSE)
-    AND NOT COALESCE(gm.bullet_frac > 0.9, FALSE)
-    AND NOT COALESCE(gm.ellipsis_frac > 0.3, FALSE)
-    AND COALESCE(gm.alpha_frac >= 0.8, FALSE)
-    AND COALESCE(gm.stopword_hits >= {GOPHER_MIN_STOP}, FALSE)
+  FROM s1 SEMI JOIN gr_keep USING (doc_id)
 ),
 -- 3. boilerplate plant+removal is byte-identity (pinned in-Spark)
 -- 4. perplexity quantile gate (bigram ppl = the lm_perplexity oracle)
@@ -3433,36 +3620,10 @@ s4 AS (SELECT s2.* FROM s2 JOIN pplt USING (doc_id) CROSS JOIN pthr
 -- 5. exact dedup (min-id per text)
 s5 AS (SELECT s4.* FROM s4
        JOIN (SELECT min(doc_id) AS doc_id FROM s4 GROUP BY text) m USING (doc_id)),
--- 6. near-dup dedup: exact-Jaccard pairs (the dedup_minhash oracle
--- equivalence) -> recursive closure -> min-id survivors
-t5 AS (SELECT doc_id, {_TOKS_SQL} AS t FROM s5),
-sh5 AS (
-  SELECT doc_id, unnest(list_distinct(
-    CASE WHEN len(t) >= 3
-         THEN list_transform(range(1, len(t) - 1),
-                             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-         ELSE [] END)) AS shingle
-  FROM t5
-),
-sz5 AS (SELECT doc_id, count(*) AS sz FROM sh5 GROUP BY doc_id),
-in5 AS (
-  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n_inter
-  FROM sh5 a JOIN sh5 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-jp AS (
-  SELECT ia AS a, ib AS b
-  FROM in5 JOIN sz5 sa ON in5.ia = sa.doc_id JOIN sz5 sb ON in5.ib = sb.doc_id
-  WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= {RW_MH_T}
-),
-e AS (SELECT a AS u, b AS v FROM jp UNION ALL SELECT b AS u, a AS v FROM jp),
-reach(u, v) AS (
-  SELECT u, v FROM e
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-),
-mins AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u),
-s6 AS (SELECT s5.* FROM s5 LEFT JOIN mins m ON s5.doc_id = m.id
+-- 6. near-dup dedup (the shared _jaccard_cc_ctes chain): exact-
+-- Jaccard pairs -> recursive closure -> min-id survivors
+{_jaccard_cc_ctes("s5", RW_MH_T)},
+s6 AS (SELECT s5.* FROM s5 LEFT JOIN jd_mins m ON s5.doc_id = m.id
        WHERE m.id IS NULL OR m.mn >= s5.doc_id),
 -- 7. duplicated-span removal (the remove_dup_spans oracle)
 t6 AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM s6),
@@ -3559,6 +3720,89 @@ _REFINEDWEB_SQL = (
 # before even getting slow. The recursive CTE itself (name followed
 # by a column list, so the regex skips it) cannot be materialized.
 _REFINEDWEB_SQL = re.sub(r"(?m)^(\w+) AS \(", r"\1 AS MATERIALIZED (", _REFINEDWEB_SQL)
+
+
+def _fwp_inner_sql(ide: str, te: str) -> str:
+    """DuckDB spelling of ``_fwp_inner`` — the constructed page CASE,
+    given SQL expressions for the id and the source text."""
+    sid = f"CAST({ide} AS VARCHAR)"
+    l1 = (
+        f"'Document ' || {sid} || ' of the corpus opens with a clear and steady sentence"
+        " that ends properly. It truly does so.'"
+    )
+    l2 = f"'It is followed by the words ' || substr({te}, 1, 120) || ' and a final period.'"
+    l3 = (
+        f"'The closing line is in the same style and mentions doc ' || {sid}"
+        f" || ' again today. Contact user' || {sid} || '@mail.example.com now. All done.'"
+    )
+    normal = f"({l1} || chr(10) || {l2} || chr(10) || {l3})"
+    shorts = " || chr(10) || ".join(
+        f"'Alpha{k} beta{k} d' || {sid} || ' go{k}.'" for k in range(FWP_SHORT_K)
+    )
+    spam = " || chr(10) || ".join([f"'{FWP_SPAM_LINE}'"] * 5)
+    french = " || chr(10) || ".join("'" + ln + "'" for ln in FWP_FRENCH.split("\n"))
+    return (
+        f"CASE WHEN ({ide}) % {FWP_LANG_MOD} = {FWP_LANG_RES} THEN {french}\n"
+        f"   WHEN ({ide}) % {FWP_GOPHER_MOD} = {FWP_GOPHER_RES}"
+        f" THEN 'The a of and to is in it for doc ' || {sid} || '.'\n"
+        f"   WHEN ({ide}) % {FWP_REP_MOD} = {FWP_REP_RES} THEN {normal} || chr(10) || {spam}\n"
+        f"   WHEN ({ide}) % {FWP_C4_MOD} = {FWP_C4_RES}"
+        f" THEN {normal} || chr(10) || 'See also lorem ipsum text.'\n"
+        f"   WHEN ({ide}) % {FWP_FW_MOD} = {FWP_FW_RES} THEN {normal} || chr(10) || {shorts}\n"
+        f"   ELSE {normal} END"
+    )
+
+
+# Full twin of _q_fineweb_pipeline (stage numbering matches the Spark
+# side): replant the constructed pages, then chain the SHARED stage
+# spellings — language argmax, _gopher_rep_ctes, _gopher_rules_ctes,
+# _jaccard_cc_ctes, _c4_ctes(terminal punct OFF), _fineweb_verdict_ctes,
+# _redact_sql. Stage 1 (URL) is construction-derived (the url_filter
+# unit row pins the blocklist operator itself).
+_FINEWEB_PIPE_SQL = f"""
+WITH RECURSIVE
+fw0 AS (SELECT d.doc_id, COALESCE(d.text, '') AS text,
+               p.doc_id AS prev_id, COALESCE(p.text, '') AS prev_text
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+fwc AS (SELECT doc_id,
+          CASE WHEN doc_id % {FWP_DUP_MOD} = {FWP_DUP_RES} AND prev_id IS NOT NULL
+               THEN {_fwp_inner_sql("doc_id - 1", "prev_text")}
+                    || chr(10) || '{FWP_EXTRA_LINE}'
+               ELSE {_fwp_inner_sql("doc_id", "text")} END AS text
+        FROM fw0),
+fs1 AS (SELECT doc_id, text FROM fwc WHERE doc_id % {FWP_URL_MOD} <> {FWP_URL_RES}),
+fl_t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM fs1),
+fl_s AS (SELECT doc_id,
+  {_LANG_SCORE_COLS},
+  {_GREATEST_LANGS_SQL} AS best
+  FROM fl_t),
+fl_lang AS (SELECT doc_id, {_LANG_CASE_SQL} AS lg FROM fl_s),
+fs2 AS (SELECT fs1.* FROM fs1 JOIN fl_lang USING (doc_id) WHERE lg = 'en'),
+{_gopher_rep_ctes("fs2")},
+fs3 AS (SELECT fs2.* FROM fs2 JOIN rp_verdict rv ON fs2.doc_id = rv.id WHERE rv.keep),
+{_gopher_rules_ctes("fs3", GOPHER_MIN_WORDS, GOPHER_MIN_STOP)},
+fs4 AS (SELECT fs3.* FROM fs3 SEMI JOIN gr_keep USING (doc_id)),
+{_jaccard_cc_ctes("fs4", FWP_MH_T)},
+fs5 AS (SELECT fs4.* FROM fs4 LEFT JOIN jd_mins m ON fs4.doc_id = m.id
+        WHERE m.id IS NULL OR m.mn >= fs4.doc_id),
+{_c4_ctes("fs5", line_terminal_punct=False)},
+fs6 AS (SELECT doc_id, clean AS text FROM c4v WHERE keep),
+{_fineweb_verdict_ctes("fs6")},
+fs7 AS (SELECT fs6.doc_id, fs6.text FROM fs6 JOIN fwv USING (doc_id) WHERE fwv.keep),
+cnts AS (SELECT
+  CAST((SELECT count(*) FROM fs1) AS BIGINT) AS n_url,
+  CAST((SELECT count(*) FROM fs2) AS BIGINT) AS n_lang,
+  CAST((SELECT count(*) FROM fs3) AS BIGINT) AS n_rep,
+  CAST((SELECT count(*) FROM fs4) AS BIGINT) AS n_gopher,
+  CAST((SELECT count(*) FROM fs5) AS BIGINT) AS n_dedup,
+  CAST((SELECT count(*) FROM fs6) AS BIGINT) AS n_c4)
+SELECT fs7.doc_id AS id, {_redact_sql("fs7.text")} AS clean,
+       cnts.n_url, cnts.n_lang, cnts.n_rep, cnts.n_gopher, cnts.n_dedup, cnts.n_c4
+FROM fs7 CROSS JOIN cnts
+"""
+# same materialization rule as the refinedweb twin (jd_reach declares
+# a column list, so the recursive CTE is exempt by the regex)
+_FINEWEB_PIPE_SQL = re.sub(r"(?m)^(\w+) AS \(", r"\1 AS MATERIALIZED (", _FINEWEB_PIPE_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3842,16 +4086,9 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    CAST((start_offset + greatest(n_tokens - 1, 0)) // {PACK_SEQ_LEN} AS BIGINT) AS bin_end
             FROM o
         """,
-        "redact_pii": """
+        "redact_pii": f"""
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                     concat(COALESCE(text, ''), ' contact user', CAST(doc_id AS VARCHAR),
-                            '@mail.example.com or https://ex.example/d/', CAST(doc_id AS VARCHAR),
-                            ' tel 555-123-4567 host 10.0.0.1'),
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                     'https?://[^\\s]+', '<URL>', 'g'),
-                     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
-                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
+                   {_redact_sql("concat(COALESCE(text, ''), ' contact user', CAST(doc_id AS VARCHAR), '@mail.example.com or https://ex.example/d/', CAST(doc_id AS VARCHAR), ' tel 555-123-4567 host 10.0.0.1')")} AS clean
             FROM documents
         """,
         "knn_classify": f"""
@@ -4317,36 +4554,17 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                     || 'Another long line comfortably past thirty characters, also stopped.'
                 END AS text
               FROM documents),
-            fwl AS (SELECT doc_id, text,
-                      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-                                  x -> x <> '') AS ls
-                    FROM fwsrc),
-            fws AS (SELECT doc_id, text, len(ls) AS n,
-                      len(list_filter(ls, x -> regexp_matches(x, '[.''"!?]$'))) AS np,
-                      len(list_filter(ls, x -> length(x) < 30)) AS nshort,
-                      COALESCE(list_aggregate(list_transform(ls, x -> length(x)), 'sum'), 0) AS tc,
-                      COALESCE(list_aggregate(list_transform(list_distinct(ls), x -> length(x)),
-                                              'sum'), 0) AS dtc
-                    FROM fwl),
-            fwr AS (SELECT doc_id, text,
-                      CASE WHEN text IS NOT NULL AND n > 0
-                           THEN round(CAST(np AS DOUBLE) / n, 6) END AS pf,
-                      CASE WHEN text IS NOT NULL AND n > 0 AND tc > 0
-                           THEN round(CAST(tc - dtc AS DOUBLE) / tc, 6) END AS dfr,
-                      CASE WHEN text IS NOT NULL AND n > 0
-                           THEN round(CAST(nshort AS DOUBLE) / n, 6) END AS sf
-                    FROM fws)
+            {_fineweb_verdict_ctes("fwsrc")}
             SELECT doc_id AS id, pf AS line_punct_frac, dfr AS dup_line_char_frac,
-                   sf AS short_line_frac,
-                   (text IS NOT NULL
-                    AND NOT COALESCE(pf <= 0.12, FALSE)
-                    AND NOT COALESCE(dfr >= 0.10, FALSE)
-                    AND NOT COALESCE(sf >= 0.67, FALSE)) AS keep
-            FROM fwr
+                   sf AS short_line_frac, keep
+            FROM fwv
         """,
         # gopher_repetition: full construction-independent twin (unit
         # streams + packed top-gram max + published A1.2 thresholds)
         "gopher_repetition": _GOPHER_REP_SQL,
+        # fineweb_pipeline: full composed twin from the shared stage
+        # spellings (see _FINEWEB_PIPE_SQL)
+        "fineweb_pipeline": _FINEWEB_PIPE_SQL,
         # paragraph_dedup: replant the shared-paragraph construction,
         # re-derive both survivor policies with window functions over
         # the NORMALIZED paragraph itself (no hash — the oracle pins
@@ -4388,7 +4606,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # rules in SQL — line survival, the re-joined clean string,
         # the terminal-punct sentence count, and the page verdict all
         # ride in the hash
-        "c4_filters": r"""
+        "c4_filters": f"""
             WITH c4p AS (
               SELECT doc_id,
                 CASE WHEN doc_id % 5 = 4 THEN 'no terminal punctuation anywhere' || chr(10) || 'still nothing here'
@@ -4397,36 +4615,12 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                           || 'Second line has enough words to pass muster. Indeed it does. Final sentence here.'
                           || CASE WHEN doc_id % 5 = 1 THEN chr(10) || 'Please enable JavaScript to continue now.'
                                   WHEN doc_id % 5 = 2 THEN ' lorem ipsum'
-                                  WHEN doc_id % 5 = 3 THEN ' { code'
+                                  WHEN doc_id % 5 = 3 THEN ' {{ code'
                                   ELSE '' END
                 END AS text
               FROM documents),
-            c4k AS (
-              SELECT doc_id, text,
-                -- COALESCE: DuckDB's array_to_string([]) is NULL where
-                -- Spark's array_join([]) is '' (planted text is never
-                -- null, so '' is always the right empty spelling here)
-                COALESCE(array_to_string(list_filter(string_split(text, chr(10)), x ->
-                  regexp_matches(x, '[.!?]["”]?\s*$')
-                  AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> w != '')) >= 3
-                  AND NOT contains(lower(x), 'javascript')), chr(10)), '') AS clean,
-                len(list_filter(string_split(text, chr(10)), x ->
-                  regexp_matches(x, '[.!?]["”]?\s*$')
-                  AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> w != '')) >= 3
-                  AND NOT contains(lower(x), 'javascript'))) AS n_lines_kept
-              FROM c4p),
-            c4s AS (
-              SELECT doc_id, clean, n_lines_kept,
-                     length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) AS n_sentences,
-                     text
-              FROM c4k)
-            SELECT doc_id AS id, clean,
-                   CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
-                   CAST(n_sentences AS BIGINT) AS n_sentences,
-                   (text IS NOT NULL AND n_sentences >= 5
-                    AND NOT contains(lower(text), 'lorem ipsum')
-                    AND NOT contains(text, '{')) AS keep
-            FROM c4s
+            {_c4_ctes("c4p")}
+            SELECT doc_id AS id, clean, n_lines_kept, n_sentences, keep FROM c4v
         """,
         # dsir_bigk_eq: the threshold (big-k) route must reproduce the
         # SAME selected set — the oracle is dsir_resample's exact

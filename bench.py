@@ -1189,7 +1189,7 @@ def main() -> None:
     # expensive extension queries; the full map is one line up and in
     # BENCH_local.json.
     headline = [w[0] for w in REF_WORKLOADS] + [
-        "refinedweb_pipeline", "curate_docs", "curate_corpus", "dedup_minhash",
+        "refinedweb_pipeline", "fineweb_pipeline", "curate_docs", "curate_corpus", "dedup_minhash",
         "dedup_ngram_jaccard", "sim_topk_ivf", "embed_neardup", "pack_sequences",
         "sessionize", "tfidf", "funnel", "asof_purchase_click", "balance_sources",
     ]

@@ -1144,3 +1144,38 @@ def test_cms_load_accepts_legacy_single_meta(spark, tmp_path):
     legacy.write.parquet(str(tmp_path / "legacy_cms"))
     loaded, depth, width = cms_load(spark, str(tmp_path / "legacy_cms"))
     assert (depth, width) == (2, 64) and loaded.filter("d < 0").count() == 0
+
+
+def test_fineweb_pipeline_flagship_contracts(spark):
+    """The FineWeb-ordered flagship at sf0.001: stage survivor counts
+    are monotone non-increasing in published order, every planted
+    failure class is absent from the survivors, and the planted email
+    is redacted in every surviving text. (Exact value parity vs the
+    composed SQL twin is the driver row's job.)"""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_fwp", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.queries()["fineweb_pipeline"](spark, "/root/testdata/sf0.001").collect()
+    assert out, "pipeline produced no survivors"
+    r0 = out[0]
+    counts = [r0["n_url"], r0["n_lang"], r0["n_rep"], r0["n_gopher"], r0["n_dedup"], r0["n_c4"]]
+    assert counts == sorted(counts, reverse=True)
+    assert len(out) <= r0["n_c4"]
+    for r in out:
+        i = r["id"]
+        # every plant residue must have been dropped at (or before)
+        # its stage; near-dup plants may legitimately survive when
+        # their id-1 partner died earlier, so they are not asserted
+        assert i % mod.FWP_URL_MOD != mod.FWP_URL_RES
+        assert i % mod.FWP_LANG_MOD != mod.FWP_LANG_RES
+        assert i % mod.FWP_REP_MOD != mod.FWP_REP_RES
+        assert i % mod.FWP_GOPHER_MOD != mod.FWP_GOPHER_RES
+        assert i % mod.FWP_C4_MOD != mod.FWP_C4_RES
+        assert i % mod.FWP_FW_MOD != mod.FWP_FW_RES
+        assert "@mail.example.com" not in r["clean"]
+        assert "<EMAIL>" in r["clean"]
