@@ -13,11 +13,14 @@ Decode routes:
   can parse: PPM ``P6`` images, uncompressed 24/32-bit ``BM``
   bitmaps, **8-bit PNG** (IDAT inflate via stdlib ``zlib``, scanline
   unfiltering — None/Sub/Up/Average/Paeth — in NumPy; grey / RGB /
-  grey+alpha / RGBA), and PCM 8/16-bit ``RIFF/WAVE`` audio.
-  Structural validation is complete (dims/bit-depth/chunk sizes/CRCs
-  must be consistent with the payload) and the pixel/sample paths
-  (:func:`image_stats`, :func:`resize_image`, :func:`audio_stats`)
-  operate on real decoded arrays.
+  grey+alpha / RGBA), **baseline JPEG** (SOF0 huffman entropy decode
+  with byte unstuffing + restart markers, exact float64 IDCT, JFIF
+  YCbCr->RGB; greyscale and 1-2x sampling), and PCM 8/16-bit
+  ``RIFF/WAVE`` audio. Structural validation is complete
+  (dims/bit-depth/chunk sizes/CRCs/markers must be consistent with
+  the payload) and the pixel/sample paths (:func:`image_stats`,
+  :func:`resize_image`, :func:`audio_stats`) operate on real decoded
+  arrays.
 * ``decode='stub'`` — deterministic fake header (``b'FAKE'`` +
   uint16 width + uint16 height + uint8 channels + raw); tests use it
   to exercise the Spark plumbing independent of any format.
@@ -400,6 +403,9 @@ def _numpy_decode_one(buf: bytes):
     r = _parse_png(buf)
     if r is not None:
         return r[0], r[1], r[2]
+    r = _parse_jpeg(buf)
+    if r is not None:
+        return r[0], r[1], r[2]
     r = _parse_wav(buf)
     if r is not None:
         return r[0], 1, r[1]
@@ -422,10 +428,13 @@ def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) ->
         )
     if decode == "real":
         raise NotImplementedError(
-            "lossy-media codecs (PIL/av) are not available in this "
-            "environment; plug the codec into the kernel and pass "
-            "decode='real' — or use decode='numpy' for the codec-free "
-            "formats (PPM P6, uncompressed BMP, 8-bit PNG, PCM WAV)"
+            "external media codecs (PIL/av/librosa) are not available "
+            "in this environment; plug the codec into the kernel and "
+            "pass decode='real' — or use decode='numpy' for the "
+            "stdlib+NumPy formats (PPM P6, uncompressed BMP, 8-bit "
+            "PNG, baseline JPEG, PCM WAV). The real gate now covers "
+            "progressive/arithmetic JPEG, palette/16-bit PNG, and "
+            "compressed audio/video (MP3/AAC/H.264)"
         )
     if decode == "numpy":
 
@@ -564,7 +573,7 @@ def image_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(p) if p is not None else b""
-                r = _parse_ppm(buf) or _parse_bmp(buf) or _parse_png(buf)
+                r = _parse_ppm(buf) or _parse_bmp(buf) or _parse_png(buf) or _parse_jpeg(buf)
                 if r is None:
                     rows.append((mid, 0, 0, 0, []))
                 else:
@@ -718,3 +727,482 @@ def byte_histogram_features(
     )
     src = df.select("media_id", "modality", "payload")
     return src.mapInPandas(kernel, schema=out_schema)
+
+
+# --------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (ITU-T T.81 / JFIF), pure stdlib + NumPy:
+# the decoder handles 8-bit huffman-coded SOF0 streams (1 or 3
+# components, sampling factors 1-2, optional restart markers, byte
+# stuffing) with complete structural validation; everything outside
+# baseline (progressive SOF2, 12-bit, arithmetic coding, 4+
+# components) returns None for the codec route. The encoder exists so
+# tests and oracle rows can PLANT valid payloads with known decoded
+# values: a solid-color image with a flat quantizer of 8 round-trips
+# EXACTLY (the DCT of a flat block is DC-only, 8*(v-128), and
+# 8*(v-128)/8 is integral — no quantization loss).
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II matrix == T.81's 1/4*C(u)C(v) definition
+_JPEG_T = np.array(
+    [
+        [
+            (1.0 / np.sqrt(8.0)) if u == 0 else
+            np.sqrt(2.0 / 8.0) * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+# self-contained canonical tables (carried in DHT, so the decoder's
+# generality is exercised): DC = the 12 categories at 4 bits each
+# (codes 0..11 — the all-ones code 15 stays unused, as T.81 requires);
+# AC = EOB + ZRL + every (run, size 1..10) symbol at 8 bits each
+# (162 codes of the 255 available).
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical (length, code) assignment per T.81 Annex C."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decoder(bits, vals):
+    """(length, code) -> value map for the bit-serial decoder."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.bytes = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.bytes.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.bytes.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+def _jpeg_category(v):
+    """SSSS size category + the appended-bits encoding of v."""
+    if v == 0:
+        return 0, 0
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def pack_jpeg(pixels: np.ndarray, quant: int = 8, restart_interval: int = 0) -> bytes:
+    """Encode an (h, w) or (h, w, 1) grayscale or (h, w, 3) RGB uint8
+    array as a baseline JFIF JPEG (4:4:4, flat quantizer ``quant``).
+    Solid-color inputs with ``quant=8`` decode back EXACTLY (DC-only
+    blocks, integral quantization); general content round-trips within
+    normal DCT-quantization error. Non-multiple-of-8 dims pad by edge
+    replication (the decoder crops back to the SOF dims).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (decoder-path test hook)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("pack_jpeg wants (h, w[, 1|3]) uint8")
+    if not 1 <= int(quant) <= 255:
+        raise ValueError("quant must be in 1..255")
+    h, w, ncomp = px.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    if ncomp == 3:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        comps = [np.clip(np.round(c), 0, 255) for c in comps]
+    else:
+        comps = [px[:, :, 0].astype(np.float64)]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    comps = [
+        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in comps
+    ]
+    q = np.full(64, int(quant), dtype=np.int64)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    # DQT (8-bit precision, table 0, zigzag order — flat, so trivial;
+    # chroma reuses it)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([int(quant)] * 64)
+    # SOF0 carries the TRUE dims; the decoder crops the padded MCUs
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: dc table 0 + ac table 0 (all components share them)
+    for tclass, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        body = bytes([tclass << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _JpegBitWriter()
+    pred = [0] * ncomp
+    mcus_y, mcus_x = ph // 8, pw // 8
+    n_mcu, rst = 0, 0
+    for by in range(mcus_y):
+        for bx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.bytes
+                bw = _JpegBitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = [0] * ncomp
+            for ci, comp in enumerate(comps):
+                blk = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _JPEG_T @ blk @ _JPEG_T.T
+                zz = np.round(coef.reshape(64)[_JPEG_ZIGZAG] / q).astype(np.int64)
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, ebits = _jpeg_category(diff)
+                ln, code = dc_codes[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(ebits, s)
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s, ebits = _jpeg_category(v)
+                    ln, code = ac_codes[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(ebits, s)
+                    run = 0
+                if last < 63:
+                    ln, code = ac_codes[0x00]  # EOB
+                    bw.put(code, ln)
+            n_mcu += 1
+    bw.flush()
+    out += bw.bytes
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing, RSTn detection
+    (returned as events, never consumed silently), hard error on any
+    other marker inside the segment."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated entropy data")
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.buf) or self.buf[self.pos + 1] != 0x00:
+                    raise ValueError("marker inside entropy data")
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self, idx):
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        if self.pos + 1 >= len(self.buf) or self.buf[self.pos] != 0xFF:
+            raise ValueError("missing restart marker")
+        if self.buf[self.pos + 1] != 0xD0 + (idx % 8):
+            raise ValueError("wrong restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v, s):
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_huff(br, table):
+    length, code = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        hit = table.get((length, code))
+        if hit is not None:
+            return hit
+    raise ValueError("invalid huffman code")
+
+
+def _parse_jpeg(buf: bytes):
+    """Baseline sequential JPEG -> (w, h, ch, (h, w, ch) uint8) or
+    None — REAL decoding: marker walk (APPn/COM skipped, DQT/DHT/DRI/
+    SOF0/SOS parsed), canonical huffman entropy decode with byte
+    unstuffing and restart markers, dequantize + de-zigzag, exact
+    float64 IDCT (the orthonormal 8-point matrix — T.81's 1/4*CuCv
+    definition), chroma upsampling by sample replication (factors 1-2),
+    JFIF YCbCr->RGB, crop to the SOF dims. Returns None (codec route)
+    for anything non-baseline: SOF1/2/9+ (extended/progressive/
+    arithmetic), 12-bit, Pq=1 DQT, >3 components, sampling factors
+    outside 1-2, or any structural damage up to and including the EOI
+    marker (bytes AFTER a well-formed EOI are tolerated — the wild is
+    full of trailers).
+
+    Scale note: huffman entropy decode is inherently bit-serial —
+    this is a per-payload Python loop (bounded by `_PNG_MAX_PIXELS`-
+    style guard below), NOT a vectorized kernel; at 100 TB keep JPEG
+    decode behind the same batch-size knobs as the other media
+    kernels, or plug a codec into decode='real'."""
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt = {}
+    huff = {}
+    sof = None
+    dri = 0
+    try:
+        while True:
+            if pos + 4 > len(buf):
+                return None
+            if buf[pos] != 0xFF:
+                return None
+            marker = buf[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS: no image
+                return None
+            (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+            if seglen < 2 or pos + 2 + seglen > len(buf):
+                return None
+            data = buf[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(data):
+                    pq, tq = data[j] >> 4, data[j] & 0x0F
+                    if pq != 0 or tq > 3 or j + 65 > len(data):
+                        return None
+                    tbl = np.frombuffer(data, dtype=np.uint8, count=64, offset=j + 1)
+                    if int(tbl.min(initial=255)) < 1:
+                        return None
+                    qt[tq] = tbl.astype(np.int64)
+                    j += 65
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(data):
+                    if j + 17 > len(data):
+                        return None
+                    tc, th = data[j] >> 4, data[j] & 0x0F
+                    if tc > 1 or th > 3:
+                        return None
+                    bits = list(data[j + 1 : j + 17])
+                    nv = sum(bits)
+                    if j + 17 + nv > len(data):
+                        return None
+                    vals = list(data[j + 17 : j + 17 + nv])
+                    huff[(tc, th)] = _jpeg_huff_decoder(bits, vals)
+                    j += 17 + nv
+            elif marker == 0xC0:  # SOF0 baseline
+                if len(data) < 6:
+                    return None
+                prec, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
+                if prec != 8 or ncomp not in (1, 3) or w < 1 or h < 1:
+                    return None
+                if w * h > _PNG_MAX_PIXELS:  # same allocation guard
+                    return None
+                if len(data) != 6 + 3 * ncomp:
+                    return None
+                comps = []
+                for ci in range(ncomp):
+                    cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * ci)
+                    hi, vi = hv >> 4, hv & 0x0F
+                    if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                        return None
+                    comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+                sof = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF families
+            elif marker == 0xDD:  # DRI
+                if len(data) != 2:
+                    return None
+                (dri,) = struct.unpack(">H", data)
+            elif marker == 0xDA:  # SOS
+                if sof is None:
+                    return None
+                ns = data[0] if data else 0
+                w, h, comps = sof
+                if ns != len(comps) or len(data) != 1 + 2 * ns + 3:
+                    return None
+                scan = []
+                for si in range(ns):
+                    cs, tt = data[1 + 2 * si], data[2 + 2 * si]
+                    match = [c for c in comps if c["id"] == cs]
+                    if len(match) != 1:
+                        return None
+                    c = match[0]
+                    td, ta = tt >> 4, tt & 0x0F
+                    if (0, td) not in huff or (1, ta) not in huff:
+                        return None
+                    if c["tq"] not in qt:
+                        return None
+                    scan.append((c, huff[(0, td)], huff[(1, ta)], qt[c["tq"]]))
+                if data[1 + 2 * ns : 1 + 2 * ns + 3] != b"\x00\x3f\x00":
+                    return None
+                pos = pos + 2 + seglen
+                return _jpeg_scan(buf, pos, w, h, scan, dri)
+            # APPn (E0-EF), COM (FE), others with length: skip
+            pos += 2 + seglen
+    except (ValueError, struct.error):
+        return None
+
+
+def _jpeg_scan(buf, pos, w, h, scan, dri):
+    hmax = max(c["h"] for c, _, _, _ in scan)
+    vmax = max(c["v"] for c, _, _, _ in scan)
+    if len(scan) == 1:
+        # single-component scan: MCU = one block, sampling ignored
+        hmax = vmax = 1
+        scan = [(dict(scan[0][0], h=1, v=1),) + scan[0][1:]]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c, _, _, _ in scan:
+        pw_, ph_ = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph_, pw_), dtype=np.float64))
+    br = _JpegBitReader(buf, pos)
+    pred = [0] * len(scan)
+    n_mcu, rst = 0, 0
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                br.align_restart(rst)
+                rst += 1
+                pred = [0] * len(scan)
+            for ci, (c, dc_t, ac_t, q) in enumerate(scan):
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _jpeg_decode_huff(br, dc_t)
+                        if s > 11:
+                            raise ValueError("bad DC category")
+                        diff = _jpeg_extend(br.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huff(br, ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                if r != 0:
+                                    raise ValueError("bad AC symbol")
+                                break  # EOB
+                            k += r
+                            if k > 63 or s > 10:
+                                raise ValueError("AC overrun")
+                            zz[k] = _jpeg_extend(br.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_JPEG_ZIGZAG] = zz * q
+                        blk = _JPEG_T.T @ coef.reshape(8, 8) @ _JPEG_T
+                        py = (by * c["v"] + vy) * 8
+                        px_ = (bx * c["h"] + vx) * 8
+                        planes[ci][py : py + 8, px_ : px_ + 8] = blk
+            n_mcu += 1
+    # trailing bits of the final partial byte are 1-padding; the next
+    # bytes must be EOI (trailing garbage = structural damage)
+    if not buf[br.pos :].startswith(b"\xff\xd9"):
+        return None
+    nch = len(scan)
+    out = np.empty((h, w, nch), dtype=np.float64)
+    for ci, (c, _, _, _) in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out[:, :, ci] = p[:h, :w]
+    out += 128.0
+    if nch == 3:
+        y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+        out = rgb
+    px = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return w, h, nch, px

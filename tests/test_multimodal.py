@@ -474,3 +474,148 @@ def test_png_decode_bomb_hardening():
     # an exact-size stream still decodes
     px = np.full((3, 3, 3), 7, dtype=np.uint8)
     assert _parse_png(pack_png(px)) is not None
+
+
+# ---------------------------------------------------------------- jpeg
+
+
+def test_jpeg_solid_exact_roundtrip():
+    """Solid grayscale with the flat quant=8 table round-trips
+    EXACTLY: the DCT of a flat block is DC-only = 8*(v-128), and
+    8*(v-128)/8 is integral — the huffman/dequant/IDCT/crop chain has
+    zero quantization loss to hide behind."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_jpeg,
+        pack_jpeg,
+    )
+
+    for v in (0, 1, 127, 128, 200, 255):
+        for dims in ((8, 8), (16, 24), (10, 13)):  # incl. non-multiple-of-8
+            img = np.full(dims, v, dtype=np.uint8)
+            r = _parse_jpeg(pack_jpeg(img, quant=8))
+            assert r is not None
+            w, h, c, px = r
+            assert (w, h, c) == (dims[1], dims[0], 1)
+            assert (px == v).all(), (v, dims)
+
+
+def test_jpeg_content_roundtrip_and_idct_reference():
+    """Random content at quant=1 round-trips within DCT rounding (±2);
+    the IDCT matrix equals T.81's naive 1/4*C(u)C(v) double-cosine sum
+    to 1e-9 on an arbitrary coefficient block."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _JPEG_T,
+        _parse_jpeg,
+        pack_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 40), dtype=np.uint8).astype(np.uint8)
+    r = _parse_jpeg(pack_jpeg(img, quant=1))
+    assert np.abs(r[3][:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+    rgb = rng.randint(0, 256, (10, 13, 3), dtype=np.uint8).astype(np.uint8)
+    r = _parse_jpeg(pack_jpeg(rgb, quant=1))
+    assert (r[0], r[1], r[2]) == (13, 10, 3)
+    assert np.abs(r[3].astype(int) - rgb.astype(int)).max() <= 4  # + YCbCr rounding
+
+    coef = np.zeros((8, 8))
+    coef[0, 0], coef[1, 2], coef[5, 7] = 16.0, -24.0, 9.0
+    got = _JPEG_T.T @ coef @ _JPEG_T
+    ref = np.zeros((8, 8))
+    C = lambda u: 1 / np.sqrt(2) if u == 0 else 1.0
+    for x in range(8):
+        for y in range(8):
+            ref[x, y] = sum(
+                C(u) * C(v) * coef[u, v]
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                * np.cos((2 * y + 1) * v * np.pi / 16)
+                for u in range(8)
+                for v in range(8)
+            ) / 4
+    assert np.abs(got - ref).max() < 1e-9
+
+
+def test_jpeg_restart_markers_and_dc_reset():
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_jpeg,
+        pack_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 32), dtype=np.uint8).astype(np.uint8)
+    plain = _parse_jpeg(pack_jpeg(img, quant=1))
+    with_rst = _parse_jpeg(pack_jpeg(img, quant=1, restart_interval=3))
+    assert with_rst is not None
+    assert (plain[3] == with_rst[3]).all()
+
+
+def test_jpeg_structural_rejection():
+    """Anything non-baseline or damaged returns None (codec route):
+    truncation, progressive SOF2, trailing garbage, missing huffman
+    tables, and non-JPEG magic."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_jpeg,
+        pack_jpeg,
+    )
+
+    buf = pack_jpeg(np.full((8, 8), 99, np.uint8), quant=8)
+    assert _parse_jpeg(buf) is not None
+    assert _parse_jpeg(buf[:-2]) is None          # missing EOI
+    assert _parse_jpeg(buf[:20]) is None          # truncated header
+    # garbage BETWEEN entropy data and EOI is structural damage;
+    # bytes AFTER EOI are tolerated (the wild is full of them)
+    assert _parse_jpeg(buf[:-2] + b"x" + buf[-2:]) is None
+    assert _parse_jpeg(buf + b"x") is not None
+    assert _parse_jpeg(b"NOTAJPEG") is None
+    prog = bytearray(buf)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2                          # pretend progressive
+    assert _parse_jpeg(bytes(prog)) is None
+    nodht = bytearray()
+    i = 0
+    while i < len(buf):  # strip every DHT segment
+        if buf[i] == 0xFF and buf[i + 1] == 0xC4:
+            (ln,) = __import__("struct").unpack_from(">H", buf, i + 2)
+            i += 2 + ln
+        else:
+            nodht.append(buf[i])
+            i += 1
+    assert _parse_jpeg(bytes(nodht)) is None
+
+
+def test_jpeg_through_decode_media_and_image_stats(spark):
+    """JPEG payloads flow through the numpy decode route and the
+    pixel-stats kernel next to the other formats."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        decode_media,
+        image_stats,
+        pack_jpeg,
+        pack_ppm,
+    )
+
+    rows = [
+        (1, "image", bytearray(pack_jpeg(np.full((16, 8), 77, np.uint8), quant=8)), "s"),
+        (2, "image", bytearray(pack_ppm(np.full((2, 3, 3), 9, np.uint8))), "s"),
+        (3, "image", bytearray(b"junk"), "s"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary, source string"
+    )
+    meta = {r["media_id"]: r for r in decode_media(media, decode="numpy").collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["channels"]) == (8, 16, 1)
+    assert meta[1]["payload_ok"] and meta[2]["payload_ok"] and not meta[3]["payload_ok"]
+    st = {r["media_id"]: r for r in image_stats(media).collect()}
+    assert st[1]["channel_means"] == [77.0]
+    assert st[2]["channel_means"] == [9.0, 9.0, 9.0]
+    assert st[3]["channel_means"] == []
