@@ -847,16 +847,22 @@ def gopher_repetition(
     contract); a rule whose signal is null (no lines, < n tokens)
     passes vacuously.
 
-    Scale shape: genuinely ONE pass — the corpus is scanned once,
-    tokenized once (the token array is a materialized column every
-    gram stream slices), all eleven unit streams (lines + paragraphs
-    + the nine n-gram sizes, each unit tagged by kind) concatenate
-    into a single per-doc struct array, and ONE explode feeds one
-    combinable groupBy on (id, kind, unit), one combinable groupBy on
-    (id, kind), and a #kinds-wide conditional-aggregation pivot. Unit
-    multiplicity is ~9x the token count — the same order as
-    ``lm_perplexity``'s explode — with no joins against anything
-    document-sized.
+    Scale shape: ZERO shuffle — every signal aggregates strictly
+    within one document, so the corpus is scanned once, tokenized
+    once (the token array is a materialized column every gram stream
+    slices), each of the eleven unit streams (lines + paragraphs +
+    the nine n-gram sizes) is sorted INSIDE the row, and
+    duplicate-beyond-first counts fall out of adjacent-equal
+    positions while the top gram is a run-length fold. Per-row cost
+    is O(units log units) with no distributed state; the earlier
+    explode-into-two-global-groupBys spelling shipped the gram
+    strings through a corpus-sized shuffle and measured ~4x slower
+    at equal parallelism (identical signal values — pinned by the
+    repetition_stats oracle row). One caveat zero-shuffle buys:
+    the computation inherits the INPUT's partitioning — callers
+    feeding an AQE-coalesced frame (a checkpointed join output can
+    collapse to one ~64MB partition at local scales) should
+    repartition first or the per-row work serializes onto one core.
     """
     from cs533_big_data_data_mining_spark.functions.text import tokenize
 
@@ -866,23 +872,6 @@ def gopher_repetition(
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__t"), tokenize(text_col).alias("__toks")
     )
-    # total non-whitespace characters — the n-gram fraction basis
-    docs = base.select(
-        "id",
-        F.col("__t").isNull().alias("__null"),
-        F.length(F.concat_ws("", F.col("__toks"))).cast("long").alias("tok_chars"),
-    )
-
-    def _tag(arr, kind, char_off):
-        # array<struct<kind,u,cl>> for one unit stream
-        return F.transform(
-            arr,
-            lambda x: F.struct(
-                F.lit(kind).alias("kind"),
-                x.alias("u"),
-                (F.length(x) - F.lit(char_off)).cast("long").alias("cl"),
-            ),
-        )
 
     def _grams(n):
         # word_ngrams over the materialized token column (duplicates
@@ -895,34 +884,101 @@ def gopher_repetition(
 
     lines = F.filter(F.transform(F.split("__t", r"\n"), lambda x: F.trim(x)), lambda x: x != "")
     paras = F.filter(F.transform(F.split("__t", r"\n{2,}"), lambda x: F.trim(x)), lambda x: x != "")
-    streams = [_tag(lines, "line", 0), _tag(paras, "para", 0)] + [
-        # grams are space-joined: non-space char length = len - (n-1)
-        _tag(_grams(n), f"g{n}", n - 1)
-        for n in top_ns + dup_ns
-    ]
-    units = base.select("id", F.explode(F.concat(*streams)).alias("s")).select(
-        "id", "s.kind", "s.u", "s.cl"
+
+    # Every signal is PER-DOCUMENT, so nothing here needs a shuffle:
+    # sort each unit stream inside the row, then duplicate-beyond-
+    # first counts are the adjacent-equal positions of the sorted
+    # array and the top gram is a left fold over its runs. (The
+    # previous spelling exploded ~9x-token-count (id, kind, unit)
+    # rows into two global groupBys whose shuffle carried the gram
+    # STRINGS — measured 9x slower at 200k docs, and pure shuffle
+    # pressure at 100 TB for an operator whose aggregation never
+    # crosses a document boundary.)
+    kinds = {"line": (lines, 0), "para": (paras, 0)}
+    # grams are space-joined: non-space char length = len - (n-1)
+    kinds.update({f"g{n}": (_grams(n), n - 1) for n in top_ns + dup_ns})
+    sorted_units = base.select(
+        "id",
+        F.col("__t").isNull().alias("__null"),
+        F.length(F.concat_ws("", F.col("__toks"))).cast("long").alias("tok_chars"),
+        *[F.array_sort(arr).alias(f"{kind}_s") for kind, (arr, _) in kinds.items()],
     )
 
-    counts = units.groupBy("id", "kind", "u", "cl").agg(F.count(F.lit(1)).alias("c"))
-    per = counts.groupBy("id", "kind").agg(
-        F.sum("c").alias("n_units"),
-        F.sum(F.col("c") * F.col("cl")).alias("tot_chars"),
-        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))).alias("dup_units"),
-        F.sum(
-            F.when(F.col("c") > 1, (F.col("c") - 1) * F.col("cl")).otherwise(F.lit(0))
-        ).alias("dup_chars"),
-        F.max(F.col("c") * F.lit(_REP_PACK) + F.col("cl")).alias("top_packed"),
+    def _stream_stats(kind: str, off: int, wants: str) -> list:
+        # only the stats this kind's signals consume get computed —
+        # line/para need occurrence+char dup fractions, g2-4 only the
+        # top gram, g5-10 only the dup chars (interpreted HOF passes
+        # are the per-row cost, so skipping unused folds is ~40%)
+        s = F.col(f"{kind}_s")
+        n = F.size(s)
+
+        def cl(x):
+            return (F.length(x) - F.lit(off)).cast("long")
+
+        zero = F.lit(0).cast("long")
+        present = n >= 1  # empty stream -> null signals (absent kind)
+        guard2 = n >= 2  # slice(_, 2, n-1) needs two elements
+        out = [F.when(present, n.cast("long")).alias(f"{kind}_n")]
+        if "d" in wants:
+            # adjacent-equal positions of the sorted array ==
+            # occurrences beyond each distinct value's first (cl is a
+            # function of the value, so char-weighting by the RIGHT
+            # element is exact)
+            adj = F.zip_with(
+                F.slice(s, 1, n - 1),
+                F.slice(s, 2, n - 1),
+                lambda a, b: F.when(a == b, cl(b)).otherwise(F.lit(-1).cast("long")),
+            )
+            dup_chars = F.aggregate(adj, zero, lambda acc, x: acc + F.greatest(x, zero))
+            out.append(
+                F.when(present, F.when(guard2, dup_chars).otherwise(zero)).alias(f"{kind}_dc")
+            )
+            if "u" in wants:
+                tot = F.aggregate(s, zero, lambda acc, x: acc + cl(x))
+                dup_units = F.size(F.filter(adj, lambda x: x >= 0))
+                out.append(F.when(present, tot).alias(f"{kind}_tc"))
+                out.append(
+                    F.when(present, F.when(guard2, dup_units.cast("long")).otherwise(zero)).alias(
+                        f"{kind}_du"
+                    )
+                )
+        if "t" in wants:
+            # run-length fold for the most frequent gram: at the end
+            # of a run of length c the packed value is c*PACK + cl,
+            # and every prefix of the run packs smaller, so max over
+            # positions == max over distinct units of count*PACK + cl
+            # (ties to the LONGEST gram, the groupBy spelling's exact
+            # tie-break)
+            st0 = F.struct(
+                F.lit("").alias("prev"),
+                F.lit(False).alias("has"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            )
+
+            def step(acc, x):
+                run = F.when(acc["has"] & (x == acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                )
+                return F.struct(
+                    x.alias("prev"),
+                    F.lit(True).alias("has"),
+                    run.alias("run"),
+                    F.greatest(acc["best"], run * F.lit(_REP_PACK) + cl(x)).alias("best"),
+                )
+
+            out.append(F.when(present, F.aggregate(s, st0, step)["best"]).alias(f"{kind}_tp"))
+        return out
+
+    wants = {"line": "du", "para": "du"}
+    wants.update({f"g{n}": "t" for n in top_ns})
+    wants.update({f"g{n}": "d" for n in dup_ns})
+    j = sorted_units.select(
+        "id",
+        "__null",
+        "tok_chars",
+        *[e for kind, (_, off) in kinds.items() for e in _stream_stats(kind, off, wants[kind])],
     )
-    kinds = ["line", "para"] + [f"g{n}" for n in top_ns + dup_ns]
-    wide = per.groupBy("id").pivot("kind", kinds).agg(
-        F.first("n_units").alias("n"),
-        F.first("tot_chars").alias("tc"),
-        F.first("dup_units").alias("du"),
-        F.first("dup_chars").alias("dc"),
-        F.first("top_packed").alias("tp"),
-    )
-    j = docs.join(wide, "id", "left")
 
     def _ratio(num, den):
         return F.round(num.cast("double") / den.cast("double"), 6)
@@ -976,10 +1032,22 @@ def gopher_repetition(
         # a null signal (no lines / < n tokens / empty doc) passes
         # vacuously — rejecting needs evidence over the threshold
         keep = keep & ~F.coalesce(F.col(name) > F.lit(float(t)), F.lit(False))
+    # Optimizer fence on `keep`: OR-ing an always-false
+    # NON-DETERMINISTIC term (mono_id is never < 0) leaves the value
+    # untouched but stops PushDownPredicates from substituting the
+    # full signal expression into a consumer's `.filter("keep")`.
+    # Without it the filter predicate re-derives every sorted unit
+    # stream per rule reference in an interpreted Predicate (no
+    # subexpression reuse, HOFs can't codegen) — measured 17x slower
+    # than evaluating the projection once and filtering the boolean
+    # (100 s -> 6 s at 20k docs). Cost of the fence: consumers'
+    # UNRELATED predicates also stop pushing through this projection
+    # — irrelevant here, the verdict frame is terminal per document.
+    fence = F.monotonically_increasing_id() < 0
     return out.select(
         "id",
         *cols.keys(),
-        F.when(F.col("__null"), F.lit(False)).otherwise(keep).alias("keep"),
+        (F.when(F.col("__null"), F.lit(False)).otherwise(keep) | fence).alias("keep"),
     )
 
 
