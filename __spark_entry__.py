@@ -746,6 +746,7 @@ def _q_multimodal_decode(spark, sf_dir):
         decode_media,
         image_stats,
         pack_bmp24,
+        pack_jpeg,
         pack_png,
         pack_ppm,
         pack_wav_pcm16,
@@ -780,6 +781,17 @@ def _q_multimodal_decode(spark, sf_dir):
         elif i % 19 == 0:
             w, h = 3 + i % 8, 2 + i % 4
             payload = pack_png(np.full((h, w, 1), (i * 23) % 256, dtype=np.uint8), filters="cycle")
+        elif i % 23 == 0:
+            # baseline JPEG (round 9): solid greyscale with the flat
+            # quant=8 table is EXACT (DC-only blocks, integral
+            # quantization) — the huffman/IDCT/crop chain must recover
+            # the construction value to 6 dp for the mean to match
+            w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+            payload = pack_jpeg(
+                np.full((h, w), (i * 29) % 256, dtype=np.uint8),
+                quant=8,
+                restart_interval=2 if i % 2 == 0 else 0,
+            )
         else:
             w, h = 4 + i % 13, 3 + i % 7
             px = np.empty((h, w, 3), dtype=np.uint8)
@@ -1376,6 +1388,46 @@ def _q_c4_filters(spark, sf_dir):
 
 
 PD_SHARED_MOD = 7  # paragraph_dedup plant: one shared paragraph per residue class
+PB_HIST_MOD = 3  # paragraph_dedup_bi: doc_id % 3 == 0 is the history corpus
+PB_SHARED_MOD = 5  # shared-with-history paragraph classes
+PB_NEW_MOD = 11  # shared-within-new-shard paragraph classes
+
+
+def _q_paragraph_dedup_bi(spark, sf_dir):
+    # incremental paragraph dedup vs an immutable history: the
+    # history corpus (doc_id % 3 == 0) carries every PB_SHARED_MOD
+    # paragraph class, so that class disappears from EVERY new doc
+    # (history copies win); the 'new shard shared' class exists only
+    # in the new shard, so its keep_first survivor is the minimal
+    # (id, pos) NEW occurrence. The reassembled clean string rides
+    # in the hash.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import paragraph_dedup_bipartite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    sid = F.col("doc_id").cast("string")
+    shared = F.concat(
+        F.lit("Shared paragraph block number "),
+        (F.col("doc_id") % PB_SHARED_MOD).cast("string"),
+        F.lit(" appears in many documents."),
+    )
+    hist = docs.filter(F.col("doc_id") % PB_HIST_MOD == 0).select(
+        "doc_id",
+        F.concat(F.lit("History doc "), sid, F.lit(".\n"), shared).alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % PB_HIST_MOD != 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("Unique opening paragraph for document "), sid, F.lit(".\n"),
+            shared, F.lit("\nNew shard shared paragraph "),
+            (F.col("doc_id") % PB_NEW_MOD).cast("string"),
+            F.lit(" for this cycle.\n"),
+            F.substring(F.col("text"), 1, 60),
+        ).alias("text"),
+    )
+    return paragraph_dedup_bipartite(hist, new, "doc_id", "text")
 
 
 def _q_paragraph_dedup(spark, sf_dir):
@@ -3158,6 +3210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paragraph_dedup: NEW — CCNet paragraph-hash dedup transform
         # (both keep_first and drop_repeated policies in one row)
         "paragraph_dedup": _q_paragraph_dedup,
+        # paragraph_dedup_bi: NEW — the incremental shard-vs-history
+        # twin (history immutable, then keep_first within the shard)
+        "paragraph_dedup_bi": _q_paragraph_dedup_bi,
         # semdedup_bi: NEW — incremental SemDeDup vs immutable history
         "semdedup_bi": _q_semdedup_bi,
         # dsir_bigk_eq: NEW — forces the k>driver_k_limit threshold
@@ -4602,6 +4657,48 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             LEFT JOIN pda ON b.doc_id = pda.doc_id
             LEFT JOIN pdd ON b.doc_id = pdd.doc_id
         """,
+        # paragraph_dedup_bi: replant both corpora, window over the
+        # normalized paragraph among NEW paragraphs not in the
+        # history's distinct set, reassemble in order
+        "paragraph_dedup_bi": f"""
+            WITH pbh AS (
+              SELECT 'History doc ' || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+                || 'Shared paragraph block number ' || CAST(doc_id % {PB_SHARED_MOD} AS VARCHAR)
+                || ' appears in many documents.' AS text
+              FROM documents WHERE text IS NOT NULL AND doc_id % {PB_HIST_MOD} = 0),
+            pbhk AS (
+              SELECT DISTINCT regexp_replace(lower(u), '\\s+', ' ', 'g') AS k
+              FROM pbh, LATERAL unnest(list_filter(list_transform(
+                string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS un(u)),
+            pbn AS (
+              SELECT doc_id,
+                'Unique opening paragraph for document ' || CAST(doc_id AS VARCHAR)
+                  || '.' || chr(10)
+                  || 'Shared paragraph block number ' || CAST(doc_id % {PB_SHARED_MOD} AS VARCHAR)
+                  || ' appears in many documents.' || chr(10)
+                  || 'New shard shared paragraph ' || CAST(doc_id % {PB_NEW_MOD} AS VARCHAR)
+                  || ' for this cycle.' || chr(10)
+                  || substr(text, 1, 60) AS text
+              FROM documents WHERE text IS NOT NULL AND doc_id % {PB_HIST_MOD} <> 0),
+            pbl AS (SELECT doc_id,
+                      list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                  x -> x <> '') AS ps
+                    FROM pbn),
+            pbx AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para,
+                           regexp_replace(lower(ps[i]), '\\s+', ' ', 'g') AS k
+                    FROM pbl, LATERAL unnest(range(1, len(ps) + 1)) AS u(i)),
+            pbf AS (SELECT pbx.* FROM pbx ANTI JOIN pbhk ON pbx.k = pbhk.k),
+            pbw AS (SELECT doc_id, pos, para,
+                      row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+                    FROM pbf),
+            pba AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean,
+                           count(*) AS n_kept
+                    FROM pbw WHERE rn = 1 GROUP BY doc_id)
+            SELECT b.doc_id AS id, COALESCE(pba.clean, '') AS clean,
+                   CAST(len(b.ps) AS BIGINT) AS n_paras,
+                   CAST(COALESCE(pba.n_kept, 0) AS BIGINT) AS n_kept
+            FROM pbl b LEFT JOIN pba ON b.doc_id = pba.doc_id
+        """,
         # c4_filters: replant the residue text, re-run the line/page
         # rules in SQL — line survival, the re-joined clean string,
         # the terminal-punct sentence count, and the page verdict all
@@ -4647,7 +4744,8 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # multimodal_decode: construction-derived — the planted
         # payloads' dims/validity/solid-color means are pure functions
         # of doc_id (precedence: every 17th garbage, 13th a BMP, 11th
-        # a PCM WAV, 7th an RGB PNG, 19th a greyscale PNG, rest
+        # a PCM WAV, 7th an RGB PNG, 19th a greyscale PNG, 23rd a
+        # solid greyscale baseline JPEG (exact: flat quant 8), rest
         # solid-color PPMs), so the real numpy decoders — incl. the
         # zlib-inflate + NumPy-unfilter PNG path — are checked
         # value-for-value without DuckDB parsing any bytes
@@ -4658,18 +4756,21 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                         WHEN doc_id % 11 = 0 THEN 10 + doc_id % 23
                         WHEN doc_id % 7 = 0 THEN 5 + doc_id % 11
                         WHEN doc_id % 19 = 0 THEN 3 + doc_id % 8
+                        WHEN doc_id % 23 = 0 THEN 8 * (1 + doc_id % 3)
                         ELSE 4 + doc_id % 13 END AS INTEGER) AS width,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
                         WHEN doc_id % 13 = 0 THEN 2 + doc_id % 5
                         WHEN doc_id % 11 = 0 THEN 1
                         WHEN doc_id % 7 = 0 THEN 2 + doc_id % 6
                         WHEN doc_id % 19 = 0 THEN 2 + doc_id % 4
+                        WHEN doc_id % 23 = 0 THEN 8 * (1 + doc_id % 2)
                         ELSE 3 + doc_id % 7 END AS INTEGER) AS height,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
                         WHEN doc_id % 13 = 0 THEN 3
                         WHEN doc_id % 11 = 0 THEN 1
                         WHEN doc_id % 7 = 0 THEN 3
                         WHEN doc_id % 19 = 0 THEN 1
+                        WHEN doc_id % 23 = 0 THEN 1
                         ELSE 3 END AS INTEGER) AS channels,
               doc_id % 17 <> 0 AS ok,
               CASE WHEN doc_id % 17 = 0 THEN NULL
@@ -4677,18 +4778,21 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    WHEN doc_id % 11 = 0 THEN NULL
                    WHEN doc_id % 7 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                    WHEN doc_id % 19 = 0 THEN CAST((doc_id * 23) % 256 AS DOUBLE)
+                   WHEN doc_id % 23 = 0 THEN CAST((doc_id * 29) % 256 AS DOUBLE)
                    ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
               CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST((doc_id * 3) % 256 AS DOUBLE)
                    WHEN doc_id % 11 = 0 THEN NULL
                    WHEN doc_id % 7 = 0 THEN CAST((doc_id * 11) % 256 AS DOUBLE)
                    WHEN doc_id % 19 = 0 THEN NULL
+                   WHEN doc_id % 23 = 0 THEN NULL
                    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
               CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST((doc_id * 5) % 256 AS DOUBLE)
                    WHEN doc_id % 11 = 0 THEN NULL
                    WHEN doc_id % 7 = 0 THEN CAST((doc_id * 17) % 256 AS DOUBLE)
                    WHEN doc_id % 19 = 0 THEN NULL
+                   WHEN doc_id % 23 = 0 THEN NULL
                    ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b
             FROM documents
         """,

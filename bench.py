@@ -861,6 +861,240 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — best-effort cleanup
                 pass
 
+        # FineWeb-ordered flagship at 200k docs — the scale twin of
+        # the fineweb_pipeline driver row, over a synthetic base36
+        # corpus keyed by tbase (the dup plant copies doc id-1's page,
+        # so every inner-class predicate is a pure function of tbase —
+        # the refinedweb_200k pattern). Unlike the sf0.01 driver row,
+        # the page template here is SALTED per doc (every 3-token
+        # window of the normal page contains a tbase-keyed word), so
+        # unrelated docs share ~5 shingles instead of ~30: with the
+        # driver row's shared template, every doc's MinHash signature
+        # hits the universal template minima with p~0.3 per hash, and
+        # the 16 band buckets each collect N*p^4 ~ 1.6k docs -> tens
+        # of millions of exact-Jaccard verifications (the published
+        # pipelines dodge this by stripping boilerplate BEFORE dedup;
+        # a 200k-doc corpus of template clones is the adversarial
+        # case). Salting keys off tbase, so dup pairs stay
+        # byte-identical and the stage expectations stay construction
+        # facts; the near-dup and c4/fineweb drops use joint-/
+        # stage-survivor predicates.
+        from cs533_big_data_data_mining_spark.functions.text import (
+            lang_id,
+        )
+        from cs533_big_data_data_mining_spark.functions.text import (
+            redact_pii as _fw_redact,
+        )
+        from cs533_big_data_data_mining_spark.operators.quality import (
+            c4_filters,
+            fineweb_filters,
+            gopher_repetition,
+            url_filter,
+        )
+
+        nfw = 200_000
+        fw_i = F.col("doc_id")
+        fw_tb = fw_i - F.when((fw_i % mod.FWP_DUP_MOD == mod.FWP_DUP_RES) & (fw_i > 0), 1).otherwise(0)
+
+        def _fw_word(j):
+            return F.conv(
+                (F.pmod(F.xxhash64(fw_tb, j), F.lit(45360)) + 1296).cast("string"), 10, 36
+            )
+
+        fw_body = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(60)), _fw_word))
+
+        # salt words: same base36 generator, literal keys 1001+ (the
+        # body lambda uses j in [1, 60] — disjoint key space)
+        def _fw_salt(k):
+            return F.conv(
+                (F.pmod(F.xxhash64(fw_tb, F.lit(1001 + k)), F.lit(45360)) + 1296).cast(
+                    "string"
+                ),
+                10,
+                36,
+            )
+
+        fw_sid = fw_tb.cast("string")
+        _w = [_fw_salt(k) for k in range(12)]
+        # the normal page mirrors _fwp_inner's shape (3 punctuated
+        # lines, en markers, a plantable email) but alternates salt
+        # words with the fixed tokens; en markers the/a/of/and/is/in
+        # keep lang_id == 'en' and gopher stopword hits intact
+        fw_l1 = F.concat_ws(
+            " ",
+            F.lit("Document"), fw_sid, F.lit("opens"), _w[0], F.lit("the"),
+            _w[1], F.lit("a"), _w[2], F.lit("of"), _w[3], F.lit("and"),
+            _w[4], F.lit("is"), _w[5], F.lit("in"), _w[6], F.lit("now. It"),
+            _w[7], F.lit("ends here."),
+        )
+        fw_l2 = F.concat_ws(
+            " ",
+            F.lit("It is"), _w[8], F.lit("by the"), _w[9], F.lit("words"),
+            F.substring(fw_body, 1, 120), F.lit("to a"), _w[10],
+            F.lit("final stop."),
+        )
+        fw_l3 = F.concat_ws(
+            " ",
+            F.lit("The"), _w[11], F.lit("closing"), _w[0], F.lit("line"),
+            _w[1], F.lit("mentions doc"), fw_sid, F.lit("again today. Contact"),
+            F.concat(F.lit("user"), fw_sid, F.lit("@mail.example.com")),
+            F.lit("now. All done."),
+        )
+        fw_normal = F.concat_ws("\n", fw_l1, fw_l2, fw_l3)
+        # 9 short lines (NOT the driver row's FWP_SHORT_K=8): a dup
+        # whose tbase is a shorts page gains one long trailing line,
+        # and if its partner was URL-dropped (url plants key on doc
+        # id, not tbase) the orphan reaches the fineweb stage — 8/12
+        # short lines is 0.6667, a hair UNDER the 0.67 gate, while
+        # 9/13 = 0.692 keeps every variant on the drop side
+        fw_shorts = F.concat_ws(
+            "\n",
+            *[
+                F.concat(F.lit(f"Alpha{k} beta{k} d"), fw_sid, F.lit(f" go{k}."))
+                for k in range(9)
+            ],
+        )
+        fw_spam = F.concat_ws("\n", *[F.lit(mod.FWP_SPAM_LINE)] * 5)
+        # same CASE precedence as _fwp_inner (mirrored by the p_*
+        # predicates below); plant classes that reach the minhash
+        # stage (lorem / short-lines) ride on the salted normal page
+        fw_inner_t = (
+            F.when(fw_tb % mod.FWP_LANG_MOD == mod.FWP_LANG_RES, F.lit(mod.FWP_FRENCH))
+            .when(
+                fw_tb % mod.FWP_GOPHER_MOD == mod.FWP_GOPHER_RES,
+                F.concat(F.lit("The a of and to is in it for doc "), fw_sid, F.lit(".")),
+            )
+            .when(
+                fw_tb % mod.FWP_REP_MOD == mod.FWP_REP_RES,
+                F.concat(fw_normal, F.lit("\n"), fw_spam),
+            )
+            .when(
+                fw_tb % mod.FWP_C4_MOD == mod.FWP_C4_RES,
+                F.concat(fw_normal, F.lit("\nSee also lorem ipsum text.")),
+            )
+            .when(
+                fw_tb % mod.FWP_FW_MOD == mod.FWP_FW_RES,
+                F.concat(fw_normal, F.lit("\n"), fw_shorts),
+            )
+            .otherwise(fw_normal)
+        )
+        # two-step select: doc_id must be a REAL column before the
+        # construction expressions reference it (a one-step select
+        # would make every reference a lateral alias — unresolvable
+        # inside the transform() lambdas)
+        def _fw_corpus():
+            return spark.range(nfw).select(F.col("id").alias("doc_id")).select(
+                "doc_id",
+                F.when(
+                    (fw_i % mod.FWP_DUP_MOD == mod.FWP_DUP_RES) & (fw_i > 0),
+                    F.concat(fw_inner_t, F.lit("\n" + mod.FWP_EXTRA_LINE)),
+                ).otherwise(fw_inner_t).alias("text"),
+                F.when(
+                    fw_i % mod.FWP_URL_MOD == mod.FWP_URL_RES,
+                    F.concat(F.lit("https://malware.bad.example/p/"), fw_i.cast("string")),
+                ).otherwise(
+                    F.concat(F.lit("https://site"), fw_i.cast("string"), F.lit(".example.org/a"))
+                ).alias("url"),
+            )
+        # effective inner-class predicates (CASE precedence order) as
+        # pure tbase arithmetic — construction facts
+        p_fr = F.pmod(fw_tb, F.lit(mod.FWP_LANG_MOD)) == mod.FWP_LANG_RES
+        p_short = ~p_fr & (F.pmod(fw_tb, F.lit(mod.FWP_GOPHER_MOD)) == mod.FWP_GOPHER_RES)
+        p_spam = ~p_fr & ~p_short & (F.pmod(fw_tb, F.lit(mod.FWP_REP_MOD)) == mod.FWP_REP_RES)
+        p_lorem = (
+            ~p_fr & ~p_short & ~p_spam
+            & (F.pmod(fw_tb, F.lit(mod.FWP_C4_MOD)) == mod.FWP_C4_RES)
+        )
+        p_shorts = (
+            ~p_fr & ~p_short & ~p_spam & ~p_lorem
+            & (F.pmod(fw_tb, F.lit(mod.FWP_FW_MOD)) == mod.FWP_FW_RES)
+        )
+        t0 = time.time()
+        try:
+            _fw_rdds_before = set(
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+            )
+            docs_fw = _fw_corpus()  # analysis inside the try: a plan
+            # error must record as this smoke's error, not kill bench
+            uf = url_filter(docs_fw, "doc_id", "url", blocked_domains=["bad.example"])
+            # repartition BEFORE the checkpoint: AQE coalesces the
+            # semi-join output to ~64MB targets (1-2 partitions at
+            # this corpus size), and the zero-shuffle per-row stages
+            # downstream (gopher_repetition especially) inherit that
+            # partitioning — measured 8x slower when serialized onto
+            # one core; one 120MB round-robin shuffle buys back full
+            # parallelism for every later stage
+            s1 = docs_fw.join(
+                uf.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+            ).select("doc_id", "text").repartition(32).localCheckpoint()
+            n1 = s1.count()
+            assert n1 == docs_fw.filter(fw_i % mod.FWP_URL_MOD != mod.FWP_URL_RES).count(), n1
+            s2 = s1.filter(lang_id("text") == "en")
+            n2 = s2.count()
+            assert n2 == n1 - s1.filter(p_fr).count(), (n1, n2)
+            rep = gopher_repetition(s2, "doc_id", "text")
+            s3 = s2.join(
+                rep.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+            ).localCheckpoint()
+            n3 = s3.count()
+            assert n3 == n2 - s2.filter(p_spam).count(), (n2, n3)
+            gk = gopher_rules(s3, "doc_id", "text", min_stopword_hits=1).filter("keep")
+            s4 = s3.join(gk.select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+            n4 = s4.count()
+            assert n4 == n3 - s3.filter(p_short).count(), (n3, n4)
+            # planted near-dup pairs removable iff BOTH members reached s4
+            s4ids = s4.select("doc_id")
+            fw_pairs = s4ids.filter(
+                (F.col("doc_id") % mod.FWP_DUP_MOD == mod.FWP_DUP_RES) & (F.col("doc_id") > 0)
+            ).join(
+                s4ids.select((F.col("doc_id") + 1).alias("doc_id")), "doc_id", "left_semi"
+            ).count()
+            mh = minhash_dedup_pairs(s4, "doc_id", "text", n=3, threshold=0.8)
+            comp = connected_components(
+                mh.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            )
+            s5 = s4.join(
+                comp.filter("node != component").select(F.col("node").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            ).localCheckpoint()
+            n5 = s5.count()
+            assert n5 == n4 - fw_pairs, (n4, n5, fw_pairs)
+            c4v = c4_filters(s5, "doc_id", "text", line_terminal_punct=False)
+            s6 = s5.join(
+                c4v.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+            )
+            n6 = s6.count()
+            assert n6 == n5 - s5.filter(p_lorem).count(), (n5, n6)
+            fwv = fineweb_filters(s6, "doc_id", "text")
+            s7 = s6.join(
+                fwv.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+            )
+            n7 = s7.count()
+            assert n7 == n6 - s6.filter(p_shorts).count(), (n6, n7)
+            red = s7.select(_fw_redact(F.col("text")).alias("text"))
+            n_bad = red.filter(
+                F.col("text").contains("@mail.example.com") | ~F.col("text").contains("<EMAIL>")
+            ).count()
+            assert n_bad == 0, n_bad
+            timings["fineweb_200k"] = round(time.time() - t0, 3)
+            print(
+                f"# fineweb_200k: {timings['fineweb_200k']}s "
+                f"({nfw} -> url {n1} -> lang {n2} -> rep {n3} -> gopher {n4} "
+                f"-> minhash {n5} -> c4 {n6} -> custom {n7}; redaction exact)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["fineweb_200k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# fineweb_200k: ERROR {errors['fineweb_200k']}", file=sys.stderr)
+        finally:
+            try:
+                _jm = spark.sparkContext._jsc.getPersistentRDDs()
+                for _rid in set(_jm.keySet().toArray()) - _fw_rdds_before:
+                    _jm.get(_rid).unpersist()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+
         # Duplicated-span detection at 1M docs: per-doc hash words are
         # ~unique 5-grams (vocab 99991, 12 words), every 41st doc gets
         # a shared 10-word phrase appended — exactly those docs must

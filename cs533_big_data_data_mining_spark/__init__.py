@@ -33,6 +33,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup_bipartite,
     minhash_dedup_pairs,
     paragraph_dedup,
+    paragraph_dedup_bipartite,
     remove_duplicated_spans,
     url_dedup,
     url_dedup_bipartite,
@@ -157,6 +158,7 @@ __all__ = [
     "bipartite_survivors",
     "ngram_jaccard_pairs",
     "paragraph_dedup",
+    "paragraph_dedup_bipartite",
     "simhash64",
     "simhash_neardup_pairs",
     "duplicated_spans",

@@ -788,6 +788,184 @@ def _refinedweb_main(argv: list[str]) -> int:
     return 0
 
 
+def _fineweb_main(argv: list[str]) -> int:
+    """``... fineweb -i docs.parquet -o outdir`` — the FineWeb-ordered
+    curation pipeline (Penedo 2024 §3) from a raw corpus to filtered,
+    PII-redacted training shards: URL filtering -> language ID ->
+    Gopher repetition removal -> Gopher quality rules -> MinHash
+    near-dup dedup -> C4 rules MINUS terminal_punct (§3.4) -> FineWeb
+    custom filters (§3.6) -> PII redaction. The CLI twin of the
+    ``fineweb_pipeline`` driver row; the ``refinedweb`` subcommand
+    offers the same operators in RefinedWeb's order."""
+    ap = argparse.ArgumentParser(
+        prog="cs533_big_data_data_mining_spark fineweb",
+        description="FineWeb-ordered curation: crawl -> filtered shards",
+    )
+    ap.add_argument("-i", "--input", required=True, help="documents parquet")
+    ap.add_argument("-o", "--output", required=True, help="output shard directory")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", default=None, help="enable stage-1 URL filtering on this column")
+    ap.add_argument(
+        "--blocked-domains", default=None,
+        help="comma-separated domain blocklist (needs --url-col)",
+    )
+    ap.add_argument("--url-kw", default=None, help="URL keyword weights 'casino=0.6,poker=0.6'")
+    ap.add_argument("--url-kw-max", type=float, default=1.0)
+    ap.add_argument(
+        "--lang", default="en",
+        help="keep documents whose marker-heuristic language ID equals this "
+        "code ('' disables the gate; FineWeb keeps English at a fastText "
+        "threshold — the heuristic here is the repo's n-gram-marker argmax)",
+    )
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--min-stopword-hits", type=int, default=2)
+    ap.add_argument("--skip-repetition", action="store_true")
+    ap.add_argument("--skip-gopher", action="store_true")
+    ap.add_argument("--skip-c4", action="store_true")
+    ap.add_argument("--skip-custom", action="store_true", help="skip the §3.6 custom filters")
+    ap.add_argument("--no-redact", action="store_true", help="skip PII redaction")
+    ap.add_argument("--ngram", type=int, default=3, help="near-dup shingle size")
+    ap.add_argument(
+        "--jaccard", type=float, default=0.8,
+        help="MinHash near-dup threshold (0 disables the stage)",
+    )
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--files-per-shard", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default=None, help="reliable-checkpoint directory")
+    ap.add_argument("--no-stage-counts", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.functions.text import lang_id, redact_pii
+    from cs533_big_data_data_mining_spark.operators.connected_components import (
+        connected_components,
+    )
+    from cs533_big_data_data_mining_spark.operators.dedup import minhash_dedup_pairs
+    from cs533_big_data_data_mining_spark.operators.packing import write_training_shards
+    from cs533_big_data_data_mining_spark.operators.quality import (
+        c4_filters,
+        fineweb_filters,
+        gopher_repetition,
+        gopher_rules,
+        url_filter,
+    )
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    if (args.blocked_domains or args.url_kw) and not args.url_col:
+        raise SystemExit("--blocked-domains / --url-kw need --url-col")
+    if args.url_kw_max <= 0:
+        raise SystemExit("--url-kw-max must be > 0")
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_fineweb_cli", master=args.master)
+    t0 = time.time()
+    idc, txc = args.id_col, args.text_col
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
+
+    def stage(name, frame, checkpoint=False):
+        # same contract as the refinedweb CLI: checkpoint the heavy
+        # boundaries (localCheckpoint, or durable checkpoint() under
+        # --checkpoint-dir); counts are one action each and can be
+        # skipped for the non-checkpointed stages
+        if checkpoint:
+            frame = (
+                frame.checkpoint(eager=True)
+                if args.checkpoint_dir
+                else frame.localCheckpoint()
+            )
+        if checkpoint or not args.no_stage_counts:
+            print(f"{name}: {frame.count()} docs ({time.time() - t0:.1f}s)", flush=True)
+        else:
+            print(f"{name}: (count skipped) ({time.time() - t0:.1f}s)", flush=True)
+        return frame
+
+    cur = stage("input", spark.read.parquet(args.input))
+    if args.blocked_domains or args.url_kw:
+        kw = None
+        if args.url_kw:
+            try:
+                kw = {
+                    k.strip(): float(v)
+                    for k, v in (p.split("=", 1) for p in args.url_kw.split(","))
+                }
+            except ValueError as exc:
+                raise SystemExit(
+                    f"--url-kw wants 'word=weight[,word=weight...]': {exc}"
+                ) from exc
+        bl = (
+            [d.strip() for d in args.blocked_domains.split(",") if d.strip()]
+            if args.blocked_domains
+            else None
+        )
+        uf = url_filter(
+            cur, idc, args.url_col,
+            blocked_domains=bl, keyword_weights=kw, max_keyword_score=args.url_kw_max,
+        )
+        cur = stage(
+            "url_filter",
+            cur.join(uf.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+        )
+    if args.lang:
+        cur = stage("lang_id", cur.filter(lang_id(txc) == args.lang))
+    if not args.skip_repetition:
+        rep = gopher_repetition(cur, idc, txc)
+        cur = stage(
+            "repetition",
+            cur.join(rep.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+            checkpoint=True,
+        )
+    if not args.skip_gopher:
+        g = gopher_rules(
+            cur, idc, txc,
+            min_words=args.min_words, min_stopword_hits=args.min_stopword_hits,
+        )
+        cur = stage(
+            "gopher",
+            cur.join(g.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+        )
+    if args.jaccard > 0:
+        pairs = minhash_dedup_pairs(cur, idc, txc, n=args.ngram, threshold=args.jaccard)
+        comp = connected_components(
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        drop = comp.filter("node != component").select(F.col("node").alias(idc))
+        cur = stage("minhash_dedup", cur.join(drop, idc, "left_anti"), checkpoint=True)
+    if not args.skip_c4:
+        c4 = c4_filters(cur, idc, txc, line_terminal_punct=False)
+        cur = stage(
+            "c4_minus_terminal_punct",
+            cur.drop(txc).join(
+                c4.filter("keep").select(F.col("id").alias(idc), F.col("clean").alias(txc)),
+                idc,
+            ),
+        )
+    if not args.skip_custom:
+        fw = fineweb_filters(cur, idc, txc)
+        cur = stage(
+            "fineweb_custom",
+            cur.join(fw.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+        )
+    if not args.no_redact:
+        cur = cur.withColumn(txc, redact_pii(F.col(txc)))
+    write_training_shards(
+        cur, args.output, idc, args.shards,
+        seed=args.seed + 1, mode="overwrite", files_per_shard=args.files_per_shard,
+    )
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        f"wrote {n_out} docs into {args.shards} shards "
+        f"x {args.files_per_shard} files at {args.output} ({time.time() - t0:.1f}s)"
+    )
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def _ingest_shard_main(argv: list[str]) -> int:
     """``... ingest-shard -i new.parquet --history admitted.parquet -o out``
     — incremental admission of ONE shard against an immutable
@@ -976,6 +1154,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "refinedweb":
         return _refinedweb_main(argv[1:])
+    if argv and argv[0] == "fineweb":
+        return _fineweb_main(argv[1:])
     if argv and argv[0] == "ingest-shard":
         return _ingest_shard_main(argv[1:])
     if argv and argv[0] == "curate":
@@ -993,8 +1173,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",
-        epilog="data-pipeline subcommands: refinedweb ingest-shard curate mix "
-        "chunk pack score classify (run '<subcommand> --help' for each)",
+        epilog="data-pipeline subcommands: refinedweb fineweb ingest-shard curate "
+        "mix chunk pack score classify (run '<subcommand> --help' for each)",
     )
     ap.add_argument("-i", "--input", required=True, help="input file (.bin with -b, else parquet)")
     ap.add_argument("-b", "--binary", action="store_true", help="input is the reference's .bin format")

@@ -1063,3 +1063,90 @@ def paragraph_dedup(
             .alias("n_kept"),
         )
     )
+
+
+def paragraph_dedup_bipartite(
+    history: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_within_new: bool = True,
+    out_col: str = "clean",
+) -> DataFrame:
+    """Incremental :func:`paragraph_dedup`: paragraphs of NEW-shard
+    documents that already occur anywhere in the immutable HISTORY
+    corpus are excised (the history is never rewritten — its copies
+    are the survivors, matching ``exact_dedup_bipartite`` semantics);
+    with ``dedup_within_new`` the remaining new paragraphs then
+    dedup keep-first among THEMSELVES (the daily-ingest spelling of
+    CCNet's corpus-wide keep_first: history first, then (id, pos)
+    order within the shard). Returns ``(id, clean, n_paras,
+    n_kept)`` for every NEW row, the :func:`paragraph_dedup` output
+    contract.
+
+    Scale shape: the history contributes ONE distinct-key aggregate
+    (its 16-byte normalized-paragraph MD5s — never the text), built
+    once and reusable across shard cycles (persist the distinct-hash
+    frame like the Bloom/minhash history artifacts); the new shard
+    pays one anti-join against it plus (optionally) the
+    :func:`paragraph_dedup` aggregation over its own — shard-sized —
+    paragraph stream. Nothing history-sized is ever re-shuffled per
+    cycle beyond the distinct-hash build.
+    """
+    hist_keys = (
+        history.select(
+            F.posexplode(
+                F.filter(
+                    F.transform(F.split(text_col, r"\n"), lambda x: F.trim(x)),
+                    lambda x: x != "",
+                )
+            ).alias("pos", "para")
+        )
+        .select(F.md5(F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")).alias("__k"))
+        .distinct()
+    )
+    base = new.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    paras_arr = F.filter(F.transform(F.split("__text", r"\n"), lambda x: F.trim(x)), lambda x: x != "")
+    ex = base.select("id", F.posexplode(paras_arr).alias("pos", "para"))
+    keyed = ex.select(
+        "id", "pos", "para",
+        F.md5(F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")).alias("__k"),
+    )
+    fresh = keyed.join(hist_keys, "__k", "left_anti")
+    if dedup_within_new:
+        firsts = fresh.groupBy("__k").agg(F.min(F.struct("id", "pos")).alias("__f"))
+        kept = (
+            fresh.join(firsts, "__k")
+            .filter((F.col("id") == F.col("__f.id")) & (F.col("pos") == F.col("__f.pos")))
+            .drop("__f")
+        )
+    else:
+        kept = fresh
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
+            ),
+            "\n",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    isnull = F.col("__text").isNull()
+    return (
+        base.select("id", isnull.alias("__null"), F.size(paras_arr).alias("__n_paras"))
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("__null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("__clean", F.lit("")))
+            .alias(out_col),
+            F.when(F.col("__null"), F.lit(None))
+            .otherwise(F.col("__n_paras"))
+            .cast("long")
+            .alias("n_paras"),
+            F.when(F.col("__null"), F.lit(None))
+            .otherwise(F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -1528,3 +1528,48 @@ def test_line_trim_is_whitespace_not_index_chars(spark):
     pd_out = paragraph_dedup(df, "doc_id", "text").collect()[0]
     assert pd_out["n_paras"] == 2
     assert pd_out["clean"] == "0 zeros at the edges 0\npadded line"
+
+
+def test_cli_fineweb_preset(spark, tmp_path):
+    """The fineweb subcommand end-to-end on a planted corpus: one
+    failure class per stage (blocked URL, French page, repeated spam
+    lines, under-min-words, near-dup pair, lorem-ipsum page,
+    short-lines page) — only the clean doc and the near-dup pair's
+    min-id member survive, and the survivor's email is redacted."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "fwp_docs.parquet")
+    out = str(tmp_path / "fwp_out")
+    base = (
+        "Document opener is in the same clear style and the words end properly."
+        " It truly does so with a good number of the usual words in it."
+        " Contact admin@site.example now for more of the story and a thing."
+        "\nA second long line of the corpus follows here and also ends with a stop."
+        "\nThe third line is in the same style and of the same length today."
+    )
+    rows = [
+        (1, base, "https://ok.example.org/a"),                       # kept
+        (2, base + " tiny extra words.", "https://bad.example/x"),   # URL blocked
+        (3, "le chat est sur la table et les oiseaux chantent la.\n"
+            "une des raisons est que le temps est doux et les amis.",
+         "https://ok.example.org/b"),                                # French
+        (4, base + ("\nRepeat this spam line now." * 1).join(["\nRepeat spam."] * 6),
+         "https://ok.example.org/c"),                                # dup lines
+        (5, "The a of and to is in it.", "https://ok.example.org/d"),  # short (gopher)
+        (6, base + "\nExtra trailing words appended here now today.",
+         "https://ok.example.org/e"),                                # near-dup of 1
+        (7, base + "\nSee also lorem ipsum text.", "https://ok.example.org/f"),  # c4
+        (8, base + "\n" + "\n".join(f"Alpha{k} beta{k} go{k}." for k in range(12)),
+         "https://ok.example.org/g"),                                # short lines
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(src)
+    rc = main([
+        "fineweb", "-i", src, "-o", out,
+        "--url-col", "url", "--blocked-domains", "bad.example",
+        "--min-words", "30", "--shards", "1",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in got} == {1}
+    text = got[0]["text"]
+    assert "admin@site.example" not in text and "<EMAIL>" in text

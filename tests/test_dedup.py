@@ -686,3 +686,41 @@ def test_paragraph_dedup_bad_mode(spark):
 
     with _pytest.raises(ValueError):
         paragraph_dedup(_pd_corpus(spark), "doc_id", "text", mode="nope")
+
+
+def test_paragraph_dedup_bipartite(spark):
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        paragraph_dedup_bipartite,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, "old news\nshared block"), (101, "other old\nSHARED   BLOCK")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "fresh one\nshared block\nnew dup"),   # loses hist-shared, keeps new dup (first)
+            (2, "new dup\nfresh two"),                 # loses new dup to doc 1 pos 2? no: (1,2) < (2,0)
+            (3, None),
+            (4, "shared block"),                       # everything removed
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["clean"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup_bipartite(hist, new, "doc_id", "text").collect()
+    }
+    assert got[1] == ("fresh one\nnew dup", 3, 2)
+    assert got[2] == ("fresh two", 2, 1)
+    assert got[3] == (None, None, None)
+    assert got[4] == ("", 1, 0)
+
+    # history untouched by construction; without within-new dedup the
+    # 'new dup' copy in doc 2 survives
+    got2 = {
+        r["id"]: r["clean"]
+        for r in paragraph_dedup_bipartite(
+            hist, new, "doc_id", "text", dedup_within_new=False
+        ).collect()
+    }
+    assert got2[2] == "new dup\nfresh two"

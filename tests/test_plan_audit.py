@@ -76,6 +76,7 @@ def test_audit_sweep_over_query_surface(spark):
         "decontaminate", "asof_purchase_click", "redact_pii", "multimodal_meta",
         "multimodal_frames", "sessionize", "stream_windowed_counts",
         "dedup_ngram_jaccard", "dedup_minhash", "dedup_minhash_2t",
+        "paragraph_dedup",
     ]
     for name in lazy:
         df = qs[name](spark, SF_DIR)
