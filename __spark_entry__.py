@@ -1908,6 +1908,44 @@ def _q_lsh_route_eq(spark, sf_dir):
     return lsh_neardup_pairs(planted, LSH_EQ_T)
 
 
+BCAP_DUP_MOD = 10  # every 10th doc copies its predecessor's page
+BCAP_TPL = " ".join(f"tplword{k} common{k}" for k in range(12))  # 24 words
+
+
+def _q_lsh_bucket_cap_eq(spark, sf_dir):
+    # max_bucket_size guard equivalence (round 9): every constructed
+    # page shares a 24-word boilerplate template, so band minima are
+    # frequently all-template and the (band, bhash) buckets
+    # oversubscribe — the exact pathology the guard exists for. The
+    # planted pairs are byte-identical copies (doc i copies i-1 when
+    # i % 10 == 0), which also collide on bands whose minima include
+    # their OWN unique words (bucket size 2, survives any cap), so
+    # the capped verified pair set is EXACTLY the planted set with
+    # jaccard 1.0: unrelated docs top out at J ~ 0.6 < 0.9 threshold,
+    # and a planted pair is lost only if all 16 of its bands drew
+    # all-template minima (p ~ 0.29^16). The oracle replays the
+    # construction arithmetic.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    tb = i - F.when((i % BCAP_DUP_MOD == 0) & (i > 0), 1).otherwise(0)
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("u"), tb.cast("string"), F.lit(f"x{k}"))
+            for k in range(8)
+        ],
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.lit(BCAP_TPL + " "), uniq).alias("text")
+    )
+    return minhash_dedup_pairs(
+        planted, "doc_id", "text", threshold=0.9, max_bucket_size=32
+    ).select("a", "b", "jaccard")
+
+
 def _q_clean_text(spark, sf_dir):
     # C4-style normalization: HTML tags/URLs injected around every
     # document must vanish, whitespace runs collapse, text lowercases
@@ -3290,6 +3328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_sources": _q_sample_sources,
         "quantile_filter_by": _q_quantile_filter_by,
         "lsh_route_eq": _q_lsh_route_eq,
+        # lsh_bucket_cap_eq: NEW — max_bucket_size boilerplate guard
+        # keeps exact recall on planted byte-identical pairs
+        "lsh_bucket_cap_eq": _q_lsh_bucket_cap_eq,
         "boilerplate_lines": _q_boilerplate_lines,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "chunk_documents": _q_chunk_documents,
@@ -5242,6 +5283,16 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE round({_dot_sql('a.v', 'b.v')}
                         / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6) >= {LSH_EQ_T}
+        """,
+        # lsh_bucket_cap_eq: the capped pair set is exactly the
+        # planted byte-identical copies (construction-derived — see
+        # _q_lsh_bucket_cap_eq for the recall/precision argument)
+        "lsh_bucket_cap_eq": f"""
+            SELECT CAST(doc_id - 1 AS BIGINT) AS a,
+                   CAST(doc_id AS BIGINT) AS b,
+                   1.0 AS jaccard
+            FROM documents
+            WHERE doc_id % {BCAP_DUP_MOD} = 0 AND doc_id > 0
         """,
         "sketch_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),

@@ -542,6 +542,10 @@ def _refinedweb_main(argv: list[str]) -> int:
         help="MinHash near-dup threshold (0 disables the stage)",
     )
     ap.add_argument(
+        "--max-bucket-size", type=int, default=None,
+        help="drop LSH band buckets larger than this (boilerplate guard)",
+    )
+    ap.add_argument(
         "--spans-k", type=int, default=0,
         help="duplicated-span removal k-gram width (0 disables; Lee 2022 uses "
         "a 50-token floor via --min-span-tokens)",
@@ -732,7 +736,10 @@ def _refinedweb_main(argv: list[str]) -> int:
         )
     cur = stage("exact_dedup", exact_dedup(cur, idc, txc), checkpoint=True)
     if args.jaccard > 0:
-        pairs = minhash_dedup_pairs(cur, idc, txc, n=args.ngram, threshold=args.jaccard)
+        pairs = minhash_dedup_pairs(
+            cur, idc, txc, n=args.ngram, threshold=args.jaccard,
+            max_bucket_size=args.max_bucket_size,
+        )
         comp = connected_components(
             pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         )
@@ -829,6 +836,10 @@ def _fineweb_main(argv: list[str]) -> int:
     ap.add_argument(
         "--jaccard", type=float, default=0.8,
         help="MinHash near-dup threshold (0 disables the stage)",
+    )
+    ap.add_argument(
+        "--max-bucket-size", type=int, default=None,
+        help="drop LSH band buckets larger than this (boilerplate guard)",
     )
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--files-per-shard", type=int, default=1)
@@ -929,7 +940,10 @@ def _fineweb_main(argv: list[str]) -> int:
             cur.join(g.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
         )
     if args.jaccard > 0:
-        pairs = minhash_dedup_pairs(cur, idc, txc, n=args.ngram, threshold=args.jaccard)
+        pairs = minhash_dedup_pairs(
+            cur, idc, txc, n=args.ngram, threshold=args.jaccard,
+            max_bucket_size=args.max_bucket_size,
+        )
         comp = connected_components(
             pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         )
@@ -993,6 +1007,10 @@ def _ingest_shard_main(argv: list[str]) -> int:
     ap.add_argument(
         "--jaccard", type=float, default=0.8,
         help="MinHash near-dup threshold (0 disables the stage)",
+    )
+    ap.add_argument(
+        "--max-bucket-size", type=int, default=None,
+        help="drop LSH band buckets larger than this (boilerplate guard)",
     )
     ap.add_argument(
         "--embeddings", default=None,
@@ -1065,9 +1083,13 @@ def _ingest_shard_main(argv: list[str]) -> int:
         # closure, the stage count, and the final write all read one
         # MinHash evaluation; this CLI owns releasing them after the
         # write consumes the plan
-        nn = minhash_dedup_pairs(cur, idc, txc, n=args.ngram, threshold=args.jaccard)
+        nn = minhash_dedup_pairs(
+            cur, idc, txc, n=args.ngram, threshold=args.jaccard,
+            max_bucket_size=args.max_bucket_size,
+        )
         nh = minhash_dedup_pairs_bipartite(
-            cur, hist, idc, txc, n=args.ngram, threshold=args.jaccard
+            cur, hist, idc, txc, n=args.ngram, threshold=args.jaccard,
+            max_bucket_size=args.max_bucket_size,
         )
         to_release += [nn, nh]
         keep_m = bipartite_survivors(cur.select(F.col(idc).alias("id")), nn, nh).select(

@@ -368,7 +368,36 @@ def minhash_signatures(
     )
 
 
-def _lsh_candidates_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _drop_hot_buckets(bucketed: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Drop (band, bhash) buckets with more than ``max_bucket_size``
+    members before the band self-/cross-join.
+
+    A bucket of m members emits O(m^2) candidate pairs, each paying
+    an exact-Jaccard verification — shared BOILERPLATE is the
+    classic trigger (when a template's shingles supply the minimum
+    for a whole band, every document lands in one universal bucket;
+    measured: a 200k-doc corpus with a ~30-shingle shared template
+    put ~p^r = 0.8% of docs in ONE bucket PER BAND — tens of
+    millions of verifications for zero true pairs). Recall note: a
+    pair is lost only if EVERY band it collides on is oversubscribed;
+    a genuinely near-duplicate pair (J >= t) also collides on bands
+    whose minima include document-specific shingles, and those
+    buckets stay tiny — so at dedup thresholds the planted-pair
+    recall stays 1 (pinned by tests + the lsh_bucket_cap_eq row).
+    The hot-bucket list is tiny by construction (at most
+    N*bands/cap entries), hence the broadcast anti-join."""
+    hot = (
+        bucketed.groupBy("band", "bhash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_bucket_size)
+        .select("band", "bhash")
+    )
+    return bucketed.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
+
+
+def _lsh_candidates_from_sigs(
+    sigs: DataFrame, num_hashes: int, bands: int, max_bucket_size: int | None = None
+) -> DataFrame:
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -386,6 +415,8 @@ def _lsh_candidates_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> D
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bhash")
+    if max_bucket_size:
+        bucketed = _drop_hot_buckets(bucketed, max_bucket_size)
     l, rt = bucketed.alias("l"), bucketed.alias("r")
     return (
         l.join(
@@ -406,13 +437,20 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(a, b)``: docs agreeing on at least
     one LSH band (rows-per-band = num_hashes/bands). For threshold t,
     P[candidate] ≈ 1-(1-t^r)^b — with 64/16x4, t=0.5 catches ~66%,
-    t=0.7 ~99%. Distinct equi-join keys only; no quadratic work."""
+    t=0.7 ~99%. Distinct equi-join keys only; no quadratic work.
+    ``max_bucket_size`` drops oversubscribed band buckets before the
+    join (boilerplate-template guard — see
+    :func:`_drop_hot_buckets`)."""
     return _lsh_candidates_from_sigs(
-        minhash_signatures(df, id_col, text_col, n, num_hashes), num_hashes, bands
+        minhash_signatures(df, id_col, text_col, n, num_hashes),
+        num_hashes,
+        bands,
+        max_bucket_size,
     )
 
 
@@ -438,9 +476,13 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     caches: list | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (candidate set only,
     so verification cost is linear in candidates, not N^2).
+    ``max_bucket_size`` (optional) drops oversubscribed band buckets
+    before the candidate join — the boilerplate-template guard; see
+    :func:`_drop_hot_buckets` for the recall contract.
 
     The (id, shingle) index is built ONCE and cached: signatures,
     intersection counts, and sizes all read the same materialized
@@ -455,7 +497,9 @@ def minhash_dedup_pairs(
     sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None).cache()
     if caches is not None:
         caches.append(sh)
-    cands = _lsh_candidates_from_sigs(_signatures_from_index(sh, num_hashes), num_hashes, bands)
+    cands = _lsh_candidates_from_sigs(
+        _signatures_from_index(sh, num_hashes), num_hashes, bands, max_bucket_size
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     # intersections recomputed only for candidate pairs (linear in
@@ -496,11 +540,15 @@ def minhash_dedup_pairs_bipartite(
     bands: int = 16,
     threshold: float = 0.5,
     caches: list | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs ``(a, b, jaccard)`` BETWEEN two corpora (a from
     ``left``, b from ``right``) — incremental dedup: check a new crawl
     shard against the historical corpus without re-pairing the
-    history against itself.
+    history against itself. ``max_bucket_size`` caps a band bucket's
+    COMBINED membership across the two sides (the cross-join output
+    of a bucket is |L|x|R|, so the guard keys on the union count —
+    :func:`_drop_hot_buckets` contract).
 
     Same candidates-then-verify shape as ``minhash_dedup_pairs``: both
     sides get signatures from the same seeded hash family (so equal
@@ -542,8 +590,21 @@ def minhash_dedup_pairs_bipartite(
             ).alias("bk"),
         ).select("id", "bk.band", "bk.bhash")
 
-    bl = banded(_signatures_from_index(shl, num_hashes)).alias("l")
-    br = banded(_signatures_from_index(shr, num_hashes)).alias("r")
+    bl = banded(_signatures_from_index(shl, num_hashes))
+    br = banded(_signatures_from_index(shr, num_hashes))
+    if max_bucket_size:
+        # combined membership: a bucket hot on EITHER side (or jointly)
+        # explodes the cross join, so the census spans both tables
+        combined = bl.unionByName(br)
+        hot = (
+            combined.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > max_bucket_size)
+            .select("band", "bhash")
+        )
+        bl = bl.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
+        br = br.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
+    bl, br = bl.alias("l"), br.alias("r")
     cands = (
         bl.join(
             br,

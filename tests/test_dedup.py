@@ -724,3 +724,68 @@ def test_paragraph_dedup_bipartite(spark):
         ).collect()
     }
     assert got2[2] == "new dup\nfresh two"
+
+
+def _boilerplate_corpus(n=240, tpl_words=24, uniq_words=8):
+    """Every doc shares a long boilerplate template (universal band
+    minima -> mega buckets) plus a few doc-specific words; every 10th
+    doc is an exact copy of its predecessor (the planted pair)."""
+    tpl = " ".join(f"tplword{k} common{k}" for k in range(tpl_words // 2))
+    docs = []
+    for i in range(n):
+        base = i - 1 if (i % 10 == 0 and i > 0) else i
+        uniq = " ".join(f"u{base}x{k}" for k in range(uniq_words))
+        docs.append((i, f"{tpl} {uniq}"))
+    return docs
+
+
+def test_lsh_bucket_cap_preserves_planted_pairs(spark):
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = _boilerplate_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    planted = {(i - 1, i) for i in range(1, len(docs)) if i % 10 == 0}
+
+    free = {(r["a"], r["b"]) for r in minhash_lsh_candidates(df, "doc_id", "text").collect()}
+    capped = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(df, "doc_id", "text", max_bucket_size=8).collect()
+    }
+    # the guard must actually bite (mega buckets produced excess
+    # candidates) AND keep every planted pair (identical docs collide
+    # on bands whose minima are their own unique words -> tiny bucket)
+    assert len(capped) < len(free), (len(capped), len(free))
+    assert planted <= capped, planted - capped
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", threshold=0.9, max_bucket_size=8
+        ).collect()
+    }
+    assert set(got) == planted
+    assert all(abs(j - 1.0) < 1e-9 for j in got.values())
+
+
+def test_lsh_bucket_cap_bipartite(spark):
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        minhash_dedup_pairs_bipartite,
+    )
+
+    docs = _boilerplate_corpus()
+    # history = even ids, new shard = odd ids; the planted pair
+    # (i-1, i) with i % 10 == 0 spans the two corpora (i even)
+    hist = spark.createDataFrame([d for d in docs if d[0] % 2 == 0], "doc_id long, text string")
+    new = spark.createDataFrame([d for d in docs if d[0] % 2 == 1], "doc_id long, text string")
+    planted = {(i - 1, i) for i in range(1, len(docs)) if i % 10 == 0}
+
+    got = {
+        (r["a"], r["b"])  # a = i-1 from new (odd), b = i from hist (even)
+        for r in minhash_dedup_pairs_bipartite(
+            new, hist, "doc_id", "text", threshold=0.9, max_bucket_size=8
+        ).collect()
+    }
+    assert got == planted, (got, planted)
