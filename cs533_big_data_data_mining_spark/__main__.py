@@ -583,6 +583,14 @@ def _refinedweb_main(argv: list[str]) -> int:
         "scale); checkpoint boundaries still report counts (they "
         "materialize anyway)",
     )
+    ap.add_argument(
+        "--repartition", type=int, default=None,
+        help="repartition the input to this many partitions before the "
+        "pipeline: parquet file splits decide the initial parallelism, "
+        "and the zero-shuffle per-row stages (repetition/gopher/C4) "
+        "inherit it — a single ~128MB input file would serialize them "
+        "onto one core",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if (args.target is None) != (args.select_k is None):
@@ -648,6 +656,8 @@ def _refinedweb_main(argv: list[str]) -> int:
             print(f"{name}: (count skipped) ({time.time() - t0:.1f}s)", flush=True)
         return frame
 
+    if args.repartition:
+        docs = docs.repartition(args.repartition)
     cur = stage("input", docs)
     if args.blocked_domains or args.url_kw:
         kw = None
@@ -846,6 +856,12 @@ def _fineweb_main(argv: list[str]) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default=None, help="reliable-checkpoint directory")
     ap.add_argument("--no-stage-counts", action="store_true")
+    ap.add_argument(
+        "--repartition", type=int, default=None,
+        help="repartition the input before the pipeline (see the "
+        "refinedweb flag: parquet splits decide zero-shuffle stage "
+        "parallelism)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -895,7 +911,10 @@ def _fineweb_main(argv: list[str]) -> int:
             print(f"{name}: (count skipped) ({time.time() - t0:.1f}s)", flush=True)
         return frame
 
-    cur = stage("input", spark.read.parquet(args.input))
+    docs_in = spark.read.parquet(args.input)
+    if args.repartition:
+        docs_in = docs_in.repartition(args.repartition)
+    cur = stage("input", docs_in)
     if args.blocked_domains or args.url_kw:
         kw = None
         if args.url_kw:
