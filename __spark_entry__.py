@@ -1908,6 +1908,54 @@ def _q_lsh_route_eq(spark, sf_dir):
     return lsh_neardup_pairs(planted, LSH_EQ_T)
 
 
+CR_MOD = 3  # compression_ratio plant: 0 spam, 1 base36 prose, 2 null
+CR_SPAM = "repeat this exact spam line again and again " * 40
+CR_GATE = 0.25
+
+
+def _q_compression_ratio(spark, sf_dir):
+    # zlib compressibility scorer: the RATIO itself is a zlib-build
+    # detail, so the oracle checks the construction-derived CLASS flag
+    # (planted spam pages land ~0.04, 120-word base36 pages ~0.67 —
+    # >6x margins around the 0.25 gate on either side) plus the exact
+    # byte counts, which ARE pure functions of the construction
+    # (ASCII: chars == bytes).
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.quality import compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    spam = F.concat(F.lit(CR_SPAM), F.lit("doc "), i.cast("string"))
+    words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(120)),
+            lambda j: F.conv(
+                (F.pmod(F.xxhash64(i, j), F.lit(45360)) + 1296).cast("string"), 10, 36
+            ),
+        ),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(i % CR_MOD == 0, spam)
+        .when(i % CR_MOD == 1, words)
+        .otherwise(F.lit(None).cast("string"))
+        .alias("text"),
+    )
+    cr = compression_ratio(planted, "doc_id", "text")
+    return cr.select(
+        "id",
+        "n_bytes",
+        # int 1/0/NULL, not boolean: a nullable bool crosses the
+        # pandas bridge as object None on the Spark side but NaN from
+        # DuckDB, and the comparator's string canon treats those as
+        # different values; numeric nulls land as NaN on both sides
+        F.when(F.col("ratio").isNotNull(), (F.col("ratio") < CR_GATE).cast("int")).alias(
+            "compressible"
+        ),
+    )
+
+
 BCAP_DUP_MOD = 10  # every 10th doc copies its predecessor's page
 BCAP_TPL = " ".join(f"tplword{k} common{k}" for k in range(12))  # 24 words
 
@@ -3331,6 +3379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lsh_bucket_cap_eq: NEW — max_bucket_size boilerplate guard
         # keeps exact recall on planted byte-identical pairs
         "lsh_bucket_cap_eq": _q_lsh_bucket_cap_eq,
+        # compression_ratio: NEW — zlib compressibility scorer
+        # (construction-derived class flags + exact byte counts)
+        "compression_ratio": _q_compression_ratio,
         "boilerplate_lines": _q_boilerplate_lines,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "chunk_documents": _q_chunk_documents,
@@ -5283,6 +5334,20 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             FROM emb a JOIN emb b ON a.vec_id < b.vec_id
             WHERE round({_dot_sql('a.v', 'b.v')}
                         / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6) >= {LSH_EQ_T}
+        """,
+        # compression_ratio: byte counts replay the construction
+        # exactly (ASCII), the compressibility flag replays the class
+        # arithmetic (>6x zlib-ratio margins either side of the gate)
+        "compression_ratio": f"""
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   CAST(CASE WHEN doc_id % {CR_MOD} = 0
+                             THEN {len(CR_SPAM) + 4} + length(CAST(doc_id AS VARCHAR))
+                             WHEN doc_id % {CR_MOD} = 1 THEN 479
+                             ELSE NULL END AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN doc_id % {CR_MOD} = 0 THEN 1
+                             WHEN doc_id % {CR_MOD} = 1 THEN 0
+                             ELSE NULL END AS INTEGER) AS compressible
+            FROM documents
         """,
         # lsh_bucket_cap_eq: the capped pair set is exactly the
         # planted byte-identical copies (construction-derived — see

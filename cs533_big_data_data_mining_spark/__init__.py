@@ -75,6 +75,7 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     dsir_logratio,
     dsir_resample,
     c4_filters,
+    compression_ratio,
     fineweb_filters,
     gopher_repetition,
     gopher_rules,
@@ -148,6 +149,7 @@ __all__ = [
     "gopher_rules",
     "gopher_repetition",
     "c4_filters",
+    "compression_ratio",
     "fineweb_filters",
     "dsir_logratio",
     "dsir_resample",

@@ -1639,3 +1639,76 @@ def temperature_weights(
     raw = {s: (n / total) ** (1.0 / t) for s, n in counts.items()}
     z = sum(raw.values())
     return {s: raw[s] / z for s in raw}
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+    batch_rows: int = 2048,
+) -> DataFrame:
+    """Per-document zlib compressibility — ``(id, n_bytes,
+    n_compressed, ratio)`` with ``ratio = n_compressed / n_bytes``
+    rounded to 6 dp.
+
+    The cheap repetition/boilerplate signal several public pipelines
+    gate on (templated or spammy pages compress far below natural
+    prose, which lands ~0.3-0.7 at DEFLATE level 6; machine-generated
+    keyword stuffing lands under ~0.2). Consumers typically gate with
+    :func:`quantile_filter` or a fixed band rather than a hard
+    universal threshold — absolute ratios drift with document length
+    (DEFLATE's 32 KB window) and alphabet.
+
+    Null text -> all three metrics null; empty text -> ``n_bytes`` 0
+    with null ratio (no denominator). UTF-8 byte counts, not chars.
+
+    Scale shape: Arrow-batched ``mapInPandas``, ZERO shuffle, no
+    distributed state — text crosses JVM->Python once per batch and
+    zlib runs at C speed (~100 MB/s/core); ``batch_rows`` bounds the
+    per-worker slice. This is one of the few operators where Python
+    is the right call: DEFLATE is not expressible as Column algebra,
+    and the per-row work (compress + two lengths) amortizes the Arrow
+    transfer. Determinism: zlib output LENGTH at a fixed level is
+    stable for a given input on a given zlib build; oracle rows
+    therefore check construction-derived CLASS flags with >3x margins
+    (and exact n_bytes), never raw compressed sizes.
+    """
+    import zlib  # noqa: PLC0415 — stdlib, keep module import light
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level must be in [0, 9] (got {level})")
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t")
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                nb, nc, ratio = [], [], []
+                for t in chunk["__t"]:
+                    if t is None:
+                        nb.append(None), nc.append(None), ratio.append(None)
+                        continue
+                    raw = t.encode("utf-8")
+                    comp = len(zlib.compress(raw, level))
+                    nb.append(len(raw))
+                    nc.append(comp)
+                    ratio.append(round(comp / len(raw), 6) if raw else None)
+                yield pd.DataFrame(
+                    {
+                        "id": chunk["id"].to_numpy(),
+                        "n_bytes": pd.array(nb, dtype="Int64"),
+                        "n_compressed": pd.array(nc, dtype="Int64"),
+                        "ratio": pd.array(ratio, dtype="Float64"),
+                    }
+                )
+
+    return src.mapInPandas(
+        kernel, schema="id long, n_bytes long, n_compressed long, ratio double"
+    )

@@ -1573,3 +1573,37 @@ def test_cli_fineweb_preset(spark, tmp_path):
     assert {r["doc_id"] for r in got} == {1}
     text = got[0]["text"]
     assert "admin@site.example" not in text and "<EMAIL>" in text
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from cs533_big_data_data_mining_spark.operators.quality import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (0, "repeat this exact spam line again and again " * 40),
+            (1, "a perfectly ordinary sentence with varied natural word choices here"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in compression_ratio(docs, "doc_id", "text").collect()}
+    # exact replay of the kernel's arithmetic
+    for i, txt in [(0, "repeat this exact spam line again and again " * 40),
+                   (1, "a perfectly ordinary sentence with varied natural word choices here")]:
+        raw = txt.encode("utf-8")
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["n_compressed"] == len(zlib.compress(raw, 6))
+        assert abs(got[i]["ratio"] - round(len(zlib.compress(raw, 6)) / len(raw), 6)) < 1e-12
+    # repetitive text compresses far below short natural prose
+    assert got[0]["ratio"] < 0.1 < got[1]["ratio"]
+    # null text -> null metrics; empty text -> 0 bytes, null ratio
+    assert got[2]["n_bytes"] is None and got[2]["ratio"] is None
+    assert got[3]["n_bytes"] == 0 and got[3]["ratio"] is None and got[3]["n_compressed"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compression_ratio(docs, "doc_id", "text", level=11)
