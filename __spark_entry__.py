@@ -3299,6 +3299,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paragraph_dedup_bi: NEW — the incremental shard-vs-history
         # twin (history immutable, then keep_first within the shard)
         "paragraph_dedup_bi": _q_paragraph_dedup_bi,
+        # lsh_bucket_cap_eq: NEW — max_bucket_size boilerplate guard
+        # keeps exact recall on planted byte-identical pairs
+        "lsh_bucket_cap_eq": _q_lsh_bucket_cap_eq,
+        # compression_ratio: NEW — zlib compressibility scorer
+        # (construction-derived class flags + exact byte counts)
+        "compression_ratio": _q_compression_ratio,
         # semdedup_bi: NEW — incremental SemDeDup vs immutable history
         "semdedup_bi": _q_semdedup_bi,
         # dsir_bigk_eq: NEW — forces the k>driver_k_limit threshold
@@ -3376,12 +3382,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_sources": _q_sample_sources,
         "quantile_filter_by": _q_quantile_filter_by,
         "lsh_route_eq": _q_lsh_route_eq,
-        # lsh_bucket_cap_eq: NEW — max_bucket_size boilerplate guard
-        # keeps exact recall on planted byte-identical pairs
-        "lsh_bucket_cap_eq": _q_lsh_bucket_cap_eq,
-        # compression_ratio: NEW — zlib compressibility scorer
-        # (construction-derived class flags + exact byte counts)
-        "compression_ratio": _q_compression_ratio,
         "boilerplate_lines": _q_boilerplate_lines,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "chunk_documents": _q_chunk_documents,
