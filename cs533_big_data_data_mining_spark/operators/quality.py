@@ -815,6 +815,7 @@ def gopher_repetition(
     max_dup_para_char_frac: float = 0.20,
     max_top_ngram_char_frac: tuple[float, float, float] = (0.20, 0.18, 0.16),
     max_dup_ngram_char_frac: tuple[float, ...] = (0.15, 0.14, 0.13, 0.12, 0.11, 0.10),
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher REPETITION removal (Rae et al. 2021 A1.2 — the second
     half of the Gopher quality bundle, reused verbatim by RefinedWeb;
@@ -847,6 +848,11 @@ def gopher_repetition(
     contract); a rule whose signal is null (no lines, < n tokens)
     passes vacuously.
 
+    ``carry`` names extra input columns to pass through untouched —
+    the verdict frame then needs no join back to the source, which is
+    what lets the STREAMING ingest path apply this operator
+    stateless (every signal is per-row; see ``streaming/curate.py``).
+
     Scale shape: ZERO shuffle — every signal aggregates strictly
     within one document, so the corpus is scanned once, tokenized
     once (the token array is a materialized column every gram stream
@@ -867,10 +873,26 @@ def gopher_repetition(
     from cs533_big_data_data_mining_spark.functions.text import tokenize
 
     top_ns, dup_ns = (2, 3, 4), tuple(range(5, 5 + len(max_dup_ngram_char_frac)))
+    reserved = {"id", "keep", "tok_chars"} | {
+        f"{k}_{s}"
+        for k in ["line", "para"] + [f"g{n}" for n in range(2, 11)]
+        for s in ("s", "n", "tc", "du", "dc", "tp")
+    }
+    reserved |= {
+        "dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+    } | {f"top_{n}gram_char_frac" for n in top_ns} | {
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    }
+    for c in carry:
+        if c in reserved or c.startswith("__"):
+            raise ValueError(f"carry column {c!r} collides with an internal name")
     # tokenize ONCE: the nine gram streams below slice this column
     # instead of re-splitting the text per n
     base = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__t"), tokenize(text_col).alias("__toks")
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        tokenize(text_col).alias("__toks"),
+        *[F.col(c) for c in carry],
     )
 
     def _grams(n):
@@ -899,6 +921,7 @@ def gopher_repetition(
     kinds.update({f"g{n}": (_grams(n), n - 1) for n in top_ns + dup_ns})
     sorted_units = base.select(
         "id",
+        *carry,
         F.col("__t").isNull().alias("__null"),
         F.length(F.concat_ws("", F.col("__toks"))).cast("long").alias("tok_chars"),
         *[F.array_sort(arr).alias(f"{kind}_s") for kind, (arr, _) in kinds.items()],
@@ -975,6 +998,7 @@ def gopher_repetition(
     wants.update({f"g{n}": "d" for n in dup_ns})
     j = sorted_units.select(
         "id",
+        *carry,
         "__null",
         "tok_chars",
         *[e for kind, (_, off) in kinds.items() for e in _stream_stats(kind, off, wants[kind])],
@@ -1026,26 +1050,33 @@ def gopher_repetition(
     )
     thr.update({f"top_{n}gram_char_frac": t for n, t in zip(top_ns, max_top_ngram_char_frac)})
     thr.update({f"dup_{n}gram_char_frac": t for n, t in zip(dup_ns, max_dup_ngram_char_frac)})
-    out = j.select("id", "__null", *[expr.alias(name) for name, expr in cols.items()])
+    out = j.select(
+        "id", *carry, "__null", *[expr.alias(name) for name, expr in cols.items()]
+    )
     keep = F.lit(True)
     for name, t in thr.items():
         # a null signal (no lines / < n tokens / empty doc) passes
         # vacuously — rejecting needs evidence over the threshold
         keep = keep & ~F.coalesce(F.col(name) > F.lit(float(t)), F.lit(False))
     # Optimizer fence on `keep`: OR-ing an always-false
-    # NON-DETERMINISTIC term (mono_id is never < 0) leaves the value
-    # untouched but stops PushDownPredicates from substituting the
-    # full signal expression into a consumer's `.filter("keep")`.
-    # Without it the filter predicate re-derives every sorted unit
-    # stream per rule reference in an interpreted Predicate (no
-    # subexpression reuse, HOFs can't codegen) — measured 17x slower
-    # than evaluating the projection once and filtering the boolean
-    # (100 s -> 6 s at 20k docs). Cost of the fence: consumers'
-    # UNRELATED predicates also stop pushing through this projection
-    # — irrelevant here, the verdict frame is terminal per document.
-    fence = F.monotonically_increasing_id() < 0
+    # NON-DETERMINISTIC term (shuffle() of a single-element array is
+    # flagged non-deterministic, but element 1 of [false] is always
+    # false) leaves the value untouched but stops PushDownPredicates
+    # from substituting the full signal expression into a consumer's
+    # `.filter("keep")`. Without it the filter predicate re-derives
+    # every sorted unit stream per rule reference in an interpreted
+    # Predicate (no subexpression reuse, HOFs can't codegen) —
+    # measured 17x slower than evaluating the projection once and
+    # filtering the boolean (100 s -> 6 s at 20k docs). shuffle, not
+    # monotonically_increasing_id: the latter is on Structured
+    # Streaming's unsupported-expression list and would break the
+    # ingest-time route (`streaming/curate.py`). Cost of the fence:
+    # consumers' UNRELATED predicates also stop pushing through this
+    # projection — irrelevant here, the verdict frame is terminal.
+    fence = F.element_at(F.shuffle(F.array(F.lit(False))), 1)
     return out.select(
         "id",
+        *carry,
         *cols.keys(),
         (F.when(F.col("__null"), F.lit(False)).otherwise(keep) | fence).alias("keep"),
     )

@@ -52,6 +52,7 @@ def curate_ingest(
     blocked_domains: list[str] | None = None,
     keyword_weights: dict[str, float] | None = None,
     max_keyword_score: float = 1.0,
+    repetition: bool = False,
 ) -> DataFrame:
     """``(id, ts, clean, quality)``: scored, filtered, redacted,
     exact-deduped documents. Works on a stream (watermark-bounded
@@ -66,6 +67,14 @@ def curate_ingest(
     provenance never even reaches scoring. Semantics match the batch
     ``operators.quality.url_filter`` exactly (hostless rows pass both
     gates; ``kw_score >= max_keyword_score`` drops).
+
+    ``repetition=True`` adds the Gopher A1.2 repetition gate
+    (:func:`~..operators.quality.gopher_repetition`) after the URL
+    gate: since the round-9 rewrite every repetition signal is
+    computed INSIDE the row (sorted unit streams, zero shuffle), so
+    the whole bundle runs on a stream with ZERO state — the operator
+    carries the non-text columns through and the failing docs are
+    filtered before scoring, the published pipeline position.
 
     ``benchmark`` (a BATCH frame of held-out eval documents) adds
     ingest-time decontamination: a Bloom filter over the benchmark's
@@ -94,6 +103,14 @@ def curate_ingest(
             & (url_keyword_score(url_col, keyword_weights) < F.lit(float(max_keyword_score)))
         )
         docs = docs.filter(keep)
+    if repetition:
+        from cs533_big_data_data_mining_spark.operators.quality import (
+            gopher_repetition,
+        )
+
+        rest = [c for c in docs.columns if c != id_col]
+        rep = gopher_repetition(docs, id_col, text_col, carry=tuple(rest))
+        docs = rep.filter("keep").select(F.col("id").alias(id_col), *rest)
     scored = docs.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),

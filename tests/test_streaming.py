@@ -251,3 +251,57 @@ def test_curate_ingest_url_gates_stream_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         curate_ingest(docs, blocked_domains=["bad.example"])
+
+
+def test_curate_ingest_repetition_stream_matches_batch(spark, tmp_path):
+    """Gopher A1.2 repetition removal at ingest: the round-9 per-row
+    rewrite makes every signal stateless, so the gate runs on a
+    stream with zero state. Spam pages (5 identical lines) drop in
+    BOTH execution modes with the same survivor set."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+
+    base = datetime.datetime(2024, 1, 1)
+    spam = "\n".join(["repeat this exact spam line verbatim now"] * 5)
+    rows = []
+    for i in range(30):
+        body = f"unique doc body {i} with the and of varied words today"
+        text = f"{body}\n{spam}" if i % 5 == 0 else f"{body}\nsecond line for doc {i} here"
+        rows.append((i, text, base + datetime.timedelta(seconds=i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+
+    batch = curate_ingest(docs, repetition=True)
+    ids = {r["id"] for r in batch.collect()}
+    assert ids == {i for i in range(30) if i % 5 != 0}
+
+    src = str(tmp_path / "rep_src")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_stream_to_memory(
+        curate_ingest(stream, watermark="1 hour", repetition=True),
+        "curate_ingest_rep_t",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT id FROM curate_ingest_rep_t")
+    assert {r["id"] for r in got.collect()} == ids
+
+
+def test_gopher_repetition_carry_collision(spark):
+    import pytest as _pytest
+
+    from cs533_big_data_data_mining_spark.operators.quality import gopher_repetition
+
+    docs = spark.createDataFrame([(1, "a b", 2)], "doc_id long, text string, keep long")
+    with _pytest.raises(ValueError):
+        gopher_repetition(docs, "doc_id", "text", carry=("keep",))
