@@ -385,7 +385,10 @@ def _drop_hot_buckets(bucketed: DataFrame, max_bucket_size: int) -> DataFrame:
     buckets stay tiny — so at dedup thresholds the planted-pair
     recall stays 1 (pinned by tests + the lsh_bucket_cap_eq row).
     The hot-bucket list is tiny by construction (at most
-    N*bands/cap entries), hence the broadcast anti-join."""
+    N*bands/cap entries), hence the broadcast anti-join. Cost of the
+    guard: the census is one extra aggregated pass over the banded
+    signatures (which read the cached shingle index) — linear, paid
+    only when the guard is requested."""
     hot = (
         bucketed.groupBy("band", "bhash")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -43,6 +43,7 @@ def curate_ingest(
     text_col: str = "text",
     ts_col: str = "ts",
     min_quality: float = 0.0,
+    langs: tuple[str, ...] | None = None,
     watermark: str = "1 hour",
     benchmark: DataFrame | None = None,
     bench_text_col: str | None = None,
@@ -67,6 +68,10 @@ def curate_ingest(
     provenance never even reaches scoring. Semantics match the batch
     ``operators.quality.url_filter`` exactly (hostless rows pass both
     gates; ``kw_score >= max_keyword_score`` drops).
+
+    ``langs`` (a tuple of lang_id codes) adds the language
+    allowlist between the URL gate and the repetition gate — the
+    batch ``curate_documents`` gate at ingest time, stateless.
 
     ``repetition=True`` adds the Gopher A1.2 repetition gate
     (:func:`~..operators.quality.gopher_repetition`) after the URL
@@ -103,6 +108,13 @@ def curate_ingest(
             & (url_keyword_score(url_col, keyword_weights) < F.lit(float(max_keyword_score)))
         )
         docs = docs.filter(keep)
+    if langs:
+        # language allowlist (the batch curate_documents gate) — the
+        # marker-overlap lang_id is a pure Column, so this streams
+        # with zero state like the URL gate
+        from cs533_big_data_data_mining_spark.functions.text import lang_id
+
+        docs = docs.filter(lang_id(text_col).isin(*langs))
     if repetition:
         from cs533_big_data_data_mining_spark.operators.quality import (
             gopher_repetition,

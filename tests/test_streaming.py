@@ -305,3 +305,47 @@ def test_gopher_repetition_carry_collision(spark):
     docs = spark.createDataFrame([(1, "a b", 2)], "doc_id long, text string, keep long")
     with _pytest.raises(ValueError):
         gopher_repetition(docs, "doc_id", "text", carry=("keep",))
+
+
+def test_curate_ingest_langs_stream_matches_batch(spark, tmp_path):
+    """Language allowlist at ingest (pure Column, zero state): French
+    marker pages drop in both execution modes, same survivor set."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+
+    base = datetime.datetime(2024, 1, 1)
+    fr = "le chat est sur la table et les autres mots une fois"
+    rows = [
+        (
+            i,
+            fr if i % 4 == 0 else f"unique doc body {i} with the and of varied words",
+            base + datetime.timedelta(seconds=i),
+        )
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    batch = curate_ingest(docs, langs=("en",))
+    ids = {r["id"] for r in batch.collect()}
+    assert ids == {i for i in range(24) if i % 4 != 0}
+
+    src = str(tmp_path / "langs_src")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_stream_to_memory(
+        curate_ingest(stream, watermark="1 hour", langs=("en",)),
+        "curate_ingest_langs_t",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT id FROM curate_ingest_langs_t")
+    assert {r["id"] for r in got.collect()} == ids
