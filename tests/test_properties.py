@@ -646,3 +646,105 @@ def test_remove_duplicated_spans_random_oracle(spark, seed, n_docs, vocab, k):
     got = {r["id"]: r["clean"] for r in remove_duplicated_spans(df, k=k).collect()}
     exp = _remove_spans_expected(rows, k)
     assert got == exp
+
+
+def _rep_expected(text: str):
+    """Plain-Python twin of gopher_repetition's eleven signals —
+    pins the round-9 sorted-array rewrite against the definition."""
+    import re
+    from collections import Counter
+
+    PACK = 1_000_000_000
+    toks = text.split()
+    tok_chars = sum(len(t) for t in toks)
+
+    def stats(units, off):
+        if not units:
+            return None
+        c = Counter(units)
+        n = len(units)
+        du = sum(v - 1 for v in c.values() if v > 1)
+        dc = sum((v - 1) * (len(u) - off) for u, v in c.items() if v > 1)
+        tp = max(v * PACK + (len(u) - off) for u, v in c.items())
+        return n, du, dc, tp
+
+    def tot_chars(units, off):
+        return sum(len(u) - off for u in units)
+
+    lines = [x.strip(" ") for x in text.split("\n")]
+    lines = [x for x in lines if x]
+    paras = [x.strip(" ") for x in re.split(r"\n{2,}", text)]
+    paras = [x for x in paras if x]
+    out = {}
+    for kind, units in (("line", lines), ("para", paras)):
+        s = stats(units, 0)
+        if s is None:
+            out[f"dup_{kind}_frac"] = out[f"dup_{kind}_char_frac"] = None
+        else:
+            n, du, dc, _ = s
+            out[f"dup_{kind}_frac"] = du / n
+            out[f"dup_{kind}_char_frac"] = dc / tot_chars(units, 0)
+    for n_ in (2, 3, 4):
+        grams = [" ".join(toks[i : i + n_]) for i in range(len(toks) - n_ + 1)]
+        s = stats(grams, n_ - 1)
+        if s is None:
+            out[f"top_{n_}gram_char_frac"] = None
+        else:
+            _, _, _, tp = s
+            mc, ml = divmod(tp, 1_000_000_000)
+            out[f"top_{n_}gram_char_frac"] = mc * ml / tok_chars if mc > 1 else 0.0
+    for n_ in range(5, 11):
+        grams = [" ".join(toks[i : i + n_]) for i in range(len(toks) - n_ + 1)]
+        s = stats(grams, n_ - 1)
+        if s is None:
+            out[f"dup_{n_}gram_char_frac"] = None
+        else:
+            _, _, dc, _ = s
+            out[f"dup_{n_}gram_char_frac"] = min(1.0, dc / tok_chars)
+    thr = {
+        "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+        "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+        "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+        "top_4gram_char_frac": 0.16,
+    }
+    thr.update({f"dup_{n_}gram_char_frac": t for n_, t in zip(range(5, 11), (0.15, 0.14, 0.13, 0.12, 0.11, 0.10))})
+    # round to 6 dp before gating, like the operator (a raw ratio a
+    # hair over a threshold can round back onto it)
+    out["keep"] = all(
+        not (round(v, 6) > t) for (k, t) in thr.items() if (v := out[k]) is not None
+    )
+    return out
+
+
+@_slow
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(2, 10),
+    vocab=st.integers(2, 6),
+    doc_len=st.integers(0, 50),
+)
+def test_gopher_repetition_random_oracle(spark, seed, n_docs, vocab, doc_len):
+    """gopher_repetition (round-9 sorted-array rewrite) vs a plain
+    Counter-based Python twin on tiny-vocab random text — tiny vocab
+    forces heavy line/gram collisions, the operator's whole subject."""
+    from cs533_big_data_data_mining_spark.operators.quality import gopher_repetition
+
+    rng = np.random.default_rng(seed)
+    words = ["aa", "bb", "c", "dddd", "ee", "f"][:vocab]
+    rows = []
+    for i in range(n_docs):
+        toks = rng.choice(words, size=int(rng.integers(0, doc_len + 1)))
+        seps = rng.choice([" ", "\n", "\n\n"], p=[0.8, 0.12, 0.08], size=len(toks))
+        rows.append((i, "".join(t + s for t, s in zip(toks, seps)).rstrip()))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in gopher_repetition(df, "id", "text").collect()}
+    for i, text in rows:
+        exp = _rep_expected(text)
+        r = got[i]
+        for k, want in exp.items():
+            if k == "keep":
+                assert r["keep"] == want, (i, k, text, dict(r.asDict()), exp)
+            elif want is None:
+                assert r[k] is None, (i, k, text)
+            else:
+                assert r[k] is not None and abs(r[k] - want) < 1.1e-6, (i, k, text, r[k], want)
