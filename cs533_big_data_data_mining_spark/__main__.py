@@ -471,6 +471,72 @@ def _mix_main(argv: list[str]) -> int:
     return 0
 
 
+def _make_stage(args, t0):
+    """The refinedweb/fineweb pipeline CLIs' shared stage() helper:
+    checkpoint at the heavy boundaries — the fused multi-stage plan
+    otherwise grows a whole-stage-codegen string past the JVM's 1 GB
+    literal limit (plan-size failure, not data-size). Default
+    localCheckpoint = executor-local blocks (no extra I/O, but lost
+    with any executor); --checkpoint-dir = real checkpoint() files,
+    survivable on a cluster. Counts are one action each and can be
+    skipped (--no-stage-counts) for the non-checkpointed stages."""
+    import time as _time
+
+    def stage(name, frame, checkpoint=False):
+        if checkpoint:
+            frame = (
+                frame.checkpoint(eager=True)
+                if args.checkpoint_dir
+                else frame.localCheckpoint()
+            )
+        if checkpoint or not args.no_stage_counts:
+            print(f"{name}: {frame.count()} docs ({_time.time() - t0:.1f}s)", flush=True)
+        else:
+            print(f"{name}: (count skipped) ({_time.time() - t0:.1f}s)", flush=True)
+        return frame
+
+    return stage
+
+
+def _url_gate_stage(stage, cur, idc, args):
+    """Shared --blocked-domains/--url-kw stage for the pipeline CLIs:
+    parse the flag spellings (loudly), run url_filter, semi-join the
+    survivors. No-op when neither flag is set."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.quality import url_filter
+
+    if not (args.blocked_domains or args.url_kw):
+        return cur
+    kw = None
+    if args.url_kw:
+        try:
+            kw = {
+                k.strip(): float(v)
+                for k, v in (p.split("=", 1) for p in args.url_kw.split(","))
+            }
+        except ValueError as exc:
+            raise SystemExit(
+                f"--url-kw wants 'word=weight[,word=weight...]': {exc}"
+            ) from exc
+    # strip + drop empties: ' evil.example' or a trailing comma
+    # would otherwise silently never match any host suffix
+    bl = (
+        [d.strip() for d in args.blocked_domains.split(",") if d.strip()]
+        if args.blocked_domains
+        else None
+    )
+    uf = url_filter(
+        cur, idc, args.url_col,
+        blocked_domains=bl, keyword_weights=kw,
+        max_keyword_score=args.url_kw_max,
+    )
+    return stage(
+        "url_filter",
+        cur.join(uf.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+    )
+
+
 def _refinedweb_main(argv: list[str]) -> int:
     """``... refinedweb -i docs.parquet -o outdir`` — the complete
     production-ordered curation pipeline (RefinedWeb stage order:
@@ -636,57 +702,11 @@ def _refinedweb_main(argv: list[str]) -> int:
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     docs = spark.read.parquet(args.input)
-
-    def stage(name, frame, checkpoint=False):
-        # checkpoint at the heavy boundaries: the fused ten-stage plan
-        # otherwise grows a whole-stage-codegen string past the JVM's
-        # 1 GB literal limit (plan-size failure, not data-size).
-        # Default localCheckpoint = executor-local blocks (no extra
-        # I/O, but lost with any executor); --checkpoint-dir = real
-        # checkpoint() files, survivable on a cluster.
-        if checkpoint:
-            frame = (
-                frame.checkpoint(eager=True)
-                if args.checkpoint_dir
-                else frame.localCheckpoint()
-            )
-        if checkpoint or not args.no_stage_counts:
-            print(f"{name}: {frame.count()} docs ({time.time() - t0:.1f}s)", flush=True)
-        else:
-            print(f"{name}: (count skipped) ({time.time() - t0:.1f}s)", flush=True)
-        return frame
-
+    stage = _make_stage(args, t0)
     if args.repartition:
         docs = docs.repartition(args.repartition)
     cur = stage("input", docs)
-    if args.blocked_domains or args.url_kw:
-        kw = None
-        if args.url_kw:
-            try:
-                kw = {
-                    k.strip(): float(v)
-                    for k, v in (p.split("=", 1) for p in args.url_kw.split(","))
-                }
-            except ValueError as exc:
-                raise SystemExit(
-                    f"--url-kw wants 'word=weight[,word=weight...]': {exc}"
-                ) from exc
-        # strip + drop empties: ' evil.example' or a trailing comma
-        # would otherwise silently never match any host suffix
-        bl = (
-            [d.strip() for d in args.blocked_domains.split(",") if d.strip()]
-            if args.blocked_domains
-            else None
-        )
-        uf = url_filter(
-            cur, idc, args.url_col,
-            blocked_domains=bl, keyword_weights=kw,
-            max_keyword_score=args.url_kw_max,
-        )
-        cur = stage(
-            "url_filter",
-            cur.join(uf.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
-        )
+    cur = _url_gate_stage(stage, cur, idc, args)
     if args.url_col:
         keep = url_dedup(cur, idc, args.url_col).select(F.col("id").alias(idc))
         cur = stage("url_dedup", cur.join(keep, idc, "left_semi"))
@@ -894,52 +914,12 @@ def _fineweb_main(argv: list[str]) -> int:
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
-    def stage(name, frame, checkpoint=False):
-        # same contract as the refinedweb CLI: checkpoint the heavy
-        # boundaries (localCheckpoint, or durable checkpoint() under
-        # --checkpoint-dir); counts are one action each and can be
-        # skipped for the non-checkpointed stages
-        if checkpoint:
-            frame = (
-                frame.checkpoint(eager=True)
-                if args.checkpoint_dir
-                else frame.localCheckpoint()
-            )
-        if checkpoint or not args.no_stage_counts:
-            print(f"{name}: {frame.count()} docs ({time.time() - t0:.1f}s)", flush=True)
-        else:
-            print(f"{name}: (count skipped) ({time.time() - t0:.1f}s)", flush=True)
-        return frame
-
+    stage = _make_stage(args, t0)
     docs_in = spark.read.parquet(args.input)
     if args.repartition:
         docs_in = docs_in.repartition(args.repartition)
     cur = stage("input", docs_in)
-    if args.blocked_domains or args.url_kw:
-        kw = None
-        if args.url_kw:
-            try:
-                kw = {
-                    k.strip(): float(v)
-                    for k, v in (p.split("=", 1) for p in args.url_kw.split(","))
-                }
-            except ValueError as exc:
-                raise SystemExit(
-                    f"--url-kw wants 'word=weight[,word=weight...]': {exc}"
-                ) from exc
-        bl = (
-            [d.strip() for d in args.blocked_domains.split(",") if d.strip()]
-            if args.blocked_domains
-            else None
-        )
-        uf = url_filter(
-            cur, idc, args.url_col,
-            blocked_domains=bl, keyword_weights=kw, max_keyword_score=args.url_kw_max,
-        )
-        cur = stage(
-            "url_filter",
-            cur.join(uf.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
-        )
+    cur = _url_gate_stage(stage, cur, idc, args)
     if args.lang:
         cur = stage("lang_id", cur.filter(lang_id(txc) == args.lang))
     if not args.skip_repetition:

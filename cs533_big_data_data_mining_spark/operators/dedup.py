@@ -368,7 +368,9 @@ def minhash_signatures(
     )
 
 
-def _drop_hot_buckets(bucketed: DataFrame, max_bucket_size: int) -> DataFrame:
+def _drop_hot_buckets(
+    bucketed: DataFrame, max_bucket_size: int, census: DataFrame | None = None
+) -> DataFrame:
     """Drop (band, bhash) buckets with more than ``max_bucket_size``
     members before the band self-/cross-join.
 
@@ -388,9 +390,20 @@ def _drop_hot_buckets(bucketed: DataFrame, max_bucket_size: int) -> DataFrame:
     N*bands/cap entries), hence the broadcast anti-join. Cost of the
     guard: the census is one extra aggregated pass over the banded
     signatures (which read the cached shingle index) — linear, paid
-    only when the guard is requested."""
+    only when the guard is requested. ``census`` (optional) counts
+    membership over a different frame than the one being filtered —
+    the bipartite route passes the UNION of both sides. A cap below
+    2 would drop EVERY bucket that can produce a pair, silently
+    disabling dedup — rejected loudly instead (``None`` is the
+    documented off switch; 0 is not)."""
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2 (got {max_bucket_size}); a bucket "
+            "needs two members to produce a candidate pair — pass None to "
+            "disable the guard"
+        )
     hot = (
-        bucketed.groupBy("band", "bhash")
+        (census if census is not None else bucketed).groupBy("band", "bhash")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > max_bucket_size)
         .select("band", "bhash")
@@ -418,7 +431,7 @@ def _lsh_candidates_from_sigs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bhash")
-    if max_bucket_size:
+    if max_bucket_size is not None:
         bucketed = _drop_hot_buckets(bucketed, max_bucket_size)
     l, rt = bucketed.alias("l"), bucketed.alias("r")
     return (
@@ -595,18 +608,12 @@ def minhash_dedup_pairs_bipartite(
 
     bl = banded(_signatures_from_index(shl, num_hashes))
     br = banded(_signatures_from_index(shr, num_hashes))
-    if max_bucket_size:
+    if max_bucket_size is not None:
         # combined membership: a bucket hot on EITHER side (or jointly)
         # explodes the cross join, so the census spans both tables
         combined = bl.unionByName(br)
-        hot = (
-            combined.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > max_bucket_size)
-            .select("band", "bhash")
-        )
-        bl = bl.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
-        br = br.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
+        bl = _drop_hot_buckets(bl, max_bucket_size, census=combined)
+        br = _drop_hot_buckets(br, max_bucket_size, census=combined)
     bl, br = bl.alias("l"), br.alias("r")
     cands = (
         bl.join(
@@ -1023,6 +1030,74 @@ def remove_duplicated_spans(
     )
 
 
+def _paras_arr(col):
+    """``\\n``-split, trimmed, empties dropped — the shared paragraph
+    unit of :func:`paragraph_dedup` and its bipartite twin (the
+    :func:`~..quality.gopher_repetition` line spelling)."""
+    return F.filter(F.transform(F.split(col, r"\n"), lambda x: F.trim(x)), lambda x: x != "")
+
+
+def _para_key(col):
+    """Normalized-paragraph match key: lowercase, inner whitespace
+    collapsed, MD5 — ONE definition so batch and incremental dedup
+    can never key differently."""
+    return F.md5(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _paragraphs_keyed(df: DataFrame, id_col: str, text_col: str):
+    """(base, keyed): base = (id, __text); keyed = one row per
+    paragraph occurrence (id, pos, para, __k)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    ex = base.select("id", F.posexplode(_paras_arr(F.col("__text"))).alias("pos", "para"))
+    return base, ex.select("id", "pos", "para", _para_key(F.col("para")).alias("__k"))
+
+
+def _keep_first(keyed: DataFrame) -> DataFrame:
+    """Corpus-wide first occurrence per key, ordered by (id, pos)."""
+    firsts = keyed.groupBy("__k").agg(F.min(F.struct("id", "pos")).alias("__f"))
+    return (
+        keyed.join(firsts, "__k")
+        .filter((F.col("id") == F.col("__f.id")) & (F.col("pos") == F.col("__f.pos")))
+        .drop("__f")
+    )
+
+
+def _reassemble_paragraphs(base: DataFrame, kept: DataFrame, out_col: str) -> DataFrame:
+    """Surviving (id, pos, para) rows -> the (id, out_col, n_paras,
+    n_kept) output contract: survivors rejoin in original order; null
+    text -> null clean/counts; all-removed -> empty string."""
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
+            ),
+            "\n",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    isnull = F.col("__text").isNull()
+    return (
+        base.select(
+            "id", isnull.alias("__null"), F.size(_paras_arr(F.col("__text"))).alias("__n_paras")
+        )
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("__null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("__clean", F.lit("")))
+            .alias(out_col),
+            F.when(F.col("__null"), F.lit(None))
+            .otherwise(F.col("__n_paras"))
+            .cast("long")
+            .alias("n_paras"),
+            F.when(F.col("__null"), F.lit(None))
+            .otherwise(F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1079,18 +1154,9 @@ def paragraph_dedup(
     """
     if mode not in ("keep_first", "drop_repeated"):
         raise ValueError(f"mode must be keep_first or drop_repeated, got {mode!r}")
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    paras_arr = F.filter(F.transform(F.split("__text", r"\n"), lambda x: F.trim(x)), lambda x: x != "")
-    ex = base.select("id", F.posexplode(paras_arr).alias("pos", "para"))
-    norm = F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")
-    keyed = ex.select("id", "pos", "para", F.md5(norm).alias("__k"))
+    base, keyed = _paragraphs_keyed(df, id_col, text_col)
     if mode == "keep_first":
-        firsts = keyed.groupBy("__k").agg(F.min(F.struct("id", "pos")).alias("__f"))
-        kept = (
-            keyed.join(firsts, "__k")
-            .filter((F.col("id") == F.col("__f.id")) & (F.col("pos") == F.col("__f.pos")))
-            .drop("__f")
-        )
+        kept = _keep_first(keyed)
     else:
         singles = (
             keyed.groupBy("__k")
@@ -1099,34 +1165,7 @@ def paragraph_dedup(
             .select("__k")
         )
         kept = keyed.join(singles, "__k", "left_semi")
-    agg = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
-            ),
-            "\n",
-        ).alias("__clean"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    isnull = F.col("__text").isNull()
-    return (
-        base.select("id", isnull.alias("__null"), F.size(paras_arr).alias("__n_paras"))
-        .join(agg, "id", "left")
-        .select(
-            "id",
-            F.when(F.col("__null"), F.lit(None).cast("string"))
-            .otherwise(F.coalesce("__clean", F.lit("")))
-            .alias(out_col),
-            F.when(F.col("__null"), F.lit(None))
-            .otherwise(F.col("__n_paras"))
-            .cast("long")
-            .alias("n_paras"),
-            F.when(F.col("__null"), F.lit(None))
-            .otherwise(F.coalesce("__n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_kept"),
-        )
-    )
+    return _reassemble_paragraphs(base, kept, out_col)
 
 
 def paragraph_dedup_bipartite(
@@ -1158,59 +1197,11 @@ def paragraph_dedup_bipartite(
     cycle beyond the distinct-hash build.
     """
     hist_keys = (
-        history.select(
-            F.posexplode(
-                F.filter(
-                    F.transform(F.split(text_col, r"\n"), lambda x: F.trim(x)),
-                    lambda x: x != "",
-                )
-            ).alias("pos", "para")
-        )
-        .select(F.md5(F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")).alias("__k"))
+        history.select(F.explode(_paras_arr(F.col(text_col))).alias("para"))
+        .select(_para_key(F.col("para")).alias("__k"))
         .distinct()
     )
-    base = new.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    paras_arr = F.filter(F.transform(F.split("__text", r"\n"), lambda x: F.trim(x)), lambda x: x != "")
-    ex = base.select("id", F.posexplode(paras_arr).alias("pos", "para"))
-    keyed = ex.select(
-        "id", "pos", "para",
-        F.md5(F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")).alias("__k"),
-    )
+    base, keyed = _paragraphs_keyed(new, id_col, text_col)
     fresh = keyed.join(hist_keys, "__k", "left_anti")
-    if dedup_within_new:
-        firsts = fresh.groupBy("__k").agg(F.min(F.struct("id", "pos")).alias("__f"))
-        kept = (
-            fresh.join(firsts, "__k")
-            .filter((F.col("id") == F.col("__f.id")) & (F.col("pos") == F.col("__f.pos")))
-            .drop("__f")
-        )
-    else:
-        kept = fresh
-    agg = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
-            ),
-            "\n",
-        ).alias("__clean"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    isnull = F.col("__text").isNull()
-    return (
-        base.select("id", isnull.alias("__null"), F.size(paras_arr).alias("__n_paras"))
-        .join(agg, "id", "left")
-        .select(
-            "id",
-            F.when(F.col("__null"), F.lit(None).cast("string"))
-            .otherwise(F.coalesce("__clean", F.lit("")))
-            .alias(out_col),
-            F.when(F.col("__null"), F.lit(None))
-            .otherwise(F.col("__n_paras"))
-            .cast("long")
-            .alias("n_paras"),
-            F.when(F.col("__null"), F.lit(None))
-            .otherwise(F.coalesce("__n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_kept"),
-        )
-    )
+    kept = _keep_first(fresh) if dedup_within_new else fresh
+    return _reassemble_paragraphs(base, kept, out_col)

@@ -119,6 +119,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: below; >= any web/DSLR crawl image) bounds both; larger images are
 #: the codec route's job.
 _PNG_MAX_PIXELS = 24_000_000
+# JPEG gets a far lower budget than PNG: the PNG path is one zlib
+# inflate + vectorized NumPy unfiltering (a 24 MP image decodes in
+# well under a second), but baseline-JPEG entropy decode is a
+# bit-serial Python loop (~0.25 s per 64k greyscale pixels measured)
+# — a single ordinary 24 MP photo would pin an executor core for
+# minutes. 2 MP keeps the worst payload under ~10 s and rejects
+# (payload_ok=false) anything bigger, the same contract as a forged
+# header; raise it only with a faster entropy decoder.
+_JPEG_MAX_PIXELS = 2_000_000
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -1021,7 +1030,7 @@ def _parse_jpeg(buf: bytes):
     full of trailers).
 
     Scale note: huffman entropy decode is inherently bit-serial —
-    this is a per-payload Python loop (bounded by `_PNG_MAX_PIXELS`-
+    this is a per-payload Python loop (bounded by `_JPEG_MAX_PIXELS`-
     style guard below), NOT a vectorized kernel; at 100 TB keep JPEG
     decode behind the same batch-size knobs as the other media
     kernels, or plug a codec into decode='real'."""
@@ -1038,6 +1047,13 @@ def _parse_jpeg(buf: bytes):
                 return None
             if buf[pos] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
+            # a marker — real encoders emit them, so skip the run
+            # (post-EOI trailers are likewise tolerated below)
+            while buf[pos + 1] == 0xFF:
+                pos += 1
+                if pos + 4 > len(buf):
+                    return None
             marker = buf[pos + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 pos += 2
@@ -1080,7 +1096,7 @@ def _parse_jpeg(buf: bytes):
                 prec, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
                 if prec != 8 or ncomp not in (1, 3) or w < 1 or h < 1:
                     return None
-                if w * h > _PNG_MAX_PIXELS:  # same allocation guard
+                if w * h > _JPEG_MAX_PIXELS:  # bit-serial-decode budget
                     return None
                 if len(data) != 6 + 3 * ncomp:
                     return None

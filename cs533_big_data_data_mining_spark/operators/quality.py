@@ -1711,9 +1711,22 @@ def compression_ratio(
     if not 0 <= level <= 9:
         raise ValueError(f"zlib level must be in [0, 9] (got {level})")
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t")
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    # preserve the caller's id TYPE (every sibling verdict operator
+    # does): a cast to long would silently null string/UUID ids and
+    # the join back to the corpus would match nothing. mapInPandas
+    # needs a declared schema, so it is built from the input field.
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
     )
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd  # noqa: PLC0415
@@ -1740,6 +1753,4 @@ def compression_ratio(
                     }
                 )
 
-    return src.mapInPandas(
-        kernel, schema="id long, n_bytes long, n_compressed long, ratio double"
-    )
+    return src.mapInPandas(kernel, schema=out_schema)

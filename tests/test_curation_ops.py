@@ -1607,3 +1607,16 @@ def test_compression_ratio(spark):
 
     with _pytest.raises(ValueError):
         compression_ratio(docs, "doc_id", "text", level=11)
+
+
+def test_compression_ratio_string_ids(spark):
+    """String/UUID ids (the norm for web corpora) must survive — the
+    output schema derives from the input id type, never a long cast."""
+    from cs533_big_data_data_mining_spark.operators.quality import compression_ratio
+
+    docs = spark.createDataFrame(
+        [("u-abc", "some words here"), ("u-def", None)], "doc_id string, text string"
+    )
+    got = {r["id"]: r for r in compression_ratio(docs, "doc_id", "text").collect()}
+    assert set(got) == {"u-abc", "u-def"}
+    assert got["u-abc"]["n_bytes"] == 15 and got["u-def"]["n_bytes"] is None

@@ -789,3 +789,21 @@ def test_lsh_bucket_cap_bipartite(spark):
         ).collect()
     }
     assert got == planted, (got, planted)
+
+
+def test_lsh_bucket_cap_validation(spark):
+    import pytest as _pytest
+
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_bipartite,
+    )
+
+    df = spark.createDataFrame([(0, "a b c d"), (1, "a b c d")], "doc_id long, text string")
+    # a cap below 2 would drop every pair-capable bucket: loud error,
+    # not a silent no-dedup corpus (None is the off switch, 0 is not)
+    for bad in (0, 1, -5):
+        with _pytest.raises(ValueError):
+            minhash_dedup_pairs(df, "doc_id", "text", max_bucket_size=bad)
+        with _pytest.raises(ValueError):
+            minhash_dedup_pairs_bipartite(df, df, "doc_id", "text", max_bucket_size=bad)

@@ -619,3 +619,30 @@ def test_jpeg_through_decode_media_and_image_stats(spark):
     assert st[1]["channel_means"] == [77.0]
     assert st[2]["channel_means"] == [9.0, 9.0, 9.0]
     assert st[3]["channel_means"] == []
+
+
+def test_jpeg_fill_bytes_and_pixel_budget():
+    """T.81 B.1.1.2 fill bytes (0xFF runs before a marker) must be
+    skipped — real encoders emit them; and the JPEG-specific pixel
+    budget (bit-serial entropy decode) rejects oversize dimensions."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_jpeg,
+        pack_jpeg,
+    )
+
+    img = np.full((8, 16), 77, dtype=np.uint8)
+    buf = pack_jpeg(img, quant=8)
+    # insert a fill byte before the SOF0 marker (FF C0)
+    sof = buf.index(b"\xff\xc0")
+    padded = buf[:sof] + b"\xff" + buf[sof:]
+    r = _parse_jpeg(padded)
+    assert r is not None and (r[0], r[1]) == (16, 8)
+    assert (r[3][:, :, 0] == 77).all()
+
+    # patch SOF dims past _JPEG_MAX_PIXELS: reject before any decode
+    h_off = sof + 5  # FF C0 len2 prec h2 w2
+    huge = bytearray(buf)
+    huge[h_off : h_off + 4] = (2000).to_bytes(2, "big") + (2000).to_bytes(2, "big")
+    assert _parse_jpeg(bytes(huge)) is None
