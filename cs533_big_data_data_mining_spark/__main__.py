@@ -272,6 +272,13 @@ def _score_main(argv: list[str]) -> int:
         "(repetition_keep) and its dup-line/paragraph + top/dup n-gram "
         "char fractions (Rae 2021 A1.2 thresholds)",
     )
+    ap.add_argument(
+        "--compression",
+        action="store_true",
+        help="also emit the zlib compression-ratio signal (n_bytes, "
+        "n_compressed, compression_ratio) — the cheap repetition/"
+        "boilerplate heuristic; gate downstream with quantile_filter",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -326,6 +333,15 @@ def _score_main(argv: list[str]) -> int:
             *[c for c in rep.columns if c not in ("id", "keep")],
         )
         out = out.join(rep, "id", "left")
+    if args.compression:
+        from cs533_big_data_data_mining_spark.operators.quality import (
+            compression_ratio,
+        )
+
+        cr = compression_ratio(docs, args.id_col, args.text_col).select(
+            "id", "n_bytes", "n_compressed", F.col("ratio").alias("compression_ratio")
+        )
+        out = out.join(cr, "id", "left")
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     ppl.unpersist()

@@ -417,10 +417,14 @@ def test_cli_mix_and_score_gopher(spark, tmp_path):
     assert rows.columns.count("source") == 1  # no duplicate source column
     assert rows.filter("text IS NULL").count() == 0
 
-    rc = main(["score", "-i", src, "-o", sout, "--gopher"])
+    rc = main(["score", "-i", src, "-o", sout, "--gopher", "--compression"])
     assert rc == 0
     srows = spark.read.parquet(sout)
     assert "gopher_keep" in srows.columns and srows.count() == 10
+    assert "compression_ratio" in srows.columns
+    one = srows.limit(1).collect()[0]
+    assert one["n_bytes"] == len("the plain body of words here")
+    assert 0.0 < one["compression_ratio"] <= 2.0
 
 
 def test_cli_refinedweb_end_to_end(spark, tmp_path):
