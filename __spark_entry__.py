@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 _SHIPPED = False
 
 
+def _spread(df):
+    """Fan a small single-file scan out to defaultParallelism before
+    CPU-bound per-row work (the ``operators.dedup._spread`` contract):
+    sf0.1 documents.parquet arrives as ONE partition, and the
+    zero-shuffle per-row operators (gopher_repetition, mapInPandas
+    kernels, the pipeline flagships' Column-heavy stages) inherit it —
+    measured 4-10x wall on the affected driver rows. No-op when the
+    scan already has enough splits (the 100 TB case); a round-robin
+    repartition never changes per-row results."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def _ensure_shipped(spark: SparkSession) -> None:
     """Ship the package zip to executors (the driver may have built
     its own session without our factory)."""
@@ -1549,7 +1562,9 @@ def _q_gopher_repetition(spark, sf_dir):
         .when(i % 13 == 0, F.concat(t, F.lit("\n\ndup para block\n\ndup para block")))
         .otherwise(F.col("text"))
     )
-    return gopher_repetition(docs.select("doc_id", planted.alias("text")), "doc_id", "text")
+    return gopher_repetition(
+        _spread(docs.select("doc_id", planted.alias("text"))), "doc_id", "text"
+    )
 
 
 NB_BUCKETS = 256
@@ -1942,7 +1957,7 @@ def _q_compression_ratio(spark, sf_dir):
         .otherwise(F.lit(None).cast("string"))
         .alias("text"),
     )
-    cr = compression_ratio(planted, "doc_id", "text")
+    cr = compression_ratio(_spread(planted), "doc_id", "text")
     return cr.select(
         "id",
         "n_bytes",
@@ -2917,7 +2932,9 @@ def _q_fineweb_pipeline(spark, sf_dir):
         i % FWP_URL_MOD == FWP_URL_RES,
         F.concat(F.lit("https://malware.bad.example/p/"), sid),
     ).otherwise(F.concat(F.lit("https://site"), sid, F.lit(".example.org/a/"), sid))
-    crawl = withprev.select("doc_id", text2.alias("text"), url.alias("url")).cache()
+    crawl = _spread(
+        withprev.select("doc_id", text2.alias("text"), url.alias("url"))
+    ).cache()
 
     # 1. URL filtering (stage zero): domain blocklist
     uf = url_filter(crawl, "doc_id", "url", blocked_domains=FWP_BLOCKED)
