@@ -128,15 +128,20 @@ def main() -> None:
     # second driver GC pause lands on one arbitrary victim per run
     # (observed: a 3.8 s query reading 18 s warm), so "the warm run"
     # alone is the noisier estimator. `.cold` preserves the first run.
-    # Queries over RERUN_CAP (the multi-stage flagship composites,
-    # ~25 s each) run ONCE — a second pass would double the suite
-    # total for a workload whose many-job structure already averages
-    # out single-pause noise. The whole estimator choice is recorded
-    # in the JSON's `policy` key so cross-round totals are read
-    # against the same rules.
-    RERUN_CAP = 15.0
+    # Only the NAMED flagship composites run once — their many-job
+    # structure already averages out single-pause noise and a second
+    # pass would add ~a minute each. Every other query re-runs when
+    # its cold exceeds 2 s, with NO upper cap: this box shows 2-4 min
+    # host-level degradation windows at random offsets (observed
+    # twice in one session: a 2.3 s query reading 123 s, a 3.3 s one
+    # reading 62 s), and the old `cold <= 15 s` rerun condition
+    # locked exactly those victims in — the inflated cold DISQUALIFIED
+    # the query from the retry that would have corrected it. The
+    # whole estimator choice is recorded in the JSON's `policy` key
+    # so cross-round totals are read against the same rules.
+    COMPOSITES = {"refinedweb_pipeline", "fineweb_pipeline", "stream_eq_all"}
     for name, fn in qs.items():
-        if not (2.0 < timings.get(name, 0.0) <= RERUN_CAP):
+        if name in COMPOSITES or timings.get(name, 0.0) <= 2.0:
             continue
         t0 = time.time()
         try:
@@ -1390,9 +1395,13 @@ def main() -> None:
     # of verdict analysis on load jitter because neither lived in the
     # artifact (they were only in session memory / commit messages)
     out["policy"] = (
-        "per key: min(cold, warm) when 2s < cold <= 15s (first run kept as"
-        " .cold); single cold run when cold > 15s (multi-stage composites)"
-        " or cold <= 2s; REF workloads always min of two full runs"
+        "per key: min(cold, warm) when cold > 2s (first run kept as .cold),"
+        " EXCEPT the named flagship composites"
+        " (refinedweb_pipeline/fineweb_pipeline/stream_eq_all) which run"
+        " once; single cold run when cold <= 2s; REF workloads always min"
+        " of two full runs. No upper rerun cap: this box's 2-4 min"
+        " host-degradation windows can inflate any one query 20-50x, and"
+        " a cap turns the victim's inflated cold into its record"
     )
     out["loadavg_start"] = LOAD_START
     out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
