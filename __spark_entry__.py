@@ -831,6 +831,81 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_multimodal_gif(spark, sf_dir):
+    # REAL GIF decoding + video-style frame sampling (round 9): every
+    # doc gets a planted payload whose frame structure and per-frame
+    # means are pure functions of doc_id — every 17th garbage (no
+    # rows), every 13th a 3-frame animation whose sampled frame 2 is a
+    # sub-rectangle overlay (compositing must mix the two solid colors
+    # in the exact pixel-count proportion), every 11th an INTERLACED
+    # single-frame GIF with one +1 pixel (mean = (C*n+1)/n — the LZW +
+    # deinterlace reconstruction must be exact), every 7th a still PPM
+    # (stills are one-frame sequences under the uniform video
+    # contract), rest full-canvas solid animations of 1..5 frames.
+    # frame_sample_media(every_n=2) emits frames 0, 2, 4.
+    _ensure_shipped(spark)
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        frame_sample_media,
+        pack_gif,
+        pack_ppm,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()
+    ]
+    rows = []
+    for i in sorted(ids):
+        if i % 17 == 0:
+            payload = b"not a gif"
+        elif i % 13 == 0:
+            w, h = 6 + i % 7, 4 + i % 5
+            w2, h2 = 2 + i % 3, 1 + i % 3
+            f0 = np.empty((h, w, 3), dtype=np.uint8)
+            f0[..., 0], f0[..., 1], f0[..., 2] = i % 199, (i * 3) % 199, (i * 5) % 199
+            f1 = np.empty((h2, w2, 3), dtype=np.uint8)
+            f1[..., 0], f1[..., 1], f1[..., 2] = (i * 7) % 199, (i * 9) % 199, (i * 19) % 199
+            f2 = np.empty((h2, w2, 3), dtype=np.uint8)
+            f2[..., 0], f2[..., 1], f2[..., 2] = (i * 11) % 199, (i * 13) % 199, (i * 17) % 199
+            payload = pack_gif([f0, f1, f2], positions=[(0, 0), (1, 1), (1, 1)])
+        elif i % 11 == 0:
+            w, h = 4 + i % 9, 3 + i % 6
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[..., 0], px[..., 1], px[..., 2] = (i * 3) % 199, (i * 5) % 199, (i * 7) % 199
+            px[0, 0] += 1
+            payload = pack_gif([px], interlace=True)
+        elif i % 7 == 0:
+            w, h = 3 + i % 5, 2 + i % 4
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[..., 0], px[..., 1], px[..., 2] = (i * 19) % 256, (i * 23) % 256, (i * 29) % 256
+            payload = pack_ppm(px)
+        else:
+            w, h = 4 + i % 9, 3 + i % 6
+            frames = []
+            for k in range(1 + i % 5):
+                f = np.empty((h, w, 3), dtype=np.uint8)
+                f[..., 0] = (i * 3 + k * 7) % 199
+                f[..., 1] = (i * 5 + k * 11) % 199
+                f[..., 2] = (i * 7 + k * 13) % 199
+                frames.append(f)
+            payload = pack_gif(frames)
+        rows.append((i, "video", bytearray(payload), "syn"))
+    media = local_df(
+        spark, rows, "media_id long, modality string, payload binary, source string"
+    )
+    return frame_sample_media(media, every_n=2).select(
+        F.col("media_id").alias("id"),
+        "frame_index",
+        "n_frames",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
 # DuckDB twin of byte_histogram_features: bytes recovered from the
 # hex encoding of the utf-8 payload, bucketed by value >> 2 (64 bins),
 # counted per (doc, bin) and divided by the byte count — the same two
@@ -3296,6 +3371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # back in next round.
     return {
         # --- new / changed this round (must-record) ---
+        # multimodal_gif: NEW — REAL GIF decode (pure-stdlib LZW,
+        # interlace, animation compositing) + video-style frame
+        # sampling over planted construction-derived payloads
+        "multimodal_gif": _q_multimodal_gif,
         # fineweb_pipeline: NEW — the FineWeb-ordered flagship
         # (Penedo 2024 §3): URL -> langid -> Gopher rep -> Gopher
         # rules -> MinHash -> C4-minus-terminal-punct -> custom
@@ -4850,6 +4929,67 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             "SELECT TRUE AS poly31_separates, TRUE AS xxhash64_separates, "
             "TRUE AS topk_sets_equal, CAST(120 AS BIGINT) AS n_docs"
         ),
+        # multimodal_gif: construction-derived — frame counts, sampled
+        # indices (0, 2, 4), and per-frame means are pure functions of
+        # doc_id (precedence: every 17th garbage -> zero rows; 13th a
+        # 3-frame overlay animation whose frame 2 mixes two solid
+        # colors in exact pixel proportion; 11th an interlaced
+        # single-frame with one +1 pixel -> mean (C*n+1)/n; 7th a
+        # still PPM as a one-frame sequence; rest solid-color
+        # animations of 1 + id%5 frames). The kernel's mean is an
+        # exact-integer sum over <=199-valued pixels divided by n —
+        # the same single float64 division the SQL spells, so round(6)
+        # agrees bit-for-bit.
+        "multimodal_gif": """
+            WITH base AS (
+              SELECT doc_id AS id,
+                CASE WHEN doc_id % 17 = 0 THEN 0
+                     WHEN doc_id % 13 = 0 THEN 3
+                     WHEN doc_id % 11 = 0 THEN 1
+                     WHEN doc_id % 7 = 0 THEN 1
+                     ELSE 1 + doc_id % 5 END AS nf
+              FROM documents
+            ),
+            fr AS (
+              SELECT id, nf, CAST(unnest(range(0, nf, 2)) AS INTEGER) AS k
+              FROM base WHERE nf > 0
+            )
+            SELECT id, k AS frame_index, CAST(nf AS INTEGER) AS n_frames,
+              CASE
+                WHEN id % 13 = 0 AND k = 0 THEN CAST(id % 199 AS DOUBLE)
+                WHEN id % 13 = 0 THEN round(
+                  CAST((id % 199) * ((6 + id % 7) * (4 + id % 5) - (2 + id % 3) * (1 + id % 3))
+                       + ((id * 11) % 199) * (2 + id % 3) * (1 + id % 3) AS DOUBLE)
+                  / ((6 + id % 7) * (4 + id % 5)), 6)
+                WHEN id % 11 = 0 THEN round(
+                  CAST(((id * 3) % 199) * ((4 + id % 9) * (3 + id % 6)) + 1 AS DOUBLE)
+                  / ((4 + id % 9) * (3 + id % 6)), 6)
+                WHEN id % 7 = 0 THEN CAST((id * 19) % 256 AS DOUBLE)
+                ELSE CAST((id * 3 + k * 7) % 199 AS DOUBLE) END AS mean_r,
+              CASE
+                WHEN id % 13 = 0 AND k = 0 THEN CAST((id * 3) % 199 AS DOUBLE)
+                WHEN id % 13 = 0 THEN round(
+                  CAST(((id * 3) % 199) * ((6 + id % 7) * (4 + id % 5) - (2 + id % 3) * (1 + id % 3))
+                       + ((id * 13) % 199) * (2 + id % 3) * (1 + id % 3) AS DOUBLE)
+                  / ((6 + id % 7) * (4 + id % 5)), 6)
+                WHEN id % 11 = 0 THEN round(
+                  CAST(((id * 5) % 199) * ((4 + id % 9) * (3 + id % 6)) + 1 AS DOUBLE)
+                  / ((4 + id % 9) * (3 + id % 6)), 6)
+                WHEN id % 7 = 0 THEN CAST((id * 23) % 256 AS DOUBLE)
+                ELSE CAST((id * 5 + k * 11) % 199 AS DOUBLE) END AS mean_g,
+              CASE
+                WHEN id % 13 = 0 AND k = 0 THEN CAST((id * 5) % 199 AS DOUBLE)
+                WHEN id % 13 = 0 THEN round(
+                  CAST(((id * 5) % 199) * ((6 + id % 7) * (4 + id % 5) - (2 + id % 3) * (1 + id % 3))
+                       + ((id * 17) % 199) * (2 + id % 3) * (1 + id % 3) AS DOUBLE)
+                  / ((6 + id % 7) * (4 + id % 5)), 6)
+                WHEN id % 11 = 0 THEN round(
+                  CAST(((id * 7) % 199) * ((4 + id % 9) * (3 + id % 6)) + 1 AS DOUBLE)
+                  / ((4 + id % 9) * (3 + id % 6)), 6)
+                WHEN id % 7 = 0 THEN CAST((id * 29) % 256 AS DOUBLE)
+                ELSE CAST((id * 7 + k * 13) % 199 AS DOUBLE) END AS mean_b
+            FROM fr
+        """,
         # multimodal_decode: construction-derived — the planted
         # payloads' dims/validity/solid-color means are pure functions
         # of doc_id (precedence: every 17th garbage, 13th a BMP, 11th

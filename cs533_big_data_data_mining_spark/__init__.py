@@ -104,6 +104,15 @@ from cs533_big_data_data_mining_spark.operators.similarity import (
     semdedup_bipartite,
     semdedup_pairs_bipartite,
 )
+from cs533_big_data_data_mining_spark.operators.multimodal import (
+    audio_stats,
+    byte_histogram_features,
+    decode_media,
+    documents_as_media,
+    frame_sample_media,
+    image_stats,
+    resize_image,
+)
 from cs533_big_data_data_mining_spark.functions.text import clean_text, redact_pii
 from cs533_big_data_data_mining_spark.functions.url import normalize_url, url_host
 from cs533_big_data_data_mining_spark.operators.tfidf import tf_idf
@@ -214,6 +223,13 @@ __all__ = [
     "heavy_hitters",
     "profile_numeric",
     "check_expectations",
+    "decode_media",
+    "image_stats",
+    "audio_stats",
+    "resize_image",
+    "frame_sample_media",
+    "byte_histogram_features",
+    "documents_as_media",
     "sessionize",
     "curate_ingest",
     "__version__",

@@ -15,7 +15,12 @@ Decode routes:
   unfiltering — None/Sub/Up/Average/Paeth — in NumPy; grey / RGB /
   grey+alpha / RGBA), **baseline JPEG** (SOF0 huffman entropy decode
   with byte unstuffing + restart markers, exact float64 IDCT, JFIF
-  YCbCr->RGB; greyscale and 1-2x sampling), and PCM 8/16-bit
+  YCbCr->RGB; greyscale and 1-2x sampling), **GIF87a/89a** (pure-
+  stdlib LZW entropy decode, global/local color tables, 4-pass
+  interlace, and full animation compositing with transparency +
+  disposal methods — animated GIF is the container-representable
+  VIDEO format, so :func:`frame_sample_media` is a real multi-frame
+  decode path), and PCM 8/16-bit
   ``RIFF/WAVE`` audio. Structural validation is complete
   (dims/bit-depth/chunk sizes/CRCs/markers must be consistent with
   the payload) and the pixel/sample paths (:func:`image_stats`,
@@ -399,6 +404,363 @@ def _parse_wav(buf: bytes):
     return n, ch, rate, s
 
 
+#: GIF decode ceiling. Like JPEG, the LZW entropy decode is a
+#: bit-serial Python loop (~0.5 s per noisy megapixel measured, so
+#: the worst in-budget payload costs ~4 s), and every composited
+#: frame materializes a
+#: full canvas copy — so the budget counts canvas pixels PER FRAME
+#: plus sub-image pixels (LZW work), capping both adversarial decode
+#: CPU and the frames-list working set (8M pixels -> <= ~24 MB of
+#: frame arrays per payload). Bigger animations are the codec route's
+#: job, same contract as the JPEG/PNG ceilings above.
+_GIF_MAX_PIXELS = 8_000_000
+#: GIF interlace row schedule (GIF89a spec appendix E): rows are
+#: stored in four passes with these (start, step) strides.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row index permutation: stored row j is display row order[j]."""
+    return np.concatenate([np.arange(s, h, step) for s, step in _GIF_INTERLACE])
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable 3..12-bit codes packed LSB-first.
+
+    Two passes: (1) the dictionary walk emits the code stream
+    (resetting with an explicit CLEAR when the table fills at 4096);
+    (2) serialization replays the DECODER's width schedule exactly —
+    the decoder's table lags the encoder's by one emitted code, so
+    mirroring the read-side state machine (width bumps AFTER the
+    lagged append fills 2**width) is the only spelling that cannot
+    drift out of sync."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes = [clear]
+    if indices:
+        fresh = {bytes([i]): i for i in range(clear)}
+        table = dict(fresh)
+        next_code = end + 1
+        w = indices[0:1]
+        for j in range(1, len(indices)):
+            wk = w + indices[j : j + 1]
+            if wk in table:
+                w = wk
+                continue
+            codes.append(table[w])
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+            else:
+                codes.append(clear)
+                table = dict(fresh)
+                next_code = end + 1
+            w = indices[j : j + 1]
+        codes.append(table[w])
+    codes.append(end)
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code_size + 1
+    table_len = end + 1
+    started = False
+    for c in codes:
+        if c >= (1 << code_size):  # width accounting invariant
+            raise AssertionError("LZW code exceeds current width")
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            table_len, code_size, started = end + 1, min_code_size + 1, False
+        elif c == end:
+            pass
+        elif not started:
+            started = True
+        else:
+            table_len += 1
+            if table_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expect: int):
+    """LZW code stream -> exactly ``expect`` index bytes, or None on
+    any structural error (bad code, missing END, wrong length,
+    nonzero trailing padding)."""
+    if not (2 <= min_code_size <= 8):
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return None  # ran out of bytes before the END code
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                return None  # first code after CLEAR must be a literal
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the just-assigned code (wKwKw case)
+                entry = prev + prev[:1]
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        if len(out) > expect:
+            return None  # overlong stream for the declared sub-image
+        prev = entry
+    if len(out) != expect:
+        return None
+    if acc or any(data[pos:]):  # padding after END must be zero bits
+        return None
+    return bytes(out)
+
+
+def pack_gif(
+    frames,
+    positions=None,
+    transparent_color=None,
+    disposals=None,
+    interlace=False,
+    bg_color=None,
+) -> bytes:
+    """RGB frame list -> GIF89a via pure-stdlib LZW — no codec
+    dependency. ``frames`` is a list of ``(h, w, 3)`` uint8 arrays;
+    frame 0 sets the canvas size and must sit at (0, 0); later frames
+    may be sub-rectangles placed at ``positions[k] = (left, top)``.
+    Pixels equal to ``transparent_color`` (an (r, g, b) tuple) encode
+    as the transparent index; ``disposals[k]`` sets the per-frame
+    disposal method (0 none / 1 keep / 2 restore-background /
+    3 restore-previous). All distinct colors (plus the background)
+    must fit a 256-entry global color table."""
+    if not frames:
+        raise ValueError("pack_gif wants at least one frame")
+    frames = [np.asarray(f) for f in frames]
+    for f in frames:
+        if f.ndim != 3 or f.shape[2] != 3 or f.dtype != np.uint8:
+            raise ValueError("pack_gif wants (h, w, 3) uint8 frames")
+    h0, w0, _ = frames[0].shape
+    positions = positions or [(0, 0)] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    if positions[0] != (0, 0):
+        raise ValueError("frame 0 must cover the canvas at (0, 0)")
+    # palette: every distinct color across frames, background first so
+    # the logical-screen background index is stable
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    palette = [tuple(int(v) for v in c) for c in colors]
+    bg = tuple(int(v) for v in (bg_color if bg_color is not None else palette[0]))
+    if bg not in palette:
+        palette.insert(0, bg)
+    else:
+        palette.insert(0, palette.pop(palette.index(bg)))
+    if len(palette) > 256:
+        raise ValueError("pack_gif needs <= 256 distinct colors")
+    bits = max(2, (len(palette) - 1).bit_length())  # LZW mcs >= 2
+    size = 1 << bits
+    lut = {c: i for i, c in enumerate(palette)}
+    transparent_idx = lut.get(tuple(transparent_color)) if transparent_color else None
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w0, h0, 0x80 | 0x70 | (bits - 1), 0, 0)
+    for c in palette:
+        out += bytes(c)
+    out += b"\0\0\0" * (size - len(palette))
+    for k, f in enumerate(frames):
+        fh, fw, _ = f.shape
+        left, top = positions[k]
+        if left + fw > w0 or top + fh > h0:
+            raise ValueError("frame exceeds the canvas")
+        flags = (disposals[k] & 0x7) << 2
+        tidx = 0
+        if transparent_idx is not None:
+            flags |= 1
+            tidx = transparent_idx
+        out += b"\x21\xf9\x04" + bytes([flags, 0, 0, tidx]) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", left, top, fw, fh, 0x40 if interlace else 0
+        )
+        idx = np.empty((fh, fw), dtype=np.uint8)
+        for c, i in lut.items():
+            idx[(f == np.array(c, dtype=np.uint8)).all(axis=2)] = i
+        if interlace:
+            idx = idx[_gif_interlace_order(fh)]
+        out += bytes([bits])
+        lzw = _lzw_encode(idx.tobytes(), bits)
+        for lo in range(0, len(lzw), 255):
+            chunk = lzw[lo : lo + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _parse_gif_frames(buf: bytes):
+    """GIF87a/89a -> (w, h, [composited (h, w, 3) uint8 frames]) or
+    None — REAL decoding: LZW entropy decode (variable-width codes,
+    table growth/reset, the wKwK special case), global/local color
+    tables, 4-pass interlace, and per-frame compositing with
+    transparency and disposal methods 0-3. Structural validation is
+    complete: block walk must reach the trailer, sub-images must fit
+    the canvas, the LZW stream must decode to exactly w*h indices all
+    inside the palette, and the pixel budget bounds forged payloads
+    (``_GIF_MAX_PIXELS``)."""
+    if len(buf) < 13 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    if w <= 0 or h <= 0:
+        return None
+    if w * h > _GIF_MAX_PIXELS:  # forged-LSD guard BEFORE the canvas alloc
+        return None
+    i, gct = 13, None
+    if packed & 0x80:
+        gsize = 2 << (packed & 0x07)
+        if i + 3 * gsize > len(buf):
+            return None
+        gct = np.frombuffer(buf[i : i + 3 * gsize], dtype=np.uint8).reshape(gsize, 3)
+        i += 3 * gsize
+    bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:] = bg
+    frames = []
+    transparent, disposal = None, 0  # GCE state applies to the NEXT image only
+    budget = _GIF_MAX_PIXELS
+    saw_trailer = False
+    while i < len(buf):
+        b0 = buf[i]
+        i += 1
+        if b0 == 0x3B:
+            saw_trailer = True
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks + terminator
+            if i >= len(buf):
+                return None
+            label = buf[i]
+            i += 1
+            subs = []
+            while True:
+                if i >= len(buf):
+                    return None
+                ln = buf[i]
+                i += 1
+                if ln == 0:
+                    break
+                if i + ln > len(buf):
+                    return None
+                subs.append(buf[i : i + ln])
+                i += ln
+            if label == 0xF9:  # graphic control
+                gce = b"".join(subs)
+                if len(gce) != 4:
+                    return None
+                disposal = (gce[0] >> 2) & 0x7
+                transparent = gce[3] if gce[0] & 0x1 else None
+            continue
+        if b0 != 0x2C:  # image descriptor is the only other block type
+            return None
+        if i + 9 > len(buf):
+            return None
+        left, top, fw, fh, fpk = struct.unpack_from("<HHHHB", buf, i)
+        i += 9
+        if fw <= 0 or fh <= 0 or left + fw > w or top + fh > h:
+            return None
+        pal = gct
+        if fpk & 0x80:  # local color table overrides
+            lsize = 2 << (fpk & 0x07)
+            if i + 3 * lsize > len(buf):
+                return None
+            pal = np.frombuffer(buf[i : i + 3 * lsize], dtype=np.uint8).reshape(lsize, 3)
+            i += 3 * lsize
+        if pal is None:
+            return None
+        budget -= w * h + fw * fh  # canvas copy + LZW decode work
+        if budget < 0:
+            return None
+        if i >= len(buf):
+            return None
+        mcs = buf[i]
+        i += 1
+        datas = []
+        while True:
+            if i >= len(buf):
+                return None
+            ln = buf[i]
+            i += 1
+            if ln == 0:
+                break
+            if i + ln > len(buf):
+                return None
+            datas.append(buf[i : i + ln])
+            i += ln
+        raw = _lzw_decode(b"".join(datas), mcs, fw * fh)
+        if raw is None:
+            return None
+        idx = np.frombuffer(raw, dtype=np.uint8)
+        if int(idx.max(initial=0)) >= len(pal):
+            return None
+        idx = idx.reshape(fh, fw)
+        if fpk & 0x40:  # interlaced: stored row j is display row order[j]
+            de = np.empty_like(idx)
+            de[_gif_interlace_order(fh)] = idx
+            idx = de
+        saved = canvas[top : top + fh, left : left + fw].copy() if disposal == 3 else None
+        rgb = pal[idx]
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background before the next frame
+            canvas[top : top + fh, left : left + fw] = bg
+        elif disposal == 3 and saved is not None:
+            canvas[top : top + fh, left : left + fw] = saved
+        transparent, disposal = None, 0
+    if not saw_trailer or not frames:
+        return None
+    return w, h, frames
+
+
+def _parse_gif(buf: bytes):
+    """First composited frame as a still image:
+    (w, h, 3, (h, w, 3) uint8) or None."""
+    r = _parse_gif_frames(buf)
+    if r is None:
+        return None
+    w, h, frames = r
+    return w, h, 3, frames[0]
+
+
 def _numpy_decode_one(buf: bytes):
     """Dispatch on magic: (width, height, channels) for any format the
     pure-NumPy decoders handle, else None. WAV maps to
@@ -413,6 +775,9 @@ def _numpy_decode_one(buf: bytes):
     if r is not None:
         return r[0], r[1], r[2]
     r = _parse_jpeg(buf)
+    if r is not None:
+        return r[0], r[1], r[2]
+    r = _parse_gif(buf)
     if r is not None:
         return r[0], r[1], r[2]
     r = _parse_wav(buf)
@@ -441,9 +806,10 @@ def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) ->
             "in this environment; plug the codec into the kernel and "
             "pass decode='real' — or use decode='numpy' for the "
             "stdlib+NumPy formats (PPM P6, uncompressed BMP, 8-bit "
-            "PNG, baseline JPEG, PCM WAV). The real gate now covers "
-            "progressive/arithmetic JPEG, palette/16-bit PNG, and "
-            "compressed audio/video (MP3/AAC/H.264)"
+            "PNG, baseline JPEG, GIF87a/89a incl. animation, PCM "
+            "WAV). The real gate now covers progressive/arithmetic "
+            "JPEG, palette/16-bit PNG, and compressed audio/video "
+            "(MP3/AAC/H.264)"
         )
     if decode == "numpy":
 
@@ -554,6 +920,67 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(kernel, schema=schema)
 
 
+def frame_sample_media(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling (numpy route): animated GIF payloads decode
+    to their composited frame sequence (LZW + palette + interlace +
+    transparency/disposal compositing) and still images
+    (PPM/BMP/PNG/JPEG) count as one-frame sequences, so every visual
+    payload flows through one uniform video-style contract. Emits one
+    row per sampled frame index (0, every_n, 2*every_n, ...) with the
+    frame's per-channel pixel means rounded to 6 dp — greyscale
+    stills carry their single mean in ``mean_r`` with null g/b.
+    Non-visual or undecodable payloads emit no rows.
+
+    Output: ``(media_id, frame_index, n_frames, mean_r, mean_g,
+    mean_b)``. Scale shape: one ``mapInPandas`` pass, payload bytes
+    cross the JVM->Python boundary once, each frame reduces to three
+    doubles — the output is metadata-sized, so downstream
+    windowing/aggregation never shuffles media bytes. (The stub twin
+    :func:`frame_sample_stub` remains for plumbing tests.)"""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(p) if p is not None else b""
+                g = _parse_gif_frames(buf)
+                if g is not None:
+                    _, _, frames = g
+                else:
+                    r = _parse_ppm(buf) or _parse_bmp(buf) or _parse_png(buf) or _parse_jpeg(buf)
+                    if r is None:
+                        continue
+                    frames = [r[3]]
+                nf = len(frames)
+                for k in range(0, nf, every_n):
+                    px = frames[k]
+                    ch = px.shape[2]
+                    m = np.round(px.reshape(-1, ch).mean(axis=0), 6).tolist()
+                    if ch >= 3:  # RGB(A): alpha never reports as a color
+                        rgb = m[:3]
+                    else:  # greyscale (+alpha): single luminance mean
+                        rgb = [m[0], None, None]
+                    rows.append((mid, k, nf, rgb[0], rgb[1], rgb[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "n_frames", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, schema=schema)
+
+
 def image_stats(df: DataFrame) -> DataFrame:
     """REAL pixel-level feature extraction (numpy route, PPM/BMP/PNG):
     per-image dimensions + per-channel mean pixel value, rounded to
@@ -582,7 +1009,13 @@ def image_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 buf = bytes(p) if p is not None else b""
-                r = _parse_ppm(buf) or _parse_bmp(buf) or _parse_png(buf) or _parse_jpeg(buf)
+                r = (
+                    _parse_ppm(buf)
+                    or _parse_bmp(buf)
+                    or _parse_png(buf)
+                    or _parse_jpeg(buf)
+                    or _parse_gif(buf)  # animated: first composited frame
+                )
                 if r is None:
                     rows.append((mid, 0, 0, 0, []))
                 else:

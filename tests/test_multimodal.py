@@ -646,3 +646,180 @@ def test_jpeg_fill_bytes_and_pixel_budget():
     huge = bytearray(buf)
     huge[h_off : h_off + 4] = (2000).to_bytes(2, "big") + (2000).to_bytes(2, "big")
     assert _parse_jpeg(bytes(huge)) is None
+
+
+def test_gif_lzw_roundtrip_property():
+    """GIF-flavor LZW: random alphabets and lengths, including streams
+    long enough to fill the 4096-entry table and force a mid-stream
+    CLEAR/reset — encode must replay the decoder's width schedule
+    exactly or the bitstream desynchronizes."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(42)
+    for mcs in (2, 4, 8):
+        for n in (0, 1, 2, 100, 5000, 30000):
+            data = rng.integers(0, 1 << mcs, size=n, dtype=np.uint8).tobytes()
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs, n) == data
+    # highly repetitive data exercises long dictionary chains (wKwKw)
+    data = (b"\x00\x01" * 4000) + b"\x00" * 8000
+    assert _lzw_decode(_lzw_encode(data, 2), 2, len(data)) == data
+
+
+def test_gif_single_frame_exact_roundtrip():
+    """pack_gif -> _parse_gif_frames recovers the exact pixels, both
+    sequential and interlaced (distinct row values pin the 4-pass
+    interlace permutation — a wrong row order cannot cancel out)."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_gif_frames,
+        pack_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    px = (rng.integers(0, 6, size=(13, 9, 3)) * 40).astype(np.uint8)
+    for interlace in (False, True):
+        w, h, frames = _parse_gif_frames(pack_gif([px], interlace=interlace))
+        assert (w, h, len(frames)) == (9, 13, 1)
+        assert np.array_equal(frames[0], px)
+
+
+def test_gif_animation_compositing():
+    """Multi-frame semantics: sub-rectangle placement, transparent
+    holes keeping the canvas, disposal 2 (restore background) and
+    3 (restore previous) taking effect on the NEXT frame."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_gif_frames,
+        pack_gif,
+    )
+
+    f0 = np.full((6, 8, 3), 10, dtype=np.uint8)
+    f1 = np.full((2, 3, 3), 200, dtype=np.uint8)
+    f1[0, 0] = (1, 2, 3)  # encoded transparent
+    f2 = np.full((1, 2, 3), 77, dtype=np.uint8)
+
+    buf = pack_gif([f0, f1], positions=[(0, 0), (2, 1)], transparent_color=(1, 2, 3))
+    _, _, frames = _parse_gif_frames(buf)
+    exp = f0.copy()
+    exp[1:3, 2:5] = 200
+    exp[1, 2] = 10  # the hole keeps the canvas color
+    assert np.array_equal(frames[1], exp)
+
+    for disp in (2, 3):  # both restore f1's region for frame 2 here
+        buf = pack_gif(
+            [f0, f1, f2],
+            positions=[(0, 0), (2, 1), (0, 0)],
+            disposals=[0, disp, 0],
+            bg_color=(10, 10, 10),
+        )
+        _, _, frames = _parse_gif_frames(buf)
+        exp2 = f0.copy()
+        exp2[0, :2] = 77
+        assert np.array_equal(frames[2], exp2), disp
+
+
+def test_gif_structural_rejection():
+    """Forged payloads must return None, never garbage: truncation,
+    missing trailer, out-of-palette indices, oversize logical screen
+    (BEFORE the canvas allocation), canvas-pixel budget across many
+    frames, and nonzero bit padding after the LZW END code."""
+    import struct
+
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _GIF_MAX_PIXELS,
+        _lzw_encode,
+        _parse_gif_frames,
+        pack_gif,
+    )
+
+    f0 = np.zeros((4, 4, 3), np.uint8)
+    good = pack_gif([f0])
+    assert _parse_gif_frames(good) is not None
+    assert _parse_gif_frames(good[:-1]) is None  # trailer gone
+    assert _parse_gif_frames(good[:15]) is None  # truncated mid-header
+    assert _parse_gif_frames(b"GIF89a" + b"\x00" * 7) is None
+
+    # forged logical screen: guard fires before the canvas alloc
+    huge = bytearray(good)
+    struct.pack_into("<HH", huge, 6, 60000, 60000)
+    assert _parse_gif_frames(bytes(huge)) is None
+
+    # many-frame canvas budget: 301 copies of a 200x200 canvas
+    side = 200
+    n_frames = _GIF_MAX_PIXELS // (side * side) + 1
+    tiny = np.zeros((1, 1, 3), np.uint8)
+    buf = pack_gif(
+        [np.zeros((side, side, 3), np.uint8)] + [tiny] * n_frames,
+        positions=[(0, 0)] * (n_frames + 1),
+    )
+    assert _parse_gif_frames(buf) is None
+
+    # out-of-palette index: hand-build a 2-color GCT image whose LZW
+    # stream emits index 3
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0) + b"\x00\x00\x00\xff\xff\xff"
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+    lzw = _lzw_encode(bytes([0, 3]), 2)
+    body = bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    assert _parse_gif_frames(hdr + desc + body) is None
+
+    # nonzero padding after the END code desyncs -> reject
+    lzw_ok = _lzw_encode(bytes([0, 1]), 2)
+    body_ok = bytes([2, len(lzw_ok)]) + lzw_ok + b"\x00\x3b"
+    assert _parse_gif_frames(hdr + desc + body_ok) is not None
+    junk = bytes([2, len(lzw_ok) + 1]) + lzw_ok + b"\xff" + b"\x00\x3b"
+    assert _parse_gif_frames(hdr + desc + junk) is None
+
+
+def test_gif_through_decode_media_and_image_stats(spark):
+    """The numpy decode route and image_stats treat an animated GIF as
+    its first composited frame; frame_sample_media decodes the full
+    sequence with exact per-frame means."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        frame_sample_media,
+        image_stats,
+        pack_gif,
+        pack_ppm,
+        pack_wav_pcm16,
+    )
+
+    frames = [np.full((4, 5, 3), 30 * (k + 1), dtype=np.uint8) for k in range(5)]
+    rows = [
+        (0, "video", bytearray(pack_gif(frames)), "syn"),
+        (1, "image", bytearray(pack_ppm(np.full((3, 4, 3), 9, dtype=np.uint8))), "syn"),
+        (2, "audio", bytearray(pack_wav_pcm16(np.zeros((8, 1), dtype=np.int16))), "syn"),
+        (3, "image", bytearray(b"garbage"), "syn"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    meta = {r["media_id"]: r for r in decode_media(df, decode="numpy").collect()}
+    assert (meta[0]["width"], meta[0]["height"], meta[0]["channels"]) == (5, 4, 3)
+    assert meta[0]["payload_ok"] and not meta[3]["payload_ok"]
+
+    st = {r["media_id"]: r for r in image_stats(df).collect()}
+    assert st[0]["channel_means"] == [30.0, 30.0, 30.0]  # first frame
+
+    out = {}
+    for r in frame_sample_media(df, every_n=2).collect():
+        out.setdefault(r["media_id"], []).append(r)
+    assert sorted(r["frame_index"] for r in out[0]) == [0, 2, 4]
+    assert all(r["n_frames"] == 5 for r in out[0])
+    by_idx = {r["frame_index"]: r for r in out[0]}
+    for k in (0, 2, 4):
+        assert by_idx[k]["mean_r"] == 30.0 * (k + 1)
+    # a still image is a one-frame sequence; audio/garbage emit nothing
+    assert [r["frame_index"] for r in out[1]] == [0]
+    assert out[1][0]["mean_r"] == 9.0 and out[1][0]["n_frames"] == 1
+    assert 2 not in out and 3 not in out
