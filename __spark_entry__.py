@@ -1518,6 +1518,46 @@ def _q_paragraph_dedup_bi(spark, sf_dir):
     return paragraph_dedup_bipartite(hist, new, "doc_id", "text")
 
 
+def _q_paragraph_dedup_bloom(spark, sf_dir):
+    # Dolma's Bloom-filter dedup route (Soldaini 2024 §2.2) in its
+    # exact spelling: same planted corpora as paragraph_dedup_bi, but
+    # the history is probed as a broadcast Bloom and only the
+    # positive sliver takes the verify anti-join. fpp=0.5 makes the
+    # filter deliberately tiny so REAL false positives flow through
+    # the verify path at oracle scale — the row hashes against the
+    # hash-join twin's oracle verbatim, so an unverified FP (lost
+    # paragraph) or a missed duplicate flips it.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        paragraph_dedup_bipartite_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    sid = F.col("doc_id").cast("string")
+    shared = F.concat(
+        F.lit("Shared paragraph block number "),
+        (F.col("doc_id") % PB_SHARED_MOD).cast("string"),
+        F.lit(" appears in many documents."),
+    )
+    hist = docs.filter(F.col("doc_id") % PB_HIST_MOD == 0).select(
+        "doc_id",
+        F.concat(F.lit("History doc "), sid, F.lit(".\n"), shared).alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % PB_HIST_MOD != 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("Unique opening paragraph for document "), sid, F.lit(".\n"),
+            shared, F.lit("\nNew shard shared paragraph "),
+            (F.col("doc_id") % PB_NEW_MOD).cast("string"),
+            F.lit(" for this cycle.\n"),
+            F.substring(F.col("text"), 1, 60),
+        ).alias("text"),
+    )
+    return paragraph_dedup_bipartite_bloom(hist, new, "doc_id", "text", fpp=0.5)
+
+
 def _q_paragraph_dedup(spark, sf_dir):
     # CCNet-style paragraph-hash dedup as a transform (Wenzek 2020
     # §3): every doc carries a per-doc-unique opening paragraph, one
@@ -3375,6 +3415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interlace, animation compositing) + video-style frame
         # sampling over planted construction-derived payloads
         "multimodal_gif": _q_multimodal_gif,
+        # paragraph_dedup_bloom: NEW — Dolma's Bloom-filter dedup
+        # route (exact spelling, deliberate-FP filter) hashed against
+        # the hash-join twin's oracle
+        "paragraph_dedup_bloom": _q_paragraph_dedup_bloom,
         # fineweb_pipeline: NEW — the FineWeb-ordered flagship
         # (Penedo 2024 §3): URL -> langid -> Gopher rep -> Gopher
         # rules -> MinHash -> C4-minus-terminal-punct -> custom
@@ -5556,6 +5600,10 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # full-probe IVF is defined to equal brute force exactly, so it
     # shares sim_topk's oracle verbatim
     oracles["sim_topk_ivf_full"] = oracles["sim_topk"]
+    # the Bloom dedup route (exact=True) is DEFINED to equal the
+    # hash-join twin row-for-row — false positives are verified away,
+    # negatives cannot be duplicates — so it shares the oracle
+    oracles["paragraph_dedup_bloom"] = oracles["paragraph_dedup_bi"]
     # composite rows (see queries() for the row-budget rationale):
     # each absorbed single-row oracle is re-aliased and cross-joined,
     # mirroring the Spark-side crossJoin composition column-for-column

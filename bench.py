@@ -264,6 +264,64 @@ def main() -> None:
             errors["curate_scale310k"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# curate_scale310k: ERROR {errors['curate_scale310k']}", file=sys.stderr)
 
+        # Dolma Bloom dedup route at 1M new vs 1M history docs with
+        # 100k planted exact history duplicates (id % 10 == 0 copies
+        # history doc id/10). exact=True must keep EXACTLY the 900k
+        # non-duplicates (false positives verified away); exact=False
+        # (the no-join Dolma trade at fpp=0.01) must still drop every
+        # planted duplicate (no false negatives) and lose at most a
+        # few fpp of the genuinely-new docs.
+        from cs533_big_data_data_mining_spark.operators.dedup import (
+            exact_dedup_bipartite_bloom,
+        )
+
+        nbl, dup_mod = 1_000_000, 10
+
+        def _bloom_ht(c):
+            return F.concat(
+                F.lit("hist doc "), c.cast("string"), F.lit(" "),
+                F.conv(F.pmod(F.xxhash64(c), F.lit(10**9)).cast("string"), 10, 36),
+            )
+
+        histb = spark.range(nbl).select(
+            (F.col("id") + 10_000_000).alias("doc_id"), _bloom_ht(F.col("id")).alias("text")
+        )
+        newb = spark.range(nbl).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % dup_mod == 0, _bloom_ht((F.col("id") / dup_mod).cast("long")))
+            .otherwise(
+                F.concat(
+                    F.lit("new doc "), F.col("id").cast("string"), F.lit(" "),
+                    F.conv(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10**9)).cast("string"), 10, 36),
+                )
+            )
+            .alias("text"),
+        )
+        expect_surv = nbl - nbl // dup_mod
+        t0 = time.time()
+        try:
+            n_exact = exact_dedup_bipartite_bloom(newb, histb, "doc_id", "text").count()
+            assert n_exact == expect_surv, f"bloom exact route: {n_exact} != {expect_surv}"
+            loose = exact_dedup_bipartite_bloom(
+                newb, histb, "doc_id", "text", fpp=0.01, exact=False
+            )
+            agg = loose.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("doc_id") % dup_mod == 0).cast("long")).alias("dup_survivors"),
+            ).head()
+            assert agg["dup_survivors"] == 0, f"bloom false negative?! {agg}"
+            lost = expect_surv - agg["n"]
+            assert 0 <= lost <= int(expect_surv * 0.05), f"bloom fp loss out of band: {lost}"
+            timings["bloom_dedup_scale1m"] = round(time.time() - t0, 3)
+            print(
+                f"# bloom_dedup_scale1m: {timings['bloom_dedup_scale1m']}s "
+                f"(exact 900k kept; loose lost {lost} to fp)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["bloom_dedup_scale1m"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# bloom_dedup_scale1m: ERROR {errors['bloom_dedup_scale1m']}", file=sys.stderr)
+
         # LSH auto-route above its documented ~0.58M-vector gate:
         # 600k random 16-dim vectors + 1000 planted exact duplicates.
         # Identical vectors share every band key, so ALL planted pairs

@@ -31,9 +31,11 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     duplicated_spans_bipartite,
     exact_dedup,
     exact_dedup_bipartite,
+    exact_dedup_bipartite_bloom,
     minhash_dedup_pairs,
     paragraph_dedup,
     paragraph_dedup_bipartite,
+    paragraph_dedup_bipartite_bloom,
     remove_duplicated_spans,
     url_dedup,
     url_dedup_bipartite,
@@ -147,6 +149,7 @@ __all__ = [
     "warc_text",
     "exact_dedup",
     "exact_dedup_bipartite",
+    "exact_dedup_bipartite_bloom",
     "url_dedup",
     "url_dedup_bipartite",
     "remove_duplicated_spans",
@@ -170,6 +173,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "paragraph_dedup",
     "paragraph_dedup_bipartite",
+    "paragraph_dedup_bipartite_bloom",
     "simhash64",
     "simhash_neardup_pairs",
     "duplicated_spans",

@@ -1205,3 +1205,119 @@ def paragraph_dedup_bipartite(
     fresh = keyed.join(hist_keys, "__k", "left_anti")
     kept = _keep_first(fresh) if dedup_within_new else fresh
     return _reassemble_paragraphs(base, kept, out_col)
+
+
+def exact_dedup_bipartite_bloom(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    content_col: str,
+    history_content_col: str | None = None,
+    fpp: float = 0.01,
+    exact: bool = True,
+    bloom=None,
+):
+    """:func:`exact_dedup_bipartite` through a Bloom filter — the
+    Dolma spelling of incremental document dedup (Soldaini et al.
+    2024 §2.2: the ever-growing corpus is represented as a Bloom
+    filter, new documents probe it map-side). Returns the same FULL-
+    row contract.
+
+    Two envelopes, picked by ``exact``:
+
+    * ``exact=True`` (default): the Bloom is a PREFILTER. Negatives
+      are *definitely new* (no false negatives by construction) and
+      skip the history join entirely; only the Bloom-positive sliver
+      (true duplicates + ~fpp of the shard) takes the exact anti-join
+      against the history hash set — output matches the hash-join
+      twin row-for-row while the join's probe side shrinks from the
+      whole shard to the candidates. Worth it when the shard is huge
+      relative to its duplicate rate.
+    * ``exact=False``: pure Dolma semantics — Bloom positives drop
+      UNVERIFIED, so ~fpp of genuinely-new documents are lost (their
+      documented trade for eliminating the history join and keeping
+      the per-cycle state at ~1.2 GB/10^9 docs of bits instead of an
+      8 GB+ hash frame). Survivors are always a SUBSET of the exact
+      route's (one-sided error).
+
+    Pass a prebuilt/loaded ``bloom`` (:class:`~..sketches
+    .BloomFilter` — ``save``/``load`` persist it) to amortize the
+    one-time history scan across daily shard cycles; otherwise one is
+    built here from the history's distinct content hashes.
+    """
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    hcol = history_content_col if history_content_col is not None else content_col
+    # string-typed key: the Bloom hashes whatever value it is given,
+    # and the VERIFY join below uses the same 64-bit content hash as
+    # the hash-join twin, so both routes key identically
+    seen = history.select(F.xxhash64(hcol).cast("string").alias("__h")).distinct()
+    if bloom is None:
+        bloom = bloom_build(seen, "__h", fpp=fpp)
+    base = new.select(F.col(id_col).alias("__id"), F.xxhash64(content_col).cast("string").alias("__h"))
+    mc = bloom.might_contain("__h")
+    if exact:
+        fresh = base.filter(~mc).unionByName(base.filter(mc).join(seen, "__h", "left_anti"))
+    else:
+        fresh = base.filter(~mc)
+    keepers = fresh.groupBy("__h").agg(F.min("__id").alias(id_col)).select(id_col)
+    return new.join(keepers, id_col, "left_semi")
+
+
+def paragraph_dedup_bipartite_bloom(
+    history: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_within_new: bool = True,
+    out_col: str = "clean",
+    fpp: float = 0.01,
+    exact: bool = True,
+    bloom=None,
+) -> DataFrame:
+    """:func:`paragraph_dedup_bipartite` through a Bloom filter — the
+    Dolma paragraph route (Soldaini et al. 2024 §2.2 dedupes both
+    documents AND paragraphs against the same kind of Bloom state).
+    Output contract is unchanged: ``(id, clean, n_paras, n_kept)``
+    for every NEW row.
+
+    ``exact=True``: Bloom-negative paragraphs (definitely unseen)
+    bypass the history anti-join; only the positive sliver is
+    verified exactly, so the result matches the hash-join twin
+    row-for-row and false positives cost a candidate-row join, never
+    a lost paragraph. ``exact=False``: Dolma's one-sided trade —
+    positives excise unverified, ~fpp of genuinely-new paragraphs
+    vanish, and the history is never joined at all (its only
+    per-cycle footprint is the broadcast bit array). Prebuild the
+    filter once per corpus with :func:`~..sketches.bloom_build` over
+    the normalized-paragraph keys and pass it as ``bloom`` to skip
+    the history scan entirely.
+
+    Scale shape vs the hash-join twin: the twin anti-joins EVERY new
+    paragraph occurrence against #distinct-history-paragraph hashes;
+    here the shard stream is probed map-side (Arrow-batched bit
+    tests, zero shuffle) and only candidates — duplicate rate + fpp
+    — reach a shuffle. The within-shard keep-first aggregation is
+    shard-sized either way. The probe column evaluates once per
+    branch (negatives / candidates): two passes over the shard-sized
+    paragraph explode, both shuffle-free.
+    """
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    hist_keys = (
+        history.select(F.explode(_paras_arr(F.col(text_col))).alias("para"))
+        .select(_para_key(F.col("para")).alias("__k"))
+        .distinct()
+    )
+    if bloom is None:
+        bloom = bloom_build(hist_keys, "__k", fpp=fpp)
+    base, keyed = _paragraphs_keyed(new, id_col, text_col)
+    mc = bloom.might_contain("__k")
+    if exact:
+        fresh = keyed.filter(~mc).unionByName(
+            keyed.filter(mc).join(hist_keys, "__k", "left_anti")
+        )
+    else:
+        fresh = keyed.filter(~mc)
+    kept = _keep_first(fresh) if dedup_within_new else fresh
+    return _reassemble_paragraphs(base, kept, out_col)

@@ -807,3 +807,102 @@ def test_lsh_bucket_cap_validation(spark):
             minhash_dedup_pairs(df, "doc_id", "text", max_bucket_size=bad)
         with _pytest.raises(ValueError):
             minhash_dedup_pairs_bipartite(df, df, "doc_id", "text", max_bucket_size=bad)
+
+
+def test_exact_dedup_bipartite_bloom_routes(spark):
+    """exact=True must equal the hash-join twin row-for-row even when
+    the Bloom is deliberately tiny (fpp=0.5 -> real false positives
+    for the verify path to recover); exact=False is one-sided — every
+    true duplicate still drops (no false negatives), survivors are a
+    subset of the exact route's."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        exact_dedup_bipartite,
+        exact_dedup_bipartite_bloom,
+    )
+
+    hist = spark.createDataFrame(
+        [(100 + i, f"hist text {i % 5}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, f"hist text {i}" if i < 5 else f"new text {i % 8}") for i in range(16)],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, exact_dedup_bipartite(new, hist, "doc_id", "text").collect()))
+    for fpp in (0.01, 0.5):
+        got = sorted(
+            map(tuple, exact_dedup_bipartite_bloom(new, hist, "doc_id", "text", fpp=fpp).collect())
+        )
+        assert got == want, fpp
+
+    loose = sorted(
+        map(
+            tuple,
+            exact_dedup_bipartite_bloom(new, hist, "doc_id", "text", fpp=0.5, exact=False).collect(),
+        )
+    )
+    assert set(loose) <= set(want)  # one-sided: may lose, never re-admit
+    # every true duplicate is gone regardless (no false negatives)
+    assert all(not r[1].startswith("hist text") or int(r[1].split()[-1]) >= 5 for r in loose)
+
+
+def test_paragraph_dedup_bipartite_bloom_routes(spark):
+    """Paragraph-level Dolma route: exact=True matches the hash-join
+    twin on the same fixture (incl. a tiny high-fpp Bloom), a prebuilt
+    filter short-circuits the history scan, and exact=False only ever
+    removes MORE paragraphs."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        _para_key,
+        _paras_arr,
+        paragraph_dedup_bipartite,
+        paragraph_dedup_bipartite_bloom,
+    )
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+    from pyspark.sql import functions as F
+
+    hist = spark.createDataFrame(
+        [(100, "old news\nshared block"), (101, "other old\nSHARED   BLOCK")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "fresh one\nshared block\nnew dup"),
+            (2, "new dup\nfresh two"),
+            (3, None),
+            (4, "shared block"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, paragraph_dedup_bipartite(hist, new, "doc_id", "text").collect()))
+    for fpp in (0.01, 0.5):
+        got = sorted(
+            map(
+                tuple,
+                paragraph_dedup_bipartite_bloom(hist, new, "doc_id", "text", fpp=fpp).collect(),
+            )
+        )
+        assert got == want, fpp
+
+    # prebuilt filter (the amortized daily-ingest artifact)
+    keys = (
+        hist.select(F.explode(_paras_arr(F.col("text"))).alias("p"))
+        .select(_para_key(F.col("p")).alias("__k"))
+        .distinct()
+    )
+    bf = bloom_build(keys, "__k", fpp=0.01)
+    got = sorted(
+        map(
+            tuple,
+            paragraph_dedup_bipartite_bloom(hist, new, "doc_id", "text", bloom=bf).collect(),
+        )
+    )
+    assert got == want
+
+    # exact=False: per-doc kept count can only shrink
+    exact_kept = {r[0]: r[3] for r in want}
+    loose = paragraph_dedup_bipartite_bloom(
+        hist, new, "doc_id", "text", fpp=0.5, exact=False
+    ).collect()
+    for r in loose:
+        if r["n_kept"] is not None:
+            assert r["n_kept"] <= exact_kept[r["id"]]
