@@ -2993,6 +2993,193 @@ def _fwp_inner(i, txt):
     )
 
 
+# ---- Dolma flagship planting constants (Soldaini et al. 2024 §2) ----
+DMP_HIST_MOD = 4                      # doc_id % 4 == 0 -> immutable history
+DMP_LANG_MOD, DMP_LANG_RES = 13, 3    # non-English page    -> stage 1
+DMP_GOPHER_MOD, DMP_GOPHER_RES = 17, 5  # low-quality junk  -> stage 2
+DMP_DOC_MOD, DMP_DOC_RES = 29, 13     # exact history copy  -> stage 6
+DMP_C4P_MOD, DMP_C4P_RES = 19, 7      # lorem-ipsum page    -> stage 3 (page drop)
+DMP_C4L_MOD, DMP_C4L_RES = 37, 9      # javascript line     -> stage 3 (line clean)
+DMP_PARA_MOD, DMP_PARA_RES = 31, 17   # history paragraph   -> stage 7 (excised)
+DMP_URL_MOD, DMP_URL_RES = 23, 11     # shared-URL re-crawl -> stage 5
+DMP_URL_GROUPS = 7
+DMP_NEWPARA_CLASSES = 6               # within-pool shared paragraph classes
+DMP_HISTPARA_CLASSES = 5
+DMP_L1A, DMP_L1B = "Document ", (
+    " of the pool opens with a clear and steady sentence that ends properly."
+    " It truly does so."
+)
+DMP_L2A, DMP_L2B = "It is followed by the words ", " and a final period."
+DMP_L3A, DMP_L3B, DMP_L3C = "Contact user", "@mail.example.com for doc ", (
+    " details today. All done."
+)
+DMP_L4A, DMP_L4B = "New pool shared paragraph ", " appears in many pool documents."
+DMP_GOPHA, DMP_GOPHB = "The a of and to is in it for doc ", "."
+DMP_C4P_LINE = "See also lorem ipsum text."
+DMP_C4L_LINE = "Please enable JavaScript to continue now."
+DMP_HISTP_A, DMP_HISTP_B = "Shared history paragraph block ", " appears in the archive."
+DMP_H1A, DMP_H1B = "History document ", (
+    " of the archive opens with a clear and steady sentence that ends properly."
+    " It truly does so."
+)
+DMP_H2 = (
+    "It continues with plenty of additional words to be sure that the fifty word"
+    " minimum for the quality rules is comfortably cleared."
+    " Indeed the margin is quite safe in every case today."
+)
+
+
+def _dmp_hist_text(hid):
+    """Constructed history page for history doc ``hid`` (a Column):
+    three paragraphs — two per-doc framing sentences with enough
+    words/sentences to be stage-1..4 INVARIANT (the doc-dup plant
+    copies this text verbatim and must reach the dedup stage
+    unchanged: English markers, >= 50 words, exactly 5 terminal
+    marks, every line >= 3 words, no C4 substrings, no PII) — plus
+    the shared-class paragraph the stage-7 plants point at."""
+    h = hid.cast("string")
+    return F.concat(
+        F.lit(DMP_H1A), h, F.lit(DMP_H1B), F.lit("\n"),
+        F.lit(DMP_H2), F.lit("\n"),
+        F.lit(DMP_HISTP_A), (hid % DMP_HISTPARA_CLASSES).cast("string"), F.lit(DMP_HISTP_B),
+    )
+
+
+def _dmp_inner(i, txt):
+    """Per-doc constructed page for the Dolma flagship pool —
+    mirrored verbatim by ``_dmp_inner_sql``. Class precedence (first
+    match wins, same CASE order in SQL): French page, gopher junk,
+    exact history copy (of history doc ``i - i % 4``), lorem-ipsum
+    page, javascript line, history-shared paragraph; the normal page
+    is four paragraphs (unique opener, corpus words, PII contact
+    line, within-pool shared paragraph class i % 6)."""
+    sid = i.cast("string")
+    normal = F.concat(
+        F.lit(DMP_L1A), sid, F.lit(DMP_L1B), F.lit("\n"),
+        F.lit(DMP_L2A), F.substring(txt, 1, 120), F.lit(DMP_L2B), F.lit("\n"),
+        F.lit(DMP_L3A), sid, F.lit(DMP_L3B), sid, F.lit(DMP_L3C), F.lit("\n"),
+        F.lit(DMP_L4A), (i % DMP_NEWPARA_CLASSES).cast("string"), F.lit(DMP_L4B),
+    )
+    return (
+        F.when(i % DMP_LANG_MOD == DMP_LANG_RES, F.lit(FWP_FRENCH))
+        .when(
+            i % DMP_GOPHER_MOD == DMP_GOPHER_RES,
+            F.concat(F.lit(DMP_GOPHA), sid, F.lit(DMP_GOPHB)),
+        )
+        .when(i % DMP_DOC_MOD == DMP_DOC_RES, _dmp_hist_text(i - (i % DMP_HIST_MOD)))
+        .when(i % DMP_C4P_MOD == DMP_C4P_RES, F.concat(normal, F.lit("\n" + DMP_C4P_LINE)))
+        .when(i % DMP_C4L_MOD == DMP_C4L_RES, F.concat(normal, F.lit("\n" + DMP_C4L_LINE)))
+        .when(
+            i % DMP_PARA_MOD == DMP_PARA_RES,
+            F.concat(
+                normal, F.lit("\n" + DMP_HISTP_A),
+                (i % DMP_HISTPARA_CLASSES).cast("string"), F.lit(DMP_HISTP_B),
+            ),
+        )
+        .otherwise(normal)
+    )
+
+
+def _dmp_url(i):
+    sid = i.cast("string")
+    return F.when(
+        i % DMP_URL_MOD == DMP_URL_RES,
+        F.concat(F.lit("https://pool.example/shared/"), (i % DMP_URL_GROUPS).cast("string")),
+    ).otherwise(F.concat(F.lit("https://site"), sid, F.lit(".example.org/p/"), sid))
+
+
+def _q_dolma_pipeline(spark, sf_dir):
+    # The Dolma-ordered curation pipeline (Soldaini et al. 2024 §2 —
+    # the THIRD production preset next to refinedweb/fineweb, with
+    # Dolma's distinguishing pieces: PII masking BEFORE dedup, and
+    # the URL -> document -> paragraph dedup ladder where both
+    # content levels run against an immutable history corpus through
+    # the Bloom route): language ID (en) -> Gopher quality rules ->
+    # C4 rules minus terminal_punct -> PII masking -> URL dedup ->
+    # exact doc dedup vs history (Bloom, exact spelling, fpp=0.5 so
+    # REAL false positives exercise the verify join) -> paragraph
+    # dedup vs history + within-pool keep_first (Bloom again).
+    # Every stage has a planted failure class on its own id residue;
+    # the per-row (clean, n_paras, n_kept) plus five survivor counts
+    # ride in the hash, so a wrong verdict anywhere flips it.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import lang_id
+    from cs533_big_data_data_mining_spark.functions.text import redact_pii as redact_col
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        exact_dedup_bipartite_bloom,
+        paragraph_dedup_bipartite_bloom,
+        url_dedup,
+    )
+    from cs533_big_data_data_mining_spark.operators.quality import c4_filters, gopher_rules
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    i = F.col("doc_id")
+    hist = docs0.filter(i % DMP_HIST_MOD == 0).select(
+        "doc_id", _dmp_hist_text(i).alias("text")
+    )
+    crawl = (
+        docs0.filter(i % DMP_HIST_MOD != 0)
+        .select("doc_id", _dmp_inner(i, F.col("text")).alias("text"), _dmp_url(i).alias("url"))
+        .cache()
+    )
+
+    # 1. language ID: keep English
+    s1 = crawl.filter(lang_id("text") == "en").cache()
+    n_lang = s1.count()
+
+    # 2. Gopher quality rules (Dolma applies the Gopher set)
+    g = gopher_rules(
+        s1, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
+    )
+    s2 = s1.join(g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+    n_gopher = s2.count()
+
+    # 3. C4 rules minus terminal_punct; clean text flows forward
+    c4 = c4_filters(s2, "doc_id", "text", line_terminal_punct=False)
+    s3 = (
+        c4.filter("keep")
+        .select(F.col("id").alias("doc_id"), F.col("clean").alias("text"))
+        .cache()
+    )
+    n_c4 = s3.count()
+
+    # 4. PII masking BEFORE dedup (Dolma's order; the planted emails
+    # must read <EMAIL> in every surviving row)
+    s4 = s3.select("doc_id", redact_col("text").alias("text"), _dmp_url(i).alias("url"))
+
+    # 5. URL dedup (exact keys: the construction is normalization-
+    # invariant, and Dolma dedups raw URLs)
+    ud = url_dedup(s4, "doc_id", "url", normalize=False)
+    s5 = s4.join(ud.select(F.col("id").alias("doc_id")), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    n_urlded = s5.count()
+
+    # 6. exact document dedup vs the immutable history (Bloom route,
+    # exact spelling — deliberate-FP filter)
+    s6 = exact_dedup_bipartite_bloom(s5, hist, "doc_id", "text", fpp=0.5).cache()
+    n_docded = s6.count()
+
+    # 7. paragraph dedup vs history + within-pool keep_first
+    pd_out = paragraph_dedup_bipartite_bloom(hist, s6, "doc_id", "text", fpp=0.5)
+    final = pd_out.collect()
+    for fr in (crawl, s1, s3, s6):
+        fr.unpersist()
+    rows = [
+        (r["id"], r["clean"], r["n_paras"], r["n_kept"], n_lang, n_gopher, n_c4, n_urlded, n_docded)
+        for r in final
+    ]
+    return local_df(
+        spark,
+        rows,
+        "id long, clean string, n_paras long, n_kept long, n_lang long, "
+        "n_gopher long, n_c4 long, n_urlded long, n_docded long",
+    )
+
+
 def _q_fineweb_pipeline(spark, sf_dir):
     # The FineWeb-ordered curation pipeline (Penedo et al. 2024 §3 —
     # the SECOND production preset next to refinedweb_pipeline, with
@@ -3419,6 +3606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # route (exact spelling, deliberate-FP filter) hashed against
         # the hash-join twin's oracle
         "paragraph_dedup_bloom": _q_paragraph_dedup_bloom,
+        # dolma_pipeline: NEW — the Dolma-ordered flagship (Soldaini
+        # 2024 §2): langid -> Gopher -> C4-minus-punct -> PII BEFORE
+        # dedup -> URL dedup -> Bloom doc dedup vs history -> Bloom
+        # paragraph dedup vs history + within-pool keep_first
+        "dolma_pipeline": _q_dolma_pipeline,
         # fineweb_pipeline: NEW — the FineWeb-ordered flagship
         # (Penedo 2024 §3): URL -> langid -> Gopher rep -> Gopher
         # rules -> MinHash -> C4-minus-terminal-punct -> custom
@@ -4090,6 +4282,105 @@ FROM fs7 CROSS JOIN cnts
 # same materialization rule as the refinedweb twin (jd_reach declares
 # a column list, so the recursive CTE is exempt by the regex)
 _FINEWEB_PIPE_SQL = re.sub(r"(?m)^(\w+) AS \(", r"\1 AS MATERIALIZED (", _FINEWEB_PIPE_SQL)
+
+
+def _dmp_hist_sql(hid: str) -> str:
+    """DuckDB mirror of _dmp_hist_text (string-for-string)."""
+    return (
+        f"'{DMP_H1A}' || CAST({hid} AS VARCHAR) || '{DMP_H1B}' || chr(10) || "
+        f"'{DMP_H2}' || chr(10) || "
+        f"'{DMP_HISTP_A}' || CAST(({hid}) % {DMP_HISTPARA_CLASSES} AS VARCHAR) || '{DMP_HISTP_B}'"
+    )
+
+
+def _dmp_inner_sql(i: str, txt: str) -> str:
+    """DuckDB mirror of _dmp_inner — same literals, same CASE order."""
+    sid = f"CAST({i} AS VARCHAR)"
+    normal = (
+        f"'{DMP_L1A}' || {sid} || '{DMP_L1B}' || chr(10) || "
+        f"'{DMP_L2A}' || substr({txt}, 1, 120) || '{DMP_L2B}' || chr(10) || "
+        f"'{DMP_L3A}' || {sid} || '{DMP_L3B}' || {sid} || '{DMP_L3C}' || chr(10) || "
+        f"'{DMP_L4A}' || CAST(({i}) % {DMP_NEWPARA_CLASSES} AS VARCHAR) || '{DMP_L4B}'"
+    )
+    fr = FWP_FRENCH.replace("\n", "' || chr(10) || '")
+    return f"""CASE
+      WHEN ({i}) % {DMP_LANG_MOD} = {DMP_LANG_RES} THEN '{fr}'
+      WHEN ({i}) % {DMP_GOPHER_MOD} = {DMP_GOPHER_RES}
+        THEN '{DMP_GOPHA}' || {sid} || '{DMP_GOPHB}'
+      WHEN ({i}) % {DMP_DOC_MOD} = {DMP_DOC_RES}
+        THEN {_dmp_hist_sql(f"({i}) - (({i}) % {DMP_HIST_MOD})")}
+      WHEN ({i}) % {DMP_C4P_MOD} = {DMP_C4P_RES} THEN {normal} || chr(10) || '{DMP_C4P_LINE}'
+      WHEN ({i}) % {DMP_C4L_MOD} = {DMP_C4L_RES} THEN {normal} || chr(10) || '{DMP_C4L_LINE}'
+      WHEN ({i}) % {DMP_PARA_MOD} = {DMP_PARA_RES}
+        THEN {normal} || chr(10) || '{DMP_HISTP_A}'
+             || CAST(({i}) % {DMP_HISTPARA_CLASSES} AS VARCHAR) || '{DMP_HISTP_B}'
+      ELSE {normal} END"""
+
+
+# Full twin of _q_dolma_pipeline (stage numbering matches the Spark
+# side): replant the pool and the constructed history, then chain the
+# SHARED stage spellings — language argmax, _gopher_rules_ctes,
+# _c4_ctes(terminal punct OFF), _redact_sql, URL min-id window, exact
+# anti-join vs the history text set (the Bloom route is DEFINED to
+# equal it), and the pb-style paragraph chain with history keys +
+# within-pool keep_first window.
+_DOLMA_PIPE_SQL = f"""
+WITH
+dm0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+dhist AS (SELECT doc_id AS hid, {_dmp_hist_sql("doc_id")} AS text
+          FROM dm0 WHERE doc_id % {DMP_HIST_MOD} = 0),
+dpool AS (SELECT doc_id, {_dmp_inner_sql("doc_id", "text")} AS text,
+            CASE WHEN doc_id % {DMP_URL_MOD} = {DMP_URL_RES}
+                 THEN 'https://pool.example/shared/' || CAST(doc_id % {DMP_URL_GROUPS} AS VARCHAR)
+                 ELSE 'https://site' || CAST(doc_id AS VARCHAR) || '.example.org/p/'
+                      || CAST(doc_id AS VARCHAR) END AS url
+          FROM dm0 WHERE doc_id % {DMP_HIST_MOD} <> 0),
+dl_t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM dpool),
+dl_s AS (SELECT doc_id,
+  {_LANG_SCORE_COLS},
+  {_GREATEST_LANGS_SQL} AS best
+  FROM dl_t),
+dl_l AS (SELECT doc_id, {_LANG_CASE_SQL} AS lg FROM dl_s),
+ds1 AS (SELECT dpool.* FROM dpool JOIN dl_l USING (doc_id) WHERE lg = 'en'),
+{_gopher_rules_ctes("ds1", GOPHER_MIN_WORDS, GOPHER_MIN_STOP)},
+ds2 AS (SELECT ds1.* FROM ds1 SEMI JOIN gr_keep USING (doc_id)),
+{_c4_ctes("ds2", line_terminal_punct=False)},
+ds3 AS (SELECT c4v.doc_id, c4v.clean AS text, ds2.url
+        FROM c4v JOIN ds2 USING (doc_id) WHERE c4v.keep),
+ds4 AS (SELECT doc_id, {_redact_sql("text")} AS text, url FROM ds3),
+ds5 AS (SELECT doc_id, text FROM ds4
+        QUALIFY row_number() OVER (PARTITION BY url ORDER BY doc_id) = 1),
+dhset AS (SELECT DISTINCT text FROM dhist),
+ds6 AS (SELECT * FROM (SELECT ds5.* FROM ds5 ANTI JOIN dhset ON ds5.text = dhset.text)
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+dhk AS (SELECT DISTINCT regexp_replace(lower(u), '\\s+', ' ', 'g') AS k
+        FROM dhist, LATERAL unnest(list_filter(list_transform(
+          string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS un(u)),
+dpl AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+          x -> trim(x)), x -> x <> '') AS ps FROM ds6),
+dpx AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para,
+          regexp_replace(lower(ps[i]), '\\s+', ' ', 'g') AS k
+        FROM dpl, LATERAL unnest(range(1, len(ps) + 1)) AS u(i)),
+dpf AS (SELECT dpx.* FROM dpx ANTI JOIN dhk ON dpx.k = dhk.k),
+dpw AS (SELECT doc_id, pos, para,
+          row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        FROM dpf),
+dpa AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean,
+               count(*) AS n_kept
+        FROM dpw WHERE rn = 1 GROUP BY doc_id),
+dcnts AS (SELECT
+  CAST((SELECT count(*) FROM ds1) AS BIGINT) AS n_lang,
+  CAST((SELECT count(*) FROM ds2) AS BIGINT) AS n_gopher,
+  CAST((SELECT count(*) FROM ds3) AS BIGINT) AS n_c4,
+  CAST((SELECT count(*) FROM ds5) AS BIGINT) AS n_urlded,
+  CAST((SELECT count(*) FROM ds6) AS BIGINT) AS n_docded)
+SELECT dpl.doc_id AS id, COALESCE(dpa.clean, '') AS clean,
+       CAST(len(dpl.ps) AS BIGINT) AS n_paras,
+       CAST(COALESCE(dpa.n_kept, 0) AS BIGINT) AS n_kept,
+       dcnts.n_lang, dcnts.n_gopher, dcnts.n_c4, dcnts.n_urlded, dcnts.n_docded
+FROM dpl LEFT JOIN dpa USING (doc_id) CROSS JOIN dcnts
+"""
+_DOLMA_PIPE_SQL = re.sub(r"(?m)^(\w+) AS \(", r"\1 AS MATERIALIZED (", _DOLMA_PIPE_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4973,6 +5264,8 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
             "SELECT TRUE AS poly31_separates, TRUE AS xxhash64_separates, "
             "TRUE AS topk_sets_equal, CAST(120 AS BIGINT) AS n_docs"
         ),
+        # dolma_pipeline: the full SQL twin (_DOLMA_PIPE_SQL above)
+        "dolma_pipeline": _DOLMA_PIPE_SQL,
         # multimodal_gif: construction-derived — frame counts, sampled
         # indices (0, 2, 4), and per-frame means are pure functions of
         # doc_id (precedence: every 17th garbage -> zero rows; 13th a

@@ -1158,6 +1158,112 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — best-effort cleanup
                 pass
 
+        # Dolma-ordered pipeline at 200k ids (150k pool vs 50k
+        # immutable history, the refinedweb/fineweb_200k pattern):
+        # every stage's survivor count asserted against construction
+        # facts, the Bloom dedup ladder running EXACT at fpp=0.01,
+        # paragraph excision + within-pool keep_first + redaction
+        # checked on the final text.
+        from cs533_big_data_data_mining_spark.operators.dedup import (
+            paragraph_dedup_bipartite_bloom,
+            url_dedup,
+        )
+
+        ndm = 200_000
+        dm_i = F.col("doc_id")
+        dm_txt = F.concat_ws(" ", F.transform(F.sequence(F.lit(1), F.lit(18)), _dw))
+        dm_p_fr = F.pmod(dm_i, F.lit(mod.DMP_LANG_MOD)) == mod.DMP_LANG_RES
+        dm_p_short = ~dm_p_fr & (F.pmod(dm_i, F.lit(mod.DMP_GOPHER_MOD)) == mod.DMP_GOPHER_RES)
+        dm_p_copy = (
+            ~dm_p_fr & ~dm_p_short
+            & (F.pmod(dm_i, F.lit(mod.DMP_DOC_MOD)) == mod.DMP_DOC_RES)
+        )
+        dm_p_lorem = (
+            ~dm_p_fr & ~dm_p_short & ~dm_p_copy
+            & (F.pmod(dm_i, F.lit(mod.DMP_C4P_MOD)) == mod.DMP_C4P_RES)
+        )
+        dm_p_url = F.pmod(dm_i, F.lit(mod.DMP_URL_MOD)) == mod.DMP_URL_RES
+        t0 = time.time()
+        try:
+            _dm_rdds_before = set(
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+            )
+            ids_dm = spark.range(ndm).select(F.col("id").alias("doc_id"))
+            hist_dm = ids_dm.filter(dm_i % mod.DMP_HIST_MOD == 0).select(
+                "doc_id", mod._dmp_hist_text(dm_i).alias("text")
+            )
+            pool_dm = ids_dm.filter(dm_i % mod.DMP_HIST_MOD != 0).select(
+                "doc_id",
+                mod._dmp_inner(dm_i, dm_txt).alias("text"),
+                mod._dmp_url(dm_i).alias("url"),
+            ).repartition(32).localCheckpoint()
+            n0 = pool_dm.count()
+            s1 = pool_dm.filter(lang_id("text") == "en")
+            n1 = s1.count()
+            assert n1 == n0 - pool_dm.filter(dm_p_fr).count(), (n0, n1)
+            gk = gopher_rules(s1, "doc_id", "text", min_stopword_hits=1).filter("keep")
+            s2 = s1.join(gk.select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+            n2 = s2.count()
+            assert n2 == n1 - s1.filter(dm_p_short).count(), (n1, n2)
+            # no self-join: c4 already returns (id, clean), and the
+            # url column is a pure function of doc_id — a join here
+            # would recompute the whole gopher lineage for each side
+            c4v = c4_filters(s2, "doc_id", "text", line_terminal_punct=False)
+            s3 = c4v.filter("keep").select(
+                F.col("id").alias("doc_id"), F.col("clean").alias("text")
+            ).localCheckpoint()
+            n3 = s3.count()
+            assert n3 == n2 - s2.filter(dm_p_lorem).count(), (n2, n3)
+            s4 = s3.withColumn("text", _fw_redact(F.col("text"))).withColumn(
+                "url", mod._dmp_url(dm_i)
+            )
+            ud = url_dedup(s4, "doc_id", "url", normalize=False)
+            s5 = s4.join(
+                ud.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+            ).select("doc_id", "text").localCheckpoint()
+            n5 = s5.count()
+            exp5 = (
+                n3
+                - s4.filter(dm_p_url).count()
+                + s4.filter(dm_p_url)
+                .select(F.pmod(dm_i, F.lit(mod.DMP_URL_GROUPS)).alias("g"))
+                .distinct()
+                .count()
+            )
+            assert n5 == exp5, (n5, exp5)
+            s6 = exact_dedup_bipartite_bloom(s5, hist_dm, "doc_id", "text", fpp=0.01)
+            n6 = s6.count()
+            assert n6 == n5 - s5.filter(dm_p_copy).count(), (n5, n6)
+            pd_out = paragraph_dedup_bipartite_bloom(
+                hist_dm, s6, "doc_id", "text", fpp=0.01
+            ).localCheckpoint()
+            bad = pd_out.filter(
+                F.col("clean").contains(mod.DMP_HISTP_A)
+                | F.col("clean").contains("@mail.example.com")
+                | ~F.col("clean").contains("<EMAIL>")
+            ).count()
+            assert bad == 0, bad
+            n_l4 = pd_out.filter(F.col("clean").contains(mod.DMP_L4A)).count()
+            assert n_l4 == mod.DMP_NEWPARA_CLASSES, n_l4  # keep_first per class
+            assert pd_out.count() == n6
+            timings["dolma_200k"] = round(time.time() - t0, 3)
+            print(
+                f"# dolma_200k: {timings['dolma_200k']}s "
+                f"({n0} pool -> lang {n1} -> gopher {n2} -> c4 {n3} "
+                f"-> url {n5} -> doc {n6}; paragraphs + redaction exact)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["dolma_200k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# dolma_200k: ERROR {errors['dolma_200k']}", file=sys.stderr)
+        finally:
+            try:
+                _jm = spark.sparkContext._jsc.getPersistentRDDs()
+                for _rid in set(_jm.keySet().toArray()) - _dm_rdds_before:
+                    _jm.get(_rid).unpersist()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+
         # Duplicated-span detection at 1M docs: per-doc hash words are
         # ~unique 5-grams (vocab 99991, 12 words), every 41st doc gets
         # a shared 10-word phrase appended — exactly those docs must

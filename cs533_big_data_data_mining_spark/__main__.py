@@ -995,6 +995,168 @@ def _fineweb_main(argv: list[str]) -> int:
     return 0
 
 
+def _dolma_main(argv: list[str]) -> int:
+    """``... dolma -i docs.parquet -o outdir [--history hist.parquet]``
+    — the Dolma-ordered curation pipeline (Soldaini et al. 2024 §2)
+    from a raw pool to filtered, PII-masked training shards: language
+    ID -> Gopher quality rules -> C4 rules minus terminal_punct ->
+    PII masking (Dolma masks BEFORE dedup) -> URL dedup -> document
+    dedup -> paragraph dedup. With ``--history`` the two content-
+    dedup stages run INCREMENTALLY against the immutable admitted
+    corpus through the Bloom route (``exact_dedup_bipartite_bloom`` /
+    ``paragraph_dedup_bipartite_bloom``); ``--no-verify`` switches
+    them to Dolma's unverified one-sided trade (no history join at
+    all, ~fpp of genuinely-new content lost). Without ``--history``
+    they fall back to the within-corpus batch spellings. The CLI twin
+    of the ``dolma_pipeline`` driver row."""
+    ap = argparse.ArgumentParser(
+        prog="cs533_big_data_data_mining_spark dolma",
+        description="Dolma-ordered curation: pool [-> vs history] -> filtered shards",
+    )
+    ap.add_argument("-i", "--input", required=True, help="pool documents parquet")
+    ap.add_argument("-o", "--output", required=True, help="output shard directory")
+    ap.add_argument(
+        "--history", default=None,
+        help="admitted-corpus parquet: doc+paragraph dedup run incrementally "
+        "against it (Bloom route); omitted = within-corpus batch dedup",
+    )
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", default=None, help="enable URL filtering/dedup on this column")
+    ap.add_argument("--blocked-domains", default=None, help="comma-separated blocklist (needs --url-col)")
+    ap.add_argument("--url-kw", default=None, help="URL keyword weights 'casino=0.6,poker=0.6'")
+    ap.add_argument("--url-kw-max", type=float, default=1.0)
+    ap.add_argument("--lang", default="en", help="language gate ('' disables)")
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--min-stopword-hits", type=int, default=2)
+    ap.add_argument("--skip-gopher", action="store_true")
+    ap.add_argument("--skip-c4", action="store_true")
+    ap.add_argument("--no-redact", action="store_true", help="skip PII masking")
+    ap.add_argument("--skip-url-dedup", action="store_true")
+    ap.add_argument("--skip-doc-dedup", action="store_true")
+    ap.add_argument("--skip-paragraph-dedup", action="store_true")
+    ap.add_argument("--fpp", type=float, default=0.01, help="Bloom false-positive rate")
+    ap.add_argument(
+        "--no-verify", action="store_true",
+        help="Dolma's unverified Bloom trade: positives drop without the "
+        "exact history join (~fpp of new content lost, never a missed dup)",
+    )
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--files-per-shard", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default=None, help="reliable-checkpoint directory")
+    ap.add_argument("--no-stage-counts", action="store_true")
+    ap.add_argument("--repartition", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.functions.text import lang_id, redact_pii
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_bipartite_bloom,
+        paragraph_dedup,
+        paragraph_dedup_bipartite_bloom,
+        url_dedup,
+    )
+    from cs533_big_data_data_mining_spark.operators.packing import write_training_shards
+    from cs533_big_data_data_mining_spark.operators.quality import c4_filters, gopher_rules
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    if (args.blocked_domains or args.url_kw) and not args.url_col:
+        raise SystemExit("--blocked-domains / --url-kw need --url-col")
+    if args.url_kw_max <= 0:
+        raise SystemExit("--url-kw-max must be > 0")
+    if not (0 < args.fpp < 1):
+        raise SystemExit("--fpp must be in (0, 1)")
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_dolma_cli", master=args.master)
+    t0 = time.time()
+    idc, txc = args.id_col, args.text_col
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
+
+    stage = _make_stage(args, t0)
+    docs_in = spark.read.parquet(args.input)
+    if args.repartition:
+        docs_in = docs_in.repartition(args.repartition)
+    hist = spark.read.parquet(args.history) if args.history else None
+    cur = stage("input", docs_in)
+    cur = _url_gate_stage(stage, cur, idc, args)
+    if args.lang:
+        cur = stage("lang_id", cur.filter(lang_id(txc) == args.lang))
+    if not args.skip_gopher:
+        g = gopher_rules(
+            cur, idc, txc,
+            min_words=args.min_words, min_stopword_hits=args.min_stopword_hits,
+        )
+        # checkpoint: the next stage self-joins this frame (clean text
+        # join), which would otherwise recompute the gopher lineage
+        # once per join side
+        cur = stage(
+            "gopher",
+            cur.join(g.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
+            checkpoint=True,
+        )
+    if not args.skip_c4:
+        c4 = c4_filters(cur, idc, txc, line_terminal_punct=False)
+        cur = stage(
+            "c4_minus_terminal_punct",
+            cur.drop(txc).join(
+                c4.filter("keep").select(F.col("id").alias(idc), F.col("clean").alias(txc)),
+                idc,
+            ),
+        )
+    if not args.no_redact:  # Dolma masks PII BEFORE the dedup ladder
+        cur = cur.withColumn(txc, redact_pii(F.col(txc)))
+    if args.url_col and not args.skip_url_dedup:
+        ud = url_dedup(cur, idc, args.url_col)
+        cur = stage(
+            "url_dedup", cur.join(ud.select(F.col("id").alias(idc)), idc, "left_semi")
+        )
+    if not args.skip_doc_dedup:
+        if hist is not None:
+            ded = exact_dedup_bipartite_bloom(
+                cur, hist, idc, txc,
+                history_content_col=args.text_col,
+                fpp=args.fpp, exact=not args.no_verify,
+            )
+        else:
+            ded = exact_dedup(cur, idc, txc)
+        cur = stage("doc_dedup", ded, checkpoint=True)
+    if not args.skip_paragraph_dedup:
+        if hist is not None:
+            pd_out = paragraph_dedup_bipartite_bloom(
+                hist.withColumnRenamed(args.text_col, txc) if args.text_col != txc else hist,
+                cur, idc, txc,
+                fpp=args.fpp, exact=not args.no_verify,
+            )
+        else:
+            pd_out = paragraph_dedup(cur, idc, txc, mode="keep_first")
+        survivors = pd_out.filter(F.col("clean").isNotNull() & (F.col("clean") != "")).select(
+            F.col("id").alias(idc), F.col("clean").alias(txc)
+        )
+        cur = stage(
+            "paragraph_dedup",
+            cur.drop(txc).join(survivors, idc),
+            checkpoint=True,
+        )
+    write_training_shards(
+        cur, args.output, idc, args.shards,
+        seed=args.seed + 1, mode="overwrite", files_per_shard=args.files_per_shard,
+    )
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        f"wrote {n_out} docs into {args.shards} shards "
+        f"x {args.files_per_shard} files at {args.output} ({time.time() - t0:.1f}s)"
+    )
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def _ingest_shard_main(argv: list[str]) -> int:
     """``... ingest-shard -i new.parquet --history admitted.parquet -o out``
     — incremental admission of ONE shard against an immutable
@@ -1193,6 +1355,8 @@ def main(argv: list[str] | None = None) -> int:
         return _refinedweb_main(argv[1:])
     if argv and argv[0] == "fineweb":
         return _fineweb_main(argv[1:])
+    if argv and argv[0] == "dolma":
+        return _dolma_main(argv[1:])
     if argv and argv[0] == "ingest-shard":
         return _ingest_shard_main(argv[1:])
     if argv and argv[0] == "curate":
@@ -1210,8 +1374,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",
-        epilog="data-pipeline subcommands: refinedweb fineweb ingest-shard curate "
-        "mix chunk pack score classify (run '<subcommand> --help' for each)",
+        epilog="data-pipeline subcommands: refinedweb fineweb dolma ingest-shard "
+        "curate mix chunk pack score classify (run '<subcommand> --help' for each)",
     )
     ap.add_argument("-i", "--input", required=True, help="input file (.bin with -b, else parquet)")
     ap.add_argument("-b", "--binary", action="store_true", help="input is the reference's .bin format")

@@ -1624,3 +1624,71 @@ def test_compression_ratio_string_ids(spark):
     got = {r["id"]: r for r in compression_ratio(docs, "doc_id", "text").collect()}
     assert set(got) == {"u-abc", "u-def"}
     assert got["u-abc"]["n_bytes"] == 15 and got["u-def"]["n_bytes"] is None
+
+
+def test_cli_dolma_end_to_end(spark, tmp_path):
+    """The Dolma-ordered CLI against an immutable history: planted
+    French doc, gopher junk, exact history copy, history paragraph,
+    shared-URL re-crawl, and a PII email — every stage must act, the
+    Bloom routes must match exact semantics, and --no-verify must
+    still drop every true duplicate."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "dm_docs.parquet")
+    hist = str(tmp_path / "dm_hist.parquet")
+    out = str(tmp_path / "dm_shards")
+    filler = " ".join(f"w{j} of the and that" for j in range(12))
+    hist_text = (
+        f"History document one keeps plenty of words here {filler}. It does.\n"
+        "Shared history paragraph block zero appears in the archive."
+    )
+    page = (
+        "Document {i} of the pool has a clear opening sentence with plenty "
+        f"of words {filler}. It truly does. Contact user{{i}}@mail.example.com now. "
+        "All done here today.\nSecond paragraph for doc {i} with words "
+        f"{filler}. It ends."
+    )
+    rows = [(i, page.format(i=i), f"https://site{i}.example.org/p/{i}") for i in range(12)]
+    rows.append((20, "le chat est sur la table et les amis du soleil sont une belle chose", "https://s20.org/x"))
+    rows.append((21, "The a of to.", "https://s21.org/x"))
+    rows.append((22, hist_text, "https://s22.org/x"))  # exact history copy
+    rows.append((
+        23,
+        page.format(i=23) + "\nShared history paragraph block zero appears in the archive.",
+        "https://s23.org/x",
+    ))
+    rows.append((24, page.format(i=24), "https://site3.example.org/p/3"))  # url re-crawl of doc 3
+    spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(src)
+    spark.createDataFrame([(1000, hist_text)], "doc_id long, text string").write.parquet(hist)
+
+    rc = main([
+        "dolma", "-i", src, "-o", out, "--history", hist,
+        "--url-col", "url", "--min-stopword-hits", "1", "--min-words", "20",
+        "--fpp", "0.5",  # deliberately tiny filter: FPs must verify away
+        "--shards", "4", "--seed", "3", "--no-stage-counts",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert 20 not in ids  # French
+    assert 21 not in ids  # gopher junk
+    assert 22 not in ids  # exact history copy (Bloom + verify)
+    assert 24 not in ids and 3 in ids  # URL re-crawl loses to min id
+    assert 23 in ids
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    assert "Shared history paragraph block zero" not in texts[23]  # excised
+    assert "<EMAIL>" in texts[3] and "@mail.example.com" not in texts[3]
+    assert set(range(12)) <= ids
+
+    # --no-verify at the same tiny fpp: survivors shrink only, the
+    # planted duplicates still never survive
+    out2 = str(tmp_path / "dm_shards2")
+    rc = main([
+        "dolma", "-i", src, "-o", out2, "--history", hist,
+        "--url-col", "url", "--min-stopword-hits", "1", "--min-words", "20",
+        "--fpp", "0.5", "--no-verify",
+        "--shards", "4", "--seed", "3", "--no-stage-counts",
+    ])
+    assert rc == 0
+    ids2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert ids2 <= ids and 22 not in ids2 and 24 not in ids2
