@@ -1030,11 +1030,16 @@ def image_stats(df: DataFrame) -> DataFrame:
 
 
 def resize_image(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """REAL nearest-neighbor resize for PPM and PNG payloads — pure
-    NumPy fancy indexing (one gather per axis), payload-in/payload-out
-    in the SAME format (a P6 stays a P6; an 8-bit PNG re-encodes as an
-    8-bit PNG of the same color type). Other payloads pass through
-    unchanged (BMPs can be round-tripped via ``image_stats``-style
+    """REAL nearest-neighbor resize for PPM, PNG, and GIF payloads —
+    pure NumPy fancy indexing (one gather per axis),
+    payload-in/payload-out in the SAME format (a P6 stays a P6; an
+    8-bit PNG re-encodes as an 8-bit PNG of the same color type; a
+    GIF re-encodes every COMPOSITED frame, so an animation stays an
+    animation of the same length — sub-rectangle/disposal structure
+    collapses into full composited frames, the visual content). A GIF
+    whose composited frames exceed a 256-color global table (local
+    color tables allow it) passes through unchanged, as do other
+    payloads (BMPs can be round-tripped via ``image_stats``-style
     decoding later; lossy formats need the ``decode='real'`` codec
     route). The source-index formula is the standard
     floor((i + 0.5) * src / dst) center mapping."""
@@ -1043,24 +1048,35 @@ def resize_image(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     out_schema = df.schema
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _gather(px, h, w):
+            yi = np.minimum(((np.arange(target_h) + 0.5) * h / target_h), h - 1).astype(np.int64)
+            xi = np.minimum(((np.arange(target_w) + 0.5) * w / target_w), w - 1).astype(np.int64)
+            return np.ascontiguousarray(px[yi][:, xi])
+
         for pdf in batches:
             def _resize(payload):
                 if payload is None:
                     return None  # missing stays missing, not empty bytes
                 buf = bytes(payload)
                 r = _parse_ppm(buf)
-                if r is None:
-                    rp = _parse_png(buf)
-                    if rp is None:
-                        return buf
+                if r is not None:
+                    w, h, _, px = r
+                    return pack_ppm(_gather(px, h, w))
+                rp = _parse_png(buf)
+                if rp is not None:
                     w, h, _, px = rp
-                    yi = np.minimum(((np.arange(target_h) + 0.5) * h / target_h), h - 1).astype(np.int64)
-                    xi = np.minimum(((np.arange(target_w) + 0.5) * w / target_w), w - 1).astype(np.int64)
-                    return pack_png(np.ascontiguousarray(px[yi][:, xi]))
-                w, h, _, px = r
-                yi = np.minimum(((np.arange(target_h) + 0.5) * h / target_h), h - 1).astype(np.int64)
-                xi = np.minimum(((np.arange(target_w) + 0.5) * w / target_w), w - 1).astype(np.int64)
-                return pack_ppm(np.ascontiguousarray(px[yi][:, xi]))
+                    return pack_png(_gather(px, h, w))
+                rg = _parse_gif_frames(buf)
+                if rg is not None:
+                    w, h, frames = rg
+                    out = [_gather(f, h, w) for f in frames]
+                    n_colors = len(
+                        np.unique(np.concatenate([f.reshape(-1, 3) for f in out]), axis=0)
+                    )
+                    if n_colors > 256:
+                        return buf  # LCT-fed palette overflow: pass through
+                    return pack_gif(out)
+                return buf
 
             pdf = pdf.copy()
             pdf["payload"] = pdf["payload"].map(_resize)

@@ -823,3 +823,29 @@ def test_gif_through_decode_media_and_image_stats(spark):
     assert [r["frame_index"] for r in out[1]] == [0]
     assert out[1][0]["mean_r"] == 9.0 and out[1][0]["n_frames"] == 1
     assert 2 not in out and 3 not in out
+
+
+def test_resize_image_gif_animation(spark):
+    """GIF resize re-encodes every composited frame: same frame
+    count, exact nearest-neighbor pixels per frame, still a GIF."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _parse_gif_frames,
+        pack_gif,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [(rng.integers(0, 4, size=(6, 8, 3)) * 50).astype(np.uint8) for _ in range(3)]
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(pack_gif(frames)), "syn")], MEDIA_SCHEMA
+    )
+    out = resize_image(df, 4, 3).head()["payload"]
+    w, h, got = _parse_gif_frames(bytes(out))
+    assert (w, h, len(got)) == (4, 3, 3)
+    yi = np.minimum(((np.arange(3) + 0.5) * 6 / 3), 5).astype(np.int64)
+    xi = np.minimum(((np.arange(4) + 0.5) * 8 / 4), 7).astype(np.int64)
+    for f, g in zip(frames, got):
+        assert np.array_equal(g, f[yi][:, xi])

@@ -295,3 +295,48 @@ def test_semdedup_bipartite_assign_plan_shape(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in p, p[:500]
     assert "Exchange" not in p and "Join" not in p, p[:800]
+
+
+def test_bloom_dedup_no_verify_plan_has_no_history_join(spark):
+    """The Dolma exact=False route's whole point: once the Bloom is
+    built, the shard never joins the history — the membership test is
+    the map-side probe, so the plan has no semi/anti join (the one
+    remaining join is the shard-internal LeftOuter reassembly of
+    survivors against their own base rows). The exact=True twin DOES
+    join (the verify anti-join) — pin both, and pin that exact adds
+    exactly that one join."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        _para_key,
+        _paras_arr,
+        paragraph_dedup_bipartite_bloom,
+    )
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    hist = spark.createDataFrame(
+        [(100, "old news\nshared block")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "fresh one\nshared block")], "doc_id long, text string"
+    )
+    keys = (
+        hist.select(F.explode(_paras_arr(F.col("text"))).alias("p"))
+        .select(_para_key(F.col("p")).alias("__k"))
+        .distinct()
+    )
+    bf = bloom_build(keys, "__k", fpp=0.01)
+    loose = paragraph_dedup_bipartite_bloom(
+        hist, new, "doc_id", "text",
+        dedup_within_new=False, bloom=bf, exact=False,
+    )
+    p = _plan(loose)
+    assert "LeftAnti" not in p and "LeftSemi" not in p, (
+        "exact=False must never join the history"
+    )
+    joins_loose = p.count("Join [")
+    strict = paragraph_dedup_bipartite_bloom(
+        hist, new, "doc_id", "text",
+        dedup_within_new=False, bloom=bf, exact=True,
+    )
+    p2 = _plan(strict)
+    assert "LeftAnti" in p2, "exact=True lost its verify anti-join"
+    assert p2.count("Join [") == joins_loose + 1, "exact should add ONE join"
