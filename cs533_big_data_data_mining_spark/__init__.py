@@ -39,6 +39,7 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     remove_duplicated_spans,
     url_dedup,
     url_dedup_bipartite,
+    url_dedup_bipartite_bloom,
     minhash_dedup_pairs_bipartite,
     ngram_jaccard_pairs,
     simhash64,
@@ -152,6 +153,7 @@ __all__ = [
     "exact_dedup_bipartite_bloom",
     "url_dedup",
     "url_dedup_bipartite",
+    "url_dedup_bipartite_bloom",
     "remove_duplicated_spans",
     "shard_rows",
     "write_training_shards",

@@ -1060,6 +1060,7 @@ def _dolma_main(argv: list[str]) -> int:
         paragraph_dedup,
         paragraph_dedup_bipartite_bloom,
         url_dedup,
+        url_dedup_bipartite_bloom,
     )
     from cs533_big_data_data_mining_spark.operators.packing import write_training_shards
     from cs533_big_data_data_mining_spark.operators.quality import c4_filters, gopher_rules
@@ -1112,7 +1113,15 @@ def _dolma_main(argv: list[str]) -> int:
     if not args.no_redact:  # Dolma masks PII BEFORE the dedup ladder
         cur = cur.withColumn(txc, redact_pii(F.col(txc)))
     if args.url_col and not args.skip_url_dedup:
-        ud = url_dedup(cur, idc, args.url_col)
+        if hist is not None and args.url_col in hist.columns:
+            # vs-history URL dedup (Dolma dedups URLs against the
+            # admitted corpus too) — Bloom route, then within-pool
+            ud = url_dedup_bipartite_bloom(
+                cur, hist, idc, args.url_col,
+                fpp=args.fpp, exact=not args.no_verify,
+            )
+        else:
+            ud = url_dedup(cur, idc, args.url_col)
         cur = stage(
             "url_dedup", cur.join(ud.select(F.col("id").alias(idc)), idc, "left_semi")
         )

@@ -211,6 +211,55 @@ def url_dedup_bipartite(
     )
 
 
+def url_dedup_bipartite_bloom(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    url_col: str,
+    history_url_col: str | None = None,
+    normalize: bool = True,
+    fpp: float = 0.01,
+    exact: bool = True,
+    bloom=None,
+) -> DataFrame:
+    """:func:`url_dedup_bipartite` through a Bloom filter —
+    completing the Dolma Bloom family (URL / document / paragraph;
+    Soldaini 2024 §2.2 dedups URLs against the ever-growing corpus
+    too). Same ``(id, url_norm)`` contract, same two envelopes as
+    :func:`exact_dedup_bipartite_bloom`: ``exact=True`` verifies the
+    Bloom-positive sliver against the history's distinct normalized
+    URLs (output equals the hash-join twin row-for-row);
+    ``exact=False`` drops positives unverified (~fpp of genuinely-new
+    URLs lost, never a missed re-crawl, no history join at all).
+    NULL urls are EXEMPT (all kept). Pass a prebuilt/loaded ``bloom``
+    to amortize the history scan across shard cycles.
+    """
+    from cs533_big_data_data_mining_spark.functions.url import normalize_url
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    hcol = history_url_col if history_url_col is not None else url_col
+    n_norm = normalize_url(url_col) if normalize else F.col(url_col)
+    h_norm = normalize_url(hcol) if normalize else F.col(hcol)
+    base = new.select(F.col(id_col).alias("id"), n_norm.alias("url_norm"))
+    nonnull = base.filter(F.col("url_norm").isNotNull())
+    seen = history.select(h_norm.alias("url_norm")).filter(
+        F.col("url_norm").isNotNull()
+    ).distinct()
+    if bloom is None:
+        bloom = bloom_build(seen, "url_norm", fpp=fpp)
+    mc = bloom.might_contain("url_norm")
+    if exact:
+        fresh = nonnull.filter(~mc).unionByName(
+            nonnull.filter(mc).join(seen, "url_norm", "left_anti")
+        )
+    else:
+        fresh = nonnull.filter(~mc)
+    keepers = fresh.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
+    return base.filter(F.col("url_norm").isNull()).unionByName(
+        fresh.join(keepers, "id", "left_semi")
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; CPU-bound
     per-row work (shingling, hashing) must fan out first. No-op when

@@ -1658,8 +1658,11 @@ def test_cli_dolma_end_to_end(spark, tmp_path):
         "https://s23.org/x",
     ))
     rows.append((24, page.format(i=24), "https://site3.example.org/p/3"))  # url re-crawl of doc 3
+    rows.append((25, page.format(i=25), "https://hist.example/h1"))  # re-crawl of a HISTORY url
     spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(src)
-    spark.createDataFrame([(1000, hist_text)], "doc_id long, text string").write.parquet(hist)
+    spark.createDataFrame(
+        [(1000, hist_text, "https://hist.example/h1")], "doc_id long, text string, url string"
+    ).write.parquet(hist)
 
     rc = main([
         "dolma", "-i", src, "-o", out, "--history", hist,
@@ -1674,6 +1677,7 @@ def test_cli_dolma_end_to_end(spark, tmp_path):
     assert 21 not in ids  # gopher junk
     assert 22 not in ids  # exact history copy (Bloom + verify)
     assert 24 not in ids and 3 in ids  # URL re-crawl loses to min id
+    assert 25 not in ids  # history-URL re-crawl (Bloom route vs history)
     assert 23 in ids
     texts = {r["doc_id"]: r["text"] for r in got.collect()}
     assert "Shared history paragraph block zero" not in texts[23]  # excised
@@ -1691,4 +1695,4 @@ def test_cli_dolma_end_to_end(spark, tmp_path):
     ])
     assert rc == 0
     ids2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
-    assert ids2 <= ids and 22 not in ids2 and 24 not in ids2
+    assert ids2 <= ids and 22 not in ids2 and 24 not in ids2 and 25 not in ids2

@@ -906,3 +906,43 @@ def test_paragraph_dedup_bipartite_bloom_routes(spark):
     for r in loose:
         if r["n_kept"] is not None:
             assert r["n_kept"] <= exact_kept[r["id"]]
+
+
+def test_url_dedup_bipartite_bloom_routes(spark):
+    """URL-level Bloom route completes the family: exact=True equals
+    the hash-join twin (incl. a tiny high-fpp filter), exact=False is
+    one-sided, null URLs stay exempt on every route."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        url_dedup_bipartite,
+        url_dedup_bipartite_bloom,
+    )
+
+    hist = spark.createDataFrame(
+        [(100 + i, f"https://ex.com/p/{i % 4}") for i in range(8)],
+        "doc_id long, url string",
+    )
+    new = spark.createDataFrame(
+        [(0, "https://WWW.ex.com/p/0?utm_source=z"),   # hist re-crawl (normalized)
+         (1, "https://ex.com/new/1"),
+         (2, "https://ex.com/new/1#frag"),             # within-shard dup of 1
+         (3, None),
+         (4, "https://ex.com/new/4")],
+        "doc_id long, url string",
+    )
+    want = sorted(map(tuple, url_dedup_bipartite(new, hist, "doc_id", "url").collect()))
+    for fpp in (0.01, 0.5):
+        got = sorted(
+            map(tuple, url_dedup_bipartite_bloom(new, hist, "doc_id", "url", fpp=fpp).collect())
+        )
+        assert got == want, fpp
+    ids = {r[0] for r in want}
+    assert 0 not in ids and 2 not in ids and {1, 3, 4} <= ids
+    loose = sorted(
+        map(
+            tuple,
+            url_dedup_bipartite_bloom(new, hist, "doc_id", "url", fpp=0.5, exact=False).collect(),
+        )
+    )
+    loose_ids = {r[0] for r in loose}
+    assert loose_ids <= ids and 3 in loose_ids  # null stays exempt
+    assert 0 not in loose_ids  # true re-crawl never survives
