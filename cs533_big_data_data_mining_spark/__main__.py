@@ -1041,6 +1041,11 @@ def _dolma_main(argv: list[str]) -> int:
         help="Dolma's unverified Bloom trade: positives drop without the "
         "exact history join (~fpp of new content lost, never a missed dup)",
     )
+    ap.add_argument(
+        "--bench", default=None,
+        help="benchmark parquet to decontaminate against (Bloom route)",
+    )
+    ap.add_argument("--decontam-ngram", type=int, default=5)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--files-per-shard", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
@@ -1054,6 +1059,9 @@ def _dolma_main(argv: list[str]) -> int:
     from pyspark.sql import functions as F
 
     from cs533_big_data_data_mining_spark.functions.text import lang_id, redact_pii
+    from cs533_big_data_data_mining_spark.operators.decontaminate import (
+        decontaminate_bloom,
+    )
     from cs533_big_data_data_mining_spark.operators.dedup import (
         exact_dedup,
         exact_dedup_bipartite_bloom,
@@ -1150,6 +1158,14 @@ def _dolma_main(argv: list[str]) -> int:
         cur = stage(
             "paragraph_dedup",
             cur.drop(txc).join(survivors, idc),
+            checkpoint=True,
+        )
+    if args.bench:  # Dolma decontaminates against eval sets too
+        bench = spark.read.parquet(args.bench)
+        flags = decontaminate_bloom(cur, bench, idc, txc, n=args.decontam_ngram)
+        cur = stage(
+            "decontaminate",
+            cur.join(flags.filter("keep").select(F.col("id").alias(idc)), idc, "left_semi"),
             checkpoint=True,
         )
     write_training_shards(

@@ -1663,9 +1663,15 @@ def test_cli_dolma_end_to_end(spark, tmp_path):
     spark.createDataFrame(
         [(1000, hist_text, "https://hist.example/h1")], "doc_id long, text string, url string"
     ).write.parquet(hist)
+    bench = str(tmp_path / "dm_bench.parquet")
+    # 5-grams specific to pool doc 5's second paragraph (the shared
+    # filler would nuke every doc — decon must hit ONLY doc 5)
+    spark.createDataFrame(
+        [(5000, "Second paragraph for doc 5 with words")], "doc_id long, text string"
+    ).write.parquet(bench)
 
     rc = main([
-        "dolma", "-i", src, "-o", out, "--history", hist,
+        "dolma", "-i", src, "-o", out, "--history", hist, "--bench", bench,
         "--url-col", "url", "--min-stopword-hits", "1", "--min-words", "20",
         "--fpp", "0.5",  # deliberately tiny filter: FPs must verify away
         "--shards", "4", "--seed", "3", "--no-stage-counts",
@@ -1678,17 +1684,18 @@ def test_cli_dolma_end_to_end(spark, tmp_path):
     assert 22 not in ids  # exact history copy (Bloom + verify)
     assert 24 not in ids and 3 in ids  # URL re-crawl loses to min id
     assert 25 not in ids  # history-URL re-crawl (Bloom route vs history)
+    assert 5 not in ids  # benchmark contamination (Bloom decon)
     assert 23 in ids
     texts = {r["doc_id"]: r["text"] for r in got.collect()}
     assert "Shared history paragraph block zero" not in texts[23]  # excised
     assert "<EMAIL>" in texts[3] and "@mail.example.com" not in texts[3]
-    assert set(range(12)) <= ids
+    assert (set(range(12)) - {5}) <= ids
 
     # --no-verify at the same tiny fpp: survivors shrink only, the
     # planted duplicates still never survive
     out2 = str(tmp_path / "dm_shards2")
     rc = main([
-        "dolma", "-i", src, "-o", out2, "--history", hist,
+        "dolma", "-i", src, "-o", out2, "--history", hist, "--bench", bench,
         "--url-col", "url", "--min-stopword-hits", "1", "--min-words", "20",
         "--fpp", "0.5", "--no-verify",
         "--shards", "4", "--seed", "3", "--no-stage-counts",
