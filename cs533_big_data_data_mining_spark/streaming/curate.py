@@ -54,6 +54,10 @@ def curate_ingest(
     keyword_weights: dict[str, float] | None = None,
     max_keyword_score: float = 1.0,
     repetition: bool = False,
+    history: DataFrame | None = None,
+    history_text_col: str | None = None,
+    history_fpp: float = 1e-4,
+    history_bloom=None,
 ) -> DataFrame:
     """``(id, ts, clean, quality)``: scored, filtered, redacted,
     exact-deduped documents. Works on a stream (watermark-bounded
@@ -91,7 +95,18 @@ def curate_ingest(
     ~``bloom_fpp``-per-shingle innocents — the right trade at ingest,
     where the exact audit (``operators.decontaminate``) runs in the
     batch stage anyway and over-dropped docs cost nothing vs a leaked
-    benchmark."""
+    benchmark.
+
+    ``history`` (a BATCH frame of already-admitted documents — or a
+    prebuilt/loaded filter via ``history_bloom``) adds the Dolma
+    admission gate at ingest: a Bloom over the history's exact
+    content hashes, probed as a STATELESS Column, drops re-crawled
+    documents the moment they arrive — zero stream state, the
+    streaming twin of ``exact_dedup_bipartite_bloom(exact=False)``.
+    Same conservative one-sided trade as the benchmark gate
+    (~``history_fpp`` innocents dropped, duplicates never admitted);
+    run the exact bipartite dedup in the batch stage where
+    verification matters."""
     if (blocked_domains or keyword_weights) and url_col is None:
         raise ValueError("blocked_domains / keyword_weights need url_col")
     if url_col is not None:
@@ -123,6 +138,18 @@ def curate_ingest(
         rest = [c for c in docs.columns if c != id_col]
         rep = gopher_repetition(docs, id_col, text_col, carry=tuple(rest))
         docs = rep.filter("keep").select(F.col("id").alias(id_col), *rest)
+    if history is not None or history_bloom is not None:
+        if history_bloom is None:
+            from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+            hcol = history_text_col if history_text_col is not None else text_col
+            seen = history.select(
+                F.xxhash64(hcol).cast("string").alias("__h")
+            ).distinct()
+            history_bloom = bloom_build(seen, "__h", fpp=history_fpp)
+        docs = docs.filter(
+            ~history_bloom.might_contain(F.xxhash64(text_col).cast("string"))
+        )
     scored = docs.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),

@@ -349,3 +349,62 @@ def test_curate_ingest_langs_stream_matches_batch(spark, tmp_path):
     )
     got = spark.sql("SELECT id FROM curate_ingest_langs_t")
     assert {r["id"] for r in got.collect()} == ids
+
+
+def test_curate_ingest_history_gate_stream_matches_batch(spark, tmp_path):
+    """The Dolma admission gate at ingest: a Bloom over the admitted
+    corpus's exact content hashes drops re-crawled documents
+    STATELESSLY in both execution modes — every true duplicate gone
+    (no false negatives), same survivor set stream vs batch, and a
+    prebuilt filter behaves identically to the history frame."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+
+    base = datetime.datetime(2024, 1, 1)
+    hist_rows = [(1000 + j, f"admitted document body {j} with the and of words") for j in range(10)]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    rows = []
+    for i in range(24):
+        if i % 4 == 0:  # re-crawl of an admitted doc
+            text = f"admitted document body {i // 4} with the and of words"
+        else:
+            text = f"fresh document body {i} with the and of words"
+        rows.append((i, text, base + datetime.timedelta(seconds=i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+
+    batch = curate_ingest(docs, history=hist, history_fpp=1e-6)
+    ids = {r["id"] for r in batch.collect()}
+    assert ids == {i for i in range(24) if i % 4 != 0}
+
+    # prebuilt filter: identical survivors, no history scan at call time
+    seen = hist.select(F.xxhash64("text").cast("string").alias("__h")).distinct()
+    bf = bloom_build(seen, "__h", fpp=1e-6)
+    ids_bf = {r["id"] for r in curate_ingest(docs, history_bloom=bf).collect()}
+    assert ids_bf == ids
+
+    src = str(tmp_path / "histgate_src")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_stream_to_memory(
+        curate_ingest(stream, watermark="1 hour", history_bloom=bf),
+        "curate_histgate_t",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT clean FROM curate_histgate_t")
+    bclean = batch.select("clean")
+    assert got.count() == bclean.count()
+    assert got.exceptAll(bclean).count() == 0 and bclean.exceptAll(got).count() == 0
