@@ -1232,10 +1232,27 @@ def _ingest_shard_main(argv: list[str]) -> int:
         "against); otherwise fit on the history embeddings and SAVE it "
         "there for the next shard cycle",
     )
+    ap.add_argument(
+        "--bloom-fpp", type=float, default=None,
+        help="route the URL and exact-dedup stages through the history "
+        "Bloom filter at this false-positive rate (Dolma 2024 §2.2) — "
+        "the verified spelling unless --no-verify; omit = the plain "
+        "hash-join twins",
+    )
+    ap.add_argument(
+        "--no-verify", action="store_true",
+        help="with --bloom-fpp: drop Bloom positives without the exact "
+        "history join (~fpp of genuinely-new rows lost, never a missed "
+        "duplicate)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if (args.embeddings is None) != (args.history_embeddings is None):
         raise SystemExit("--embeddings and --history-embeddings go together")
+    if args.no_verify and args.bloom_fpp is None:
+        raise SystemExit("--no-verify needs --bloom-fpp")
+    if args.bloom_fpp is not None and not (0 < args.bloom_fpp < 1):
+        raise SystemExit("--bloom-fpp must be in (0, 1)")
     if args.ivf_dir and not args.embeddings:
         raise SystemExit(
             "--ivf-dir needs --embeddings/--history-embeddings (there is "
@@ -1248,9 +1265,11 @@ def _ingest_shard_main(argv: list[str]) -> int:
     from cs533_big_data_data_mining_spark.operators.dedup import (
         bipartite_survivors,
         exact_dedup_bipartite,
+        exact_dedup_bipartite_bloom,
         minhash_dedup_pairs,
         minhash_dedup_pairs_bipartite,
         url_dedup_bipartite,
+        url_dedup_bipartite_bloom,
     )
     from cs533_big_data_data_mining_spark.session import get_spark
 
@@ -1273,11 +1292,25 @@ def _ingest_shard_main(argv: list[str]) -> int:
                 f"--url-col {args.url_col!r} must exist in BOTH inputs "
                 f"(new: {cur.columns}, history: {hist.columns})"
             )
-        keep_u = url_dedup_bipartite(cur, hist, idc, args.url_col).select(
-            F.col("id").alias(idc)
-        )
+        if args.bloom_fpp is not None:
+            keep_u = url_dedup_bipartite_bloom(
+                cur, hist, idc, args.url_col,
+                fpp=args.bloom_fpp, exact=not args.no_verify,
+            ).select(F.col("id").alias(idc))
+        else:
+            keep_u = url_dedup_bipartite(cur, hist, idc, args.url_col).select(
+                F.col("id").alias(idc)
+            )
         cur = stage("url_dedup_bi", cur.join(keep_u, idc, "left_semi"))
-    cur = stage("exact_dedup_bi", exact_dedup_bipartite(cur, hist, idc, txc))
+    if args.bloom_fpp is not None:
+        cur = stage(
+            "exact_dedup_bi",
+            exact_dedup_bipartite_bloom(
+                cur, hist, idc, txc, fpp=args.bloom_fpp, exact=not args.no_verify
+            ),
+        )
+    else:
+        cur = stage("exact_dedup_bi", exact_dedup_bipartite(cur, hist, idc, txc))
     to_release = []
     if args.jaccard > 0:
         # with caches=None the pair finders return CACHED, materialized

@@ -998,6 +998,21 @@ def test_cli_ingest_shard_end_to_end(spark, tmp_path):
     assert os.path.isdir(str(tmp_path / "ivf_art" / "centroids"))
     assert os.path.isdir(str(tmp_path / "ivf_art" / "assignments"))
 
+    # --bloom-fpp routes the URL/exact stages through the history
+    # Bloom (verified spelling): identical admitted set, even with a
+    # deliberately tiny filter full of false positives
+    out_b = str(tmp_path / "is_out_bloom.parquet")
+    rc = main([
+        "ingest-shard", "-i", new_p, "--history", hist_p, "-o", out_b,
+        "--url-col", "url", "--jaccard", "0.7", "--bloom-fpp", "0.5",
+        "--embeddings", ne_p, "--history-embeddings", he_p,
+        "--cosine", "0.999", "--centroids", "2",
+        "--ivf-dir", str(tmp_path / "ivf_art"),
+    ])
+    assert rc == 0
+    got_b = {r["doc_id"] for r in spark.read.parquet(out_b).collect()}
+    assert got_b == {103, 106}
+
 
 # ---------------------------------------------------- gopher repetition
 
