@@ -744,7 +744,10 @@ def _q_multimodal_decode(spark, sf_dir):
     # channel colors are pure functions of doc_id), every 13th a BMP,
     # every 11th a PCM WAV, every 7th an RGB PNG (cycling row filters,
     # so all five unfilter paths run under the oracle), every 19th a
-    # greyscale PNG, every 17th garbage — and the numpy decode route +
+    # greyscale PNG, every 23rd a baseline JPEG, every 29th an
+    # INDEXED-COLOR PNG (2-entry palette, one index-1 pixel, bit
+    # depth cycling 1/2/4/8), every 17th garbage — and the numpy
+    # decode route +
     # pixel-level image_stats must recover dimensions, validity, and
     # the exact channel means the construction dictates (solid color
     # => mean == the color; PNG means only come out right if the
@@ -761,6 +764,7 @@ def _q_multimodal_decode(spark, sf_dir):
         pack_bmp24,
         pack_jpeg,
         pack_png,
+        pack_png_indexed,
         pack_ppm,
         pack_wav_pcm16,
     )
@@ -804,6 +808,19 @@ def _q_multimodal_decode(spark, sf_dir):
                 np.full((h, w), (i * 29) % 256, dtype=np.uint8),
                 quant=8,
                 restart_interval=2 if i % 2 == 0 else 0,
+            )
+        elif i % 29 == 0:
+            # indexed-color PNG (round 9): a 2-entry palette, index 1
+            # only at (0, 0) — the mean is (c*n + 1)/n per channel, so
+            # bit unpacking + palette lookup must be exact; the bit
+            # depth cycles 1/2/4/8 (value-invisible to the oracle)
+            w, h = 3 + i % 9, 2 + i % 5
+            c0 = (i % 199, (i * 3) % 199, (i * 5) % 199)
+            c1 = tuple(v + 1 for v in c0)
+            idx = np.zeros((h, w), dtype=np.uint8)
+            idx[0, 0] = 1
+            payload = pack_png_indexed(
+                idx, [c0, c1], bit_depth=(1, 2, 4, 8)[i % 4], filters="cycle"
             )
         else:
             w, h = 4 + i % 13, 3 + i % 7
@@ -5331,9 +5348,11 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # payloads' dims/validity/solid-color means are pure functions
         # of doc_id (precedence: every 17th garbage, 13th a BMP, 11th
         # a PCM WAV, 7th an RGB PNG, 19th a greyscale PNG, 23rd a
-        # solid greyscale baseline JPEG (exact: flat quant 8), rest
-        # solid-color PPMs), so the real numpy decoders — incl. the
-        # zlib-inflate + NumPy-unfilter PNG path — are checked
+        # solid greyscale baseline JPEG (exact: flat quant 8), 29th an
+        # indexed-color PNG whose single index-1 pixel makes the mean
+        # (c*n+1)/n — bit unpacking + palette lookup must be exact —
+        # rest solid-color PPMs), so the real numpy decoders — incl.
+        # the zlib-inflate + NumPy-unfilter PNG path — are checked
         # value-for-value without DuckDB parsing any bytes
         "multimodal_decode": """
             SELECT doc_id AS id,
@@ -5343,6 +5362,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                         WHEN doc_id % 7 = 0 THEN 5 + doc_id % 11
                         WHEN doc_id % 19 = 0 THEN 3 + doc_id % 8
                         WHEN doc_id % 23 = 0 THEN 8 * (1 + doc_id % 3)
+                        WHEN doc_id % 29 = 0 THEN 3 + doc_id % 9
                         ELSE 4 + doc_id % 13 END AS INTEGER) AS width,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
                         WHEN doc_id % 13 = 0 THEN 2 + doc_id % 5
@@ -5350,6 +5370,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                         WHEN doc_id % 7 = 0 THEN 2 + doc_id % 6
                         WHEN doc_id % 19 = 0 THEN 2 + doc_id % 4
                         WHEN doc_id % 23 = 0 THEN 8 * (1 + doc_id % 2)
+                        WHEN doc_id % 29 = 0 THEN 2 + doc_id % 5
                         ELSE 3 + doc_id % 7 END AS INTEGER) AS height,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
                         WHEN doc_id % 13 = 0 THEN 3
@@ -5365,6 +5386,9 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    WHEN doc_id % 7 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                    WHEN doc_id % 19 = 0 THEN CAST((doc_id * 23) % 256 AS DOUBLE)
                    WHEN doc_id % 23 = 0 THEN CAST((doc_id * 29) % 256 AS DOUBLE)
+                   WHEN doc_id % 29 = 0 THEN round(
+                     CAST((doc_id % 199) * ((3 + doc_id % 9) * (2 + doc_id % 5)) + 1 AS DOUBLE)
+                     / ((3 + doc_id % 9) * (2 + doc_id % 5)), 6)
                    ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
               CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST((doc_id * 3) % 256 AS DOUBLE)
@@ -5372,6 +5396,9 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    WHEN doc_id % 7 = 0 THEN CAST((doc_id * 11) % 256 AS DOUBLE)
                    WHEN doc_id % 19 = 0 THEN NULL
                    WHEN doc_id % 23 = 0 THEN NULL
+                   WHEN doc_id % 29 = 0 THEN round(
+                     CAST(((doc_id * 3) % 199) * ((3 + doc_id % 9) * (2 + doc_id % 5)) + 1 AS DOUBLE)
+                     / ((3 + doc_id % 9) * (2 + doc_id % 5)), 6)
                    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
               CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST((doc_id * 5) % 256 AS DOUBLE)
@@ -5379,6 +5406,9 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    WHEN doc_id % 7 = 0 THEN CAST((doc_id * 17) % 256 AS DOUBLE)
                    WHEN doc_id % 19 = 0 THEN NULL
                    WHEN doc_id % 23 = 0 THEN NULL
+                   WHEN doc_id % 29 = 0 THEN round(
+                     CAST(((doc_id * 5) % 199) * ((3 + doc_id % 9) * (2 + doc_id % 5)) + 1 AS DOUBLE)
+                     / ((3 + doc_id % 9) * (2 + doc_id % 5)), 6)
                    ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b
             FROM documents
         """,

@@ -11,9 +11,10 @@ Decode routes:
 
 * ``decode='numpy'`` — REAL decoding for the formats stdlib+NumPy
   can parse: PPM ``P6`` images, uncompressed 24/32-bit ``BM``
-  bitmaps, **8-bit PNG** (IDAT inflate via stdlib ``zlib``, scanline
-  unfiltering — None/Sub/Up/Average/Paeth — in NumPy; grey / RGB /
-  grey+alpha / RGBA), **baseline JPEG** (SOF0 huffman entropy decode
+  bitmaps, **PNG** (IDAT inflate via stdlib ``zlib``, scanline
+  unfiltering — None/Sub/Up/Average/Paeth — in NumPy; 8-bit grey /
+  RGB / grey+alpha / RGBA plus indexed-color PLTE at bit depths
+  1/2/4/8 with tRNS transparency), **baseline JPEG** (SOF0 huffman entropy decode
   with byte unstuffing + restart markers, exact float64 IDCT, JFIF
   YCbCr->RGB; greyscale and 1-2x sampling), **GIF87a/89a** (pure-
   stdlib LZW entropy decode, global/local color tables, 4-pass
@@ -29,8 +30,8 @@ Decode routes:
 * ``decode='stub'`` — deterministic fake header (``b'FAKE'`` +
   uint16 width + uint16 height + uint8 channels + raw); tests use it
   to exercise the Spark plumbing independent of any format.
-* ``decode='real'`` — the lossy-codec route (JPEG/MP3/H.264; also
-  palette/16-bit/interlaced PNG). PIL/librosa/ffmpeg are NOT in this
+* ``decode='real'`` — the lossy-codec route (MP3/H.264; also
+  16-bit/interlaced PNG and progressive JPEG). PIL/librosa/ffmpeg are NOT in this
   container, so it raises NotImplementedError at the point where the
   codec import would happen; the Spark-side machinery is identical
   to the numpy route.
@@ -198,18 +199,86 @@ def pack_png(pixels: np.ndarray, filters: str = "cycle", level: int = 6) -> byte
     )
 
 
+def pack_png_indexed(
+    idx: np.ndarray,
+    palette,
+    bit_depth: int = 8,
+    trans=None,
+    filters: str = "cycle",
+) -> bytes:
+    """(h, w) palette indices + RGB palette -> indexed-color PNG
+    (color type 3) at bit depth 1/2/4/8, optional tRNS alpha list —
+    stdlib ``zlib`` only, the planted-payload twin of
+    :func:`pack_png`. ``filters`` cycles the per-row byte filters so
+    every decoder unfilter path runs against packed sub-byte rows."""
+    idx = np.asarray(idx)
+    if idx.ndim != 2 or idx.dtype != np.uint8:
+        raise ValueError("pack_png_indexed wants (h, w) uint8 indices")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("bit_depth must be 1, 2, 4, or 8")
+    palette = [tuple(int(v) for v in c) for c in palette]
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette needs 1..256 entries")
+    if int(idx.max(initial=0)) >= min(len(palette), 1 << bit_depth):
+        raise ValueError("index out of palette/depth range")
+    if filters not in ("none", "cycle"):
+        raise ValueError("filters must be 'none' or 'cycle'")
+    h, w = idx.shape
+    if bit_depth == 8:
+        packed = idx
+    else:
+        bits = (idx[:, :, None] >> np.arange(bit_depth - 1, -1, -1, dtype=np.uint8)) & 1
+        packed = np.packbits(bits.reshape(h, w * bit_depth), axis=1)
+    stride = packed.shape[1]
+    flat = packed.astype(np.int16)
+    zero = np.zeros(stride, dtype=np.int16)
+    out_rows = []
+    for y in range(h):
+        r = flat[y]
+        p = flat[y - 1] if y else zero
+        left = np.concatenate([[0], r[:-1]]).astype(np.int16) if stride > 1 else np.zeros_like(r)
+        upleft = np.concatenate([[0], p[:-1]]).astype(np.int16) if stride > 1 else np.zeros_like(p)
+        f = 0 if filters == "none" else y % 5
+        if f == 0:
+            filt = r
+        elif f == 1:
+            filt = r - left
+        elif f == 2:
+            filt = r - p
+        elif f == 3:
+            filt = r - ((left + p) >> 1)
+        else:
+            filt = r - _paeth_predictor(left, p, upleft)
+        out_rows.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    chunks += _png_chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    if trans is not None:
+        tr = bytes(int(a) for a in trans)
+        if len(tr) > len(palette):
+            raise ValueError("tRNS longer than the palette")
+        chunks += _png_chunk(b"tRNS", tr)
+    return chunks + _png_chunk(b"IDAT", zlib.compress(b"".join(out_rows), 6)) + _png_chunk(b"IEND", b"")
+
+
 def _parse_png(buf: bytes):
-    """8-bit non-interlaced PNG -> (w, h, ch, (h, w, ch) uint8) or
-    None — REAL decoding with stdlib ``zlib`` (IDAT inflate) + NumPy
-    scanline unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6).
-    Structural validation is complete: signature, chunk CRCs, IHDR
-    first / IEND terminator, bit depth 8, color types 0/2/4/6,
-    interlace 0, exact decompressed length, filter bytes in 0..4.
-    Palette (PLTE), 16-bit, and interlaced images return None (the
-    codec route), as does any structural damage."""
+    """Non-interlaced PNG -> (w, h, ch, (h, w, ch) uint8) or None —
+    REAL decoding with stdlib ``zlib`` (IDAT inflate) + NumPy scanline
+    unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supported:
+    8-bit greyscale / truecolor (± alpha) AND indexed-color (PLTE) at
+    bit depths 1/2/4/8, with tRNS palette transparency (indexed
+    output is RGB, or RGBA when tRNS is present). Structural
+    validation is complete: signature, chunk CRCs, IHDR first / IEND
+    terminator, PLTE before IDAT with 1..256 whole entries, indices
+    inside the palette, interlace 0, exact decompressed length,
+    filter bytes in 0..4. 16-bit samples, sub-byte greyscale, and
+    interlaced images return None (the codec route), as does any
+    structural damage; a colour-key tRNS on greyscale/truecolor is
+    ignored (documented simplification)."""
     if len(buf) < len(_PNG_SIG) + 12 or buf[: len(_PNG_SIG)] != _PNG_SIG:
         return None
     i, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    plte, trns = None, None
     while i + 12 <= len(buf):
         (clen,) = struct.unpack_from(">I", buf, i)
         ctype = buf[i + 4 : i + 8]
@@ -228,20 +297,38 @@ def _parse_png(buf: bytes):
         elif ctype == b"IEND":
             ended = clen == 0
             break
-        elif ctype == b"PLTE":  # indexed-color route not supported
-            return None
+        elif ctype == b"PLTE":
+            if idat or plte is not None or clen % 3 or not 3 <= clen <= 768:
+                return None  # PLTE must precede IDAT, once, whole entries
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(clen // 3, 3)
+        elif ctype == b"tRNS":
+            if idat or trns is not None:
+                return None
+            trns = np.frombuffer(data, dtype=np.uint8)
         i += 12 + clen
     if ihdr is None or not idat or not ended:
         return None
     w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if w <= 0 or h <= 0 or depth != 8 or comp != 0 or filt_m != 0 or interlace != 0:
+    if w <= 0 or h <= 0 or comp != 0 or filt_m != 0 or interlace != 0:
         return None
-    ch = _PNG_CHANNELS.get(color_type)
-    if ch is None:
-        return None
+    if color_type == 3:
+        if depth not in (1, 2, 4, 8) or plte is None:
+            return None
+        if trns is not None and len(trns) > len(plte):
+            return None
+        ch = 1  # one index sample per pixel on disk
+        stride = (w * depth + 7) // 8
+        bpp = 1  # filters act on bytes; sub-byte pixels share bytes
+    else:
+        if depth != 8:
+            return None
+        ch = _PNG_CHANNELS.get(color_type)
+        if ch is None or plte is not None:
+            return None
+        stride = w * ch
+        bpp = ch
     if w * h > _PNG_MAX_PIXELS:  # forged-IHDR allocation guard
         return None
-    stride = w * ch
     expect = h * (1 + stride)
     try:
         # bounded inflate: never produce more than the IHDR-declared
@@ -271,26 +358,42 @@ def _parse_png(buf: bytes):
         elif f == 1:
             # Sub is a per-byte-lane prefix sum mod 256 — vectorized
             rec = (
-                np.cumsum(r.reshape(w, ch), axis=0, dtype=np.int64).reshape(stride) & 0xFF
+                np.cumsum(r.reshape(-1, bpp), axis=0, dtype=np.int64).reshape(stride) & 0xFF
             ).astype(np.int16)
         elif f == 2:
             rec = (r + prev) & 0xFF
         else:
-            # Average/Paeth depend on the reconstructed LEFT pixel —
+            # Average/Paeth depend on the reconstructed LEFT unit —
             # inherently sequential along the row; vectorize across
-            # the ch byte lanes and walk the w pixels
+            # the bpp byte lanes and walk the row's units
             rec = np.empty(stride, dtype=np.int16)
-            a = np.zeros(ch, dtype=np.int16)
-            for x in range(w):
-                sl = slice(x * ch, (x + 1) * ch)
+            a = np.zeros(bpp, dtype=np.int16)
+            for x in range(stride // bpp):
+                sl = slice(x * bpp, (x + 1) * bpp)
                 b = prev[sl]
-                c = prev[x * ch - ch : x * ch] if x else np.zeros(ch, dtype=np.int16)
+                c = prev[x * bpp - bpp : x * bpp] if x else np.zeros(bpp, dtype=np.int16)
                 pred = (a + b) >> 1 if f == 3 else _paeth_predictor(a, b, c)
                 a = (r[sl] + pred) & 0xFF
                 rec[sl] = a
         out[y] = rec
         prev = rec
-    return w, h, ch, out.reshape(h, w, ch)
+    if color_type != 3:
+        return w, h, ch, out.reshape(h, w, ch)
+    if depth == 8:
+        idx = out[:, :w]
+    else:
+        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+        idx = (bits << np.arange(depth - 1, -1, -1, dtype=np.uint8)).sum(
+            axis=2, dtype=np.int64
+        )
+    if int(idx.max(initial=0)) >= len(plte):
+        return None
+    rgb = plte[idx]
+    if trns is None:
+        return w, h, 3, rgb
+    alpha = np.full(len(plte), 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    return w, h, 4, np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
 
 
 def _parse_ppm(buf: bytes):
@@ -805,11 +908,11 @@ def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) ->
             "external media codecs (PIL/av/librosa) are not available "
             "in this environment; plug the codec into the kernel and "
             "pass decode='real' — or use decode='numpy' for the "
-            "stdlib+NumPy formats (PPM P6, uncompressed BMP, 8-bit "
-            "PNG, baseline JPEG, GIF87a/89a incl. animation, PCM "
-            "WAV). The real gate now covers progressive/arithmetic "
-            "JPEG, palette/16-bit PNG, and compressed audio/video "
-            "(MP3/AAC/H.264)"
+            "stdlib+NumPy formats (PPM P6, uncompressed BMP, PNG "
+            "incl. indexed-color, baseline JPEG, GIF87a/89a incl. "
+            "animation, PCM WAV). The real gate now covers "
+            "progressive/arithmetic JPEG, 16-bit/interlaced PNG, and "
+            "compressed audio/video (MP3/AAC/H.264)"
         )
     if decode == "numpy":
 
@@ -1033,7 +1136,8 @@ def resize_image(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """REAL nearest-neighbor resize for PPM, PNG, and GIF payloads —
     pure NumPy fancy indexing (one gather per axis),
     payload-in/payload-out in the SAME format (a P6 stays a P6; an
-    8-bit PNG re-encodes as an 8-bit PNG of the same color type; a
+    8-bit PNG re-encodes as an 8-bit PNG of the same color type,
+    except indexed-color input which re-encodes truecolor; a
     GIF re-encodes every COMPOSITED frame, so an animation stays an
     animation of the same length — sub-rectangle/disposal structure
     collapses into full composited frames, the visual content). A GIF

@@ -849,3 +849,117 @@ def test_resize_image_gif_animation(spark):
     xi = np.minimum(((np.arange(4) + 0.5) * 8 / 4), 7).astype(np.int64)
     for f, g in zip(frames, got):
         assert np.array_equal(g, f[yi][:, xi])
+
+
+def test_png_indexed_color_roundtrip():
+    """Indexed-color PNG (PLTE) at every legal palette bit depth:
+    exact pixel recovery through bit unpacking + palette lookup +
+    every byte-level unfilter path; tRNS promotes to RGBA with
+    missing entries opaque."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_png,
+        pack_png_indexed,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = [(10 * i, 5 * i, 255 - 10 * i) for i in range(16)]
+    for depth, ncol in ((1, 2), (2, 4), (4, 16), (8, 16)):
+        idx = rng.integers(0, ncol, size=(9, 13), dtype=np.uint8)
+        for filt in ("none", "cycle"):
+            r = _parse_png(pack_png_indexed(idx, pal[:ncol], bit_depth=depth, filters=filt))
+            assert r is not None, (depth, filt)
+            w, h, ch, px = r
+            assert (w, h, ch) == (13, 9, 3)
+            assert np.array_equal(px, np.array(pal[:ncol], dtype=np.uint8)[idx])
+
+    idx = rng.integers(0, 4, size=(5, 7), dtype=np.uint8)
+    w, h, ch, px = _parse_png(pack_png_indexed(idx, pal[:4], bit_depth=2, trans=[0, 128, 255]))
+    assert ch == 4
+    assert np.array_equal(px[:, :, 3], np.array([0, 128, 255, 255], dtype=np.uint8)[idx])
+
+
+def test_png_indexed_structural_rejection():
+    """Forged indexed payloads return None: index past the palette,
+    PLTE after IDAT, truncated/oversized PLTE, tRNS longer than the
+    palette — never garbage pixels."""
+    import struct
+
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        _png_chunk,
+        pack_png_indexed,
+    )
+    import zlib as _z
+
+    pal3 = b"\x01\x02\x03\x04\x05\x06\x07\x08\x09"  # 3 entries
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = b"\x00" + bytes([0, 3])  # filter 0, indices 0 and 3 (>= 3!)
+    idat = _z.compress(raw)
+    forged = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal3)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _parse_png(forged) is None
+
+    # PLTE after IDAT violates chunk ordering
+    late = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" + bytes([0, 1])))
+        + _png_chunk(b"PLTE", pal3)
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _parse_png(late) is None
+
+    # partial PLTE entry (length not divisible by 3)
+    ragged = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal3 + b"\x01")
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" + bytes([0, 1])))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _parse_png(ragged) is None
+
+    # tRNS longer than the palette
+    good = pack_png_indexed(np.zeros((1, 2), dtype=np.uint8), [(1, 2, 3)])
+    overlong = (
+        good[: good.index(b"IDAT") - 4]
+        + _png_chunk(b"tRNS", b"\x00\x00")
+        + good[good.index(b"IDAT") - 4 :]
+    )
+    assert _parse_png(overlong) is None
+
+
+def test_png_indexed_through_image_stats(spark):
+    """The Spark-side path sees palette PNGs as first-class images:
+    dims/channels via decode_media, exact means via image_stats
+    (indices -> palette colors, counts preserved)."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        image_stats,
+        pack_png_indexed,
+    )
+
+    idx = np.zeros((4, 5), dtype=np.uint8)
+    idx[0, 0] = 1
+    pal = [(100, 40, 200), (120, 40, 200)]
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(pack_png_indexed(idx, pal, bit_depth=1)), "syn")],
+        MEDIA_SCHEMA,
+    )
+    meta = decode_media(df, decode="numpy").head()
+    assert (meta["width"], meta["height"], meta["channels"], meta["payload_ok"]) == (5, 4, 3, True)
+    st = image_stats(df).head()
+    assert st["channel_means"] == [round((100 * 19 + 120) / 20, 6), 40.0, 200.0]
