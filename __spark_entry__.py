@@ -1450,6 +1450,30 @@ def _q_url_dedup_bi(spark, sf_dir):
     return url_dedup_bipartite(new, hist, "doc_id", "url")
 
 
+def _q_url_dedup_bloom(spark, sf_dir):
+    # the Bloom route over the SAME planted construction as
+    # url_dedup_bi, fpp=0.5 so real false positives flow through the
+    # verify anti-join — shares the hash-join twin's oracle verbatim
+    # (the exact spelling is DEFINED to equal it); completes driver
+    # coverage of all three Dolma Bloom levels (url/doc/paragraph)
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.dedup import url_dedup_bipartite_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site.com/page/"),
+            (F.col("doc_id") % URL_BI_HIST_MOD).cast("string"),
+            F.lit("?q=1"),
+        ).alias("url"),
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", _url_variants((F.col("doc_id") % URL_BI_NEW_MOD).cast("string")).alias("url")
+    )
+    return url_dedup_bipartite_bloom(new, hist, "doc_id", "url", fpp=0.5)
+
+
 def _q_gopher_rules(spark, sf_dir):
     # Gopher rule bundle (Rae 2021 A1.1) with two thresholds moved to
     # where the synthetic corpus actually splits (see constants)
@@ -3623,6 +3647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # route (exact spelling, deliberate-FP filter) hashed against
         # the hash-join twin's oracle
         "paragraph_dedup_bloom": _q_paragraph_dedup_bloom,
+        # url_dedup_bloom: NEW — the URL-level Bloom route vs the
+        # url_dedup_bi construction (deliberate-FP filter)
+        "url_dedup_bloom": _q_url_dedup_bloom,
         # dolma_pipeline: NEW — the Dolma-ordered flagship (Soldaini
         # 2024 §2): langid -> Gopher -> C4-minus-punct -> PII BEFORE
         # dedup -> URL dedup -> Bloom doc dedup vs history -> Bloom
@@ -5927,6 +5954,7 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
     # hash-join twin row-for-row — false positives are verified away,
     # negatives cannot be duplicates — so it shares the oracle
     oracles["paragraph_dedup_bloom"] = oracles["paragraph_dedup_bi"]
+    oracles["url_dedup_bloom"] = oracles["url_dedup_bi"]
     # composite rows (see queries() for the row-budget rationale):
     # each absorbed single-row oracle is re-aliased and cross-joined,
     # mirroring the Spark-side crossJoin composition column-for-column
