@@ -748,3 +748,102 @@ def test_gopher_repetition_random_oracle(spark, seed, n_docs, vocab, doc_len):
                 assert r[k] is None, (i, k, text)
             else:
                 assert r[k] is not None and abs(r[k] - want) < 1.1e-6, (i, k, text, r[k], want)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    mcs=st.integers(2, 8),
+    n=st.integers(0, 12000),
+    runs=st.booleans(),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_gif_lzw_roundtrip_hypothesis(seed, mcs, n, runs):
+    """Generative LZW coverage beyond the fixed-RNG pytest: random
+    alphabets, run-heavy streams (long dictionary chains + the wKwK
+    special case), and lengths that force 4096-entry table resets.
+    Decode(encode(x)) must be x for every input — the serializer's
+    width schedule and the decoder's are the same state machine."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    if runs:
+        # run-length-heavy: few symbols, long repeats
+        pieces = []
+        total = 0
+        while total < n:
+            k = int(rng.integers(1, 200))
+            pieces.append(bytes([int(rng.integers(0, 1 << mcs))]) * k)
+            total += k
+        data = b"".join(pieces)[:n]
+    else:
+        data = rng.integers(0, 1 << mcs, size=n, dtype=np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(data, mcs), mcs, n) == data
+
+
+def test_bloom_dedup_routes_partition_invariance(spark):
+    """The Bloom dedup family must be partition-count invariant like
+    every other dedup operator: identical survivor sets at 1 vs 7
+    partitions on both the exact and the no-verify route (the Bloom
+    bits are deterministic, so even the fp-dropped set is stable)."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        exact_dedup_bipartite_bloom,
+        paragraph_dedup_bipartite_bloom,
+    )
+
+    hist = spark.createDataFrame(
+        [(100 + i, f"hist text {i % 6}\nshared para {i % 4}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (i, f"hist text {i}" if i < 6 else f"new text {i}\nshared para {i % 9}")
+            for i in range(18)
+        ],
+        "doc_id long, text string",
+    )
+    for exact in (True, False):
+        one = sorted(
+            map(
+                tuple,
+                exact_dedup_bipartite_bloom(
+                    new.coalesce(1), hist.coalesce(1), "doc_id", "text",
+                    fpp=0.3, exact=exact,
+                ).collect(),
+            )
+        )
+        many = sorted(
+            map(
+                tuple,
+                exact_dedup_bipartite_bloom(
+                    new.repartition(7), hist.repartition(5), "doc_id", "text",
+                    fpp=0.3, exact=exact,
+                ).collect(),
+            )
+        )
+        assert one == many, exact
+        p_one = sorted(
+            map(
+                tuple,
+                paragraph_dedup_bipartite_bloom(
+                    hist.coalesce(1), new.coalesce(1), "doc_id", "text",
+                    fpp=0.3, exact=exact,
+                ).collect(),
+            )
+        )
+        p_many = sorted(
+            map(
+                tuple,
+                paragraph_dedup_bipartite_bloom(
+                    hist.repartition(5), new.repartition(7), "doc_id", "text",
+                    fpp=0.3, exact=exact,
+                ).collect(),
+            )
+        )
+        assert p_one == p_many, exact
