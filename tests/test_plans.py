@@ -340,3 +340,43 @@ def test_bloom_dedup_no_verify_plan_has_no_history_join(spark):
     p2 = _plan(strict)
     assert "LeftAnti" in p2, "exact=True lost its verify anti-join"
     assert p2.count("Join [") == joins_loose + 1, "exact should add ONE join"
+
+
+def test_gopher_repetition_fence_keeps_filter_boolean(spark):
+    """The optimizer fence in gopher_repetition (quality.py — the
+    always-false `shuffle([false])` term OR-ed into `keep`) exists so
+    a consumer's `.filter("keep")` reads the BOOLEAN column instead of
+    having PushDownPredicates substitute the full signal expression
+    (sorted-array HOFs) into the Filter condition — a measured 17x
+    interpreted-predicate cliff. Pin the shape: the Filter node's
+    condition must be exactly the null-guarded attribute read, with no
+    HOF / array machinery in it. Fails if a Spark upgrade learns to
+    constant-fold `shuffle()` or if someone deletes the fence."""
+    import re
+
+    from cs533_big_data_data_mining_spark.operators.quality import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "x x x x x x x x x x")],
+        "id long, text string",
+    )
+    out = gopher_repetition(df, "id", "text").filter("keep")
+    p = _plan(out, "formatted")
+    conds = [l for l in p.splitlines() if l.strip().startswith("Condition :")]
+    assert conds, "expected a Filter node in the plan"
+    cond = conds[0]
+    # the healthy shape: Condition : (isnotnull(keep#N) AND keep#N)
+    assert re.search(r"isnotnull\(keep#\d+\) AND keep#\d+", cond), (
+        f"filter no longer reads the boolean column: {cond!r}"
+    )
+    for hof in ("sort_array", "aggregate(", "transform(", "array_sort", "slice("):
+        assert hof not in cond, (
+            f"signal expression leaked into the Filter condition ({hof}): "
+            "the optimizer fence is gone or Spark optimizes through it"
+        )
+    # and the filter must still be inside whole-stage codegen (the
+    # 17x cliff manifests as an interpreted Predicate outside codegen)
+    filt_headers = [l for l in p.splitlines() if re.search(r"\(\d+\) Filter", l)]
+    assert any("codegen" in l for l in filt_headers), (
+        f"Filter fell out of whole-stage codegen: {filt_headers}"
+    )
