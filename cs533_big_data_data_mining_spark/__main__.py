@@ -1022,6 +1022,11 @@ def _dolma_main(argv: list[str]) -> int:
     )
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--history-text-col", default=None,
+        help="text column name in the --history parquet when it differs "
+        "from --text-col (default: same as --text-col)",
+    )
     ap.add_argument("--url-col", default=None, help="enable URL filtering/dedup on this column")
     ap.add_argument("--blocked-domains", default=None, help="comma-separated blocklist (needs --url-col)")
     ap.add_argument("--url-kw", default=None, help="URL keyword weights 'casino=0.6,poker=0.6'")
@@ -1084,6 +1089,7 @@ def _dolma_main(argv: list[str]) -> int:
     spark = get_spark(app_name="cs533_dolma_cli", master=args.master)
     t0 = time.time()
     idc, txc = args.id_col, args.text_col
+    hist_txc = args.history_text_col or txc
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
@@ -1137,7 +1143,7 @@ def _dolma_main(argv: list[str]) -> int:
         if hist is not None:
             ded = exact_dedup_bipartite_bloom(
                 cur, hist, idc, txc,
-                history_content_col=args.text_col,
+                history_content_col=hist_txc,
                 fpp=args.fpp, exact=not args.no_verify,
             )
         else:
@@ -1146,7 +1152,7 @@ def _dolma_main(argv: list[str]) -> int:
     if not args.skip_paragraph_dedup:
         if hist is not None:
             pd_out = paragraph_dedup_bipartite_bloom(
-                hist.withColumnRenamed(args.text_col, txc) if args.text_col != txc else hist,
+                hist.withColumnRenamed(hist_txc, txc) if hist_txc != txc else hist,
                 cur, idc, txc,
                 fpp=args.fpp, exact=not args.no_verify,
             )

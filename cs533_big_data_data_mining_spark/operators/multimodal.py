@@ -692,7 +692,16 @@ def pack_gif(
     bits = max(2, (len(palette) - 1).bit_length())  # LZW mcs >= 2
     size = 1 << bits
     lut = {c: i for i, c in enumerate(palette)}
-    transparent_idx = lut.get(tuple(transparent_color)) if transparent_color else None
+    transparent_idx = None
+    if transparent_color is not None:
+        transparent_idx = lut.get(tuple(int(v) for v in transparent_color))
+        if transparent_idx is None:
+            # silently producing an opaque GIF would poison planted-
+            # payload fixtures that rely on the transparency path
+            raise ValueError(
+                "transparent_color does not appear in any frame; add it "
+                "to a frame or pass bg_color to pin it in the palette"
+            )
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w0, h0, 0x80 | 0x70 | (bits - 1), 0, 0)
     for c in palette:
@@ -805,7 +814,12 @@ def _parse_gif_frames(buf: bytes):
             i += 3 * lsize
         if pal is None:
             return None
-        budget -= w * h + fw * fh  # canvas copy + LZW decode work
+        # canvas copy + LZW decode work, plus a fixed per-frame charge:
+        # without it a 1x1-canvas payload pays ~2 pixels per frame and
+        # can smuggle millions of frames inside the pixel budget
+        # (measured ~200k frames from a 3 MB payload) — the flat 4096
+        # bounds any payload at < ~2k frames regardless of geometry
+        budget -= w * h + fw * fh + 4096
         if budget < 0:
             return None
         if i >= len(buf):

@@ -1718,3 +1718,42 @@ def test_cli_dolma_end_to_end(spark, tmp_path):
     assert rc == 0
     ids2 = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
     assert ids2 <= ids and 22 not in ids2 and 24 not in ids2 and 25 not in ids2
+
+
+def test_cli_dolma_history_text_col(spark, tmp_path):
+    """--history-text-col: a history parquet whose text lives in a
+    differently-named column must still drive both Bloom content
+    stages (doc + paragraph). Regression for the dead rename branch
+    that could never fire when the option didn't exist."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    filler = " ".join(f"w{j} of the and that" for j in range(12))
+    hist_text = (
+        f"History body with plenty of words here {filler}. Yes.\n"
+        "Archived shared paragraph marker block."
+    )
+    mk = lambda i: (
+        f"Pool doc {i} opening sentence with plenty of words {filler}. "
+        f"It truly does.\nSecond paragraph for doc {i} {filler}. It ends."
+    )
+    src = str(tmp_path / "htc_docs.parquet")
+    hist = str(tmp_path / "htc_hist.parquet")
+    out = str(tmp_path / "htc_out")
+    rows = [(i, mk(i)) for i in range(4)]
+    rows.append((10, hist_text))  # exact history copy
+    rows.append((11, mk(11) + "\nArchived shared paragraph marker block."))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    spark.createDataFrame(
+        [(900, hist_text)], "doc_id long, content string"
+    ).write.parquet(hist)
+    rc = main([
+        "dolma", "-i", src, "-o", out, "--history", hist,
+        "--history-text-col", "content",
+        "--lang", "", "--skip-gopher", "--skip-c4", "--no-redact",
+        "--fpp", "0.5", "--shards", "2", "--no-stage-counts",
+    ])
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert 10 not in got  # exact copy vs history (doc Bloom stage)
+    assert 11 in got and "Archived shared paragraph marker" not in got[11]
+    assert set(range(4)) <= set(got)

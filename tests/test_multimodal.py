@@ -963,3 +963,47 @@ def test_png_indexed_through_image_stats(spark):
     assert (meta["width"], meta["height"], meta["channels"], meta["payload_ok"]) == (5, 4, 3, True)
     st = image_stats(df).head()
     assert st["channel_means"] == [round((100 * 19 + 120) / 20, 6), 40.0, 200.0]
+
+
+def test_gif_tiny_frame_flood_rejected():
+    """A 1x1-canvas GIF charges ~2 pixels/frame of the pixel budget,
+    so without a fixed per-frame cost millions of frames fit 'in
+    budget' (~600 MB of frame arrays, ~40 s CPU). The flat per-frame
+    charge must reject the flood while normal animations still parse."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_gif_frames,
+        pack_gif,
+    )
+
+    tiny = np.zeros((1, 1, 3), np.uint8)
+    # ~2k frames crosses the 8M budget at 4096+2 per frame; build via
+    # pack_gif so the payload is structurally valid
+    flood = pack_gif([tiny] * 2100, positions=[(0, 0)] * 2100)
+    assert _parse_gif_frames(flood) is None
+    ok = pack_gif([tiny] * 50, positions=[(0, 0)] * 50)
+    r = _parse_gif_frames(ok)
+    assert r is not None and len(r[2]) == 50
+
+
+def test_pack_gif_absent_transparent_color_raises():
+    """transparent_color not present in any frame (and not pinned via
+    bg_color) must raise instead of silently emitting an opaque GIF —
+    a planted-payload fixture would otherwise test the wrong path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_gif_frames,
+        pack_gif,
+    )
+
+    f0 = np.full((2, 2, 3), 9, dtype=np.uint8)
+    with _pytest.raises(ValueError, match="transparent_color"):
+        pack_gif([f0], transparent_color=(1, 2, 3))
+    # pinning the color into the palette via bg_color is the escape
+    # hatch: the whole frame encodes transparent -> holes keep bg
+    buf = pack_gif([f0, f0], transparent_color=(9, 9, 9), bg_color=(9, 9, 9))
+    _, _, frames = _parse_gif_frames(buf)
+    assert np.array_equal(frames[1], f0)
