@@ -3625,19 +3625,70 @@ def _q_stream_eq_all(spark, sf_dir):
     return a.coalesce(1).crossJoin(b.coalesce(1)).crossJoin(c.coalesce(1))
 
 
+#: Round-10 must-record rotation: new/changed-this-round rows first,
+#: then the 44 queries whose latest driver row is CORRECTNESS_r08
+#: (registry order).
+_RECORD_FRONT = [
+    "crawl_shards",
+    "decontaminate",
+    "sketches_all",
+    "shard_assign",
+    "sim_topk_ivf",
+    "sim_topk_ivf_full",
+    "multimodal_features",
+    "multimodal_frames",
+    "curate_embeds",
+    "redact_pii",
+    "knn_classify",
+    "scan_project_filter",
+    "retention",
+    "profile_lineitem",
+    "expectations",
+    "clean_text",
+    "lm_perplexity",
+    "text_stats",
+    "tfidf",
+    "balance_sources",
+    "salted_join_eq",
+    "sample_sources",
+    "quantile_filter_by",
+    "lsh_route_eq",
+    "boilerplate_lines",
+    "stream_windowed_counts",
+    "chunk_documents",
+    "dedup_minhash_2t",
+    "label_centroids",
+    "repetition_stats",
+    "assign_split",
+    "asof_purchase_click",
+    "funnel",
+    "sessionize",
+    "agg_q1",
+    "eps_join",
+    "join_revenue_by_nation",
+    "window_topk",
+    "rollup_revenue",
+    "simhash_sigs",
+    "multimodal_meta",
+    "quantile_filter",
+    "bbox",
+    "median_dim",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER IS DELIBERATE. The driver's correctness record
     # holds at most ~50 rows, so: (1) queries that are new — or whose
     # implementation changed this round — come FIRST; (2) the rotation
-    # block: every registered query gets a driver row at most two
-    # rounds old, so the 29 queries whose latest row is
-    # CORRECTNESS_r07 move to the front this round; (3) the oldest of
-    # the r8-recorded stable queries fill the middle; (4) the
-    # remaining queries with fresh green CORRECTNESS_r08 rows and
-    # untouched code sit past position 50 — a fixed-size cut only
-    # drops rows the r8 record + pytest already pin, and they rotate
-    # back in next round.
-    return {
+    # block below reorders so every registered query gets a driver row
+    # at most two rounds old: the 44 queries whose latest row is
+    # CORRECTNESS_r08 move to the front this round (round 10), and the
+    # 50 freshly-recorded r9 rows park past the cut — a fixed-size cut
+    # only drops rows the r9 record + pytest already pin, and they
+    # rotate back in next round. _RECORD_FRONT holds this round's
+    # must-record list; the dict literal keeps its stable grouping so
+    # per-query comments stay put.
+    reg = {
         # --- new / changed this round (must-record) ---
         # multimodal_gif: NEW — REAL GIF decode (pure-stdlib LZW,
         # interlace, animation compositing) + video-style frame
@@ -3779,6 +3830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox": _q_bbox,
         "median_dim": _q_median_dim,
     }
+    front = [k for k in _RECORD_FRONT if k in reg]
+    ordered = {k: reg[k] for k in front}
+    ordered.update({k: v for k, v in reg.items() if k not in ordered})
+    return ordered
 
 
 def _uniform_sql(expr: str) -> str:
