@@ -1757,6 +1757,97 @@ def _q_nb_classify(spark, sf_dir):
     )
 
 
+LANGID_EQ_B = 256
+LANGID_EQ_ALPHA = 0.5
+LANGID_EQ_MAX_N = 3
+
+
+def _langid_eq_text():
+    """The planted-language construction (Spark side): doc_id % 5
+    picks a language, the text is 10 cyclically-chosen marker words of
+    that language plus one FUSED pseudo-word (unseen by the marker
+    vocabulary — only character statistics identify it); every 97th
+    doc is a no-marker plant where the two routes deterministically
+    disagree (marker 'und', NB answers). The SQL twin is generated
+    from the same LANG_MARKERS dict so the two can't de-sync."""
+    from cs533_big_data_data_mining_spark.functions.text import LANG_MARKERS
+
+    i = F.col("doc_id")
+    langs = sorted(LANG_MARKERS)
+
+    def base(lg):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lg]])
+        w = lambda j: F.element_at(arr, ((i + F.lit(j)) % 7 + 1).cast("int"))  # noqa: E731
+        return F.concat_ws(" ", *[w(j) for j in range(10)], F.concat(w(0), w(3)))
+
+    sel = F.lit(None).cast("string")
+    for n, lg in reversed(list(enumerate(langs))):
+        sel = F.when((i % 5) == n, base(lg)).otherwise(sel)
+    return F.when(i % 97 == 0, F.lit("qqq zzz xxx")).otherwise(sel)
+
+
+def _q_langid_route_eq(spark, sf_dir):
+    # trained-langid route equivalence (task: the fastText-style
+    # trained langid of Dolma/FineWeb/CCNet as char-3-gram NB over the
+    # engine's own nb_train): seed-label the %3 slice with the marker
+    # heuristic (confidence-gated), train char-gram NB, classify ALL
+    # docs through BOTH implementations (pure-Column oracle route and
+    # the Arrow int64 fixed-point route) next to the marker argmax.
+    # The oracle replays seeding, training, and scoring in SQL and
+    # emits its NB prediction for BOTH nb columns — so the value hash
+    # is simultaneously a correctness gate and a cross-implementation
+    # equivalence gate. The %97 plants pin a deterministic
+    # disagreement class (agree=false) so the row can't pass vacuously.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.functions.text import lang_id
+    from cs533_big_data_data_mining_spark.operators.classify import (
+        lang_id_nb,
+        langid_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _langid_eq_text().alias("text")
+    )
+    fit = langid_train(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        "text",
+        n_buckets=LANGID_EQ_B,
+        alpha=LANGID_EQ_ALPHA,
+        max_n=LANGID_EQ_MAX_N,
+    )
+    # materialize the (bucket-bounded) model ONCE as a local frame:
+    # both lang_id_nb calls collect the model at plan-build time, and
+    # re-planning the full fit DAG per call costs ~3s each even cached
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    model = local_df(
+        spark,
+        [(r["label"], r["b"], r["llh"]) for r in fit.collect()],
+        "label string, b long, llh double",
+    )
+    # the pure-Column route is the exact oracle replay but runs on
+    # interpreted HOFs (~100x the Arrow route); CaseWhen evaluates
+    # per-row lazily, so pinning it on the deterministic 1-in-5 slice
+    # bounds the row's cost while the hash still checks column-vs-
+    # oracle on that slice and arrow-vs-oracle on EVERY row (both
+    # directly via lang_nb_fast and through the slice complement)
+    i = F.col("doc_id")
+    scored = _spread(docs).select(
+        i.alias("id"),
+        lang_id("text").alias("lang_marker"),
+        F.when(i % 5 == 0, lang_id_nb(model, "text", impl="column"))
+        .otherwise(lang_id_nb(model, "text", impl="arrow"))
+        .alias("lang_nb"),
+        lang_id_nb(model, "text", impl="arrow").alias("lang_nb_fast"),
+    )
+    # the repartition is a collapse barrier: deriving `agree` in the
+    # same Project would re-evaluate the whole interpreted-HOF scoring
+    # expression (CollapseProject inlines, and HOFs get no codegen CSE)
+    return scored.repartition(scored.sparkSession.sparkContext.defaultParallelism).select(
+        "*", (F.col("lang_marker") == F.col("lang_nb")).alias("agree")
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     # DSIR importance weights: target = the src0 slice, raw = the
     # whole corpus; scores say how src0-like every document's hashed
@@ -3629,6 +3720,7 @@ def _q_stream_eq_all(spark, sf_dir):
 #: then the 44 queries whose latest driver row is CORRECTNESS_r08
 #: (registry order).
 _RECORD_FRONT = [
+    "langid_route_eq",
     "crawl_shards",
     "decontaminate",
     "sketches_all",
@@ -3711,6 +3803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rules -> MinHash -> C4-minus-terminal-punct -> custom
         # filters -> PII, planted failure class per stage
         "fineweb_pipeline": _q_fineweb_pipeline,
+        # langid_route_eq: NEW (round 10) — trained fastText-style
+        # langid (char-3-gram NB via nb_train grams='char') vs the
+        # marker heuristic, both scoring implementations pinned
+        "langid_route_eq": _q_langid_route_eq,
         # nb_classify: NEW — supervised hashed-n-gram Naive Bayes
         # (fastText-style model filter, Joulin 2016 / Wenzek 2020)
         "nb_classify": _q_nb_classify,
@@ -4482,6 +4578,117 @@ FROM dpl LEFT JOIN dpa USING (doc_id) CROSS JOIN dcnts
 _DOLMA_PIPE_SQL = re.sub(r"(?m)^(\w+) AS \(", r"\1 AS MATERIALIZED (", _DOLMA_PIPE_SQL)
 
 
+
+
+def _langid_eq_sql() -> str:
+    """The langid_route_eq oracle: construction, marker argmax, seed
+    gate, char-{1..3}-gram NB training (B=256, alpha=0.5, poly31), and
+    scoring — all generated from the same LANG_MARKERS dict as the
+    Spark side. Emits the replayed NB prediction for BOTH nb columns
+    (lang_nb and lang_nb_fast), making the value hash a
+    cross-implementation equivalence gate too."""
+    from cs533_big_data_data_mining_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    B, a, max_n = LANGID_EQ_B, LANGID_EQ_ALPHA, LANGID_EQ_MAX_N
+
+    def lit_list(lg):
+        return "[" + ", ".join("'" + w + "'" for w in LANG_MARKERS[lg]) + "]"
+
+    def base(lg):
+        w = lambda j: (  # noqa: E731
+            f"list_extract({lit_list(lg)}, "
+            f"CAST((doc_id + {j}) % 7 AS INT) + 1)"
+        )
+        parts = ", ".join(w(j) for j in range(10))
+        return f"concat_ws(' ', {parts}, {w(0)} || {w(3)})"
+
+    case_lang = "CASE CAST(doc_id % 5 AS INT)\n" + "\n".join(
+        f"              WHEN {n} THEN {base(lg)}" for n, lg in enumerate(langs[:-1])
+    ) + f"\n              ELSE {base(langs[-1])}\n            END"
+
+    cg = " || ".join(
+        f"list_transform(range(1, length(s) - {n} + 2), "
+        f"i -> substring(s, CAST(i AS INT), {n}))"
+        for n in range(1, max_n + 1)
+    )
+    bucket = _NB_BUCKET_SQL.format(B=B)
+    score_cols = ", ".join(
+        f"len(list_intersect(dt, {lit_list(lg)})) AS s_{lg}" for lg in langs
+    )
+    svars = ", ".join(f"s_{lg}" for lg in langs)
+    marker_case = " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}'"
+
+    return f"""
+        WITH lsrc AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 97 = 0 THEN 'qqq zzz xxx'
+            ELSE {case_lang} END AS text
+          FROM documents),
+        ltok AS (SELECT doc_id, text,
+                   list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                             x -> x != '')) AS dt
+                 FROM lsrc),
+        lms AS (SELECT doc_id, text, {score_cols} FROM ltok),
+        lmk AS (SELECT *, greatest({svars}) AS best,
+                       list_sort([{svars}])[{len(langs) - 1}] AS runner
+                FROM lms),
+        lmark AS (SELECT doc_id, text, best, runner,
+                    CASE WHEN best = 0 THEN 'und' {marker_case} END AS lang_marker
+                  FROM lmk),
+        ltr AS (SELECT lang_marker AS label, substring(text, 1, 512) AS s
+                FROM lmark
+                WHERE doc_id % 3 = 0 AND best >= 2 AND best - runner >= 1),
+        ltrg AS (SELECT label, unnest({cg}) AS g FROM ltr),
+        ltrb AS (SELECT label, {bucket} AS bk FROM ltrg),
+        lcnt AS (SELECT label, bk, count(*) AS c FROM ltrb GROUP BY label, bk),
+        ldocs AS (SELECT label, count(*) AS nd FROM ltr GROUP BY label),
+        ltot AS (SELECT d.label, COALESCE(t.tot, 0) AS tot FROM ldocs d
+                 LEFT JOIN (SELECT label, count(*) AS tot FROM ltrb GROUP BY label) t
+                 USING (label)),
+        lsz AS (SELECT count(*) AS k, sum(nd) AS n FROM ldocs),
+        lpri AS (SELECT label, round(ln((nd + {a}) / (n + {a} * k)), 9) AS lp
+                 FROM ldocs, lsz),
+        lllh AS (SELECT label, bk,
+                        round(ln((c + {a}) / (tot + {a} * {B})), 9) AS lh
+                 FROM lcnt JOIN ltot USING (label)),
+        lmiss AS (SELECT label, round(ln({a} / (tot + {a} * {B})), 9) AS lm
+                  FROM ltot),
+        lte AS (SELECT doc_id, substring(text, 1, 512) AS s FROM lsrc),
+        lteg AS (SELECT doc_id, unnest({cg}) AS g FROM lte),
+        lteb AS (SELECT doc_id, {bucket} AS bk FROM lteg),
+        lsum AS (
+          SELECT b.doc_id, l.label,
+                 sum(CAST(COALESCE(h.lh, m.lm) AS DECIMAL(24,9))) AS sm
+          FROM lteb b
+          CROSS JOIN (SELECT label FROM ldocs) l
+          JOIN lmiss m ON m.label = l.label
+          LEFT JOIN lllh h ON h.label = l.label AND h.bk = b.bk
+          GROUP BY b.doc_id, l.label),
+        lfull AS (
+          SELECT d.doc_id, p.label,
+                 round(COALESCE(CAST(s.sm AS DOUBLE), 0.0) + p.lp, 6) AS score
+          FROM (SELECT DISTINCT doc_id FROM lte) d
+          CROSS JOIN lpri p
+          LEFT JOIN lsum s ON s.doc_id = d.doc_id AND s.label = p.label),
+        lbest AS (SELECT doc_id, max(score) AS best FROM lfull GROUP BY doc_id),
+        lpred AS (SELECT f.doc_id, min(f.label) AS pred
+                  FROM lfull f JOIN lbest b
+                    ON f.doc_id = b.doc_id AND f.score = b.best
+                  GROUP BY f.doc_id),
+        lnb AS (SELECT t.doc_id,
+                       CASE WHEN t.s IS NULL OR length(t.s) = 0
+                            THEN 'und' ELSE p.pred END AS lang_nb
+                FROM lte t LEFT JOIN lpred p ON p.doc_id = t.doc_id)
+        SELECT m.doc_id AS id, m.lang_marker, n.lang_nb,
+               n.lang_nb AS lang_nb_fast,
+               m.lang_marker = n.lang_nb AS agree
+        FROM lmark m JOIN lnb n ON n.doc_id = m.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return _with_aliases({
         "scan_project_filter": (
@@ -5123,6 +5330,12 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # dsir_weights: full twin of the hashed-n-gram importance
         # weights — same poly31 bucket recurrence, same smoothing,
         # same round-to-9dp-then-DECIMAL-sum discipline
+        # langid_route_eq: full twin of the trained-langid chain
+        # (construction, marker argmax, confidence-gated seed,
+        # char-gram NB fit, scoring) generated from the same
+        # LANG_MARKERS dict; emits its prediction for BOTH nb columns
+        # so the hash doubles as a column-vs-arrow equivalence gate
+        "langid_route_eq": _langid_eq_sql(),
         # nb_classify: full SQL twin of the multinomial-NB chain —
         # per-(label,bucket) counts, add-alpha smoothing at 9 dp,
         # DECIMAL per-doc sums, 6-dp scores, argmax with min-label

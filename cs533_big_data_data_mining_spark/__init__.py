@@ -67,7 +67,12 @@ from cs533_big_data_data_mining_spark.operators.sketches import (
     cms_save,
     heavy_hitters,
 )
-from cs533_big_data_data_mining_spark.operators.classify import nb_classify, nb_train
+from cs533_big_data_data_mining_spark.operators.classify import (
+    lang_id_nb,
+    langid_train,
+    nb_classify,
+    nb_train,
+)
 from cs533_big_data_data_mining_spark.operators.profile import (
     check_expectations,
     profile_numeric,
@@ -208,6 +213,8 @@ __all__ = [
     "chunk_documents",
     "knn_classify",
     "label_centroids",
+    "lang_id_nb",
+    "langid_train",
     "nb_classify",
     "nb_train",
     "redact_pii",

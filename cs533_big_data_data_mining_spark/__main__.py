@@ -487,6 +487,31 @@ def _mix_main(argv: list[str]) -> int:
     return 0
 
 
+
+def _lang_gate_stage(stage, cur, txc, args):
+    """The language stage shared by the fineweb/dolma CLIs: the
+    zero-shuffle marker heuristic by default, or the trained NB route
+    (--langid-route nb) — self-labeled char-gram NB fit on a seed
+    fraction of the pool, scored through the Arrow fixed-point
+    implementation. Both are pure per-row gates (no join)."""
+    if not args.lang:
+        return cur
+    from cs533_big_data_data_mining_spark.functions.text import lang_id
+
+    if getattr(args, "langid_route", "marker") == "nb":
+        from cs533_big_data_data_mining_spark.operators.classify import (
+            lang_id_nb,
+            langid_train,
+        )
+
+        seed = cur
+        frac = float(getattr(args, "langid_seed_fraction", 1.0) or 1.0)
+        if frac < 1.0:
+            seed = cur.sample(fraction=frac, seed=0)
+        model = langid_train(seed, txc)
+        return stage("lang_id_nb", cur.filter(lang_id_nb(model, txc) == args.lang))
+    return stage("lang_id", cur.filter(lang_id(txc) == args.lang))
+
 def _make_stage(args, t0):
     """The refinedweb/fineweb pipeline CLIs' shared stage() helper:
     checkpoint at the heavy boundaries — the fused multi-stage plan
@@ -866,6 +891,18 @@ def _fineweb_main(argv: list[str]) -> int:
     ap.add_argument("--url-kw", default=None, help="URL keyword weights 'casino=0.6,poker=0.6'")
     ap.add_argument("--url-kw-max", type=float, default=1.0)
     ap.add_argument(
+        "--langid-route", choices=("marker", "nb"), default="marker",
+        help="language-ID implementation: 'marker' = zero-training "
+        "stopword-marker argmax; 'nb' = trained char-n-gram NB "
+        "(fastText-style), self-labeled from the pool's "
+        "high-confidence marker rows",
+    )
+    ap.add_argument(
+        "--langid-seed-fraction", type=float, default=1.0,
+        help="fraction of the pool sampled as the NB training seed "
+        "(use <1.0 at scale; the model stops improving past ~1e6 docs)",
+    )
+    ap.add_argument(
         "--lang", default="en",
         help="keep documents whose marker-heuristic language ID equals this "
         "code ('' disables the gate; FineWeb keeps English at a fastText "
@@ -904,7 +941,7 @@ def _fineweb_main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from cs533_big_data_data_mining_spark.functions.text import lang_id, redact_pii
+    from cs533_big_data_data_mining_spark.functions.text import redact_pii
     from cs533_big_data_data_mining_spark.operators.connected_components import (
         connected_components,
     )
@@ -936,8 +973,7 @@ def _fineweb_main(argv: list[str]) -> int:
         docs_in = docs_in.repartition(args.repartition)
     cur = stage("input", docs_in)
     cur = _url_gate_stage(stage, cur, idc, args)
-    if args.lang:
-        cur = stage("lang_id", cur.filter(lang_id(txc) == args.lang))
+    cur = _lang_gate_stage(stage, cur, txc, args)
     if not args.skip_repetition:
         rep = gopher_repetition(cur, idc, txc)
         cur = stage(
@@ -1032,6 +1068,18 @@ def _dolma_main(argv: list[str]) -> int:
     ap.add_argument("--url-kw", default=None, help="URL keyword weights 'casino=0.6,poker=0.6'")
     ap.add_argument("--url-kw-max", type=float, default=1.0)
     ap.add_argument("--lang", default="en", help="language gate ('' disables)")
+    ap.add_argument(
+        "--langid-route", choices=("marker", "nb"), default="marker",
+        help="language-ID implementation: 'marker' = zero-training "
+        "stopword-marker argmax; 'nb' = trained char-n-gram NB "
+        "(fastText-style), self-labeled from the pool's "
+        "high-confidence marker rows",
+    )
+    ap.add_argument(
+        "--langid-seed-fraction", type=float, default=1.0,
+        help="fraction of the pool sampled as the NB training seed "
+        "(use <1.0 at scale; the model stops improving past ~1e6 docs)",
+    )
     ap.add_argument("--min-words", type=int, default=50)
     ap.add_argument("--min-stopword-hits", type=int, default=2)
     ap.add_argument("--skip-gopher", action="store_true")
@@ -1063,7 +1111,7 @@ def _dolma_main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from cs533_big_data_data_mining_spark.functions.text import lang_id, redact_pii
+    from cs533_big_data_data_mining_spark.functions.text import redact_pii
     from cs533_big_data_data_mining_spark.operators.decontaminate import (
         decontaminate_bloom,
     )
@@ -1100,8 +1148,7 @@ def _dolma_main(argv: list[str]) -> int:
     hist = spark.read.parquet(args.history) if args.history else None
     cur = stage("input", docs_in)
     cur = _url_gate_stage(stage, cur, idc, args)
-    if args.lang:
-        cur = stage("lang_id", cur.filter(lang_id(txc) == args.lang))
+    cur = _lang_gate_stage(stage, cur, txc, args)
     if not args.skip_gopher:
         g = gopher_rules(
             cur, idc, txc,

@@ -67,6 +67,17 @@ def word_ngrams(col: str | Column, n: int) -> Column:
     return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
+def char_ngrams(col: str | Column, n: int) -> Column:
+    """ALL character n-grams in order (duplicates kept) — the
+    frequency unit for character-level models (the trained language-ID
+    route), unlike :func:`char_shingles` whose distinct sets feed
+    Jaccard. Same short-input empty-array guard."""
+    c = F.col(col) if isinstance(col, str) else col
+    cnt = F.length(c) - F.lit(n - 1)
+    grams = F.transform(F.sequence(F.lit(1), cnt), lambda i: F.substring(c, i, F.lit(n)))
+    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
 def char_shingles(col: str | Column, n: int) -> Column:
     """Distinct character n-grams (same short-input guard)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -40,6 +40,7 @@ Phase-E extension operator.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +48,26 @@ from cs533_big_data_data_mining_spark.operators.quality import (
     _gram_bucket,
     _ngrams_concat,
 )
+
+
+def _feature_grams(col, max_n: int, grams: str) -> F.Column:
+    """ALL {1..max_n}-gram occurrences under the chosen unit:
+    ``"word"`` — whitespace tokens (:func:`_ngrams_concat`, the
+    DSIR-shared definition); ``"char"`` — raw characters
+    (:func:`..functions.text.char_ngrams`), the language-ID feature
+    space (character statistics separate languages even on words the
+    training seed never saw)."""
+    if grams == "word":
+        return _ngrams_concat(col, max_n)
+    if grams != "char":
+        raise ValueError("grams must be 'word' or 'char'")
+    from cs533_big_data_data_mining_spark.functions.text import char_ngrams
+
+    gs = char_ngrams(col, 1)
+    for k in range(2, int(max_n) + 1):
+        gs = F.concat(gs, char_ngrams(col, k))
+    return gs
+
 
 # sentinel bucket ids inside the model frame (real buckets are >= 0)
 NB_PRIOR_BUCKET = -1  # row holds the class log-prior
@@ -63,9 +84,11 @@ def nb_train(
     alpha: float = 1.0,
     max_n: int = 1,
     hash_buckets: str = "poly31",
+    grams: str = "word",
 ) -> DataFrame:
     """Fit a multinomial Naive Bayes model over hashed word
-    {1..max_n}-gram occurrences.
+    {1..max_n}-gram occurrences (``grams="char"`` switches the
+    feature unit to character n-grams — the language-ID space).
 
     Returns a small model DataFrame ``(label string, b long,
     llh double)``:
@@ -79,10 +102,11 @@ def nb_train(
       alpha * B))``,
     * ``b == -3`` (:data:`NB_META_BUCKET`) — ONE self-description row
       whose ``label`` is ``"nb:B=<n_buckets>;max_n=<max_n>;
-      hash=<hash_buckets>"``: :func:`nb_classify` verifies its own
-      feature-space parameters against it, so scoring a reloaded
-      model with mismatched ``n_buckets``/``max_n``/``hash_buckets``
-      raises instead of silently producing near-prior-only garbage.
+      hash=<hash_buckets>;grams=<grams>"``: :func:`nb_classify`
+      verifies its own feature-space parameters against it, so
+      scoring a reloaded model with mismatched ``n_buckets`` /
+      ``max_n`` / ``hash_buckets`` / ``grams`` raises instead of
+      silently producing near-prior-only garbage.
 
     All values round to 9 dp IN-ENGINE (Spark ``round``, HALF_UP —
     the same rounding a DuckDB oracle applies; never Python's
@@ -104,6 +128,8 @@ def nb_train(
         raise ValueError("max_n must be >= 1")
     if hash_buckets not in ("poly31", "xxhash64"):
         raise ValueError("hash_buckets must be 'poly31' or 'xxhash64'")
+    if grams not in ("word", "char"):
+        raise ValueError("grams must be 'word' or 'char'")
     B = int(n_buckets)
 
     from cs533_big_data_data_mining_spark.operators.dedup import _spread
@@ -118,7 +144,7 @@ def nb_train(
     # per-(label, bucket) gram-occurrence counts — explode ->
     # map-side-combinable groupBy ending at <= k*B rows
     cnt = (
-        base.select("label", F.explode(_ngrams_concat("__t", max_n)).alias("g"))
+        base.select("label", F.explode(_feature_grams("__t", max_n, grams)).alias("g"))
         .select("label", _gram_bucket("g", hash_buckets, n_buckets).alias("b"))
         .groupBy("label", "b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -155,7 +181,11 @@ def nb_train(
 
     meta = local_df(
         train.sparkSession,
-        [(f"nb:B={B};max_n={int(max_n)};hash={hash_buckets}", NB_META_BUCKET, 0.0)],
+        [(
+            f"nb:B={B};max_n={int(max_n)};hash={hash_buckets};grams={grams}",
+            NB_META_BUCKET,
+            0.0,
+        )],
         "label string, b long, llh double",
     )
     return obs.unionByName(miss).unionByName(pri).unionByName(meta)
@@ -170,6 +200,7 @@ def nb_classify(
     n_buckets: int = 4096,
     max_n: int = 1,
     hash_buckets: str = "poly31",
+    grams: str = "word",
 ) -> DataFrame:
     """Score every document against a :func:`nb_train` model and
     predict its class.
@@ -201,6 +232,8 @@ def nb_classify(
         raise ValueError("max_n must be >= 1")
     if hash_buckets not in ("poly31", "xxhash64"):
         raise ValueError("hash_buckets must be 'poly31' or 'xxhash64'")
+    if grams not in ("word", "char"):
+        raise ValueError("grams must be 'word' or 'char'")
 
     rows = model.collect()
     pri: dict[str, float] = {}
@@ -219,7 +252,10 @@ def nb_classify(
             obs[(r["label"], b)] = float(r["llh"])
         else:
             raise ValueError(f"model frame holds unknown sentinel bucket {b}")
-    want = f"nb:B={int(n_buckets)};max_n={int(max_n)};hash={hash_buckets}"
+    want = f"nb:B={int(n_buckets)};max_n={int(max_n)};hash={hash_buckets};grams={grams}"
+    # pre-round-10 models carry a meta row without the grams field;
+    # they were all trained on word grams
+    metas = [m + ";grams=word" if ";grams=" not in m else m for m in metas]
     if metas:
         # the nb_train self-description row: a reloaded model scored
         # with different feature-space params must fail loudly, not
@@ -266,7 +302,7 @@ def nb_classify(
     ratio = F.broadcast(local_df(df.sparkSession, merged, schema))
 
     ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
-        "id", F.explode(_ngrams_concat("__t", max_n)).alias("g")
+        "id", F.explode(_feature_grams("__t", max_n, grams)).alias("g")
     )
     joined = ex.select("id", _gram_bucket("g", hash_buckets, n_buckets).alias("b")).join(
         ratio, "b", "left"
@@ -306,3 +342,282 @@ def nb_classify(
         best.alias("score"),
         margin.alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained language identification (the fastText-style langid route of
+# Dolma / FineWeb / CCNet — Joulin 2016; Soldaini 2024 §2; Penedo 2024
+# §3.2 — realized as char-n-gram multinomial NB over this module's own
+# machinery). The marker-argmax heuristic
+# (functions.text.lang_id) stays the zero-training default and the
+# label source for the seed corpus; this route generalizes past the
+# marker vocabulary through character statistics.
+# ---------------------------------------------------------------------------
+
+#: characters of text that feed the char-gram langid features — both
+#: train and score truncate here, so per-document work is O(1) at any
+#: corpus scale (language is decidable from a prefix)
+LANGID_MAX_CHARS = 512
+
+
+def langid_seed_label(col, min_hits: int = 2, min_lead: int = 1):
+    """High-confidence marker-heuristic label, NULL otherwise — the
+    self-labeling gate that turns an unlabeled pool into an NB
+    training seed. A document qualifies when its best marker-overlap
+    score is >= ``min_hits`` AND leads the runner-up language by >=
+    ``min_lead`` (ambiguous or weakly-marked docs stay unlabeled; a
+    NULL label is dropped by :func:`nb_train` by contract)."""
+    from cs533_big_data_data_mining_spark.functions.text import lang_id, lang_scores
+
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    svals = [scores[lang] for lang in langs]
+    best = F.greatest(*svals)
+    runner = F.array_sort(F.array(*svals))[len(langs) - 2]
+    return F.when(
+        (best >= F.lit(int(min_hits))) & ((best - runner) >= F.lit(int(min_lead))),
+        lang_id(col),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def langid_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    max_n: int = 3,
+    hash_buckets: str = "poly31",
+    max_chars: int = LANGID_MAX_CHARS,
+    min_hits: int = 2,
+    min_lead: int = 1,
+) -> DataFrame:
+    """Fit the trained langid model from an UNLABELED pool: label the
+    high-confidence slice with the marker heuristic
+    (:func:`langid_seed_label`), truncate to ``max_chars``, and train
+    char-{1..max_n}-gram NB (:func:`nb_train` with ``grams="char"``).
+
+    The result is an ordinary NB model frame — persist/reload with
+    parquet (train once on a seed sample, score every future crawl).
+    ``max_chars`` is a feature-space parameter: score with the same
+    value (:func:`lang_id_nb` shares the default).
+
+    Scale shape: self-labeling is a pure Column gate fused into the
+    scan; the fit is nb_train's two map-side-combinable groupBys
+    ending at <= k*(B+2)+1 rows. At 100 TB the pool should be sampled
+    first (any slice with enough per-language mass works — the CLIs
+    pass a fraction) since a seed past ~10^6 docs stops improving a
+    256-bucket model."""
+    seed = df.select(
+        F.substring(F.col(text_col), 1, int(max_chars)).alias("__t"),
+        langid_seed_label(F.col(text_col), min_hits, min_lead).alias("__lab"),
+    )
+    return nb_train(
+        seed,
+        "__t",
+        "__lab",
+        n_buckets=n_buckets,
+        alpha=alpha,
+        max_n=max_n,
+        hash_buckets=hash_buckets,
+        grams="char",
+    )
+
+
+def lang_id_nb(
+    model: DataFrame, col, *, max_chars: int = LANGID_MAX_CHARS, impl: str = "arrow"
+):
+    """Predicted language of ``col`` — the trained twin of
+    :func:`..functions.text.lang_id`, usable anywhere a Column is
+    (batch filters, the streaming admission gate: stateless, zero
+    shuffle, zero joins — Structured-Streaming-safe under both
+    implementations).
+
+    ``impl="arrow"`` (default, the 100 TB route): one vectorized
+    Arrow-batched pandas UDF — codepoint arrays, rolling poly31 over
+    sliding windows, dense ``(B, k)`` int64 table lookup, EXACT
+    integer arithmetic end-to-end (log-likelihoods scale to 1e9-fixed
+    point, the argmax compares HALF_UP-rounded integers), so its
+    predictions match the column route bit-for-bit; ~100x faster than
+    interpreted HOFs (poly31 models only). ``impl="column"`` is the
+    pure-Column expression a DuckDB oracle replays exactly — the
+    correctness twin; the langid_route_eq driver row pins the two
+    routes against each other continuously.
+
+    The model frame (from :func:`langid_train`, or any
+    ``grams="char"`` :func:`nb_train` fit) collects ONCE at
+    plan-build time — it is bucket-bounded by construction — and its
+    per-label log-likelihoods embed as dense constant-folded literal
+    ARRAYS indexed by bucket (O(1) per gram per label; a literal map
+    would linear-scan). Scoring is one ``transform`` computing each
+    gram's bucket, then ONE ``aggregate`` pass accumulating all k
+    label sums in a struct accumulator with a finish lambda doing the
+    argmax — the whole prediction is a single expression tree with no
+    repeated gram traversals.
+
+    Determinism: per-step sums run as DECIMAL(24,9) over the model's
+    9-dp-rounded values (order-independent — the nb_classify
+    discipline), final scores round to 6 dp, ties break to the
+    lexicographically smallest label. NULL/empty text predicts
+    ``'und'``; any other text predicts a trained label (a trained
+    classifier always answers — unlike the marker heuristic, which
+    falls back to 'und' on zero overlap).
+
+    ``max_chars`` must match the training value (feature-space
+    parameter, same default)."""
+    from cs533_big_data_data_mining_spark.functions.text import (
+        FINGERPRINT_MOD,
+        char_ngrams,
+    )
+
+    rows = model.collect()
+    pri: dict[str, float] = {}
+    missing: dict[str, float] = {}
+    obs: dict[tuple[str, int], float] = {}
+    meta = None
+    for r in rows:
+        b = int(r["b"])
+        if b == NB_PRIOR_BUCKET:
+            pri[r["label"]] = float(r["llh"])
+        elif b == NB_MISSING_BUCKET:
+            missing[r["label"]] = float(r["llh"])
+        elif b == NB_META_BUCKET:
+            if meta is not None:
+                raise ValueError("model frame holds multiple meta rows (corrupt union?)")
+            meta = r["label"]
+        elif b >= 0:
+            obs[(r["label"], b)] = float(r["llh"])
+        else:
+            raise ValueError(f"model frame holds unknown sentinel bucket {b}")
+    if meta is None:
+        raise ValueError("lang_id_nb needs an nb_train model (no meta row found)")
+    fields = dict(kv.split("=", 1) for kv in meta.removeprefix("nb:").split(";"))
+    if fields.get("grams", "word") != "char":
+        raise ValueError(f"lang_id_nb wants a grams=char model, got '{meta}'")
+    B = int(fields["B"])
+    max_n = int(fields["max_n"])
+    hash_buckets = fields["hash"]
+    labels = sorted(pri)
+    if not labels:
+        raise ValueError("model has no classes (empty or unlabeled training seed?)")
+    if sorted(missing) != labels:
+        raise ValueError("model is missing unseen-bucket rows for some labels")
+    k = len(labels)
+
+    if impl == "arrow":
+        if hash_buckets != "poly31":
+            raise ValueError("impl='arrow' supports poly31 models only")
+        return _lang_id_nb_arrow(
+            col, labels, pri, missing, obs, B, max_n, int(max_chars)
+        )
+    if impl != "column":
+        raise ValueError("impl must be 'arrow' or 'column'")
+
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.substring(c, 1, int(max_chars))
+    grams = char_ngrams(t, 1)
+    for n in range(2, max_n + 1):
+        grams = F.concat(grams, char_ngrams(t, n))
+
+    if hash_buckets == "xxhash64":
+        bucket = lambda g: F.pmod(F.xxhash64(g), F.lit(B)).cast("int")  # noqa: E731
+    else:
+        # the poly31 cross-engine fingerprint, spelled with pyspark
+        # HOFs so it composes under the enclosing transform lambda
+        bucket = lambda g: F.pmod(  # noqa: E731
+            F.aggregate(
+                F.sequence(F.lit(1), F.length(g)),
+                F.lit(0).cast("long"),
+                lambda acc, i: (acc * F.lit(31) + F.ascii(F.substring(g, i, F.lit(1))))
+                % F.lit(FINGERPRINT_MOD),
+            ),
+            F.lit(B),
+        ).cast("int")
+    buckets = F.transform(grams, bucket)
+
+    # dense per-label llh vectors as TRUE array literals (F.lit of a
+    # list — a CreateArray of literal children inside a lambda is NOT
+    # constant-folded and re-evaluates per step, measured 8x slower),
+    # unseen slots filled with the label's missing value
+    dense = [
+        F.lit([obs.get((lb, b), missing[lb]) for b in range(B)]) for lb in labels
+    ]
+    zero = F.struct(
+        *[F.lit("0").cast("decimal(24,9)").alias(f"s{i}") for i in range(k)]
+    )
+
+    def merge(acc, b):
+        return F.struct(
+            *[
+                (acc[f"s{i}"] + F.element_at(dense[i], b + 1).cast("decimal(24,9)"))
+                .cast("decimal(24,9)")
+                .alias(f"s{i}")
+                for i in range(k)
+            ]
+        )
+
+    def finish(acc):
+        scores = [
+            F.round(acc[f"s{i}"].cast("double") + F.lit(pri[lb]), 6)
+            for i, lb in enumerate(labels)
+        ]
+        best = F.greatest(*scores) if k > 1 else scores[0]
+        pred = F.lit(labels[-1])
+        for s, lb in zip(reversed(scores[:-1]), reversed(labels[:-1])):
+            pred = F.when(s == best, F.lit(lb)).otherwise(pred)
+        return pred
+
+    return F.when(
+        c.isNull() | (F.length(c) == 0), F.lit("und")
+    ).otherwise(F.aggregate(buckets, zero, merge, finish))
+
+
+def _lang_id_nb_arrow(col, labels, pri, missing, obs, B, max_n, max_chars):
+    """The vectorized scale implementation behind :func:`lang_id_nb`.
+
+    All arithmetic is exact int64 fixed-point at 1e9 scale: summing
+    9-dp log-likelihoods is integer addition (order-independent, no
+    float accumulation), and the final 6-dp HALF_UP rounding the
+    column route applies becomes ``sign * ((|v| + 500) // 1000)`` —
+    the argmax therefore compares the same rounded quantities both
+    routes produce. Worst case per doc is O(max_chars * max_n) numpy
+    work on the batch's arrays."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.functions.text import FINGERPRINT_MOD
+
+    k = len(labels)
+    dense = np.empty((B, k), dtype=np.int64)
+    for i, lb in enumerate(labels):
+        m = round(missing[lb] * 1e9)
+        dense[:, i] = m
+        for (l2, b), v in obs.items():
+            if l2 == lb:
+                dense[b, i] = round(v * 1e9)
+    pri_i = np.array([round(pri[lb] * 1e9) for lb in labels], dtype=np.int64)
+    lab_arr = list(labels)
+
+    def _one(txt):
+        if txt is None or len(txt) == 0:
+            return "und"
+        cps = np.frombuffer(
+            txt[:max_chars].encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        h = cps % FINGERPRINT_MOD
+        parts = [h % B]
+        for n in range(2, max_n + 1):
+            h = (h[:-1] * 31 + cps[n - 1 :]) % FINGERPRINT_MOD
+            parts.append(h % B)
+        b = np.concatenate(parts)
+        tot = dense[b].sum(axis=0) + pri_i
+        r6 = np.sign(tot) * ((np.abs(tot) + 500) // 1000)
+        # argmax with lexicographically-smallest tie-break: labels are
+        # sorted, np.argmax returns the first (= smallest) maximum
+        return lab_arr[int(np.argmax(r6))]
+
+    @F.pandas_udf("string")
+    def _udf(s: pd.Series) -> pd.Series:  # noqa: F821 (module-level pd)
+        return s.map(_one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _udf(c)

@@ -1757,3 +1757,159 @@ def test_cli_dolma_history_text_col(spark, tmp_path):
     assert 10 not in got  # exact copy vs history (doc Bloom stage)
     assert 11 in got and "Archived shared paragraph marker" not in got[11]
     assert set(range(4)) <= set(got)
+
+
+def _langid_fixture(spark, n=120):
+    from cs533_big_data_data_mining_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    rows = [
+        (
+            i,
+            " ".join(LANG_MARKERS[langs[i % 5]][(i + j) % 7] for j in range(10)),
+        )
+        for i in range(n)
+    ]
+    rows += [(900, ""), (901, None), (902, "qqq zzz xxx")]
+    return spark.createDataFrame(rows, "id long, text string"), langs
+
+
+def test_langid_nb_routes_and_semantics(spark):
+    """Trained langid: both implementations (pure-Column and Arrow
+    int64 fixed-point) predict identically; on pure-marker docs they
+    match the marker heuristic; NULL/empty text is 'und' in both; a
+    no-marker doc is where the routes legitimately part ways (marker
+    'und', trained classifier answers)."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.functions.text import lang_id
+    from cs533_big_data_data_mining_spark.operators.classify import (
+        lang_id_nb,
+        langid_train,
+    )
+
+    df, langs = _langid_fixture(spark)
+    model = langid_train(df.filter(F.col("id") % 3 == 0), "text").cache()
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            lang_id("text").alias("m"),
+            lang_id_nb(model, "text", impl="column").alias("c"),
+            lang_id_nb(model, "text", impl="arrow").alias("a"),
+        ).collect()
+    }
+    for r in got.values():
+        assert r["c"] == r["a"], f"route divergence at id={r['id']}: {r}"
+    for i in range(120):
+        assert got[i]["m"] == langs[i % 5] and got[i]["c"] == langs[i % 5]
+    assert got[900]["c"] == "und" and got[901]["c"] == "und"
+    assert got[902]["m"] == "und" and got[902]["c"] != "und"
+
+
+def test_langid_seed_gate(spark):
+    """Self-labeling confidence gate: an ambiguous doc (two languages
+    tie) and a weakly-marked doc (one hit) stay NULL; a clearly
+    marked doc gets its marker label."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.classify import langid_seed_label
+
+    df = spark.createDataFrame(
+        [
+            (0, "le chat est sur la table et les mots"),  # clear fr
+            (1, "la la la"),  # es/fr tie -> ambiguous
+            (2, "the zebra"),  # single en hit -> weak
+            (3, "blorp zonk"),  # nothing
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["lab"]
+        for r in df.select("id", langid_seed_label(F.col("text")).alias("lab")).collect()
+    }
+    assert got[0] == "fr"
+    assert got[1] is None and got[2] is None and got[3] is None
+
+
+def test_lang_id_nb_validation(spark):
+    """Feature-space guards: a word-gram model refuses langid duty, a
+    meta-less frame refuses, the Arrow route refuses non-poly31
+    models, and an unknown impl raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.classify import (
+        lang_id_nb,
+        langid_train,
+        nb_train,
+    )
+
+    df, _ = _langid_fixture(spark, n=30)
+    word_model = nb_train(
+        df.select("text", F.lit("en").alias("lab")), "text", "lab", n_buckets=64
+    )
+    with _pytest.raises(ValueError, match="grams=char"):
+        lang_id_nb(word_model, "text")
+    headless = word_model.filter(F.col("b") != -3)
+    with _pytest.raises(ValueError, match="meta"):
+        lang_id_nb(headless, "text")
+    xx = langid_train(df, "text", hash_buckets="xxhash64", n_buckets=64)
+    with _pytest.raises(ValueError, match="poly31"):
+        lang_id_nb(xx, "text", impl="arrow")
+    ok = langid_train(df, "text", n_buckets=64)
+    with _pytest.raises(ValueError, match="impl"):
+        lang_id_nb(ok, "text", impl="bogus")
+    # xxhash64 models still score through the column route
+    assert df.select(lang_id_nb(xx, "text", impl="column").alias("l")).count() == 33
+
+
+def test_langid_model_roundtrip(spark, tmp_path):
+    """langid models persist like any NB model: parquet round-trip
+    yields identical predictions through both routes."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.classify import (
+        lang_id_nb,
+        langid_train,
+    )
+
+    df, _ = _langid_fixture(spark, n=60)
+    model = langid_train(df.filter(F.col("id") % 2 == 0), "text")
+    p = str(tmp_path / "langid_model.parquet")
+    model.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    a = sorted(df.select("id", lang_id_nb(model, "text").alias("l")).collect())
+    b = sorted(df.select("id", lang_id_nb(reloaded, "text").alias("l")).collect())
+    c = sorted(df.select("id", lang_id_nb(reloaded, "text", impl="column").alias("l")).collect())
+    assert a == b == c
+
+
+def test_cli_dolma_langid_nb_route(spark, tmp_path):
+    """--langid-route nb drives the dolma language stage through the
+    trained char-gram classifier: the French plant still drops, the
+    English pool survives, and a fused pseudo-word doc (unseen by the
+    marker vocabulary) is kept by character statistics."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    filler = " ".join(f"w{j} of the and that it is in" for j in range(8))
+    rows = [(i, f"Doc {i} body with plenty of words {filler}. It ends.") for i in range(12)]
+    rows.append((20, "le chat est sur la table et les amis du soleil sont une belle chose"))
+    # zero exact marker tokens (marker route says 'und' and would
+    # drop it) but char grams squarely inside the English training mass
+    rows.append((21, "that thin thing with plenty ends it all"))
+    src = str(tmp_path / "lr_docs.parquet")
+    out = str(tmp_path / "lr_out")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    rc = main([
+        "dolma", "-i", src, "-o", out,
+        "--langid-route", "nb",
+        "--skip-gopher", "--skip-c4", "--no-redact",
+        "--skip-doc-dedup", "--skip-paragraph-dedup",
+        "--shards", "2", "--no-stage-counts",
+    ])
+    assert rc == 0
+    ids = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 20 not in ids
+    assert 21 in ids  # the marker route would have dropped this one
+    assert set(range(12)) <= ids

@@ -408,3 +408,50 @@ def test_curate_ingest_history_gate_stream_matches_batch(spark, tmp_path):
     bclean = batch.select("clean")
     assert got.count() == bclean.count()
     assert got.exceptAll(bclean).count() == 0 and bclean.exceptAll(got).count() == 0
+
+
+def test_lang_id_nb_stream_gate(spark, tmp_path):
+    """The trained langid is a stateless per-row gate at the stream
+    edge (both implementations: the pure-Column expression and the
+    Arrow pandas UDF are Structured-Streaming-safe) — survivors match
+    the batch run exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cs533_big_data_data_mining_spark.operators.classify import (
+        lang_id_nb,
+        langid_train,
+    )
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+
+    fr = "le chat est sur la table et les autres mots une fois"
+    rows = [
+        (i, fr if i % 4 == 0 else f"unique doc body {i} with the and of varied words")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # the model fits batch-side (on history / a seed shard); the
+    # STREAM only evaluates the resulting stateless expression
+    model = langid_train(docs, "text").cache()
+    want = {
+        r["doc_id"]
+        for r in docs.filter(lang_id_nb(model, "text") == "en").collect()
+    }
+    assert want == {i for i in range(24) if i % 4 != 0}
+
+    src = str(tmp_path / "langid_stream_src")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    for impl, sink in (("arrow", "langid_nb_arrow_t"), ("column", "langid_nb_col_t")):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        run_stream_to_memory(
+            stream.filter(lang_id_nb(model, "text", impl=impl) == "en"),
+            sink,
+            output_mode="append",
+        )
+        got = {r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {sink}").collect()}
+        assert got == want, impl
