@@ -32,14 +32,17 @@ from cs533_big_data_data_mining_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_bipartite,
     exact_dedup_bipartite_bloom,
+    exact_history_bloom,
     minhash_dedup_pairs,
     paragraph_dedup,
     paragraph_dedup_bipartite,
     paragraph_dedup_bipartite_bloom,
+    paragraph_history_bloom,
     remove_duplicated_spans,
     url_dedup,
     url_dedup_bipartite,
     url_dedup_bipartite_bloom,
+    url_history_bloom,
     minhash_dedup_pairs_bipartite,
     ngram_jaccard_pairs,
     simhash64,
@@ -156,9 +159,11 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_bipartite",
     "exact_dedup_bipartite_bloom",
+    "exact_history_bloom",
     "url_dedup",
     "url_dedup_bipartite",
     "url_dedup_bipartite_bloom",
+    "url_history_bloom",
     "remove_duplicated_spans",
     "shard_rows",
     "write_training_shards",
@@ -181,6 +186,7 @@ __all__ = [
     "paragraph_dedup",
     "paragraph_dedup_bipartite",
     "paragraph_dedup_bipartite_bloom",
+    "paragraph_history_bloom",
     "simhash64",
     "simhash_neardup_pairs",
     "duplicated_spans",

@@ -1240,14 +1240,19 @@ def _ingest_shard_main(argv: list[str]) -> int:
     — incremental admission of ONE shard against an immutable
     already-admitted corpus, composing the bipartite twins in the
     RefinedWeb stage order: URL dedup (``url_dedup_bipartite``) ->
-    exact dedup (``exact_dedup_bipartite``) -> MinHash near-dup
-    (within-shard pairs + shard-vs-history pairs, history-wins
-    survivor rule via ``bipartite_survivors``) [-> semantic near-dup
-    (``semdedup_bipartite``) with ``--embeddings``]. History is NEVER
-    re-paired or re-clustered against itself — per-shard cost is the
-    shard plus one banded/packed pass over history (persist those
-    once per ingest cycle at scale). New-shard ids must be disjoint
-    from history ids (the bipartite convention)."""
+    exact dedup (``exact_dedup_bipartite``) [-> paragraph-level dedup
+    with ``--paragraph``, completing the Dolma URL -> doc -> paragraph
+    ladder] -> MinHash near-dup (within-shard pairs + shard-vs-history
+    pairs, history-wins survivor rule via ``bipartite_survivors``)
+    [-> semantic near-dup (``semdedup_bipartite``) with
+    ``--embeddings``]. ``--bloom-fpp`` routes the URL/doc/paragraph
+    stages through history Bloom filters; ``--bloom-dir`` persists
+    those filters across shard cycles (build once, probe forever —
+    the ``--ivf-dir`` pattern). History is NEVER re-paired or
+    re-clustered against itself — per-shard cost is the shard plus
+    one banded/packed pass over history (persist those once per
+    ingest cycle at scale). New-shard ids must be disjoint from
+    history ids (the bipartite convention)."""
     ap = argparse.ArgumentParser(
         prog="cs533_big_data_data_mining_spark ingest-shard",
         description="Incremental shard admission vs an immutable history corpus",
@@ -1298,12 +1303,29 @@ def _ingest_shard_main(argv: list[str]) -> int:
         "history join (~fpp of genuinely-new rows lost, never a missed "
         "duplicate)",
     )
+    ap.add_argument(
+        "--paragraph", action="store_true",
+        help="add Dolma's paragraph-level stage after document dedup: "
+        "paragraphs already in the history (or duplicated within the "
+        "shard) are excised and the text rewritten; fully-excised "
+        "docs drop",
+    )
+    ap.add_argument(
+        "--bloom-dir", default=None,
+        help="persisted Bloom artifact dir (url/ doc/ para/ subdirs, "
+        "BloomFilter.save layout): stages LOAD their history filter "
+        "from here when present, else build it from --history at "
+        "--bloom-fpp and SAVE it for the next shard cycle (the "
+        "--ivf-dir pattern); needs --bloom-fpp",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if (args.embeddings is None) != (args.history_embeddings is None):
         raise SystemExit("--embeddings and --history-embeddings go together")
     if args.no_verify and args.bloom_fpp is None:
         raise SystemExit("--no-verify needs --bloom-fpp")
+    if args.bloom_dir and args.bloom_fpp is None:
+        raise SystemExit("--bloom-dir needs --bloom-fpp")
     if args.bloom_fpp is not None and not (0 < args.bloom_fpp < 1):
         raise SystemExit("--bloom-fpp must be in (0, 1)")
     if args.ivf_dir and not args.embeddings:
@@ -1319,11 +1341,17 @@ def _ingest_shard_main(argv: list[str]) -> int:
         bipartite_survivors,
         exact_dedup_bipartite,
         exact_dedup_bipartite_bloom,
+        exact_history_bloom,
         minhash_dedup_pairs,
         minhash_dedup_pairs_bipartite,
+        paragraph_dedup_bipartite,
+        paragraph_dedup_bipartite_bloom,
+        paragraph_history_bloom,
         url_dedup_bipartite,
         url_dedup_bipartite_bloom,
+        url_history_bloom,
     )
+    from cs533_big_data_data_mining_spark.operators.sketches import BloomFilter
     from cs533_big_data_data_mining_spark.session import get_spark
 
     preexisting = SparkSession.getActiveSession() is not None
@@ -1338,6 +1366,25 @@ def _ingest_shard_main(argv: list[str]) -> int:
         print(f"{name}: {frame.count()} docs ({time.time() - t0:.1f}s)", flush=True)
         return frame
 
+    def history_bloom(sub, build):
+        """Load the stage's persisted history filter from --bloom-dir,
+        or build+save it there; None (build-inline-in-the-op) when no
+        --bloom-dir is given."""
+        if not args.bloom_dir:
+            return None
+        path = args.bloom_dir.rstrip("/") + "/" + sub
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        hfs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if hfs.exists(hpath):
+            bf = BloomFilter.load(spark, path)
+            print(f"bloom: loaded {sub} filter from {path}", flush=True)
+            return bf
+        bf = build()
+        bf.save(spark, path)
+        print(f"bloom: built + saved {sub} filter to {path}", flush=True)
+        return bf
+
     cur = new
     if args.url_col:
         if args.url_col not in cur.columns or args.url_col not in hist.columns:
@@ -1349,6 +1396,9 @@ def _ingest_shard_main(argv: list[str]) -> int:
             keep_u = url_dedup_bipartite_bloom(
                 cur, hist, idc, args.url_col,
                 fpp=args.bloom_fpp, exact=not args.no_verify,
+                bloom=history_bloom(
+                    "url", lambda: url_history_bloom(hist, args.url_col, fpp=args.bloom_fpp)
+                ),
             ).select(F.col("id").alias(idc))
         else:
             keep_u = url_dedup_bipartite(cur, hist, idc, args.url_col).select(
@@ -1359,11 +1409,25 @@ def _ingest_shard_main(argv: list[str]) -> int:
         cur = stage(
             "exact_dedup_bi",
             exact_dedup_bipartite_bloom(
-                cur, hist, idc, txc, fpp=args.bloom_fpp, exact=not args.no_verify
+                cur, hist, idc, txc, fpp=args.bloom_fpp, exact=not args.no_verify,
+                bloom=history_bloom("doc", lambda: exact_history_bloom(hist, txc, fpp=args.bloom_fpp)),
             ),
         )
     else:
         cur = stage("exact_dedup_bi", exact_dedup_bipartite(cur, hist, idc, txc))
+    if args.paragraph:
+        if args.bloom_fpp is not None:
+            pd_out = paragraph_dedup_bipartite_bloom(
+                hist, cur, idc, txc,
+                fpp=args.bloom_fpp, exact=not args.no_verify,
+                bloom=history_bloom("para", lambda: paragraph_history_bloom(hist, txc, fpp=args.bloom_fpp)),
+            )
+        else:
+            pd_out = paragraph_dedup_bipartite(hist, cur, idc, txc)
+        survivors = pd_out.filter(
+            F.col("clean").isNotNull() & (F.col("clean") != "")
+        ).select(F.col("id").alias(idc), F.col("clean").alias(txc))
+        cur = stage("paragraph_dedup_bi", cur.drop(txc).join(survivors, idc))
     to_release = []
     if args.jaccard > 0:
         # with caches=None the pair finders return CACHED, materialized

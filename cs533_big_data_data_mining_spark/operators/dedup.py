@@ -239,12 +239,9 @@ def url_dedup_bipartite_bloom(
 
     hcol = history_url_col if history_url_col is not None else url_col
     n_norm = normalize_url(url_col) if normalize else F.col(url_col)
-    h_norm = normalize_url(hcol) if normalize else F.col(hcol)
     base = new.select(F.col(id_col).alias("id"), n_norm.alias("url_norm"))
     nonnull = base.filter(F.col("url_norm").isNotNull())
-    seen = history.select(h_norm.alias("url_norm")).filter(
-        F.col("url_norm").isNotNull()
-    ).distinct()
+    seen = _url_history_keys(history, hcol, normalize)
     if bloom is None:
         bloom = bloom_build(seen, "url_norm", fpp=fpp)
     mc = bloom.might_contain("url_norm")
@@ -258,6 +255,62 @@ def url_dedup_bipartite_bloom(
     return base.filter(F.col("url_norm").isNull()).unionByName(
         fresh.join(keepers, "id", "left_semi")
     )
+
+
+
+def _url_history_keys(history: DataFrame, url_col: str, normalize: bool) -> DataFrame:
+    """Distinct non-null (normalized) history URLs — THE key frame of
+    the URL Bloom route; both the filter build and the exact-verify
+    join read this one spelling."""
+    from cs533_big_data_data_mining_spark.functions.url import normalize_url
+
+    h_norm = normalize_url(url_col) if normalize else F.col(url_col)
+    return (
+        history.select(h_norm.alias("url_norm"))
+        .filter(F.col("url_norm").isNotNull())
+        .distinct()
+    )
+
+
+def _exact_history_keys(history: DataFrame, content_col: str) -> DataFrame:
+    """Distinct 64-bit content hashes (string-typed for the Bloom) of
+    the history — the document-level Bloom key frame."""
+    return history.select(F.xxhash64(content_col).cast("string").alias("__h")).distinct()
+
+
+def _para_history_keys(history: DataFrame, text_col: str) -> DataFrame:
+    """Distinct normalized-paragraph keys of the history — the
+    paragraph-level Bloom key frame."""
+    return (
+        history.select(F.explode(_paras_arr(F.col(text_col))).alias("para"))
+        .select(_para_key(F.col("para")).alias("__k"))
+        .distinct()
+    )
+
+
+def url_history_bloom(history: DataFrame, url_col: str, normalize: bool = True, fpp: float = 0.01):
+    """Build the URL-stage history Bloom once (persist with
+    ``BloomFilter.save``; reload across shard cycles and pass as
+    ``bloom=`` to :func:`url_dedup_bipartite_bloom`)."""
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    return bloom_build(_url_history_keys(history, url_col, normalize), "url_norm", fpp=fpp)
+
+
+def exact_history_bloom(history: DataFrame, content_col: str, fpp: float = 0.01):
+    """Build the document-stage history Bloom once (see
+    :func:`url_history_bloom` for the persist/reload cycle)."""
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    return bloom_build(_exact_history_keys(history, content_col), "__h", fpp=fpp)
+
+
+def paragraph_history_bloom(history: DataFrame, text_col: str, fpp: float = 0.01):
+    """Build the paragraph-stage history Bloom once (see
+    :func:`url_history_bloom` for the persist/reload cycle)."""
+    from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
+
+    return bloom_build(_para_history_keys(history, text_col), "__k", fpp=fpp)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -1300,7 +1353,7 @@ def exact_dedup_bipartite_bloom(
     # string-typed key: the Bloom hashes whatever value it is given,
     # and the VERIFY join below uses the same 64-bit content hash as
     # the hash-join twin, so both routes key identically
-    seen = history.select(F.xxhash64(hcol).cast("string").alias("__h")).distinct()
+    seen = _exact_history_keys(history, hcol)
     if bloom is None:
         bloom = bloom_build(seen, "__h", fpp=fpp)
     base = new.select(F.col(id_col).alias("__id"), F.xxhash64(content_col).cast("string").alias("__h"))
@@ -1353,11 +1406,7 @@ def paragraph_dedup_bipartite_bloom(
     """
     from cs533_big_data_data_mining_spark.operators.sketches import bloom_build
 
-    hist_keys = (
-        history.select(F.explode(_paras_arr(F.col(text_col))).alias("para"))
-        .select(_para_key(F.col("para")).alias("__k"))
-        .distinct()
-    )
+    hist_keys = _para_history_keys(history, text_col)
     if bloom is None:
         bloom = bloom_build(hist_keys, "__k", fpp=fpp)
     base, keyed = _paragraphs_keyed(new, id_col, text_col)

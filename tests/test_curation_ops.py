@@ -1913,3 +1913,68 @@ def test_cli_dolma_langid_nb_route(spark, tmp_path):
     assert 20 not in ids
     assert 21 in ids  # the marker route would have dropped this one
     assert set(range(12)) <= ids
+
+
+def test_cli_ingest_shard_paragraph_and_bloom_dir(spark, tmp_path):
+    """The full incremental Dolma ladder from one command: --paragraph
+    adds the paragraph-level stage (history paragraph excised, text
+    rewritten, fully-duplicate doc drops), and --bloom-dir persists
+    all three stage filters on the first cycle and LOADS them on the
+    second (identical admitted set from the saved bits)."""
+    import os
+
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    hist_p = str(tmp_path / "pb_hist.parquet")
+    new_p = str(tmp_path / "pb_new.parquet")
+    out1 = str(tmp_path / "pb_out1.parquet")
+    out2 = str(tmp_path / "pb_out2.parquet")
+    bdir = str(tmp_path / "bloom_art")
+
+    def body(tag, i):
+        return f"{tag} document {i} body " + " ".join(f"{tag}{i}w{j}" for j in range(25))
+
+    shared = "Shared archived paragraph block zero."
+    hist_rows = [
+        (i, body("hist", i) + "\n" + shared, f"https://ex.com/h/{i}") for i in range(10)
+    ]
+    new_rows = [
+        (200, body("fresh", 200), "https://ex.com/h/3"),  # URL re-crawl -> drop
+        (201, hist_rows[4][1], "https://ex.com/n/201"),  # exact copy -> drop
+        # 202: fresh doc dragging the history paragraph -> kept, excised
+        (202, body("fresh", 202) + "\n" + shared, "https://ex.com/n/202"),
+        # 203: ONLY the history paragraph -> fully excised -> drop
+        (203, shared, "https://ex.com/n/203"),
+        (204, body("fresh", 204), "https://ex.com/n/204"),  # admit untouched
+    ]
+    spark.createDataFrame(hist_rows, "doc_id long, text string, url string").write.parquet(hist_p)
+    spark.createDataFrame(new_rows, "doc_id long, text string, url string").write.parquet(new_p)
+
+    argv = [
+        "ingest-shard", "-i", new_p, "--history", hist_p,
+        "--url-col", "url", "--jaccard", "0", "--paragraph",
+        "--bloom-fpp", "0.5", "--bloom-dir", bdir,
+    ]
+    rc = main(argv + ["-o", out1])
+    assert rc == 0
+    for sub in ("url", "doc", "para"):
+        assert os.path.isdir(os.path.join(bdir, sub)), sub
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out1).collect()}
+    assert set(got) == {202, 204}
+    assert "Shared archived paragraph" not in got[202]
+    assert got[204] == new_rows[4][1]
+
+    # second cycle: filters load from the artifact dir (same result)
+    rc = main(argv + ["-o", out2])
+    assert rc == 0
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == got
+
+    # --bloom-dir without --bloom-fpp is a config error
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main([
+            "ingest-shard", "-i", new_p, "--history", hist_p, "-o", out2,
+            "--bloom-dir", bdir,
+        ])
