@@ -1848,6 +1848,75 @@ def _q_langid_route_eq(spark, sf_dir):
     )
 
 
+SEMMP_T = 0.99999  # cos(0.2 deg)=0.9999939 is a dup; cos(0.4)=0.9999756 is not
+
+
+def _q_semdedup_multiprobe_eq(spark, sf_dir):
+    # multi-probe SemDeDup route equivalence: planted unit-circle
+    # geometry against FIXED axis centroids c0=[1,0] / c1=[0,1] (no
+    # k-means — the construction pins cluster membership exactly).
+    # Base vectors ride at 0.5+i degrees (i < 89, >= 1-degree gaps:
+    # never near-dups at T); every 10th base gets a same-side partner
+    # 0.2 degrees away (p=1 finds these); ids 5000/5001 sit at
+    # 44.9/45.1 degrees — a 0.2-degree near-dup pair STRADDLING the
+    # 45-degree cluster boundary that p=1 provably never examines and
+    # p=2 finds (each member's runner-up centroid is the other's
+    # primary). Output pins both routes' survivor sets per id; the
+    # oracle derives them from the plant arithmetic alone (no trig —
+    # margins: nearest unintended cosine 0.9999756 vs T 0.99999 vs
+    # planted 0.9999939).
+    _ensure_shipped(spark)
+    import math
+
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        assign_to_centroids,
+        semdedup,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").cast("long").alias("vec_id"))
+        .filter("vec_id < 89")
+    )
+
+    def mk(deg):
+        return F.array(F.cos(F.radians(deg)), F.sin(F.radians(deg)))
+
+    v_base = base.select("vec_id", mk(F.col("vec_id") + F.lit(0.5)).alias("embedding"))
+    v_pair = base.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        mk(F.col("vec_id") + F.lit(0.7)).alias("embedding"),
+    )
+    r1, r2 = math.radians(44.9), math.radians(45.1)
+    v_bnd = local_df(
+        spark,
+        [(5000, [math.cos(r1), math.sin(r1)]), (5001, [math.cos(r2), math.sin(r2)])],
+        "vec_id long, embedding array<double>",
+    )
+    vecs = v_base.unionByName(v_pair).unionByName(v_bnd)
+    cent = local_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<double>")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        idx = (cent, assign_to_centroids(vecs, cent))
+        s1 = semdedup(vecs, SEMMP_T, 2, index=idx)
+        s2 = semdedup(vecs, SEMMP_T, 2, index=idx, probes=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ids = vecs.select(F.col("vec_id").alias("id"))
+    return (
+        ids.join(s1.withColumn("surv_p1", F.lit(True)), "id", "left")
+        .join(s2.withColumnRenamed("id", "id2").withColumn("surv_p2", F.lit(True)),
+              F.col("id") == F.col("id2"), "left")
+        .select(
+            "id",
+            F.coalesce("surv_p1", F.lit(False)).alias("surv_p1"),
+            F.coalesce("surv_p2", F.lit(False)).alias("surv_p2"),
+        )
+    )
+
+
 def _q_dsir_weights(spark, sf_dir):
     # DSIR importance weights: target = the src0 slice, raw = the
     # whole corpus; scores say how src0-like every document's hashed
@@ -3721,6 +3790,7 @@ def _q_stream_eq_all(spark, sf_dir):
 #: (registry order).
 _RECORD_FRONT = [
     "langid_route_eq",
+    "semdedup_multiprobe_eq",
     "crawl_shards",
     "decontaminate",
     "sketches_all",
@@ -3803,6 +3873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rules -> MinHash -> C4-minus-terminal-punct -> custom
         # filters -> PII, planted failure class per stage
         "fineweb_pipeline": _q_fineweb_pipeline,
+        # semdedup_multiprobe_eq: NEW (round 10) — multi-probe
+        # SemDeDup pairing bounds the cross-cluster miss; planted
+        # boundary pair that p=1 provably misses and p=2 finds
+        "semdedup_multiprobe_eq": _q_semdedup_multiprobe_eq,
         # langid_route_eq: NEW (round 10) — trained fastText-style
         # langid (char-3-gram NB via nb_train grams='char') vs the
         # marker heuristic, both scoring implementations pinned
@@ -5330,6 +5404,27 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # dsir_weights: full twin of the hashed-n-gram importance
         # weights — same poly31 bucket recurrence, same smoothing,
         # same round-to-9dp-then-DECIMAL-sum discipline
+        # semdedup_multiprobe_eq: construction-derived twin — the
+        # plant arithmetic alone decides both survivor sets (base ids
+        # from the embeddings table; partners = base+1000 lose to
+        # their base under both routes; the 5000/5001 boundary pair
+        # survives whole under p=1 and loses 5001 under p=2)
+        "semdedup_multiprobe_eq": """
+            WITH smp_base AS (
+              SELECT CAST(vec_id AS BIGINT) AS b FROM embeddings WHERE vec_id < 89),
+            smp_ids AS (
+              SELECT b AS id FROM smp_base
+              UNION ALL SELECT b + 1000 FROM smp_base WHERE b % 10 = 0
+              UNION ALL SELECT 5000
+              UNION ALL SELECT 5001)
+            SELECT id,
+                   CASE WHEN id >= 1000 AND id < 5000 THEN FALSE
+                        ELSE TRUE END AS surv_p1,
+                   CASE WHEN id >= 1000 AND id < 5000 THEN FALSE
+                        WHEN id = 5001 THEN FALSE
+                        ELSE TRUE END AS surv_p2
+            FROM smp_ids
+        """,
         # langid_route_eq: full twin of the trained-langid chain
         # (construction, marker argmax, confidence-gated seed,
         # char-gram NB fit, scoring) generated from the same

@@ -651,6 +651,8 @@ def semdedup(
     seed: int = 42,
     block_rows: int = 4096,
     keep: str = "min_id",
+    probes: int = 1,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, find cosine
@@ -671,8 +673,23 @@ def semdedup(
     * ``"far_from_centroid"`` — the paper's policy: keep the member
       LEAST similar to its cluster centroid (retains the most atypical
       exemplar; ties break to the lowest id). Deterministic given the
-      fitted centroids. Groups are cluster-local, so every group has
-      one well-defined centroid.
+      fitted centroids. Each member scores against its PRIMARY
+      (argmax) cluster's centroid — well-defined under multi-probe
+      too.
+
+    ``probes > 1`` bounds the documented cross-cluster miss: each
+    vector additionally joins its top-``probes`` clusters for PAIR
+    GENERATION only (:func:`assign_to_centroids` multi-probe), so a
+    near-dup pair straddling a boundary is examined whenever the two
+    members co-probe a cluster. Survivorship, grouping, and the far
+    policy all keep reading the primary assignment; duplicate pair
+    sightings (the same pair found in up to ``probes`` shared
+    clusters) collapse before CC. Pairing cost scales ~linearly in
+    ``probes`` (each cluster's population grows by the boundary
+    fan-in). ``probes=1`` is bit-identical to the classic route.
+
+    Pass ``index`` (an :func:`ivf_index` fit on ``corpus``) to reuse
+    one clustering across calls; otherwise it is fit here.
 
     Composition: :func:`ivf_index` -> :func:`semdedup_pairs` ->
     connected components -> survivor anti-join. The pair frame is
@@ -685,11 +702,27 @@ def semdedup(
         connected_components,
     )
 
-    cent, assignments = ivf_index(
-        corpus, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters, seed=seed
-    )
+    if probes < 1:
+        raise ValueError("probes must be >= 1")
+    if index is None:
+        cent, assignments = ivf_index(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters, seed=seed
+        )
+    else:
+        cent, assignments = index
     assignments = assignments.cache()
-    pairs = semdedup_pairs(assignments, threshold, block_rows=block_rows)
+    if probes > 1:
+        pairing = assign_to_centroids(
+            corpus, cent, id_col=id_col, vec_col=vec_col, probes=probes
+        )
+        # the same pair can surface in every cluster both members
+        # co-probe; the deterministic re-score makes the sightings
+        # bit-identical, so a plain distinct collapses them
+        pairs = semdedup_pairs(pairing, threshold, block_rows=block_rows).dropDuplicates(
+            ["a", "b"]
+        )
+    else:
+        pairs = semdedup_pairs(assignments, threshold, block_rows=block_rows)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).cache()
     comp = connected_components(edges, edge_count_hint=edges.count())
     if keep == "min_id":
@@ -726,10 +759,21 @@ def assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Assign vectors to an EXISTING centroid set — the incremental
     half of :func:`ivf_index`: one broadcast-argmax ``mapInPandas``
-    pass, no re-clustering. ``centroids`` is the ``(cid, cvec)``
+    pass, no re-clustering.
+
+    ``probes > 1`` emits one row per (vector, nearest-centroid) for
+    the top-``probes`` centroids (capped at the centroid count) —
+    the multi-probe PAIRING expansion of SemDeDup: a vector sitting
+    on a cluster boundary gets examined in its runner-up cluster too,
+    bounding the documented cross-cluster miss at a known fan-out
+    cost. Row 1 of each vector's group is exactly the ``probes=1``
+    argmax (same tie-break), so primary assignments never move;
+    multi-probe output feeds PAIR GENERATION only, never
+    survivorship. ``centroids`` is the ``(cid, cvec)``
     frame an earlier ``ivf_index`` fit (KB-scale — collected to the
     driver and closure-shipped, the ``ivf_topk`` probe pattern).
     Returns ``(id, vec, cid)``; ties break to the lowest cid exactly
@@ -749,11 +793,14 @@ def assign_to_centroids(
     import numpy as np
     import pandas as pd
 
+    if probes < 1:
+        raise ValueError("probes must be >= 1")
     crows = sorted(centroids.collect(), key=lambda r: r["cid"])  # KB-scale by design
     if not crows:
         raise ValueError("assign_to_centroids needs a non-empty centroid set")
     C = np.asarray([r["cvec"] for r in crows], dtype=np.float64)
     cids = np.asarray([r["cid"] for r in crows], dtype=np.int32)
+    p = min(int(probes), len(crows))
 
     c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     vec_type = c.schema["vec"].dataType.simpleString()
@@ -770,8 +817,22 @@ def assign_to_centroids(
             dots = np.zeros((len(X), C.shape[0]), dtype=np.float64)
             for j in range(X.shape[1]):
                 dots += Xn[:, j, None] * C[None, :, j]
-            idx = np.argmax(dots, axis=1)
-            yield pd.DataFrame({"id": pdf["id"], "vec": pdf["vec"], "cid": cids[idx]})
+            if p == 1:
+                idx = np.argmax(dots, axis=1)
+                yield pd.DataFrame({"id": pdf["id"], "vec": pdf["vec"], "cid": cids[idx]})
+                continue
+            # stable sort on the negated dots: equal dots keep column
+            # (= ascending-cid) order, so column 0 IS the probes=1
+            # argmax with the identical tie-break
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :p]
+            rep = np.repeat(np.arange(len(pdf)), p)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy()[rep],
+                    "vec": pdf["vec"].iloc[rep],
+                    "cid": cids[order].reshape(-1),
+                }
+            )
 
     return c.mapInPandas(assign, f"id long, vec {vec_type}, cid int")
 
@@ -808,6 +869,7 @@ def semdedup_pairs_bipartite(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    probes: int = 1,
 ) -> DataFrame:
     """Incremental SemDeDup pair generation: near-dup pairs ``(a, b,
     cosine, b_side)`` where ``a`` is always a NEW-shard id and ``b``
@@ -837,8 +899,16 @@ def semdedup_pairs_bipartite(
     new side (small) plus ONE packing pass over the history — cache
     the history assignments across shard cycles to amortize it.
     """
+    if probes < 1:
+        raise ValueError("probes must be >= 1")
     cent, hist = index
-    new_a = assign_to_centroids(new, cent, id_col=id_col, vec_col=vec_col)
+    # multi-probe rides the QUERY side only (the IVF-search pattern:
+    # the database stays single-assigned, the probe fans out) — a new
+    # vector near a boundary is additionally paired inside its
+    # runner-up clusters, against history rows and other new rows
+    new_a = assign_to_centroids(
+        new, cent, id_col=id_col, vec_col=vec_col, probes=probes
+    )
     spark = new.sparkSession
     empty = spark.createDataFrame([], "a long, b long, cosine double, b_side string")
 
@@ -866,6 +936,10 @@ def semdedup_pairs_bipartite(
                     "b_side", F.lit("history")
                 )
         out = nn.union(nh)
+        if probes > 1:
+            # the same pair surfaces once per co-probed cluster; the
+            # deterministic re-score makes sightings bit-identical
+            out = out.dropDuplicates(["a", "b", "b_side"])
         # materialize before releasing the shared assignment cache
         # (pair frames are near-dup-sized; the semdedup contract)
         out = out.persist()
@@ -886,6 +960,7 @@ def semdedup_bipartite(
     seed: int = 42,
     block_rows: int = 4096,
     index: tuple[DataFrame, DataFrame] | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Incremental SemDeDup: surviving NEW-shard ``(id)`` rows, with
     the history corpus immutable — a new document is dropped iff its
@@ -908,7 +983,8 @@ def semdedup_bipartite(
             history, n_centroids, id_col=id_col, vec_col=vec_col, iters=iters, seed=seed
         )
     pairs = semdedup_pairs_bipartite(
-        index, new, threshold, id_col=id_col, vec_col=vec_col, block_rows=block_rows
+        index, new, threshold, id_col=id_col, vec_col=vec_col,
+        block_rows=block_rows, probes=probes,
     )  # arrives persisted
     try:
         survivors = bipartite_survivors(

@@ -299,3 +299,86 @@ def test_ivf_save_load_roundtrip(spark, tmp_path):
     spark.range(3).write.parquet(bad + "/assignments")
     with pytest.raises(ValueError):
         ivf_load(spark, bad)
+
+
+def test_assign_to_centroids_multiprobe(spark):
+    """probes>1 emits top-p rows per vector; the first (and the
+    probes=1 result) is the argmax with the same lowest-cid
+    tie-break; probes caps at the centroid count."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    cent = local_df(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "cid int, cvec array<double>",
+    )
+    vecs = local_df(
+        spark,
+        [
+            (1, [0.9, 0.1]),   # c0 then c1
+            (2, [0.1, 0.9]),   # c1 then c0
+            (3, [-0.6, 0.59]),  # c2 then c1
+            (4, [1.0, 1.0]),   # exact c0/c1 tie -> lowest cid first
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    single = {r["id"]: r["cid"] for r in assign_to_centroids(vecs, cent).collect()}
+    assert single == {1: 0, 2: 1, 3: 2, 4: 0}
+    multi = assign_to_centroids(vecs, cent, probes=2)
+    got = {
+        r["id"]: r["cids"]
+        for r in multi.groupBy("id").agg(F.collect_list("cid").alias("cids")).collect()
+    }
+    assert {k: sorted(v) for k, v in got.items()} == {
+        1: [0, 1], 2: [0, 1], 3: [1, 2], 4: [0, 1],
+    }
+    # probes beyond C caps at C
+    assert assign_to_centroids(vecs, cent, probes=99).count() == 12
+
+
+def test_semdedup_multiprobe_finds_boundary_pair(spark):
+    """The documented cross-cluster miss, bounded: a 0.2-degree
+    near-dup pair straddling the c0/c1 boundary is invisible to
+    probes=1 and collapsed by probes=2; same-cluster pairs behave
+    identically under both. Bipartite twin: a new vector whose
+    runner-up cluster holds its history near-twin drops only under
+    probes=2."""
+    import math
+
+    from cs533_big_data_data_mining_spark.operators.similarity import (
+        assign_to_centroids,
+        semdedup,
+        semdedup_bipartite,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    T = 0.99999
+    rows = [
+        (1, v(10.0)), (2, v(10.2)),   # same-cluster pair -> 1 survives
+        (3, v(44.9)), (4, v(45.1)),   # boundary pair
+        (5, v(80.0)),                  # singleton
+    ]
+    vecs = local_df(spark, rows, "vec_id long, embedding array<double>")
+    cent = local_df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<double>")
+    idx = (cent, assign_to_centroids(vecs, cent))
+    s1 = {r["id"] for r in semdedup(vecs, T, 2, index=idx).collect()}
+    s2 = {r["id"] for r in semdedup(vecs, T, 2, index=idx, probes=2).collect()}
+    assert s1 == {1, 3, 4, 5}
+    assert s2 == {1, 3, 5}
+
+    hist = local_df(spark, [(100, v(44.9))], "vec_id long, embedding array<double>")
+    new = local_df(spark, [(200, v(45.1)), (201, v(10.0))], "vec_id long, embedding array<double>")
+    hidx = (cent, assign_to_centroids(hist, cent))
+    b1 = {r["id"] for r in semdedup_bipartite(hist, new, T, 2, index=hidx).collect()}
+    b2 = {r["id"] for r in semdedup_bipartite(hist, new, T, 2, index=hidx, probes=2).collect()}
+    assert b1 == {200, 201}
+    assert b2 == {201}
