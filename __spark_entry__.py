@@ -1167,24 +1167,37 @@ def _q_sessionize_stream_eq(spark, sf_dir):
         bounds = [float("-inf"), *sorted(set(cuts)), float("inf")]
 
         # slice writes are independent single-partition jobs — submit
-        # them concurrently (Spark's scheduler interleaves fine); the
-        # zero-padded COPY preserves deterministic source order no
-        # matter which job finishes first. ~2.5 s -> ~0.8 s harness cost
+        # them concurrently (Spark's scheduler interleaves fine).
+        # The COPIES then run SEQUENTIALLY in slice order with
+        # explicit ascending mtimes: FileStreamSource orders files by
+        # MODIFICATION TIME, not name — parallel copies finishing out
+        # of slice order under CPU load made a later trigger deliver
+        # OLDER events, which the advanced watermark dropped as late,
+        # emitting partial sessions that are not batch subsets (the
+        # round-9 "known sensitivity", now closed: source order is a
+        # pure function of the slice index, load cannot reorder it)
         def _write_slice(i):
             part = evm.filter(
                 (F.col("_us") > F.lit(bounds[i])) & (F.col("_us") <= F.lit(bounds[i + 1]))
             ).drop("_us")
             stage = f"{src}_stage{i}"
             part.coalesce(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(stage)
-            pf = glob.glob(f"{stage}/part-*.parquet")
-            if pf:
-                shutil.copy(pf[0], f"{src}/{i:02d}.parquet")
-            shutil.rmtree(stage, ignore_errors=True)
 
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(len(bounds) - 1) as ex:
             list(ex.map(_write_slice, range(len(bounds) - 1)))
+        import os
+
+        base_mt = int(os.path.getmtime(src))
+        for i in range(len(bounds) - 1):
+            stage = f"{src}_stage{i}"
+            pf = glob.glob(f"{stage}/part-*.parquet")
+            if pf:
+                dst = f"{src}/{i:02d}.parquet"
+                shutil.copy(pf[0], dst)
+                os.utime(dst, (base_mt + i, base_mt + i))
+            shutil.rmtree(stage, ignore_errors=True)
         stream = sessionize_stream(read_events_stream(spark, src, max_files_per_trigger=2))
         # scope the STATE partition count to the workload: 20k events
         # over 3 micro-batches doesn't need 32 state tasks per batch —
@@ -3746,13 +3759,14 @@ def _q_stream_eq_all(spark, sf_dir):
     # composite of the three stream-vs-batch equivalence checks
     # (sessionize, ingest curation, exact dedup) — same row-budget
     # rationale as _q_sketches_all.
-    # KNOWN SENSITIVITY: the sessionize part's subset check depends on
-    # processing-time state timeouts; under heavy EXTERNAL CPU load
-    # (e.g. two concurrent gate runs + pytest) a delayed micro-batch
-    # can early-close a partial session that is not a batch subset —
-    # observed once at sf0.001 under triple load, green twice in
-    # isolation. The driver's serial query gate never hits this; if
-    # this row ever reads red, re-run it alone before debugging.
+    # The round-9 "known sensitivity" (sessionize subset check flaking
+    # under external CPU load) is CLOSED in round 10: the cause was
+    # parallel slice COPIES racing FileStreamSource's
+    # modification-time ordering (older events after the watermark ->
+    # dropped as late -> partial non-subset sessions); copies are now
+    # sequential with explicit ascending mtimes, and the drain raises
+    # on overrun instead of reading a partial sink — the whole row is
+    # event-time-deterministic under arbitrary contention.
     # independent harnesses (own temp dirs / sink names) run
     # concurrently. The parts' shuffle-partition set/restore is made
     # race-free by pinning the conf around all three: each part then

@@ -123,13 +123,18 @@ def dedup_events(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, timeout_s: int = 120, output_mode: str = "complete"
+    stream_df: DataFrame, query_name: str, timeout_s: int = 600, output_mode: str = "complete"
 ) -> None:
     """Drain a bounded file-source stream into an in-memory sink
     (test/debug helper): availableNow processes the whole backlog in
     watermark-respecting micro-batches, then stops. Stateful
     append-mode operators (e.g. sessionize_stream) must pass
-    ``output_mode='append'``."""
+    ``output_mode='append'``.
+
+    The drain either COMPLETES or RAISES: a query still active at the
+    deadline is stopped and reported, never left for the caller to
+    read a silently-partial sink (a truncated drain under CPU
+    contention looks exactly like a correctness bug downstream)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -137,4 +142,9 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"stream {query_name!r} did not drain within {timeout_s}s "
+            "(overloaded host or a genuine hang) — partial sink discarded"
+        )
