@@ -746,7 +746,10 @@ def _q_multimodal_decode(spark, sf_dir):
     # so all five unfilter paths run under the oracle), every 19th a
     # greyscale PNG, every 23rd a baseline JPEG, every 29th an
     # INDEXED-COLOR PNG (2-entry palette, one index-1 pixel, bit
-    # depth cycling 1/2/4/8), every 17th garbage — and the numpy
+    # depth cycling 1/2/4/8), every 31st a PROGRESSIVE JPEG (SOF2
+    # multi-scan: spectral selection + successive approximation +
+    # EOB runs + cycling restart intervals; round 10), every 17th
+    # garbage — and the numpy
     # decode route +
     # pixel-level image_stats must recover dimensions, validity, and
     # the exact channel means the construction dictates (solid color
@@ -763,6 +766,7 @@ def _q_multimodal_decode(spark, sf_dir):
         image_stats,
         pack_bmp24,
         pack_jpeg,
+        pack_jpeg_progressive,
         pack_png,
         pack_png_indexed,
         pack_ppm,
@@ -821,6 +825,18 @@ def _q_multimodal_decode(spark, sf_dir):
             idx[0, 0] = 1
             payload = pack_png_indexed(
                 idx, [c0, c1], bit_depth=(1, 2, 4, 8)[i % 4], filters="cycle"
+            )
+        elif i % 31 == 0:
+            # PROGRESSIVE JPEG (round 10): solid greyscale through the
+            # full SOF2 multi-scan chain (point-transformed DC first,
+            # split spectral-selection AC bands as pure EOB runs, DC +
+            # AC refinement scans) — exact for the same flat-quant
+            # reason as the baseline plant; restart intervals cycle
+            w, h = 8 * (1 + i % 2), 8 * (1 + i % 3)
+            payload = pack_jpeg_progressive(
+                np.full((h, w), (i * 37) % 256, dtype=np.uint8),
+                quant=8,
+                restart_interval=(0, 2, 3)[i % 3],
             )
         else:
             w, h = 4 + i % 13, 3 + i % 7
@@ -3805,6 +3821,7 @@ def _q_stream_eq_all(spark, sf_dir):
 _RECORD_FRONT = [
     "langid_route_eq",
     "semdedup_multiprobe_eq",
+    "multimodal_decode",
     "crawl_shards",
     "decontaminate",
     "sketches_all",
@@ -5755,7 +5772,9 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # solid greyscale baseline JPEG (exact: flat quant 8), 29th an
         # indexed-color PNG whose single index-1 pixel makes the mean
         # (c*n+1)/n — bit unpacking + palette lookup must be exact —
-        # rest solid-color PPMs), so the real numpy decoders — incl.
+        # 31st a solid greyscale PROGRESSIVE JPEG (SOF2 multi-scan,
+        # exact for the flat-quant reason), rest solid-color PPMs),
+        # so the real numpy decoders — incl.
         # the zlib-inflate + NumPy-unfilter PNG path — are checked
         # value-for-value without DuckDB parsing any bytes
         "multimodal_decode": """
@@ -5767,6 +5786,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                         WHEN doc_id % 19 = 0 THEN 3 + doc_id % 8
                         WHEN doc_id % 23 = 0 THEN 8 * (1 + doc_id % 3)
                         WHEN doc_id % 29 = 0 THEN 3 + doc_id % 9
+                        WHEN doc_id % 31 = 0 THEN 8 * (1 + doc_id % 2)
                         ELSE 4 + doc_id % 13 END AS INTEGER) AS width,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
                         WHEN doc_id % 13 = 0 THEN 2 + doc_id % 5
@@ -5775,6 +5795,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                         WHEN doc_id % 19 = 0 THEN 2 + doc_id % 4
                         WHEN doc_id % 23 = 0 THEN 8 * (1 + doc_id % 2)
                         WHEN doc_id % 29 = 0 THEN 2 + doc_id % 5
+                        WHEN doc_id % 31 = 0 THEN 8 * (1 + doc_id % 3)
                         ELSE 3 + doc_id % 7 END AS INTEGER) AS height,
               CAST(CASE WHEN doc_id % 17 = 0 THEN 0
                         WHEN doc_id % 13 = 0 THEN 3
@@ -5782,6 +5803,8 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                         WHEN doc_id % 7 = 0 THEN 3
                         WHEN doc_id % 19 = 0 THEN 1
                         WHEN doc_id % 23 = 0 THEN 1
+                        WHEN doc_id % 29 = 0 THEN 3
+                        WHEN doc_id % 31 = 0 THEN 1
                         ELSE 3 END AS INTEGER) AS channels,
               doc_id % 17 <> 0 AS ok,
               CASE WHEN doc_id % 17 = 0 THEN NULL
@@ -5793,6 +5816,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    WHEN doc_id % 29 = 0 THEN round(
                      CAST((doc_id % 199) * ((3 + doc_id % 9) * (2 + doc_id % 5)) + 1 AS DOUBLE)
                      / ((3 + doc_id % 9) * (2 + doc_id % 5)), 6)
+                   WHEN doc_id % 31 = 0 THEN CAST((doc_id * 37) % 256 AS DOUBLE)
                    ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
               CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST((doc_id * 3) % 256 AS DOUBLE)
@@ -5803,6 +5827,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    WHEN doc_id % 29 = 0 THEN round(
                      CAST(((doc_id * 3) % 199) * ((3 + doc_id % 9) * (2 + doc_id % 5)) + 1 AS DOUBLE)
                      / ((3 + doc_id % 9) * (2 + doc_id % 5)), 6)
+                   WHEN doc_id % 31 = 0 THEN NULL
                    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END AS mean_g,
               CASE WHEN doc_id % 17 = 0 THEN NULL
                    WHEN doc_id % 13 = 0 THEN CAST((doc_id * 5) % 256 AS DOUBLE)
@@ -5813,6 +5838,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    WHEN doc_id % 29 = 0 THEN round(
                      CAST(((doc_id * 5) % 199) * ((3 + doc_id % 9) * (2 + doc_id % 5)) + 1 AS DOUBLE)
                      / ((3 + doc_id % 9) * (2 + doc_id % 5)), 6)
+                   WHEN doc_id % 31 = 0 THEN NULL
                    ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS mean_b
             FROM documents
         """,

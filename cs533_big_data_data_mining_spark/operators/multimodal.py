@@ -14,7 +14,7 @@ Decode routes:
   bitmaps, **PNG** (IDAT inflate via stdlib ``zlib``, scanline
   unfiltering — None/Sub/Up/Average/Paeth — in NumPy; 8-bit grey /
   RGB / grey+alpha / RGBA plus indexed-color PLTE at bit depths
-  1/2/4/8 with tRNS transparency), **baseline JPEG** (SOF0 huffman entropy decode
+  1/2/4/8 with tRNS transparency), **baseline + progressive JPEG** (SOF0/SOF2 huffman entropy decode
   with byte unstuffing + restart markers, exact float64 IDCT, JFIF
   YCbCr->RGB; greyscale and 1-2x sampling), **GIF87a/89a** (pure-
   stdlib LZW entropy decode, global/local color tables, 4-pass
@@ -31,7 +31,7 @@ Decode routes:
   uint16 width + uint16 height + uint8 channels + raw); tests use it
   to exercise the Spark plumbing independent of any format.
 * ``decode='real'`` — the lossy-codec route (MP3/H.264; also
-  16-bit/interlaced PNG and progressive JPEG). PIL/librosa/ffmpeg are NOT in this
+  16-bit/interlaced PNG). PIL/librosa/ffmpeg are NOT in this
   container, so it raises NotImplementedError at the point where the
   codec import would happen; the Spark-side machinery is identical
   to the numpy route.
@@ -923,9 +923,9 @@ def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) ->
             "in this environment; plug the codec into the kernel and "
             "pass decode='real' — or use decode='numpy' for the "
             "stdlib+NumPy formats (PPM P6, uncompressed BMP, PNG "
-            "incl. indexed-color, baseline JPEG, GIF87a/89a incl. "
-            "animation, PCM WAV). The real gate now covers "
-            "progressive/arithmetic JPEG, 16-bit/interlaced PNG, and "
+            "incl. indexed-color, baseline + progressive JPEG, "
+            "GIF87a/89a incl. animation, PCM WAV). The real gate now "
+            "covers arithmetic-coded JPEG, 16-bit/interlaced PNG, and "
             "compressed audio/video (MP3/AAC/H.264)"
         )
     if decode == "numpy":
@@ -1306,16 +1306,20 @@ def byte_histogram_features(
 
 
 # --------------------------------------------------------------- JPEG
-# Baseline sequential JPEG (ITU-T T.81 / JFIF), pure stdlib + NumPy:
-# the decoder handles 8-bit huffman-coded SOF0 streams (1 or 3
-# components, sampling factors 1-2, optional restart markers, byte
-# stuffing) with complete structural validation; everything outside
-# baseline (progressive SOF2, 12-bit, arithmetic coding, 4+
-# components) returns None for the codec route. The encoder exists so
-# tests and oracle rows can PLANT valid payloads with known decoded
-# values: a solid-color image with a flat quantizer of 8 round-trips
-# EXACTLY (the DCT of a flat block is DC-only, 8*(v-128), and
-# 8*(v-128)/8 is integral — no quantization loss).
+# Baseline AND progressive JPEG (ITU-T T.81 / JFIF), pure stdlib +
+# NumPy: the decoder handles 8-bit huffman-coded SOF0 streams and
+# SOF2 multi-scan progressive streams (spectral selection, successive
+# approximation, EOB runs; 1 or 3 components, sampling factors 1-2,
+# optional restart markers, byte stuffing) with complete structural
+# validation; everything outside (12-bit, arithmetic coding, 4+
+# components, lossless) returns None for the codec route. The
+# encoders exist so tests and oracle rows can PLANT valid payloads
+# with known decoded values: a solid-color image with a flat
+# quantizer of 8 round-trips EXACTLY (the DCT of a flat block is
+# DC-only, 8*(v-128), and 8*(v-128)/8 is integral — no quantization
+# loss), and pack_jpeg_progressive of ANY pixels decodes bit-equal to
+# the baseline encoding of the same pixels (same coefficients, same
+# IDCT).
 
 _JPEG_ZIGZAG = np.array(
     [
@@ -1525,6 +1529,526 @@ def pack_jpeg(pixels: np.ndarray, quant: int = 8, restart_interval: int = 0) -> 
     return bytes(out)
 
 
+
+def _jpeg_prog_init(sof):
+    """Allocate the progressive coefficient grids: per component a
+    (blocks_y, blocks_x, 64) int64 array over the MCU-padded
+    interleaved geometry (non-interleaved scans touch only the
+    component's own ceil-block subgrid), plus the per-component
+    successive-approximation bookkeeping the scan-script validator
+    reads (dc_al / per-coefficient ac_al)."""
+    w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geom = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy, "comps": []}
+    coefs = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)  # component sample dims (ceil)
+        ch_ = -(-h * c["v"] // vmax)
+        geom["comps"].append(
+            {
+                "nbw": -(-cw // 8),  # non-interleaved block grid
+                "nbh": -(-ch_ // 8),
+                "dc_al": None,
+                "ac_al": [None] * 64,
+            }
+        )
+        coefs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64))
+    return geom, coefs
+
+
+def _jpeg_prog_scan(buf, pos, data, sof, geom, coefs, huff, qt, dri):
+    """Decode ONE progressive SOS (header bytes in ``data``, entropy
+    segment starting at ``pos``): T.81 Annex G — interleaved/single
+    DC scans, single-component AC band scans with EOB runs, one-bit
+    DC/AC successive-approximation refinement, per-scan restart
+    intervals. Returns the buffer position after the scan's entropy
+    segment, or None on any structural/script violation."""
+    w, h, comps = sof
+    ns = data[0] if data else 0
+    if ns < 1 or len(data) != 1 + 2 * ns + 3:
+        return None
+    ss, se, ahal = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if al > 13 or ah > 13:
+        return None
+    sel = []
+    for si in range(ns):
+        cs, tt = data[1 + 2 * si], data[2 + 2 * si]
+        idx = [i for i, c in enumerate(comps) if c["id"] == cs]
+        if len(idx) != 1:
+            return None
+        sel.append((idx[0], tt >> 4, tt & 0x0F))
+    if len({i for i, _, _ in sel}) != ns:
+        return None
+
+    is_dc = ss == 0
+    if is_dc:
+        if se != 0:
+            return None
+    else:
+        # AC scans are single-component by definition (G.1.1.1.1)
+        if ns != 1 or not (1 <= ss <= se <= 63):
+            return None
+
+    # successive-approximation script validation + table lookup
+    units = []  # (comp_index, dc_table|None, ac_table|None)
+    for ci, td, ta in sel:
+        g = geom["comps"][ci]
+        if comps[ci]["tq"] not in qt:
+            return None
+        if is_dc:
+            if ah == 0:
+                if g["dc_al"] is not None or (0, td) not in huff:
+                    return None
+                units.append((ci, huff[(0, td)], None))
+            else:
+                if g["dc_al"] != ah or al != ah - 1:
+                    return None
+                units.append((ci, None, None))
+            g["dc_al"] = al
+        else:
+            if g["dc_al"] is None or (1, ta) not in huff:
+                return None
+            band = g["ac_al"][ss : se + 1]
+            if ah == 0:
+                if any(b is not None for b in band):
+                    return None
+            else:
+                if any(b != ah for b in band) or al != ah - 1:
+                    return None
+            for k in range(ss, se + 1):
+                g["ac_al"][k] = al
+            units.append((ci, None, huff[(1, ta)]))
+
+    br = _JpegBitReader(buf, pos)
+    state = {"pred": [0] * ns, "eobrun": 0, "rst": 0}
+    n_unit = 0
+
+    def maybe_restart():
+        if dri and n_unit and n_unit % dri == 0:
+            br.align_restart(state["rst"])
+            state["rst"] += 1
+            state["pred"] = [0] * ns
+            state["eobrun"] = 0
+
+    if is_dc and ns > 1:
+        # interleaved DC scan: MCU order, sampling-factor block fan-out
+        for by in range(geom["mcuy"]):
+            for bx in range(geom["mcux"]):
+                maybe_restart()
+                for si, (ci, dc_t, _) in enumerate(units):
+                    c = comps[ci]
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            blk = coefs[ci][by * c["v"] + vy, bx * c["h"] + vx]
+                            state["pred"][si] = _jpeg_prog_dc(
+                                br, dc_t, blk, state["pred"][si], ah, al
+                            )
+                n_unit += 1
+    else:
+        # single-component scan (DC or AC): the component's own grid
+        ci = units[0][0]
+        g = geom["comps"][ci]
+        dc_t, ac_t = units[0][1], units[0][2]
+        for by in range(g["nbh"]):
+            for bx in range(g["nbw"]):
+                maybe_restart()
+                blk = coefs[ci][by, bx]
+                if is_dc:
+                    state["pred"][0] = _jpeg_prog_dc(
+                        br, dc_t, blk, state["pred"][0], ah, al
+                    )
+                elif ah == 0:
+                    state["eobrun"] = _jpeg_prog_ac_first(
+                        br, ac_t, blk, ss, se, al, state["eobrun"]
+                    )
+                else:
+                    state["eobrun"] = _jpeg_prog_ac_refine(
+                        br, ac_t, blk, ss, se, al, state["eobrun"]
+                    )
+                n_unit += 1
+    # trailing bits are padding; the walk re-validates the next marker
+    br.n = 0
+    return br.pos
+
+
+def _jpeg_prog_dc(br, dc_t, blk, pred, ah, al):
+    """One block's DC under progressive: first pass decodes the
+    huffman diff chain point-transformed by ``al``; refinement
+    appends one magnitude bit (two's-complement OR — Python ints
+    carry the sign correctly)."""
+    if ah == 0:
+        s = _jpeg_decode_huff(br, dc_t)
+        if s > 11:
+            raise ValueError("bad DC category")
+        diff = _jpeg_extend(br.bits(s), s) if s else 0
+        pred += diff
+        blk[0] = pred << al
+        return pred
+    if br.bit():
+        blk[0] |= 1 << al
+    return pred
+
+
+def _jpeg_prog_ac_first(br, ac_t, blk, ss, se, al, eobrun):
+    """First (Ah=0) AC band pass: run/size symbols with EOBn end-of-
+    band runs (G.1.2.2); values arrive point-transformed by ``al``."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_huff(br, ac_t)
+        r, s_ = rs >> 4, rs & 0x0F
+        if s_ == 0:
+            if r == 15:
+                k += 16
+                continue
+            return (1 << r) - 1 + (br.bits(r) if r else 0)
+        k += r
+        if k > se or s_ > 10:
+            raise ValueError("AC band overrun")
+        blk[k] = _jpeg_extend(br.bits(s_), s_) * (1 << al)
+        k += 1
+    return 0
+
+
+def _jpeg_prog_ac_refine(br, ac_t, blk, ss, se, al, eobrun):
+    """AC refinement pass (G.1.2.3): newly-significant coefficients
+    arrive as (run-of-zero-history, +-1<<al) symbols; every
+    already-significant coefficient traversed (including inside ZRLs
+    and EOB runs) carries one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_decode_huff(br, ac_t)
+            r, s_ = rs >> 4, rs & 0x0F
+            val = 0
+            if s_ == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (br.bits(r) if r else 0)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s_ != 1:
+                    raise ValueError("bad refinement symbol")
+                val = p1 if br.bit() else -p1
+            placed = False
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        if s_:
+                            blk[k] = val
+                            placed = True
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+            if s_ and not placed:
+                raise ValueError("refinement placement past the band")
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and br.bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_prog_assemble(sof, geom, coefs, qt):
+    """EOI reached: dequantize every component grid, batch the exact
+    float64 IDCT over all blocks at once (einsum — no per-block
+    Python loop at assembly), upsample by replication, YCbCr->RGB,
+    crop to the SOF dims. Mirrors the baseline tail of
+    :func:`_jpeg_scan`."""
+    w, h, comps = sof
+    hmax, vmax = geom["hmax"], geom["vmax"]
+    nch = len(comps)
+    out = np.empty((h, w, nch), dtype=np.float64)
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            return None
+        q = qt[c["tq"]]
+        zz = coefs[ci]  # (bh, bw, 64) zigzag-order quantized coefficients
+        deq = (zz * q).astype(np.float64)
+        nat = np.zeros_like(deq)
+        nat[:, :, _JPEG_ZIGZAG] = deq
+        bh, bw_ = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bh, bw_, 8, 8)
+        spat = np.einsum("ab,xybc,cd->xyad", _JPEG_T.T, blocks, _JPEG_T)
+        plane = spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out[:, :, ci] = plane[:h, :w]
+    out += 128.0
+    if nch == 3:
+        y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+        out = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    px = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return w, h, nch, px
+
+
+#: huffman table for progressive AC scans: the Annex-K baseline AC
+#: table has no EOBn (r<<4, r>0) symbols, so progressive streams need
+#: their own — 255 symbols at 8 bits + symbol 0xFF at 9 keeps the
+#: all-ones code point free (T.81 C.2) while covering every (run,
+#: size) pair the progressive coder can emit
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = list(range(255)) + [255]
+
+
+class _JpegProgWriter:
+    """Entropy writer for one progressive scan: run/size symbols,
+    EOB-run accumulation, and the refinement correction-bit buffer
+    (bits collected while a symbol or EOB run is pending, flushed in
+    coefficient order right after it — G.1.2.3's decoder reads them
+    back in exactly that order)."""
+
+    def __init__(self, bw, ac_codes):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending = []
+
+    def sym(self, rs):
+        ln, code = self.ac[rs]
+        self.bw.put(code, ln)
+
+    def flush_pending(self):
+        for b in self.pending:
+            self.bw.put(b, 1)
+        self.pending = []
+
+    def flush_eobrun(self):
+        while self.eobrun > 0:
+            run = min(self.eobrun, 32767)
+            r = run.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.put(run - (1 << r), r)
+            self.eobrun -= run
+            self.flush_pending()
+
+    def flush_all(self):
+        self.flush_eobrun()
+        self.flush_pending()
+
+
+def pack_jpeg_progressive(
+    pixels: np.ndarray, quant: int = 8, restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w[, 1|3]) uint8 array as a PROGRESSIVE JFIF JPEG
+    (SOF2, 4:4:4, flat quantizer) exercising the full Annex-G decoder
+    surface: an interleaved point-transformed DC first scan, split
+    spectral-selection AC first scans, EOB-run coding across blocks,
+    and one-bit DC/AC successive-approximation refinement scans down
+    to Al=0 — so the decode is bit-equivalent to the baseline
+    encoding of the same pixels (same coefficients, same IDCT).
+    ``restart_interval`` > 0 emits DRI + per-scan RSTn markers."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("pack_jpeg_progressive wants (h, w[, 1|3]) uint8")
+    if not 1 <= int(quant) <= 255:
+        raise ValueError("quant must be in 1..255")
+    h, w, ncomp = px.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    if ncomp == 3:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        comps = [np.clip(np.round(c), 0, 255) for c in comps]
+    else:
+        comps = [px[:, :, 0].astype(np.float64)]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    comps = [np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in comps]
+    q = np.full(64, int(quant), dtype=np.int64)
+    by_, bx_ = ph // 8, pw // 8
+
+    # quantized zigzag coefficients for every block up front
+    zz = np.empty((ncomp, by_, bx_, 64), dtype=np.int64)
+    for ci, comp in enumerate(comps):
+        for yy in range(by_):
+            for xx in range(bx_):
+                blk = comp[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] - 128.0
+                coef = _JPEG_T @ blk @ _JPEG_T.T
+                zz[ci, yy, xx] = np.round(coef.reshape(64)[_JPEG_ZIGZAG] / q)
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([int(quant)] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tclass, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS),
+    ):
+        body = bytes([tclass << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
+
+    # the scan script: DC first (Al=1, interleaved) -> split AC bands
+    # per component (first pass at Al>0) -> DC refine -> AC refine
+    # chains stepping each band's Al down to 0
+    script = [("dc_first", list(range(ncomp)), 0, 0, 0, 1)]
+    script += [("ac_first", [0], 1, 5, 0, 2), ("ac_first", [0], 6, 63, 0, 2)]
+    for ci in range(1, ncomp):
+        script.append(("ac_first", [ci], 1, 63, 0, 1))
+    script.append(("dc_refine", list(range(ncomp)), 0, 0, 1, 0))
+    script += [("ac_refine", [0], 1, 63, 2, 1), ("ac_refine", [0], 1, 63, 1, 0)]
+    for ci in range(1, ncomp):
+        script.append(("ac_refine", [ci], 1, 63, 1, 0))
+
+    for kind, cis, ss, se, ah, al in script:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00 if kind.startswith("dc") else 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _JpegBitWriter()
+        pwr = _JpegProgWriter(bw, ac_codes)
+        pred = [0] * len(cis)
+        n_unit, rst = 0, 0
+
+        def restart_if_due():
+            nonlocal bw, pwr, pred, rst
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                pwr.flush_all()
+                bw.flush()
+                out.extend(bw.bytes)
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                bw = _JpegBitWriter()
+                pwr = _JpegProgWriter(bw, ac_codes)
+                pred = [0] * len(cis)
+
+        if kind == "dc_first":
+            for yy in range(by_):
+                for xx in range(bx_):
+                    restart_if_due()
+                    for si, ci in enumerate(cis):
+                        v = int(zz[ci, yy, xx, 0]) >> al  # arithmetic shift
+                        diff = v - pred[si]
+                        pred[si] = v
+                        cat, ebits = _jpeg_category(diff)
+                        ln, code = dc_codes[cat]
+                        bw.put(code, ln)
+                        if cat:
+                            bw.put(ebits, cat)
+                    n_unit += 1
+        elif kind == "dc_refine":
+            for yy in range(by_):
+                for xx in range(bx_):
+                    restart_if_due()
+                    for ci in cis:
+                        bw.put((int(zz[ci, yy, xx, 0]) >> al) & 1, 1)
+                    n_unit += 1
+        elif kind == "ac_first":
+            ci = cis[0]
+            for yy in range(by_):
+                for xx in range(bx_):
+                    restart_if_due()
+                    band = zz[ci, yy, xx, ss : se + 1]
+                    # AC point transform: magnitude shift, sign kept
+                    vals_al = np.sign(band) * (np.abs(band) >> al)
+                    nz = np.nonzero(vals_al)[0]
+                    if len(nz) == 0:
+                        pwr.eobrun += 1
+                        if pwr.eobrun == 32767:
+                            pwr.flush_eobrun()
+                        n_unit += 1
+                        continue
+                    pwr.flush_eobrun()
+                    run = 0
+                    last = nz[-1]
+                    for k in range(last + 1):
+                        v = int(vals_al[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            pwr.sym(0xF0)  # ZRL
+                            run -= 16
+                        cat, ebits = _jpeg_category(v)
+                        pwr.sym((run << 4) | cat)
+                        bw.put(ebits, cat)
+                        run = 0
+                    if last < se - ss:
+                        pwr.eobrun += 1  # this block ends early
+                        if pwr.eobrun == 32767:
+                            pwr.flush_eobrun()
+                    n_unit += 1
+            pwr.flush_all()
+        else:  # ac_refine — an exact mirror of the decoder's walk:
+            # each symbol covers a SPAN of positions, and the
+            # correction bits of already-significant coefficients
+            # inside that span follow that symbol in position order
+            # (grouping them any other way desyncs the ZRL walk)
+            ci = cis[0]
+            L = se - ss + 1
+            for yy in range(by_):
+                for xx in range(bx_):
+                    restart_if_due()
+                    band = zz[ci, yy, xx, ss : se + 1]
+                    t_now = np.abs(band) >> al
+                    t_prev = np.abs(band) >> ah
+                    newly = [k for k in range(L) if t_prev[k] == 0 and t_now[k] == 1]
+                    corr = lambda a, b: [  # noqa: E731
+                        int(t_now[p]) & 1 for p in range(a, b) if t_prev[p] != 0
+                    ]
+                    k = 0
+                    for kn in newly:
+                        zpos = [p for p in range(k, kn) if t_prev[p] == 0]
+                        while len(zpos) > 15:
+                            pwr.flush_eobrun()
+                            pwr.sym(0xF0)  # ZRL: k through the 16th zero
+                            for bbit in corr(k, zpos[15] + 1):
+                                bw.put(bbit, 1)
+                            k = zpos[15] + 1
+                            zpos = zpos[16:]
+                        pwr.flush_eobrun()
+                        pwr.sym((len(zpos) << 4) | 1)
+                        bw.put(1 if band[kn] > 0 else 0, 1)
+                        for bbit in corr(k, kn):
+                            bw.put(bbit, 1)
+                        k = kn + 1
+                    if k < L:  # any tail joins the EOB run
+                        pwr.eobrun += 1
+                        pwr.pending.extend(corr(k, L))
+                        if pwr.eobrun == 32767:
+                            pwr.flush_eobrun()
+                    n_unit += 1
+            pwr.flush_all()
+        pwr.flush_all()
+        bw.flush()
+        out.extend(bw.bytes)
+    out += b"\xff\xd9"
+    return bytes(out)
+
 class _JpegBitReader:
     """Entropy-segment bit reader: 0xFF00 unstuffing, RSTn detection
     (returned as events, never consumed silently), hard error on any
@@ -1583,18 +2107,24 @@ def _jpeg_decode_huff(br, table):
 
 
 def _parse_jpeg(buf: bytes):
-    """Baseline sequential JPEG -> (w, h, ch, (h, w, ch) uint8) or
-    None — REAL decoding: marker walk (APPn/COM skipped, DQT/DHT/DRI/
-    SOF0/SOS parsed), canonical huffman entropy decode with byte
-    unstuffing and restart markers, dequantize + de-zigzag, exact
-    float64 IDCT (the orthonormal 8-point matrix — T.81's 1/4*CuCv
-    definition), chroma upsampling by sample replication (factors 1-2),
-    JFIF YCbCr->RGB, crop to the SOF dims. Returns None (codec route)
-    for anything non-baseline: SOF1/2/9+ (extended/progressive/
-    arithmetic), 12-bit, Pq=1 DQT, >3 components, sampling factors
-    outside 1-2, or any structural damage up to and including the EOI
-    marker (bytes AFTER a well-formed EOI are tolerated — the wild is
-    full of trailers).
+    """Baseline (SOF0) AND progressive (SOF2) JPEG -> (w, h, ch,
+    (h, w, ch) uint8) or None — REAL decoding: marker walk (APPn/COM
+    skipped, DQT/DHT/DRI/SOF/SOS parsed), canonical huffman entropy
+    decode with byte unstuffing and restart markers, dequantize +
+    de-zigzag, exact float64 IDCT (the orthonormal 8-point matrix —
+    T.81's 1/4*CuCv definition), chroma upsampling by sample
+    replication (factors 1-2), JFIF YCbCr->RGB, crop to the SOF dims.
+    Progressive streams (T.81 Annex G) run the full multi-scan loop:
+    spectral selection (per-band scans with EOB-run coding) and
+    successive approximation (point-transformed first passes + one-bit
+    DC/AC refinement scans), interleaved DC scans, per-scan restart
+    intervals; coefficients accumulate across scans and the image
+    assembles once at EOI. Returns None (codec route) for the rest:
+    SOF1/3/9+ (extended/lossless/arithmetic), 12-bit, Pq=1 DQT, >3
+    components, sampling factors outside 1-2, scan-script violations
+    (AC before DC, Ah != Al+1, overlapping refinement state), or any
+    structural damage up to and including the EOI marker (bytes AFTER
+    a well-formed EOI are tolerated — the wild is full of trailers).
 
     Scale note: huffman entropy decode is inherently bit-serial —
     this is a per-payload Python loop (bounded by `_JPEG_MAX_PIXELS`-
@@ -1608,11 +2138,19 @@ def _parse_jpeg(buf: bytes):
     huff = {}
     sof = None
     dri = 0
+    progressive = False
+    coefs = None  # per-component coefficient grids (progressive)
+    geom = None
+    n_scans = 0
     try:
         while True:
-            if pos + 4 > len(buf):
+            if pos + 2 > len(buf):
                 return None
             if buf[pos] != 0xFF:
+                return None
+            if buf[pos + 1] == 0xD9 and progressive and coefs is not None and n_scans:
+                return _jpeg_prog_assemble(sof, geom, coefs, qt)
+            if pos + 4 > len(buf):
                 return None
             # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
             # a marker — real encoders emit them, so skip the run
@@ -1625,8 +2163,8 @@ def _parse_jpeg(buf: bytes):
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
-            if marker == 0xD9:  # EOI before SOS: no image
-                return None
+            if marker == 0xD9:
+                return None  # EOI before any image data
             (seglen,) = struct.unpack_from(">H", buf, pos + 2)
             if seglen < 2 or pos + 2 + seglen > len(buf):
                 return None
@@ -1657,9 +2195,10 @@ def _parse_jpeg(buf: bytes):
                     vals = list(data[j + 17 : j + 17 + nv])
                     huff[(tc, th)] = _jpeg_huff_decoder(bits, vals)
                     j += 17 + nv
-            elif marker == 0xC0:  # SOF0 baseline
-                if len(data) < 6:
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                if sof is not None or len(data) < 6:
                     return None
+                progressive = marker == 0xC2
                 prec, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
                 if prec != 8 or ncomp not in (1, 3) or w < 1 or h < 1:
                     return None
@@ -1675,9 +2214,9 @@ def _parse_jpeg(buf: bytes):
                         return None
                     comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
                 sof = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF families
+                return None  # extended/lossless/arithmetic SOF families
             elif marker == 0xDD:  # DRI
                 if len(data) != 2:
                     return None
@@ -1685,6 +2224,18 @@ def _parse_jpeg(buf: bytes):
             elif marker == 0xDA:  # SOS
                 if sof is None:
                     return None
+                if progressive:
+                    n_scans += 1
+                    if n_scans > 64:  # adversarial scan-flood guard
+                        return None
+                    if coefs is None:
+                        geom, coefs = _jpeg_prog_init(sof)
+                    pos = _jpeg_prog_scan(
+                        buf, pos + 2 + seglen, data, sof, geom, coefs, huff, qt, dri
+                    )
+                    if pos is None:
+                        return None
+                    continue
                 ns = data[0] if data else 0
                 w, h, comps = sof
                 if ns != len(comps) or len(data) != 1 + 2 * ns + 3:

@@ -1007,3 +1007,104 @@ def test_pack_gif_absent_transparent_color_raises():
     buf = pack_gif([f0, f0], transparent_color=(9, 9, 9), bg_color=(9, 9, 9))
     _, _, frames = _parse_gif_frames(buf)
     assert np.array_equal(frames[1], f0)
+
+
+def test_progressive_jpeg_roundtrip_matches_baseline():
+    """pack_jpeg_progressive -> _parse_jpeg decodes BIT-EQUAL to the
+    baseline encoding of the same pixels (same quantized coefficients,
+    same IDCT) across shapes, channel counts, and restart intervals —
+    the full Annex-G surface: split spectral selection, EOB runs,
+    successive approximation, DC/AC refinement."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_jpeg,
+        pack_jpeg,
+        pack_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(16, 24, 3), (13, 19), (8, 8, 3), (40, 56, 3), (9, 9)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = _parse_jpeg(pack_jpeg(px, quant=8))
+        for dri in (0, 3):
+            prog = _parse_jpeg(pack_jpeg_progressive(px, quant=8, restart_interval=dri))
+            assert prog is not None, (shape, dri)
+            assert base[:3] == prog[:3]
+            assert np.array_equal(base[3], prog[3]), (shape, dri)
+    # solid color is EXACT (flat quant, DC-only)
+    solid = np.full((10, 12, 3), 77, dtype=np.uint8)
+    r = _parse_jpeg(pack_jpeg_progressive(solid, quant=8))
+    assert np.array_equal(r[3], solid)
+    # gradient content stresses refinement placement (many newly-
+    # significant AC coefficients across the Al ladder)
+    grad = (np.arange(32)[:, None] * 8 + np.arange(48)[None, :] * 3) % 256
+    grad = grad.astype(np.uint8)
+    b2 = _parse_jpeg(pack_jpeg(grad, quant=8))
+    p2 = _parse_jpeg(pack_jpeg_progressive(grad, quant=8))
+    assert np.array_equal(b2[3], p2[3])
+
+
+def test_progressive_jpeg_structural_rejection():
+    """Forged progressive payloads return None: truncation, AC scan
+    before any DC scan, refinement with Ah != Al+1, refining a band
+    never first-passed, multi-component AC scans, and the scan-flood
+    guard (>64 SOS segments)."""
+    import struct
+
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_jpeg,
+        pack_jpeg_progressive,
+    )
+
+    px = np.full((8, 8), 99, dtype=np.uint8)
+    good = pack_jpeg_progressive(px, quant=8)
+    assert _parse_jpeg(good) is not None
+    assert _parse_jpeg(good[:-1]) is None  # EOI gone
+    assert _parse_jpeg(good[: len(good) // 2]) is None
+
+    def scans(buf):
+        # offsets of SOS markers (walking segments properly)
+        i, out = 2, []
+        while i + 4 <= len(buf):
+            assert buf[i] == 0xFF
+            m = buf[i + 1]
+            if m == 0xD9:
+                break
+            (ln,) = struct.unpack_from(">H", buf, i + 2)
+            if m == 0xDA:
+                out.append((i, ln))
+                # skip entropy to next marker byte that is a real marker
+                j = i + 2 + ln
+                while j + 1 < len(buf) and not (
+                    buf[j] == 0xFF and buf[j + 1] not in (0x00,)
+                    and not (0xD0 <= buf[j + 1] <= 0xD7)
+                ):
+                    j += 1
+                i = j
+            else:
+                i += 2 + ln
+        return out
+
+    sos = scans(good)
+    assert len(sos) == 6  # grayscale script
+    # AC before DC: patch the FIRST scan's Ss from 0 to 1
+    bad = bytearray(good)
+    first_off, first_len = sos[0]
+    bad[first_off + 2 + first_len - 3] = 1  # Ss byte
+    assert _parse_jpeg(bytes(bad)) is None
+    # refinement jumping two levels: DC refine scan Ah=1 -> Ah=2
+    bad = bytearray(good)
+    off, ln = sos[3]  # dc_refine in the script
+    assert bad[off + 2 + ln - 1] == 0x10  # Ah=1, Al=0
+    bad[off + 2 + ln - 1] = 0x20
+    assert _parse_jpeg(bytes(bad)) is None
+    # scan flood: repeat the dc-refine scan's bytes 70 times before EOI
+    off, ln = sos[3]
+    # grab scan header + its (tiny) entropy bytes up to the next SOS
+    nxt = sos[4][0]
+    chunk = good[off:nxt]
+    flood = good[:nxt] + chunk * 70 + good[nxt:]
+    assert _parse_jpeg(flood) is None
