@@ -139,7 +139,12 @@ def main() -> None:
     # the query from the retry that would have corrected it. The
     # whole estimator choice is recorded in the JSON's `policy` key
     # so cross-round totals are read against the same rules.
-    COMPOSITES = {"refinedweb_pipeline", "fineweb_pipeline", "stream_eq_all"}
+    COMPOSITES = {
+        "refinedweb_pipeline", "fineweb_pipeline", "stream_eq_all",
+        # round-10 multi-job composites: a trained fit + two scoring
+        # routes / two full semdedup runs — same many-job rationale
+        "langid_route_eq", "semdedup_multiprobe_eq",
+    }
     for name, fn in qs.items():
         if name in COMPOSITES or timings.get(name, 0.0) <= 2.0:
             continue
