@@ -793,15 +793,39 @@ def _q_multimodal_decode(spark, sf_dir):
             n = 10 + i % 23
             payload = pack_wav_pcm16(np.full((n, 1), 777, dtype=np.int16), 8000)
         elif i % 7 == 0:
+            # interlace cycles by parity (round 10): Adam7 is
+            # value-invisible to the oracle, so both source layouts
+            # must reconstruct the same solid color
             w, h = 5 + i % 11, 2 + i % 6
             px = np.empty((h, w, 3), dtype=np.uint8)
             px[..., 0] = i % 256
             px[..., 1] = (i * 11) % 256
             px[..., 2] = (i * 17) % 256
-            payload = pack_png(px, filters="cycle")
+            payload = pack_png(px, filters="cycle", interlace=bool(i % 2))
         elif i % 19 == 0:
+            # greyscale bit depth cycles 16/8/4/2/1 (round 10), also
+            # alternating interlace; the construction mean per depth:
+            # 16-bit plants c*257 (high-byte strip returns c), sub-
+            # byte plants LEVEL l = i %% 2^d (decodes l*(255/(2^d-1)))
             w, h = 3 + i % 8, 2 + i % 4
-            payload = pack_png(np.full((h, w, 1), (i * 23) % 256, dtype=np.uint8), filters="cycle")
+            d = (16, 8, 4, 2, 1)[i % 5]
+            il = bool((i // 5) % 2)
+            if d == 16:
+                c = (i * 23) % 256
+                payload = pack_png(
+                    np.full((h, w, 1), c * 257, dtype=np.uint16),
+                    filters="cycle", bit_depth=16, interlace=il,
+                )
+            elif d == 8:
+                payload = pack_png(
+                    np.full((h, w, 1), (i * 23) % 256, dtype=np.uint8),
+                    filters="cycle", interlace=il,
+                )
+            else:
+                payload = pack_png(
+                    np.full((h, w, 1), i % (1 << d), dtype=np.uint8),
+                    filters="cycle", bit_depth=d, interlace=il,
+                )
         elif i % 23 == 0:
             # baseline JPEG (round 9): solid greyscale with the flat
             # quant=8 table is EXACT (DC-only blocks, integral
@@ -5768,7 +5792,10 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # multimodal_decode: construction-derived — the planted
         # payloads' dims/validity/solid-color means are pure functions
         # of doc_id (precedence: every 17th garbage, 13th a BMP, 11th
-        # a PCM WAV, 7th an RGB PNG, 19th a greyscale PNG, 23rd a
+        # a PCM WAV, 7th an RGB PNG (Adam7 by parity), 19th a
+        # greyscale PNG at depth (16,8,4,2,1)[id%5] — 16-bit plants
+        # c*257 so the high-byte strip returns c, sub-byte plants
+        # level l decoding to l*(255/(2^d-1)) — 23rd a
         # solid greyscale baseline JPEG (exact: flat quant 8), 29th an
         # indexed-color PNG whose single index-1 pixel makes the mean
         # (c*n+1)/n — bit unpacking + palette lookup must be exact —
@@ -5811,7 +5838,14 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    WHEN doc_id % 13 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
                    WHEN doc_id % 11 = 0 THEN NULL
                    WHEN doc_id % 7 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                   WHEN doc_id % 19 = 0 THEN CAST((doc_id * 23) % 256 AS DOUBLE)
+                   WHEN doc_id % 19 = 0 THEN
+                     CASE CAST(doc_id % 5 AS INT)
+                       WHEN 0 THEN CAST((doc_id * 23) % 256 AS DOUBLE)
+                       WHEN 1 THEN CAST((doc_id * 23) % 256 AS DOUBLE)
+                       WHEN 2 THEN CAST((doc_id % 16) * 17 AS DOUBLE)
+                       WHEN 3 THEN CAST((doc_id % 4) * 85 AS DOUBLE)
+                       ELSE CAST((doc_id % 2) * 255 AS DOUBLE)
+                     END
                    WHEN doc_id % 23 = 0 THEN CAST((doc_id * 29) % 256 AS DOUBLE)
                    WHEN doc_id % 29 = 0 THEN round(
                      CAST((doc_id % 199) * ((3 + doc_id % 9) * (2 + doc_id % 5)) + 1 AS DOUBLE)

@@ -12,9 +12,10 @@ Decode routes:
 * ``decode='numpy'`` — REAL decoding for the formats stdlib+NumPy
   can parse: PPM ``P6`` images, uncompressed 24/32-bit ``BM``
   bitmaps, **PNG** (IDAT inflate via stdlib ``zlib``, scanline
-  unfiltering — None/Sub/Up/Average/Paeth — in NumPy; 8-bit grey /
-  RGB / grey+alpha / RGBA plus indexed-color PLTE at bit depths
-  1/2/4/8 with tRNS transparency), **baseline + progressive JPEG** (SOF0/SOF2 huffman entropy decode
+  unfiltering — None/Sub/Up/Average/Paeth — in NumPy; grey / RGB /
+  grey+alpha / RGBA at depths 8 and 16, sub-byte greyscale 1/2/4,
+  indexed-color PLTE at bit depths 1/2/4/8 with tRNS transparency,
+  and Adam7 interlace across all of them), **baseline + progressive JPEG** (SOF0/SOF2 huffman entropy decode
   with byte unstuffing + restart markers, exact float64 IDCT, JFIF
   YCbCr->RGB; greyscale and 1-2x sampling), **GIF87a/89a** (pure-
   stdlib LZW entropy decode, global/local color tables, 4-pass
@@ -30,8 +31,8 @@ Decode routes:
 * ``decode='stub'`` — deterministic fake header (``b'FAKE'`` +
   uint16 width + uint16 height + uint8 channels + raw); tests use it
   to exercise the Spark plumbing independent of any format.
-* ``decode='real'`` — the lossy-codec route (MP3/H.264; also
-  16-bit/interlaced PNG). PIL/librosa/ffmpeg are NOT in this
+* ``decode='real'`` — the lossy-codec route (MP3/H.264 and other
+  genuinely-external formats). PIL/librosa/ffmpeg are NOT in this
   container, so it raises NotImplementedError at the point where the
   codec import would happen; the Spark-side machinery is identical
   to the numpy route.
@@ -152,31 +153,42 @@ def _paeth_predictor(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def pack_png(pixels: np.ndarray, filters: str = "cycle", level: int = 6) -> bytes:
-    """uint8 pixels -> 8-bit PNG via stdlib ``zlib`` — no codec
-    dependency. Shape picks the color type: ``(h, w)`` or ``(h, w, 1)``
-    greyscale, ``(h, w, 2)`` grey+alpha, ``(h, w, 3)`` RGB,
-    ``(h, w, 4)`` RGBA. ``filters`` is the per-row filter strategy:
-    ``"none"`` (all rows filter 0) or ``"cycle"`` (row y uses filter
-    y % 5 — every decoder unfilter path gets exercised)."""
-    if pixels.dtype != np.uint8:
-        raise ValueError("pack_png wants uint8 pixels")
-    if pixels.ndim == 2:
-        pixels = pixels[:, :, None]
-    if pixels.ndim != 3 or pixels.shape[2] not in (1, 2, 3, 4):
-        raise ValueError("pack_png wants (h, w[, 1|2|3|4]) uint8")
-    if filters not in ("none", "cycle"):
-        raise ValueError("filters must be 'none' or 'cycle'")
-    h, w, ch = pixels.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = pixels.reshape(h, w * ch).astype(np.int16)
-    zero = np.zeros(w * ch, dtype=np.int16)
+#: Adam7 interlace pass grid (RFC 2083 §2.6): (xstart, ystart,
+#: xstep, ystep) per pass; the datastream is the concatenation of the
+#: per-pass sub-images, each filtered independently.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(w: int, h: int):
+    """Non-empty Adam7 passes as (xs, ys, xstep, ystep, pw, ph)."""
+    out = []
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw > 0 and ph > 0:
+            out.append((xs, ys, xstep, ystep, pw, ph))
+    return out
+
+
+def _png_filter_rows(flat: np.ndarray, bpp: int, filters: str) -> list[bytes]:
+    """Encoder half of RFC 2083 §6: filter a (h, stride) uint8 byte
+    grid row by row (``bpp`` = bytes per complete pixel — the left
+    reference offset). ``filters='cycle'`` uses filter y % 5."""
+    h, stride = flat.shape
+    flat = flat.astype(np.int16)
+    zero = np.zeros(stride, dtype=np.int16)
     out_rows = []
     for y in range(h):
         r = flat[y]
         p = flat[y - 1] if y else zero
-        left = np.concatenate([np.zeros(ch, dtype=np.int16), r[:-ch]]) if w * ch > ch else np.zeros_like(r)
-        upleft = np.concatenate([np.zeros(ch, dtype=np.int16), p[:-ch]]) if w * ch > ch else np.zeros_like(p)
+        if stride > bpp:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int16), r[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), p[:-bpp]])
+        else:
+            left, upleft = np.zeros_like(r), np.zeros_like(p)
         f = 0 if filters == "none" else y % 5
         if f == 0:
             filt = r
@@ -189,7 +201,84 @@ def pack_png(pixels: np.ndarray, filters: str = "cycle", level: int = 6) -> byte
         else:
             filt = r - _paeth_predictor(left, p, upleft)
         out_rows.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return out_rows
+
+
+def _png_pack_samples(pixels: np.ndarray, depth: int) -> np.ndarray:
+    """Pixel samples -> the on-disk (h, stride) byte grid: big-endian
+    byte pairs at depth 16, plain bytes at 8, MSB-first bit packing
+    below (single-channel only there)."""
+    if depth == 16:
+        h, w, ch = pixels.shape
+        be = pixels.astype(">u2")
+        return np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(h, w * ch * 2)
+    if depth == 8:
+        if pixels.ndim == 2:  # indexed: one byte per pixel
+            return pixels
+        h, w, ch = pixels.shape
+        return pixels.reshape(h, w * ch)
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(h, w)
+    bits = (flat[:, :, None] >> np.arange(depth - 1, -1, -1, dtype=np.uint8)) & 1
+    return np.packbits(bits.reshape(h, w * depth), axis=1)
+
+
+def pack_png(
+    pixels: np.ndarray,
+    filters: str = "cycle",
+    level: int = 6,
+    bit_depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Pixels -> PNG via stdlib ``zlib`` — no codec dependency. Shape
+    picks the color type: ``(h, w)`` or ``(h, w, 1)`` greyscale,
+    ``(h, w, 2)`` grey+alpha, ``(h, w, 3)`` RGB, ``(h, w, 4)`` RGBA.
+    ``bit_depth``: 8 (uint8 input), 16 (uint16 input, big-endian
+    samples on disk), or 1/2/4 (single-channel uint8 LEVEL values
+    < 2^depth — greyscale color type 0, where the decoder rescales a
+    level to ``level * (255 // (2^depth - 1))``). ``interlace=True``
+    emits Adam7: seven independently-filtered sub-images.
+    ``filters`` is the per-row filter strategy: ``"none"`` or
+    ``"cycle"`` (row y of each (sub-)image uses filter y % 5 — every
+    decoder unfilter path gets exercised)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    if pixels.ndim != 3 or pixels.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("pack_png wants (h, w[, 1|2|3|4]) pixels")
+    if filters not in ("none", "cycle"):
+        raise ValueError("filters must be 'none' or 'cycle'")
+    h, w, ch = pixels.shape
+    if bit_depth == 16:
+        if pixels.dtype != np.uint16:
+            raise ValueError("bit_depth=16 wants uint16 pixels")
+    elif bit_depth == 8:
+        if pixels.dtype != np.uint8:
+            raise ValueError("bit_depth=8 wants uint8 pixels")
+    elif bit_depth in (1, 2, 4):
+        if pixels.dtype != np.uint8 or ch != 1:
+            raise ValueError("sub-byte depths want (h, w) uint8 greyscale levels")
+        if int(pixels.max(initial=0)) >= 1 << bit_depth:
+            raise ValueError(f"levels must be < 2^{bit_depth}")
+    else:
+        raise ValueError("bit_depth must be 1, 2, 4, 8, or 16")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = max(1, ch * (2 if bit_depth == 16 else 1))
+
+    def subimage_rows(px):
+        grid = _png_pack_samples(
+            px if bit_depth in (8, 16) else px[:, :, 0], bit_depth
+        )
+        return _png_filter_rows(grid, bpp, filters)
+
+    if interlace:
+        out_rows = []
+        for xs, ys, xstep, ystep, _pw, _ph in _adam7_passes(w, h):
+            out_rows += subimage_rows(pixels[ys::ystep, xs::xstep])
+    else:
+        out_rows = subimage_rows(pixels)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1 if interlace else 0
+    )
     idat = zlib.compress(b"".join(out_rows), level)
     return (
         _PNG_SIG
@@ -205,6 +294,7 @@ def pack_png_indexed(
     bit_depth: int = 8,
     trans=None,
     filters: str = "cycle",
+    interlace: bool = False,
 ) -> bytes:
     """(h, w) palette indices + RGB palette -> indexed-color PNG
     (color type 3) at bit depth 1/2/4/8, optional tRNS alpha list —
@@ -224,33 +314,15 @@ def pack_png_indexed(
     if filters not in ("none", "cycle"):
         raise ValueError("filters must be 'none' or 'cycle'")
     h, w = idx.shape
-    if bit_depth == 8:
-        packed = idx
+    if interlace:
+        out_rows = []
+        for xs, ys, xstep, ystep, _pw, _ph in _adam7_passes(w, h):
+            out_rows += _png_filter_rows(
+                _png_pack_samples(idx[ys::ystep, xs::xstep], bit_depth), 1, filters
+            )
     else:
-        bits = (idx[:, :, None] >> np.arange(bit_depth - 1, -1, -1, dtype=np.uint8)) & 1
-        packed = np.packbits(bits.reshape(h, w * bit_depth), axis=1)
-    stride = packed.shape[1]
-    flat = packed.astype(np.int16)
-    zero = np.zeros(stride, dtype=np.int16)
-    out_rows = []
-    for y in range(h):
-        r = flat[y]
-        p = flat[y - 1] if y else zero
-        left = np.concatenate([[0], r[:-1]]).astype(np.int16) if stride > 1 else np.zeros_like(r)
-        upleft = np.concatenate([[0], p[:-1]]).astype(np.int16) if stride > 1 else np.zeros_like(p)
-        f = 0 if filters == "none" else y % 5
-        if f == 0:
-            filt = r
-        elif f == 1:
-            filt = r - left
-        elif f == 2:
-            filt = r - p
-        elif f == 3:
-            filt = r - ((left + p) >> 1)
-        else:
-            filt = r - _paeth_predictor(left, p, upleft)
-        out_rows.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+        out_rows = _png_filter_rows(_png_pack_samples(idx, bit_depth), 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0)
     chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     chunks += _png_chunk(b"PLTE", b"".join(bytes(c) for c in palette))
     if trans is not None:
@@ -262,19 +334,22 @@ def pack_png_indexed(
 
 
 def _parse_png(buf: bytes):
-    """Non-interlaced PNG -> (w, h, ch, (h, w, ch) uint8) or None —
-    REAL decoding with stdlib ``zlib`` (IDAT inflate) + NumPy scanline
-    unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supported:
-    8-bit greyscale / truecolor (± alpha) AND indexed-color (PLTE) at
-    bit depths 1/2/4/8, with tRNS palette transparency (indexed
-    output is RGB, or RGBA when tRNS is present). Structural
-    validation is complete: signature, chunk CRCs, IHDR first / IEND
-    terminator, PLTE before IDAT with 1..256 whole entries, indices
-    inside the palette, interlace 0, exact decompressed length,
-    filter bytes in 0..4. 16-bit samples, sub-byte greyscale, and
-    interlaced images return None (the codec route), as does any
-    structural damage; a colour-key tRNS on greyscale/truecolor is
-    ignored (documented simplification)."""
+    """PNG -> (w, h, ch, (h, w, ch) uint8) or None — REAL decoding
+    with stdlib ``zlib`` (IDAT inflate) + NumPy scanline unfiltering
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supported: greyscale /
+    truecolor (± alpha) at bit depths 8 and 16 (16-bit samples strip
+    to the high byte — the libpng 16->8 semantics), sub-byte
+    greyscale at depths 1/2/4 (level * (255/(2^d-1)), exact: 255 is
+    divisible by 1/3/15), indexed-color (PLTE) at depths 1/2/4/8 with
+    tRNS palette transparency (RGB out, RGBA when tRNS present), and
+    ADAM7 INTERLACE for every supported format (seven
+    independently-filtered sub-images scattered back on the pass
+    grid). Structural validation is complete: signature, chunk CRCs,
+    IHDR first / IEND terminator, PLTE before IDAT with 1..256 whole
+    entries, indices inside the palette, exact decompressed length
+    across all passes, filter bytes in 0..4. 12-bit/other depths and
+    any structural damage return None; a colour-key tRNS on
+    greyscale/truecolor is ignored (documented simplification)."""
     if len(buf) < len(_PNG_SIG) + 12 or buf[: len(_PNG_SIG)] != _PNG_SIG:
         return None
     i, ihdr, idat, ended = len(_PNG_SIG), None, [], False
@@ -309,27 +384,34 @@ def _parse_png(buf: bytes):
     if ihdr is None or not idat or not ended:
         return None
     w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if w <= 0 or h <= 0 or comp != 0 or filt_m != 0 or interlace != 0:
+    if w <= 0 or h <= 0 or comp != 0 or filt_m != 0 or interlace not in (0, 1):
         return None
     if color_type == 3:
         if depth not in (1, 2, 4, 8) or plte is None:
             return None
         if trns is not None and len(trns) > len(plte):
             return None
-        ch = 1  # one index sample per pixel on disk
-        stride = (w * depth + 7) // 8
-        bpp = 1  # filters act on bytes; sub-byte pixels share bytes
+        ch, sub_byte, wide = 1, depth < 8, False
     else:
-        if depth != 8:
-            return None
         ch = _PNG_CHANNELS.get(color_type)
         if ch is None or plte is not None:
             return None
-        stride = w * ch
-        bpp = ch
+        sub_byte = depth in (1, 2, 4) and color_type == 0
+        wide = depth == 16
+        if not (depth == 8 or wide or sub_byte):
+            return None
     if w * h > _PNG_MAX_PIXELS:  # forged-IHDR allocation guard
         return None
-    expect = h * (1 + stride)
+
+    def geom(pw):
+        # (stride, bpp) of a pw-pixel scanline at this format
+        if sub_byte:
+            return (pw * depth + 7) // 8, 1
+        unit = ch * (2 if wide else 1)
+        return pw * unit, unit
+
+    passes = _adam7_passes(w, h) if interlace else [(0, 0, 1, 1, w, h)]
+    expect = sum(ph * (1 + geom(pw)[0]) for *_xy, pw, ph in passes)
     try:
         # bounded inflate: never produce more than the IHDR-declared
         # size + 1 sentinel byte, whatever the DEFLATE stream holds
@@ -339,15 +421,60 @@ def _parse_png(buf: bytes):
         return None
     if len(raw) != expect or not d.eof or d.unconsumed_tail or d.unused_data:
         return None
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+
+    # per-pixel SAMPLE grid: indices for ct 3, bytes otherwise (16-bit
+    # strips to the high byte — the libpng 16->8 semantics; sub-byte
+    # greyscale rescales exactly: 255/(2^d - 1) is integral)
+    samples = np.empty((h, w, ch), dtype=np.uint8)
+    off = 0
+    for xs, ys, xstep, ystep, pw, ph in passes:
+        stride, bpp = geom(pw)
+        seg = raw[off : off + ph * (1 + stride)]
+        off += ph * (1 + stride)
+        rec = _png_unfilter(seg, ph, stride, bpp)
+        if rec is None:
+            return None
+        if sub_byte:
+            bits = np.unpackbits(rec, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+            vals = (bits << np.arange(depth - 1, -1, -1, dtype=np.uint8)).sum(
+                axis=2, dtype=np.int64
+            )
+            if color_type == 3:
+                px = vals.astype(np.uint8)[:, :, None]
+            else:
+                px = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)[:, :, None]
+        elif wide:
+            px = rec.reshape(ph, pw, ch, 2)[:, :, :, 0]  # big-endian high byte
+        else:
+            px = rec.reshape(ph, pw, ch)
+        samples[ys::ystep, xs::xstep] = px
+
+    if color_type != 3:
+        return w, h, ch, samples
+    idx = samples[:, :, 0]
+    if int(idx.max(initial=0)) >= len(plte):
+        return None
+    rgb = plte[idx]
+    if trns is None:
+        return w, h, 3, rgb
+    alpha = np.full(len(plte), 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    return w, h, 4, np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+
+
+def _png_unfilter(seg: bytes, h: int, stride: int, bpp: int):
+    """Reconstruct one (sub-)image's scanlines (RFC 2083 §6): ``seg``
+    is ``h`` rows of 1 filter byte + ``stride`` data bytes. Returns
+    the (h, stride) uint8 byte grid or None on a bad filter type.
+
+    Memory posture: the input stays a uint8 VIEW of the inflated
+    bytes; each scanline converts to int16 only while being
+    reconstructed (predictor sums max out at 510), and the output
+    accumulates as uint8 — peak working set ~2x the raw image."""
+    rows = np.frombuffer(seg, dtype=np.uint8).reshape(h, 1 + stride)
     ftypes = rows[:, 0]
     if ftypes.max(initial=0) > 4:
         return None
-    # memory posture: `rows` stays a uint8 VIEW of the inflated bytes;
-    # each scanline converts to int16 only while being reconstructed
-    # (predictor sums max out at 510), and the output accumulates as
-    # uint8 — peak working set ~2x the raw image, not the ~9x a
-    # whole-image int32 conversion would cost at the pixel ceiling
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
@@ -377,23 +504,7 @@ def _parse_png(buf: bytes):
                 rec[sl] = a
         out[y] = rec
         prev = rec
-    if color_type != 3:
-        return w, h, ch, out.reshape(h, w, ch)
-    if depth == 8:
-        idx = out[:, :w]
-    else:
-        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
-        idx = (bits << np.arange(depth - 1, -1, -1, dtype=np.uint8)).sum(
-            axis=2, dtype=np.int64
-        )
-    if int(idx.max(initial=0)) >= len(plte):
-        return None
-    rgb = plte[idx]
-    if trns is None:
-        return w, h, 3, rgb
-    alpha = np.full(len(plte), 255, dtype=np.uint8)
-    alpha[: len(trns)] = trns
-    return w, h, 4, np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    return out
 
 
 def _parse_ppm(buf: bytes):
@@ -923,10 +1034,11 @@ def decode_media(df: DataFrame, decode: str = "stub", batch_rows: int = 1024) ->
             "in this environment; plug the codec into the kernel and "
             "pass decode='real' — or use decode='numpy' for the "
             "stdlib+NumPy formats (PPM P6, uncompressed BMP, PNG "
-            "incl. indexed-color, baseline + progressive JPEG, "
-            "GIF87a/89a incl. animation, PCM WAV). The real gate now "
-            "covers arithmetic-coded JPEG, 16-bit/interlaced PNG, and "
-            "compressed audio/video (MP3/AAC/H.264)"
+            "incl. indexed-color/16-bit/sub-byte-grey/Adam7-"
+            "interlaced, baseline + progressive JPEG, GIF87a/89a "
+            "incl. animation, PCM WAV). The real gate now covers "
+            "arithmetic-coded JPEG and compressed audio/video "
+            "(MP3/AAC/H.264)"
         )
     if decode == "numpy":
 

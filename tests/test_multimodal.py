@@ -1108,3 +1108,93 @@ def test_progressive_jpeg_structural_rejection():
     chunk = good[off:nxt]
     flood = good[:nxt] + chunk * 70 + good[nxt:]
     assert _parse_jpeg(flood) is None
+
+
+def test_png_16bit_subbyte_and_adam7_matrix():
+    """The full round-trip matrix the round-10 PNG extension adds:
+    8/16-bit truecolor(+alpha), sub-byte greyscale (exact
+    level*(255/(2^d-1)) rescale), indexed at every depth — each both
+    sequential and Adam7-interlaced, including degenerate 1x1/1xN/Nx1
+    geometries where most passes are empty."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_png,
+        pack_png,
+        pack_png_indexed,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def check(buf, want):
+        r = _parse_png(buf)
+        assert r is not None
+        assert r[:3] == (want.shape[1], want.shape[0], want.shape[2])
+        assert np.array_equal(r[3], want)
+
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(13, 17, ch), dtype=np.uint8)
+        check(pack_png(px), px)
+        check(pack_png(px, interlace=True), px)
+    for ch in (1, 3, 4):
+        px16 = rng.integers(0, 65536, size=(9, 11, ch), dtype=np.uint16)
+        want = (px16 >> 8).astype(np.uint8)  # libpng high-byte strip
+        check(pack_png(px16, bit_depth=16), want)
+        check(pack_png(px16, bit_depth=16, interlace=True), want)
+    for d in (1, 2, 4):
+        lv = rng.integers(0, 1 << d, size=(10, 23, 1), dtype=np.uint8)
+        want = (lv * (255 // ((1 << d) - 1))).astype(np.uint8)
+        check(pack_png(lv, bit_depth=d), want)
+        check(pack_png(lv, bit_depth=d, interlace=True), want)
+    pal = [(10, 20, 30), (200, 100, 50), (1, 2, 3), (9, 9, 9)]
+    for d in (1, 2, 4, 8):
+        k = min(1 << d, 4)
+        idx = rng.integers(0, k, size=(12, 19), dtype=np.uint8)
+        want = np.array(pal, dtype=np.uint8)[idx]
+        check(pack_png_indexed(idx, pal[:k], bit_depth=d, interlace=True), want)
+    one = np.array([[[7, 8, 9]]], dtype=np.uint8)
+    check(pack_png(one, interlace=True), one)
+    col = rng.integers(0, 256, size=(9, 1, 3), dtype=np.uint8)
+    check(pack_png(col, interlace=True), col)
+    row = rng.integers(0, 256, size=(1, 9, 3), dtype=np.uint8)
+    check(pack_png(row, interlace=True), row)
+    # tRNS survives interlace (RGBA out)
+    tr = pack_png_indexed(
+        rng.integers(0, 2, size=(7, 8), dtype=np.uint8),
+        pal[:2], bit_depth=1, trans=[128], interlace=True,
+    )
+    assert _parse_png(tr)[2] == 4
+
+
+def test_png_extension_rejections():
+    """Structural guards around the new formats: truncated interlaced
+    stream (per-pass expected length), depth/type combos outside the
+    spec, and the encoder's input validation."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_png,
+        pack_png,
+    )
+
+    px = np.full((8, 9, 3), 5, dtype=np.uint8)
+    good = pack_png(px, interlace=True)
+    assert _parse_png(good) is not None
+    # forge IHDR depth 12 (no such PNG depth), re-CRC
+    import zlib as _z
+
+    bad = bytearray(good)
+    bad[8 + 8 + 8] = 12  # depth byte of IHDR
+    crc = _z.crc32(bytes(bad[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", bad, 8 + 8 + 13, crc)
+    assert _parse_png(bytes(bad)) is None
+    # encoder validation
+    with _pytest.raises(ValueError, match="uint16"):
+        pack_png(px, bit_depth=16)
+    with _pytest.raises(ValueError, match="levels"):
+        pack_png(np.full((4, 4, 1), 9, dtype=np.uint8), bit_depth=2)
+    with _pytest.raises(ValueError, match="greyscale"):
+        pack_png(px, bit_depth=4)
