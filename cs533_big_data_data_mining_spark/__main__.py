@@ -1314,9 +1314,11 @@ def _ingest_shard_main(argv: list[str]) -> int:
         "--bloom-dir", default=None,
         help="persisted Bloom artifact dir (url/ doc/ para/ subdirs, "
         "BloomFilter.save layout): stages LOAD their history filter "
-        "from here when present, else build it from --history at "
-        "--bloom-fpp and SAVE it for the next shard cycle (the "
-        "--ivf-dir pattern); needs --bloom-fpp",
+        "from here when present AND the saved history row count still "
+        "matches --history (a grown history auto-rebuilds — a stale "
+        "filter would silently miss new-history duplicates), else "
+        "build from --history at --bloom-fpp and SAVE for the next "
+        "shard cycle (the --ivf-dir pattern); needs --bloom-fpp",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -1366,23 +1368,54 @@ def _ingest_shard_main(argv: list[str]) -> int:
         print(f"{name}: {frame.count()} docs ({time.time() - t0:.1f}s)", flush=True)
         return frame
 
+    hist_n = None  # lazily-computed history row count (staleness key)
+
     def history_bloom(sub, build):
         """Load the stage's persisted history filter from --bloom-dir,
         or build+save it there; None (build-inline-in-the-op) when no
-        --bloom-dir is given."""
+        --bloom-dir is given.
+
+        Staleness: each saved filter carries the history ROW COUNT it
+        was built from (a `<sub>_meta` sidecar). A grown/shrunk
+        --history — the natural append-after-admission workflow —
+        REBUILDS instead of loading: probing a stale filter would
+        silently void the exact=True 'never a missed duplicate'
+        guarantee (a new-history duplicate reads Bloom-NEGATIVE and
+        bypasses the verify join entirely). Same-count content edits
+        are not detectable this cheaply and remain the operator's
+        contract."""
+        nonlocal hist_n
         if not args.bloom_dir:
             return None
+        if hist_n is None:
+            hist_n = hist.count()
         path = args.bloom_dir.rstrip("/") + "/" + sub
+        meta_path = path + "_meta"
         jvm = spark.sparkContext._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         hfs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if hfs.exists(hpath):
-            bf = BloomFilter.load(spark, path)
-            print(f"bloom: loaded {sub} filter from {path}", flush=True)
-            return bf
+            saved_n = None
+            if hfs.exists(jvm.org.apache.hadoop.fs.Path(meta_path)):
+                row = spark.read.parquet(meta_path).head()
+                saved_n = None if row is None else int(row["n_history_rows"])
+            if saved_n == hist_n:
+                bf = BloomFilter.load(spark, path)
+                print(f"bloom: loaded {sub} filter from {path} "
+                      f"(history rows {hist_n})", flush=True)
+                return bf
+            print(f"bloom: {sub} filter is STALE (built from "
+                  f"{saved_n} history rows, current {hist_n}) — rebuilding",
+                  flush=True)
         bf = build()
         bf.save(spark, path)
-        print(f"bloom: built + saved {sub} filter to {path}", flush=True)
+        from cs533_big_data_data_mining_spark.session import local_df
+
+        local_df(spark, [(hist_n,)], "n_history_rows long").write.mode(
+            "overwrite"
+        ).parquet(meta_path)
+        print(f"bloom: built + saved {sub} filter to {path} "
+              f"(history rows {hist_n})", flush=True)
         return bf
 
     cur = new

@@ -412,7 +412,7 @@ def langid_train(
         F.substring(F.col(text_col), 1, int(max_chars)).alias("__t"),
         langid_seed_label(F.col(text_col), min_hits, min_lead).alias("__lab"),
     )
-    return nb_train(
+    model = nb_train(
         seed,
         "__t",
         "__lab",
@@ -422,10 +422,24 @@ def langid_train(
         hash_buckets=hash_buckets,
         grams="char",
     )
+    # stamp the truncation into the meta row: max_chars IS a
+    # feature-space parameter (training saw only the prefix), so a
+    # reloaded model scored at a different value must raise, not
+    # silently skew — the same contract the B/max_n/hash/grams
+    # fields enforce. nb_classify rejects chars-stamped models
+    # outright (its scorer does not truncate; langid scoring goes
+    # through lang_id_nb).
+    return model.withColumn(
+        "label",
+        F.when(
+            F.col("b") == NB_META_BUCKET,
+            F.concat(F.col("label"), F.lit(f";chars={int(max_chars)}")),
+        ).otherwise(F.col("label")),
+    )
 
 
 def lang_id_nb(
-    model: DataFrame, col, *, max_chars: int = LANGID_MAX_CHARS, impl: str = "arrow"
+    model: DataFrame, col, *, max_chars: int | None = None, impl: str = "arrow"
 ):
     """Predicted language of ``col`` — the trained twin of
     :func:`..functions.text.lang_id`, usable anywhere a Column is
@@ -463,8 +477,12 @@ def lang_id_nb(
     classifier always answers — unlike the marker heuristic, which
     falls back to 'und' on zero overlap).
 
-    ``max_chars`` must match the training value (feature-space
-    parameter, same default)."""
+    ``max_chars`` defaults to the value stamped in the model's meta
+    row (:func:`langid_train` records its truncation there); passing
+    one explicitly must MATCH the stamp — a mismatched feature space
+    raises instead of silently feeding the scorer more grams than
+    training saw. Models without a stamp (a plain ``grams='char'``
+    :func:`nb_train` fit) fall back to ``LANGID_MAX_CHARS``."""
     from cs533_big_data_data_mining_spark.functions.text import (
         FINGERPRINT_MOD,
         char_ngrams,
@@ -497,6 +515,16 @@ def lang_id_nb(
     B = int(fields["B"])
     max_n = int(fields["max_n"])
     hash_buckets = fields["hash"]
+    stamped = fields.get("chars")
+    if stamped is not None:
+        if max_chars is not None and int(max_chars) != int(stamped):
+            raise ValueError(
+                f"model was trained at max_chars={stamped}, "
+                f"scored at max_chars={max_chars} — feature-space mismatch"
+            )
+        max_chars = int(stamped)
+    elif max_chars is None:
+        max_chars = LANGID_MAX_CHARS
     labels = sorted(pri)
     if not labels:
         raise ValueError("model has no classes (empty or unlabeled training seed?)")

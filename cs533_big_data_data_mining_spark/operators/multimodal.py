@@ -2038,7 +2038,9 @@ def pack_jpeg_progressive(
     for kind, cis, ss, se, ah, al in script:
         sos = bytes([len(cis)])
         for ci in cis:
-            sos += bytes([ci + 1, 0x00 if kind.startswith("dc") else 0x00])
+            # Td=0/Ta=0: the single DC and single AC table written
+            # above serve every scan
+            sos += bytes([ci + 1, 0x00])
         sos += bytes([ss, se, (ah << 4) | al])
         out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
         bw = _JpegBitWriter()
@@ -2260,22 +2262,27 @@ def _parse_jpeg(buf: bytes):
                 return None
             if buf[pos] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
+            # a marker — real encoders emit them, so skip the run
+            # FIRST (an EOI behind fill bytes is still an EOI;
+            # post-EOI trailers are likewise tolerated below)
+            while pos + 2 <= len(buf) and buf[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(buf):
+                return None
             if buf[pos + 1] == 0xD9 and progressive and coefs is not None and n_scans:
                 return _jpeg_prog_assemble(sof, geom, coefs, qt)
             if pos + 4 > len(buf):
                 return None
-            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
-            # a marker — real encoders emit them, so skip the run
-            # (post-EOI trailers are likewise tolerated below)
-            while buf[pos + 1] == 0xFF:
-                pos += 1
-                if pos + 4 > len(buf):
-                    return None
             marker = buf[pos + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
             if marker == 0xD9:
+                # fill bytes may precede EOI too (the early check only
+                # catches EOI at the exact buffer tail)
+                if progressive and coefs is not None and n_scans:
+                    return _jpeg_prog_assemble(sof, geom, coefs, qt)
                 return None  # EOI before any image data
             (seglen,) = struct.unpack_from(">H", buf, pos + 2)
             if seglen < 2 or pos + 2 + seglen > len(buf):
@@ -2431,8 +2438,12 @@ def _jpeg_scan(buf, pos, w, h, scan, dri):
                         planes[ci][py : py + 8, px_ : px_ + 8] = blk
             n_mcu += 1
     # trailing bits of the final partial byte are 1-padding; the next
-    # bytes must be EOI (trailing garbage = structural damage)
-    if not buf[br.pos :].startswith(b"\xff\xd9"):
+    # bytes must be EOI, optionally behind T.81 fill bytes (any OTHER
+    # trailing content = structural damage)
+    j = br.pos
+    while j + 2 < len(buf) and buf[j] == 0xFF and buf[j + 1] == 0xFF:
+        j += 1
+    if not buf[j:].startswith(b"\xff\xd9"):
         return None
     nch = len(scan)
     out = np.empty((h, w, nch), dtype=np.float64)

@@ -710,7 +710,12 @@ def semdedup(
         )
     else:
         cent, assignments = index
-    assignments = assignments.cache()
+    # the primary-assignment frame is consumed by probes=1 pairing and
+    # by the far survivor policy; under min_id + probes>1 it stays a
+    # LAZY plan that never materializes — cache only what runs
+    need_primary = probes == 1 or keep == "far_from_centroid"
+    if need_primary:
+        assignments = assignments.cache()
     if probes > 1:
         pairing = assign_to_centroids(
             corpus, cent, id_col=id_col, vec_col=vec_col, probes=probes
@@ -750,7 +755,8 @@ def semdedup(
     survivors = survivors.persist()
     survivors.count()
     edges.unpersist()
-    assignments.unpersist()
+    if need_primary:
+        assignments.unpersist()
     return survivors
 
 

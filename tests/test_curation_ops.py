@@ -1970,6 +1970,29 @@ def test_cli_ingest_shard_paragraph_and_bloom_dir(spark, tmp_path):
     got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
     assert got2 == got
 
+    # third cycle against a GROWN history: the persisted filters are
+    # stale (they lack the appended rows' keys) and must REBUILD — a
+    # duplicate of a newly-appended doc would otherwise read
+    # Bloom-NEGATIVE and bypass the exact verify join entirely
+    hist2_p = str(tmp_path / "pb_hist2.parquet")
+    grown = spark.read.parquet(hist_p).unionByName(
+        spark.createDataFrame(
+            [(50, got[204], "https://ex.com/n/204")],
+            "doc_id long, text string, url string",
+        )
+    )
+    grown.write.parquet(hist2_p)
+    out3 = str(tmp_path / "pb_out3.parquet")
+    rc = main([
+        "ingest-shard", "-i", new_p, "--history", hist2_p,
+        "--url-col", "url", "--jaccard", "0", "--paragraph",
+        "--bloom-fpp", "0.5", "--bloom-dir", bdir, "-o", out3,
+    ])
+    assert rc == 0
+    ids3 = {r["doc_id"] for r in spark.read.parquet(out3).select("doc_id").collect()}
+    assert 204 not in ids3  # now a duplicate of appended history doc 50
+    assert 202 in ids3
+
     # --bloom-dir without --bloom-fpp is a config error
     import pytest as _pytest
 
@@ -1978,3 +2001,31 @@ def test_cli_ingest_shard_paragraph_and_bloom_dir(spark, tmp_path):
             "ingest-shard", "-i", new_p, "--history", hist_p, "-o", out2,
             "--bloom-dir", bdir,
         ])
+
+
+def test_langid_max_chars_stamp(spark):
+    """max_chars is a feature-space parameter: langid_train stamps it
+    into the meta row, lang_id_nb adopts the stamp by default and
+    raises on an explicit mismatch; nb_classify refuses chars-stamped
+    models (its scorer does not truncate)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.classify import (
+        lang_id_nb,
+        langid_train,
+        nb_classify,
+    )
+
+    df, _ = _langid_fixture(spark, n=40)
+    model = langid_train(df, "text", max_chars=128).cache()
+    meta = model.filter(F.col("b") == -3).head()["label"]
+    assert ";chars=128" in meta
+    # default adopts the stamp; matching explicit value also fine
+    a = sorted(df.select("id", lang_id_nb(model, "text").alias("l")).collect())
+    b = sorted(df.select("id", lang_id_nb(model, "text", max_chars=128).alias("l")).collect())
+    assert a == b
+    with _pytest.raises(ValueError, match="feature-space mismatch"):
+        lang_id_nb(model, "text", max_chars=512)
+    with _pytest.raises(ValueError, match="mismatch"):
+        nb_classify(df, "id", "text", model, n_buckets=256, max_n=3, grams="char")

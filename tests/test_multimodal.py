@@ -1198,3 +1198,25 @@ def test_png_extension_rejections():
         pack_png(np.full((4, 4, 1), 9, dtype=np.uint8), bit_depth=2)
     with _pytest.raises(ValueError, match="greyscale"):
         pack_png(px, bit_depth=4)
+
+
+def test_jpeg_fill_bytes_before_eoi():
+    """T.81 B.1.1.2: fill bytes may precede any marker, including EOI
+    — both decoders must accept FF-padded EOIs (regression: the
+    marker walk's 4-byte guard ran before the fill-run skip)."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        _parse_jpeg,
+        pack_jpeg,
+        pack_jpeg_progressive,
+    )
+
+    px = np.full((8, 8), 99, dtype=np.uint8)
+    for enc in (pack_jpeg, pack_jpeg_progressive):
+        buf = enc(px)
+        for nfill in (1, 3):
+            padded = buf[:-2] + b"\xff" * nfill + b"\xff\xd9"
+            r = _parse_jpeg(padded)
+            assert r is not None and np.array_equal(r[3][:, :, 0], px), (enc, nfill)
+        assert _parse_jpeg(buf[:-1]) is None  # truncation still rejects
