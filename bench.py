@@ -1484,6 +1484,75 @@ def main() -> None:
         finally:
             docs_nb.unpersist()
 
+        # trained langid at 500k docs (round 10): planted 5-language
+        # corpus from the marker vocabularies (10 cyclic words + one
+        # fused pseudo-word per doc), self-labeled seed = the ~2%
+        # slice (stride 53 — coprime with the 5-class residue), char-3-gram NB fit, ALL docs scored through the
+        # Arrow int64 fixed-point route — 0 misclassifications
+        # expected (per-language char statistics are disjoint), and
+        # the no-marker plants (id % 1009 == 0 -> 'qqq zzz xxx') must
+        # classify uniformly (deterministically) rather than crash
+        from cs533_big_data_data_mining_spark.functions.text import LANG_MARKERS
+        from cs533_big_data_data_mining_spark.operators.classify import (
+            lang_id_nb,
+            langid_train,
+        )
+
+        nlg = 500_000
+        lg_names = sorted(LANG_MARKERS)
+        i_col = F.col("id")
+
+        def _lg_base(lg):
+            arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lg]])
+            wj = lambda j: F.element_at(arr, ((i_col + F.lit(j)) % 7 + 1).cast("int"))  # noqa: E731
+            return F.concat_ws(" ", *[wj(j) for j in range(10)], F.concat(wj(0), wj(3)))
+
+        sel = F.lit(None).cast("string")
+        for nsel, lg in reversed(list(enumerate(lg_names))):
+            sel = F.when((i_col % 5) == nsel, _lg_base(lg)).otherwise(sel)
+        docs_lg = spark.range(nlg).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("l"), (i_col % 5).cast("string")).alias("want"),
+            F.when(i_col % 1009 == 0, F.lit("qqq zzz xxx")).otherwise(sel).alias("text"),
+        ).cache()
+        t0 = time.time()
+        try:
+            m_lg = langid_train(docs_lg.filter(F.col("doc_id") % 53 == 0), "text")
+            pred = docs_lg.select(
+                "doc_id", "want", lang_id_nb(m_lg, "text").alias("lang")
+            )
+            agg_lg = pred.filter(F.col("doc_id") % 1009 != 0).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (
+                        F.col("lang")
+                        != F.element_at(
+                            F.array(*[F.lit(x) for x in lg_names]),
+                            (F.substring("want", 2, 1).cast("int") + 1),
+                        )
+                    ).cast("long")
+                ).alias("wrong"),
+            ).head()
+            n_plant = docs_lg.filter(F.col("doc_id") % 1009 == 0).count()
+            plant_langs = (
+                pred.filter(F.col("doc_id") % 1009 == 0).select("lang").distinct().count()
+            )
+            assert agg_lg["wrong"] == 0, dict(agg_lg.asDict())
+            assert agg_lg["n"] == nlg - n_plant
+            assert plant_langs == 1  # deterministic answer on no-marker docs
+            timings["langid_scale500k"] = round(time.time() - t0, 3)
+            print(
+                f"# langid_scale500k: {timings['langid_scale500k']}s "
+                f"({agg_lg['n']} docs, 0 misclassified, {n_plant} "
+                f"no-marker plants uniform)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["langid_scale500k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# langid_scale500k: ERROR {errors['langid_scale500k']}", file=sys.stderr)
+        finally:
+            docs_lg.unpersist()
+
         nmx = 1_000_000
         docs_mx = spark.range(nmx).select(
             F.col("id").alias("doc_id"),
