@@ -3839,13 +3839,17 @@ def _q_stream_eq_all(spark, sf_dir):
     return a.coalesce(1).crossJoin(b.coalesce(1)).crossJoin(c.coalesce(1))
 
 
-#: Round-10 must-record rotation: new/changed-this-round rows first,
-#: then the 44 queries whose latest driver row is CORRECTNESS_r08
-#: (registry order).
+#: Round-10 must-record rotation: new/changed-this-round rows first
+#: (stream_eq_all's harness determinism fix and multimodal_gif's
+#: budget/transparency guards landed this round), then the 44 queries
+#: whose latest driver row is CORRECTNESS_r08 (registry order) —
+#: 49 rows inside the ~50 cap.
 _RECORD_FRONT = [
     "langid_route_eq",
     "semdedup_multiprobe_eq",
     "multimodal_decode",
+    "stream_eq_all",
+    "multimodal_gif",
     "crawl_shards",
     "decontaminate",
     "sketches_all",
