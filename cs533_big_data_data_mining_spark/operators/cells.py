@@ -317,3 +317,120 @@ def ghost_expand(points: DataFrame, spec: GridSpec) -> DataFrame:
         "id", "xs", F.explode(F.transform(F.filter(offsets, _keep), _mk)).alias("_ch")
     )
     return ex.select(F.col("_ch.cell").alias("cell"), "id", "xs", F.col("_ch.is_home").alias("is_home"))
+
+
+def ghost_expand_2eps(points: DataFrame, spec: GridSpec) -> DataFrame:
+    """Ghost expansion with a **2-eps closure** for the fused DBSCAN
+    local phase. Output columns ``cell, id, xs, is_home, is_near``.
+
+    Each point visits its home cell plus every adjacent cell whose
+    slab it 2*eps-touches (requires every cell side >= 2*eps so +-1
+    offsets still cover the closure — raised otherwise). ``is_near``
+    marks the rows that eps-touch the cell (the classic ghost set,
+    home rows included).
+
+    Why 2*eps: a near row's OWN eps-neighborhood lies within 2*eps of
+    the cell slab, so its neighbor count — hence its coreness — is
+    locally decidable inside the cell. That lets counts + core
+    predicate + local union + border detection run in ONE
+    ``applyInPandas`` pass (``neighbors.fused_local_phase``) instead
+    of two kernel passes joined through an ``is_core`` shuffle: the
+    duplication grows from ~(1+2/wf)^k to ~(1+4/wf)^k rows shipped
+    ONCE, versus ~2x(1+2/wf)^k shipped twice plus a join — same bytes,
+    half the task/Arrow overhead (SCALE.md round-10 kernel profile:
+    ~90% of the part64 local phase was structural overhead, not math).
+    """
+    if not spec.dims:
+        return points.select(
+            F.lit(0).cast("long").alias("cell"),
+            "id",
+            "xs",
+            F.lit(True).alias("is_home"),
+            F.lit(True).alias("is_near"),
+        )
+    r2 = 2.0 * spec.eps
+    bad = [w for w in spec.width if w < r2]
+    if bad:
+        raise ValueError(
+            f"ghost_expand_2eps needs every cell side >= 2*eps={r2}; got widths {spec.width}"
+        )
+
+    strides = spec.strides
+    idx = _cell_index_cols(spec)
+    k = len(spec.dims)
+
+    # same two-step shape as ghost_expand: per-axis boundary flags
+    # once per point, then the 3^k offset explode filtered by them.
+    # Two flag radii per boundary: 2*eps (inclusion) and eps (is_near).
+    pts = points.select("id", "xs", *[ix.alias(f"_c{i}") for i, ix in enumerate(idx)])
+    touch_cols = []
+    for i in range(k):
+        xj = F.col("xs")[spec.dims[i]]
+        low = F.lit(spec.origin[i]) + F.col(f"_c{i}") * F.lit(spec.width[i])
+        d_lo = xj - low
+        d_hi = low + F.lit(spec.width[i]) - xj
+        has_lo = F.col(f"_c{i}") > 0
+        has_hi = F.col(f"_c{i}") < F.lit(spec.ncells[i] - 1)
+        touch_cols += [
+            (has_lo & (d_lo <= F.lit(r2))).alias(f"_lo{i}"),
+            (has_hi & (d_hi <= F.lit(r2))).alias(f"_hi{i}"),
+            (has_lo & (d_lo <= F.lit(spec.eps))).alias(f"_lon{i}"),
+            (has_hi & (d_hi <= F.lit(spec.eps))).alias(f"_hin{i}"),
+        ]
+    pts = pts.select("id", "xs", *[F.col(f"_c{i}") for i in range(k)], *touch_cols)
+
+    offsets = F.array(*[F.array(*[F.lit(d) for d in delta]) for delta in product((-1, 0, 1), repeat=k)])
+
+    if k <= 3:
+        ex = pts.withColumn("_d", F.explode(offsets))
+        cell = F.lit(0).cast("long")
+        cond = F.lit(True)
+        is_home = F.lit(True)
+        is_near = F.lit(True)
+        for i in range(k):
+            di = F.col("_d")[i]
+            cell = cell + (F.col(f"_c{i}") + di) * F.lit(strides[i])
+            cond = cond & (
+                (di == 0) | ((di == -1) & F.col(f"_lo{i}")) | ((di == 1) & F.col(f"_hi{i}"))
+            )
+            is_home = is_home & (di == 0)
+            is_near = is_near & (
+                (di == 0) | ((di == -1) & F.col(f"_lon{i}")) | ((di == 1) & F.col(f"_hin{i}"))
+            )
+        return ex.filter(cond).select(
+            cell.alias("cell"), "id", "xs", is_home.alias("is_home"), is_near.alias("is_near")
+        )
+
+    def _keep2(d):
+        c = F.lit(True)
+        for i in range(k):
+            di = d[i]
+            c = c & (
+                (di == 0) | ((di == -1) & F.col(f"_lo{i}")) | ((di == 1) & F.col(f"_hi{i}"))
+            )
+        return c
+
+    def _mk2(d):
+        cell = F.lit(0).cast("long")
+        home = F.lit(True)
+        near = F.lit(True)
+        for i in range(k):
+            cell = cell + (F.col(f"_c{i}") + d[i]) * F.lit(strides[i])
+            home = home & (d[i] == 0)
+            near = near & (
+                (d[i] == 0)
+                | ((d[i] == -1) & F.col(f"_lon{i}"))
+                | ((d[i] == 1) & F.col(f"_hin{i}"))
+            )
+        return F.struct(cell.alias("cell"), home.alias("is_home"), near.alias("is_near"))
+
+    ex = pts.select(
+        "id", "xs", F.explode(F.transform(F.filter(offsets, _keep2), _mk2)).alias("_ch")
+    )
+    return ex.select(
+        F.col("_ch.cell").alias("cell"),
+        "id",
+        "xs",
+        F.col("_ch.is_home").alias("is_home"),
+        F.col("_ch.is_near").alias("is_near"),
+    )

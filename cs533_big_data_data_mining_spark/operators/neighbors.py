@@ -272,6 +272,125 @@ def neighbor_counts(celled: DataFrame, eps: float) -> DataFrame:
     return _by_cell(celled).applyInPandas(kernel, schema=schema)
 
 
+def fused_local_phase(celled2: DataFrame, eps: float, min_pts: int) -> DataFrame:
+    """The ENTIRE per-cell DBSCAN local phase in ONE ``applyInPandas``
+    pass — counts, core predicate, local union, border candidates —
+    enabled by the 2*eps ghost closure (``cells.ghost_expand_2eps``):
+    every row that eps-touches the cell ("near": home + classic
+    ghosts) has its full eps-neighborhood present, so its coreness is
+    locally decidable and no ``is_core`` join or second kernel pass is
+    needed. Replaces ``neighbor_counts`` + flags-join +
+    ``local_components_and_borders`` (which shipped the ghost frame
+    through Arrow twice; SCALE.md round-10 profile: ~90% of the part64
+    local phase was that structural overhead).
+
+    Input ``(cell, id, xs, is_home, is_near)``; output ``(kind, a, b)``:
+
+    * kind=0 — star edge ``(near-core id, local min-core-root)`` for
+      every near core of the cell. Every core is home (hence near) in
+      exactly one cell, so the kind=0 node set covers the full core
+      set; a core appearing near in several cells emits one star edge
+      per cell, which is what stitches cross-cell components in the
+      global CC pass. Every global core-core eps-edge (a, b) is seen
+      in a's home cell with BOTH endpoints near (b is within eps of a,
+      hence of the cell), so connectivity is complete.
+    * kind=1 — ``(non-core home id, adjacent core's local root)``
+      border candidates, distinct per (a, b).
+    * kind=2 — ``(home id, n_neighbors)``: the exact neighbor count
+      (self inclusive), same values as ``neighbor_counts``.
+
+    Semantics are bit-identical to the two-pass path: same strip-sweep
+    pairs kernel, same exact-f64 boundary predicate, and every
+    reduction downstream is a min.
+    """
+    eps2 = float(eps) * float(eps)
+    mp = int(min_pts)
+    schema = T.StructType(
+        [
+            T.StructField("kind", T.IntegerType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": pd.Series(dtype="int32"),
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+            }
+        )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = _cell_matrix(pdf)
+        ids = pdf["id"].to_numpy()
+        home = pdf["is_home"].to_numpy(dtype=bool)
+        near = pdf["is_near"].to_numpy(dtype=bool)
+        n = x.shape[0]
+        qidx = np.flatnonzero(near)
+        nq = qidx.size
+        if nq == 0:
+            return _empty()
+        # ONE pairs pass: near rows (queries) x all rows (candidates,
+        # incl. the 2eps-only shell that completes near neighborhoods)
+        ai, bi = _eps_pairs_sweep(x[qidx], x, eps2, float(eps))
+        counts = np.bincount(ai, minlength=nq).astype(np.int64)
+        qids = ids[qidx]
+        qcore = counts >= mp
+        hq = home[qidx]
+        frames = [pd.DataFrame({"kind": np.int32(2), "a": qids[hq], "b": counts[hq]})]
+
+        # map candidate (all-rows) index -> near position, -1 if far
+        pos = np.full(n, -1, dtype=np.int64)
+        pos[qidx] = np.arange(nq)
+        bq = pos[bi]
+        inq = bq >= 0
+        bqs = np.where(inq, bq, 0)
+        core_hit = inq & qcore[ai] & qcore[bqs]
+
+        # local min-label union over near nodes, edges = core-core hits
+        # (pairs with both ends near appear in both orientations; keep
+        # u < v once — also drops self pairs). Non-core nodes stay
+        # singletons, so root_ids over cores = min core id per local
+        # core component, exactly local_components_and_borders's roots.
+        u, v = ai[core_hit], bq[core_hit]
+        keep = u < v
+        u, v = u[keep], v[keep]
+        labels = np.arange(nq, dtype=np.int64)
+        if u.size:
+            while True:
+                before = labels.copy()
+                np.minimum.at(labels, u, labels[v])
+                np.minimum.at(labels, v, labels[u])
+                labels = labels[labels]  # pointer jump
+                if np.array_equal(labels, before):
+                    break
+        minid = np.full(nq, np.iinfo(np.int64).max)
+        np.minimum.at(minid, labels, qids)
+        root_ids = minid[labels]
+        if qcore.any():
+            frames.append(
+                pd.DataFrame({"kind": np.int32(0), "a": qids[qcore], "b": root_ids[qcore]})
+            )
+
+        # border candidates: non-core HOME query adjacent to a near
+        # core. (A core within eps of a home point is within eps of
+        # the cell, hence always near here — no far-row coreness is
+        # ever needed.)
+        bm = hq[ai] & ~qcore[ai] & inq & qcore[bqs]
+        if bm.any():
+            uniq = pd.DataFrame(
+                {"kind": np.int32(1), "a": qids[ai[bm]], "b": root_ids[bq[bm]]}
+            ).drop_duplicates()
+            frames.append(uniq)
+        out = pd.concat(frames, ignore_index=True)
+        out["kind"] = out["kind"].astype("int32")
+        return out
+
+    return _by_cell(celled2).applyInPandas(kernel, schema=schema)
+
+
 def epsilon_self_join(celled: DataFrame, eps: float) -> DataFrame:
     """Distance self-join (the reference's one non-trivial relational
     op, SURVEY §2 ops 6+8): all pairs ``(a, b)`` with
