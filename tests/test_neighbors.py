@@ -128,3 +128,114 @@ def test_ghost_closure(spark):
     ai, bi = np.nonzero(d2 <= EPS * EPS)
     for a, b in zip(ai, bi):
         assert int(b) in by_cell[home_of[int(a)]], f"neighbor {b} of {a} missing from home cell"
+
+
+def _dense_spec(x, eps=EPS, width_mult=3.0):
+    """Handcrafted multi-cell GridSpec over both axes (choose_grid's
+    row-budget sizing collapses small test inputs to one cell, which
+    would make closure tests vacuous)."""
+    import math
+
+    from cs533_big_data_data_mining_spark.operators.cells import GridSpec
+
+    w = width_mult * eps
+    mins = x.min(axis=0)
+    maxs = x.max(axis=0)
+    ncells = tuple(max(3, int(math.ceil((maxs[j] - mins[j]) / w))) for j in range(x.shape[1]))
+    return GridSpec(
+        eps=eps,
+        dims=tuple(range(x.shape[1])),
+        origin=tuple(float(v) for v in mins),
+        width=tuple(w for _ in range(x.shape[1])),
+        ncells=ncells,
+    )
+
+
+def test_ghost_expand_2eps_invariants(spark):
+    """The 2*eps expansion's near set must equal the classic eps ghost
+    set, its full set must 2*eps-cover every cell (so coreness is
+    locally decidable in the fused kernel), and thin cells must raise."""
+    import pytest
+
+    from cs533_big_data_data_mining_spark.operators.cells import GridSpec, ghost_expand_2eps
+
+    x, df, _ = _setup(spark)
+    spec = _dense_spec(x)  # real multi-cell grid (choose_grid degenerates at n=600)
+    rows2 = ghost_expand_2eps(df, spec).collect()
+
+    # (a) near rows == classic ghost_expand rows, same is_home flags
+    near = {(r["cell"], r["id"]): r["is_home"] for r in rows2 if r["is_near"]}
+    classic = {(r["cell"], r["id"]): r["is_home"] for r in ghost_expand(df, spec).collect()}
+    assert near == classic
+
+    # (b) every (cell, point) pair within per-axis distance 2*eps of
+    # the cell slab is present (brute-force closure check)
+    got_all = {(r["cell"], r["id"]) for r in rows2}
+    strides = spec.strides
+    r2 = 2.0 * spec.eps
+    for cell in {c for c, _ in got_all}:
+        rem, bounds = cell, []
+        for i in range(len(spec.dims)):
+            ci = rem // strides[i]
+            rem = rem % strides[i]
+            lo = spec.origin[i] + ci * spec.width[i]
+            bounds.append((lo, lo + spec.width[i]))
+        for pid in range(len(x)):
+            within = all(
+                x[pid][spec.dims[i]] >= bounds[i][0] - r2
+                and x[pid][spec.dims[i]] <= bounds[i][1] + r2
+                for i in range(len(spec.dims))
+            )
+            # interior cells only: boundary cells absorb out-of-range
+            # slabs by clamping, so their 2eps shell is their own rows
+            if within:
+                assert (cell, pid) in got_all or not all(
+                    0 < (cell // strides[i]) % spec.ncells[i] < spec.ncells[i] - 1
+                    for i in range(len(spec.dims))
+                ), f"point {pid} missing from cell {cell}'s 2eps closure"
+
+    # (c) a spec with cell side < 2*eps is rejected
+    thin = GridSpec(eps=spec.eps, dims=spec.dims, origin=spec.origin,
+                    width=tuple(1.5 * spec.eps for _ in spec.dims), ncells=spec.ncells)
+    with pytest.raises(ValueError, match="2\\*eps"):
+        ghost_expand_2eps(df, thin)
+
+
+def test_fused_local_phase_matches_two_pass(spark):
+    """The fused kernel's kind=2 counts must equal neighbor_counts,
+    and its kind=0/1 edge/border rows must yield the same label
+    structure as the two-pass local phase (same roots after a global
+    min-reduction)."""
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.cells import ghost_expand_2eps
+    from cs533_big_data_data_mining_spark.operators.dbscan import _driver_labels
+    from cs533_big_data_data_mining_spark.operators.neighbors import (
+        fused_local_phase,
+        local_components_and_borders,
+    )
+
+    x, df, _ = _setup(spark, n=800, seed=33)
+    spec = _dense_spec(x)
+    min_pts = 6
+    celled2 = ghost_expand_2eps(df, spec)
+    fused = fused_local_phase(celled2, EPS, min_pts).toPandas()
+
+    counts = {r["id"]: r["n_neighbors"] for r in neighbor_counts(ghost_expand(df, spec), EPS).collect()}
+    k2 = fused[fused["kind"] == 2]
+    assert len(k2) == len(x)
+    for pid, n_nb in zip(k2["a"], k2["b"]):
+        assert counts[pid] == n_nb
+
+    # two-pass edges/borders -> labels; fused edges/borders -> labels
+    flags = spark.createDataFrame(
+        [(int(i), bool(counts[i] >= min_pts)) for i in range(len(x))], "id long, is_core boolean"
+    )
+    two_pass = local_components_and_borders(
+        ghost_expand(df, spec).join(flags, "id"), EPS
+    ).toPandas()
+    lab_fused = _driver_labels(fused[fused["kind"] != 2])
+    lab_two = _driver_labels(two_pass)
+    a = dict(zip(lab_fused["id"], lab_fused["cluster_id"]))
+    b = dict(zip(lab_two["id"], lab_two["cluster_id"]))
+    assert a == b
