@@ -22,7 +22,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _SHIPPED = False
@@ -3041,15 +3041,28 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     # 1. URL dedup: planted crawl variants — every doc gets a messy
     # variant of its base key; dup rows (id % 10 == 7) reuse the
     # PREVIOUS doc's base, so the real normalizer must collapse them
+    # Per-stage survivor counts ride the pipeline's OWN materializing
+    # actions as Observation metrics (round-10 verdict "what's wrong"
+    # #2: ten eager .count() jobs per run put this row in the Python-
+    # worker noise band). Each observe node sits BELOW its cache /
+    # localCheckpoint, so the metric fires exactly once at first
+    # materialization — even under diamond fan-out — and .get after
+    # the final collect never blocks. Values (hence the oracle hash)
+    # are unchanged. The one count that must stay eager is n_gopher:
+    # it parameterizes stage 3's max_doc_df threshold driver-side.
     is_dup = F.col("doc_id") % RW_URL_DUP_MOD == 7
     base_key = (F.col("doc_id") - F.when(is_dup, 1).otherwise(0)).cast("string")
     crawl = docs0.withColumn("url", _url_variants(base_key))
-    s1 = docs0.join(
-        url_dedup(crawl, "doc_id", "url").select(F.col("id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
-    ).cache()
-    n_url = s1.count()
+    obs_url = Observation("rw_url")
+    s1 = (
+        docs0.join(
+            url_dedup(crawl, "doc_id", "url").select(F.col("id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        .observe(obs_url, F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
 
     # 2. Gopher quality rules (Rae 2021 A1.1)
     g = gopher_rules(
@@ -3058,11 +3071,14 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     s2 = s1.join(
         g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
     ).cache()
-    n_gopher = s2.count()
+    n_gopher = s2.count()  # eager: stage 3's threshold input
+    n_url = int(obs_url.get["n"])  # fired by the count above via s1's cache fill
 
     # 3. boilerplate removal: plant one boiler line on every doc,
     # remove at threshold n-1, assert byte-exact restore (the oracle
-    # pins the boolean; downstream SQL reads the original text)
+    # pins the boolean; downstream SQL reads the original text). The
+    # byte-exactness check rides the MAIN path as an observed sum —
+    # the old side-branch join re-ran the whole boilerplate stage.
     planted = s2.withColumn("__p", F.concat(F.col("text"), F.lit("\n" + RW_BOILER)))
     cleaned = remove_boilerplate_lines(planted, "doc_id", "__p", max_doc_df=n_gopher - 1)
     # localCheckpoint (not cache) at the stage boundaries: the TEN
@@ -3070,27 +3086,42 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     # whole-stage-codegen string exceeds the JVM's 1 GB UTF16 limit
     # by the minhash stage. The checkpointed frames are corpus-
     # survivor-sized (hundreds to thousands of rows at oracle SFs).
-    s3 = cleaned.select(F.col("id").alias("doc_id"), F.col("clean").alias("text")).localCheckpoint()
-    boiler_bad = (
-        s3.join(s2.select("doc_id", F.col("text").alias("orig")), "doc_id")
-        .filter((F.col("text") != F.col("orig")) | F.col("text").isNull())
-        .count()
+    obs_boiler = Observation("rw_boiler")
+    s3 = (
+        cleaned.join(s2.select("doc_id", F.col("text").alias("__orig")),
+                     cleaned["id"] == F.col("doc_id"))
+        .observe(
+            obs_boiler,
+            F.sum(
+                ((F.col("clean") != F.col("__orig")) | F.col("clean").isNull()).cast("long")
+            ).alias("bad"),
+        )
+        .select("doc_id", F.col("clean").alias("text"))
+        .localCheckpoint()
     )
+    boiler_bad = int(obs_boiler.get["bad"] or 0)
 
     # 4. perplexity quantile gate: fit the bigram LM on the current
     # survivor corpus, keep the lowest-ppl RW_PPL_KEEP fraction
     ppl = lm_perplexity(s3, id_col="doc_id", text_col="text")
     scored = s3.join(ppl.select(F.col("id").alias("doc_id"), "ppl"), "doc_id")
+    obs_ppl = Observation("rw_ppl")
     s4 = (
         quantile_filter(scored.withColumn("__negppl", -F.col("ppl")), "__negppl", RW_PPL_KEEP)
         .drop("__negppl", "ppl")
+        .observe(obs_ppl, F.count(F.lit(1)).alias("n"))
         .cache()
     )
-    n_ppl = s4.count()
 
     # 5. exact dedup (content level, min-id survivor)
-    s5 = exact_dedup(s4, "doc_id", "text").localCheckpoint()
-    n_exact = s5.count()
+    obs_exact = Observation("rw_exact")
+    s5 = (
+        exact_dedup(s4, "doc_id", "text")
+        .observe(obs_exact, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_ppl = int(obs_ppl.get["n"])  # fired by the checkpoint via s4's cache fill
+    n_exact = int(obs_exact.get["n"])
 
     # 6. MinHash-LSH near-dup dedup: verified pairs -> connected
     # components -> drop every non-min member
@@ -3100,8 +3131,12 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    s6 = s5.join(drop, "doc_id", "left_anti").cache()
-    n_fuzzy = s6.count()
+    obs_fuzzy = Observation("rw_fuzzy")
+    s6 = (
+        s5.join(drop, "doc_id", "left_anti")
+        .observe(obs_fuzzy, F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
 
     # 7. duplicated-span REMOVAL (Lee 2022 ExactSubstr transform)
     s7 = (
@@ -3109,15 +3144,18 @@ def _q_refinedweb_pipeline(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), F.col("clean").alias("text"))
         .localCheckpoint()
     )
+    n_fuzzy = int(obs_fuzzy.get["n"])  # fired by the checkpoint via s6's cache fill
 
     # 8. decontamination: 5-gram overlap vs the mod-13 ORIGINAL-doc
     # benchmark slice, on the post-span-removal text
     bench = docs0.filter(F.col("doc_id") % RW_BENCH_MOD == 0)
     flags = decontaminate(s7, bench, "doc_id", "text", n=DECON_N)
-    s8 = s7.join(
-        flags.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
-    ).cache()
-    n_decon = s8.count()
+    obs_decon = Observation("rw_decon")
+    s8 = (
+        s7.join(flags.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+        .observe(obs_decon, F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
 
     # 9. DSIR: weights toward the src0 target over the survivor
     # corpus, then the deterministic Gumbel top-k resample
@@ -3138,6 +3176,9 @@ def _q_refinedweb_pipeline(spark, sf_dir):
         .join(sharded.select("doc_id", "shard"), "doc_id")
         .collect()
     )
+    # fired at the latest by the collect above (dsir's internal fit
+    # actions usually materialize s8's cache first)
+    n_decon = int(obs_decon.get["n"])
     for fr in (docs0, s1, s2, s4, s6, s8):
         fr.unpersist()
     if _rdds_before is not None:
@@ -3380,25 +3421,34 @@ def _q_dolma_pipeline(spark, sf_dir):
         .cache()
     )
 
+    # Per-stage survivor counts ride the pipeline's own materializing
+    # actions as Observation metrics (same rework as the refinedweb
+    # flagship — round-10 verdict #2); read after the final collect.
+    def _cnt():
+        return F.count(F.lit(1)).alias("n")
+
     # 1. language ID: keep English
-    s1 = crawl.filter(lang_id("text") == "en").cache()
-    n_lang = s1.count()
+    o_lang = Observation("dmp_lang")
+    s1 = crawl.filter(lang_id("text") == "en").observe(o_lang, _cnt()).cache()
 
     # 2. Gopher quality rules (Dolma applies the Gopher set)
     g = gopher_rules(
         s1, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
     )
-    s2 = s1.join(g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
-    n_gopher = s2.count()
+    o_gopher = Observation("dmp_gopher")
+    s2 = s1.join(
+        g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    ).observe(o_gopher, _cnt())
 
     # 3. C4 rules minus terminal_punct; clean text flows forward
     c4 = c4_filters(s2, "doc_id", "text", line_terminal_punct=False)
+    o_c4 = Observation("dmp_c4")
     s3 = (
         c4.filter("keep")
         .select(F.col("id").alias("doc_id"), F.col("clean").alias("text"))
+        .observe(o_c4, _cnt())
         .cache()
     )
-    n_c4 = s3.count()
 
     # 4. PII masking BEFORE dedup (Dolma's order; the planted emails
     # must read <EMAIL> in every surviving row)
@@ -3407,19 +3457,28 @@ def _q_dolma_pipeline(spark, sf_dir):
     # 5. URL dedup (exact keys: the construction is normalization-
     # invariant, and Dolma dedups raw URLs)
     ud = url_dedup(s4, "doc_id", "url", normalize=False)
-    s5 = s4.join(ud.select(F.col("id").alias("doc_id")), "doc_id", "left_semi").select(
-        "doc_id", "text"
+    o_urlded = Observation("dmp_urlded")
+    s5 = (
+        s4.join(ud.select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+        .select("doc_id", "text")
+        .observe(o_urlded, _cnt())
     )
-    n_urlded = s5.count()
 
     # 6. exact document dedup vs the immutable history (Bloom route,
     # exact spelling — deliberate-FP filter)
-    s6 = exact_dedup_bipartite_bloom(s5, hist, "doc_id", "text", fpp=0.5).cache()
-    n_docded = s6.count()
+    o_docded = Observation("dmp_docded")
+    s6 = exact_dedup_bipartite_bloom(s5, hist, "doc_id", "text", fpp=0.5).observe(
+        o_docded, _cnt()
+    ).cache()
 
     # 7. paragraph dedup vs history + within-pool keep_first
     pd_out = paragraph_dedup_bipartite_bloom(hist, s6, "doc_id", "text", fpp=0.5)
     final = pd_out.collect()
+    n_lang = int(o_lang.get["n"])
+    n_gopher = int(o_gopher.get["n"])
+    n_c4 = int(o_c4.get["n"])
+    n_urlded = int(o_urlded.get["n"])
+    n_docded = int(o_docded.get["n"])
     for fr in (crawl, s1, s3, s6):
         fr.unpersist()
     rows = [
@@ -3492,33 +3551,47 @@ def _q_fineweb_pipeline(spark, sf_dir):
         withprev.select("doc_id", text2.alias("text"), url.alias("url"))
     ).cache()
 
+    # Per-stage survivor counts ride the pipeline's own materializing
+    # actions as Observation metrics (same rework as the refinedweb
+    # flagship — round-10 verdict #2): each observe sits below its
+    # cache/localCheckpoint, fires once at first materialization, and
+    # is read after the final collect. Values unchanged.
+    def _cnt():
+        return F.count(F.lit(1)).alias("n")
+
     # 1. URL filtering (stage zero): domain blocklist
     uf = url_filter(crawl, "doc_id", "url", blocked_domains=FWP_BLOCKED)
-    s1 = crawl.join(
-        uf.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
-    ).cache()
-    n_url = s1.count()
+    o_url = Observation("fw_url")
+    s1 = (
+        crawl.join(uf.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+        .observe(o_url, _cnt())
+        .cache()
+    )
 
     # 2. language ID: keep English (the heuristic marker argmax)
-    s2 = s1.filter(lang_id("text") == "en").cache()
-    n_lang = s2.count()
+    o_lang = Observation("fw_lang")
+    s2 = s1.filter(lang_id("text") == "en").observe(o_lang, _cnt()).cache()
 
     # 3. Gopher repetition removal (A1.2) — checkpoint: the 11-unit
     # explode is the plan-heaviest stage
     rep = gopher_repetition(s2, "doc_id", "text")
-    s3 = s2.join(
-        rep.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
-    ).localCheckpoint()
-    n_rep = s3.count()
+    o_rep = Observation("fw_rep")
+    s3 = (
+        s2.join(rep.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+        .observe(o_rep, _cnt())
+        .localCheckpoint()
+    )
 
     # 4. Gopher quality rules (A1.1)
     g = gopher_rules(
         s3, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
     )
-    s4 = s3.join(
-        g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
-    ).cache()
-    n_gopher = s4.count()
+    o_gopher = Observation("fw_gopher")
+    s4 = (
+        s3.join(g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+        .observe(o_gopher, _cnt())
+        .cache()
+    )
 
     # 5. MinHash near-dup dedup (per-corpus; FineWeb dedups per
     # snapshot — one snapshot here): verified pairs -> CC -> min-id
@@ -3529,17 +3602,18 @@ def _q_fineweb_pipeline(spark, sf_dir):
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    s5 = s4.join(drop, "doc_id", "left_anti").localCheckpoint()
-    n_dedup = s5.count()
+    o_dedup = Observation("fw_dedup")
+    s5 = s4.join(drop, "doc_id", "left_anti").observe(o_dedup, _cnt()).localCheckpoint()
 
     # 6. C4 rules minus terminal_punct (§3.4); clean text flows on
     c4 = c4_filters(s5, "doc_id", "text", line_terminal_punct=False)
+    o_c4 = Observation("fw_c4")
     s6 = (
         c4.filter("keep")
         .select(F.col("id").alias("doc_id"), F.col("clean").alias("text"))
+        .observe(o_c4, _cnt())
         .cache()
     )
-    n_c4 = s6.count()
 
     # 7. FineWeb custom filters (§3.6)
     fw = fineweb_filters(s6, "doc_id", "text")
@@ -3549,6 +3623,12 @@ def _q_fineweb_pipeline(spark, sf_dir):
 
     # 8. PII redaction on the survivors
     final = s7.select("doc_id", redact_col("text").alias("clean")).collect()
+    n_url = int(o_url.get["n"])
+    n_lang = int(o_lang.get["n"])
+    n_rep = int(o_rep.get["n"])
+    n_gopher = int(o_gopher.get["n"])
+    n_dedup = int(o_dedup.get["n"])
+    n_c4 = int(o_c4.get["n"])
     for fr in (crawl, s1, s2, s4, s6):
         fr.unpersist()
     if _rdds_before is not None:

@@ -519,9 +519,21 @@ def _make_stage(args, t0):
     literal limit (plan-size failure, not data-size). Default
     localCheckpoint = executor-local blocks (no extra I/O, but lost
     with any executor); --checkpoint-dir = real checkpoint() files,
-    survivable on a cluster. Counts are one action each and can be
-    skipped (--no-stage-counts) for the non-checkpointed stages."""
+    survivable on a cluster.
+
+    Non-checkpointed stage counts ride the pipeline's TERMINAL action
+    as Observation metrics instead of one eager .count() job each
+    (round-10 verdict #2: the per-stage jobs dominated the CLIs'
+    wall time); the returned ``flush()`` prints them after the write.
+    Checkpointed stages print immediately (already materialized, the
+    count is a cheap scan of local blocks). --no-stage-counts skips
+    the non-checkpointed counts entirely."""
     import time as _time
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    pending: list = []
 
     def stage(name, frame, checkpoint=False):
         if checkpoint:
@@ -530,13 +542,23 @@ def _make_stage(args, t0):
                 if args.checkpoint_dir
                 else frame.localCheckpoint()
             )
-        if checkpoint or not args.no_stage_counts:
             print(f"{name}: {frame.count()} docs ({_time.time() - t0:.1f}s)", flush=True)
-        else:
+        elif args.no_stage_counts:
             print(f"{name}: (count skipped) ({_time.time() - t0:.1f}s)", flush=True)
+        else:
+            obs = Observation(f"stage{len(pending)}_{name}")
+            frame = frame.observe(obs, F.count(F.lit(1)).alias("n"))
+            pending.append((name, obs))
         return frame
 
-    return stage
+    def flush():
+        # called after the terminal action: every stage is on the
+        # linear path to the write, so all observations have fired
+        for name, obs in pending:
+            print(f"{name}: {int(obs.get['n'])} docs", flush=True)
+        pending.clear()
+
+    return stage, flush
 
 
 def _url_gate_stage(stage, cur, idc, args):
@@ -743,7 +765,7 @@ def _refinedweb_main(argv: list[str]) -> int:
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     docs = spark.read.parquet(args.input)
-    stage = _make_stage(args, t0)
+    stage, stage_flush = _make_stage(args, t0)
     if args.repartition:
         docs = docs.repartition(args.repartition)
     cur = stage("input", docs)
@@ -856,6 +878,7 @@ def _refinedweb_main(argv: list[str]) -> int:
         # decorrelated anyway, but distinct by construction is free)
         mode="overwrite", files_per_shard=args.files_per_shard,
     )
+    stage_flush()  # deferred stage counts: fired by the write above
     n_out = spark.read.parquet(args.output).count()
     print(
         f"wrote {n_out} docs into {args.shards} shards "
@@ -967,7 +990,7 @@ def _fineweb_main(argv: list[str]) -> int:
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
-    stage = _make_stage(args, t0)
+    stage, stage_flush = _make_stage(args, t0)
     docs_in = spark.read.parquet(args.input)
     if args.repartition:
         docs_in = docs_in.repartition(args.repartition)
@@ -1021,6 +1044,7 @@ def _fineweb_main(argv: list[str]) -> int:
         cur, args.output, idc, args.shards,
         seed=args.seed + 1, mode="overwrite", files_per_shard=args.files_per_shard,
     )
+    stage_flush()  # deferred stage counts: fired by the write above
     n_out = spark.read.parquet(args.output).count()
     print(
         f"wrote {n_out} docs into {args.shards} shards "
@@ -1141,7 +1165,7 @@ def _dolma_main(argv: list[str]) -> int:
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
 
-    stage = _make_stage(args, t0)
+    stage, stage_flush = _make_stage(args, t0)
     docs_in = spark.read.parquet(args.input)
     if args.repartition:
         docs_in = docs_in.repartition(args.repartition)
@@ -1225,6 +1249,7 @@ def _dolma_main(argv: list[str]) -> int:
         cur, args.output, idc, args.shards,
         seed=args.seed + 1, mode="overwrite", files_per_shard=args.files_per_shard,
     )
+    stage_flush()  # deferred stage counts: fired by the write above
     n_out = spark.read.parquet(args.output).count()
     print(
         f"wrote {n_out} docs into {args.shards} shards "
