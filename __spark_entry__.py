@@ -3785,6 +3785,51 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "doc_id", PACK_SEQ_LEN, validate=True)
 
 
+BPE_SEQ_LEN = 16  # small bin so the planted corpus spans many bins
+
+
+def _q_bpe_tokenize_eq(spark, sf_dir):
+    # trained byte-BPE tokenizer (round-11): the FULL path — histogram
+    # -> merge learning -> broadcast-merges Arrow encode -> token
+    # counts wired into pack_sequences' prefix sum — against a
+    # closed-form oracle. The planted corpus forces the merge sequence
+    # [(a,b), (ab,ab), (abab,abab)] (pair frequencies separated by
+    # construction), so the oracle can hard-code the expected merges
+    # AND compute each doc's token count arithmetically: for
+    # m = 1 + doc_id % 8 repetitions of "ab", greedy rank-order
+    # merging leaves (m//2)//2 + (m//2)%2 + m%2 tokens; every 16th doc
+    # appends a 2-byte UTF-8 char ("é" -> C3 A9) that must surface as
+    # exactly 2 unmerged byte tokens (byte-level, full coverage).
+    # A wrong merge table, a wrong tie-break, a char-level (not
+    # byte-level) decomposition, or a broken prefix-sum wiring each
+    # flips the value hash.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.bpe import bpe_token_count, bpe_train
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 400)
+    text = F.concat(
+        F.repeat(F.lit("ab"), (F.lit(1) + F.col("doc_id") % 8).cast("int")),
+        F.when(F.col("doc_id") % 16 == 0, F.lit("é")).otherwise(F.lit("")),
+    )
+    corpus = docs.select("doc_id", text.alias("text"))
+    merges = bpe_train(corpus, "text", n_merges=3)
+
+    packed = pack_sequences(
+        corpus, "doc_id", BPE_SEQ_LEN, count_expr=bpe_token_count(merges, "text"), validate=True
+    )
+    per_doc = packed.select(
+        F.col("id"), F.lit("").alias("info"), F.col("n_tokens"), F.col("start_offset")
+    )
+    merge_rows = local_df(
+        spark,
+        [(-(i + 1), f"{a}>{b}", -1, -1) for i, (a, b) in enumerate(merges)],
+        "id long, info string, n_tokens long, start_offset long",
+    )
+    return per_doc.unionByName(merge_rows)
+
+
 # deterministic synthetic PII injected per doc (the corpus itself is
 # clean word soup): exercises every pattern class on both engines
 _PII_SUFFIX = (
@@ -3991,6 +4036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-query comments stay put.
     reg = {
         # --- new / changed this round (must-record) ---
+        # bpe_tokenize_eq: NEW (round 11) — trained byte-BPE tokenizer
+        # (histogram -> merge learning -> Arrow encode) wired into
+        # pack_sequences, vs a closed-form forced-merge oracle
+        "bpe_tokenize_eq": _q_bpe_tokenize_eq,
         # multimodal_gif: NEW — REAL GIF decode (pure-stdlib LZW,
         # interlace, animation compositing) + video-style frame
         # sampling over planted construction-derived payloads
@@ -5182,6 +5231,36 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                    CAST(start_offset // {PACK_SEQ_LEN} AS BIGINT) AS bin_start,
                    CAST((start_offset + greatest(n_tokens - 1, 0)) // {PACK_SEQ_LEN} AS BIGINT) AS bin_end
             FROM o
+        """,
+        # closed-form twin of the trained-BPE row: the construction
+        # forces merges [(a,b),(ab,ab),(abab,abab)] (hard-coded below),
+        # so per-doc token counts are pure arithmetic on m = 1+id%8
+        # (greedy rank-order merging leaves (m//2)//2 + (m//2)%2 + m%2
+        # tokens) plus 2 unmerged bytes for the planted 2-byte UTF-8
+        # char on every 16th doc; offsets replay pack_sequences' sum
+        "bpe_tokenize_eq": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+            n AS (
+              SELECT doc_id,
+                     CAST(((1 + doc_id % 8) // 2) // 2
+                        + ((1 + doc_id % 8) // 2) % 2
+                        + (1 + doc_id % 8) % 2
+                        + CASE WHEN doc_id % 16 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_tokens
+              FROM d
+            ),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+              FROM n
+            )
+            SELECT doc_id AS id, '' AS info, n_tokens, start_offset FROM o
+            UNION ALL
+            SELECT * FROM (VALUES
+              (CAST(-1 AS BIGINT), 'a>b', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)),
+              (CAST(-2 AS BIGINT), 'ab>ab', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)),
+              (CAST(-3 AS BIGINT), 'abab>abab', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))
+            ) t(id, info, n_tokens, start_offset)
         """,
         "redact_pii": f"""
             SELECT doc_id,

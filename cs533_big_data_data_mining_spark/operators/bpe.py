@@ -1,0 +1,185 @@
+"""Trained byte-level BPE tokenizer: train + encode + count.
+
+Every production-scale training-data pipeline tokenizes with a
+TRAINED byte-pair-encoding vocabulary before packing; the engine's
+``subword_count`` heuristic (functions/text.py) estimates sequence
+lengths but cannot bound the real ones. This module supplies the real
+thing with the classic two-phase shape (Sennrich et al. 2016; byte
+level per GPT-2, Radford et al. 2019):
+
+* **Train** = ONE combinable Spark aggregation + a driver loop over
+  the word histogram. BPE training only ever reads the corpus through
+  its pretoken frequency table, so the distributed part is exactly
+  one ``explode -> groupBy(word).count()`` (map-side combinable, one
+  shuffle); the merge loop then runs driver-side over the bounded
+  histogram (``max_words`` cap, highest-frequency words kept — the
+  tail it drops contributes negligible pair mass). At 100 TB the
+  histogram of a web corpus is tens of millions of rows; capped at
+  ``max_words`` it is MBs.
+* **Encode** = stateless scoring with the broadcast merges table:
+  one Arrow-vectorized pandas UDF, no shuffle, no joins — safe in
+  batch and streaming alike. A per-batch word cache makes the cost
+  proportional to DISTINCT words per batch (Zipf makes that small).
+
+Byte-level: each pretoken (the shared ``SUBWORD_RE`` pretokenizer —
+same regex the heuristic and the DuckDB oracles use) is decomposed
+into its UTF-8 BYTES, represented as latin-1 single-char strings so
+merges stay plain strings. Full coverage: any input encodes with zero
+unknown tokens. No end-of-word marker (documented choice: counts are
+what packing consumes; markers only shift vocabulary identity).
+
+Determinism: the merge loop tie-breaks (count desc, pair lexicographic
+asc) — classic implementations inherit dict order; this one is
+reproducible across runs and partitionings by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cs533_big_data_data_mining_spark.functions.text import SUBWORD_RE, subword_tokens
+
+_PRETOKEN = re.compile(SUBWORD_RE)
+
+
+def _word_bytes(word: str) -> tuple[str, ...]:
+    """UTF-8 bytes of a pretoken as latin-1 single-char symbols."""
+    return tuple(chr(b) for b in word.encode("utf-8"))
+
+
+def word_histogram(docs: DataFrame, text_col: str, max_words: int = 1_000_000) -> list[tuple[str, int]]:
+    """``(word, count)`` pretoken histogram — the ONE distributed pass
+    of BPE training. Map-side combinable groupBy; the driver collect
+    is bounded by ``max_words`` (highest count first, then word asc —
+    a deterministic truncation)."""
+    hist = (
+        docs.select(F.explode(subword_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(int(max_words))
+        .collect()
+    )
+    return [(r["w"], int(r["n"])) for r in hist]
+
+
+def bpe_train_from_histogram(hist: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a word-frequency table
+    (Sennrich 2016 alg. 1), byte-level symbols, deterministic
+    tie-break (count desc, pair lexicographic asc). Returns the
+    rank-ordered merges list."""
+    words: list[tuple[list[str], int]] = [(list(_word_bytes(w)), n) for w, n in hist if w]
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pair_counts: Counter = Counter()
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for syms, _n in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [ab]  # left-to-right, non-overlapping
+                else:
+                    i += 1
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str, n_merges: int, max_words: int = 1_000_000
+) -> list[tuple[str, str]]:
+    """One-call train: distributed histogram + driver merge loop."""
+    return bpe_train_from_histogram(word_histogram(docs, text_col, max_words), n_merges)
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard BPE apply: repeatedly merge every occurrence of the
+    LOWEST-RANK adjacent pair (left-to-right, non-overlapping) until
+    no learned pair remains."""
+    syms = list(_word_bytes(word))
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        ab = a + b
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i : i + 2] = [ab]
+            else:
+                i += 1
+    return syms
+
+
+def _encode_text(text, ranks, cache: dict) -> list[str]:
+    if text is None:
+        return []
+    out: list[str] = []
+    for w in _PRETOKEN.findall(text):
+        toks = cache.get(w)
+        if toks is None:
+            toks = _encode_word(w, ranks)
+            cache[w] = toks
+        out.extend(toks)
+    return out
+
+
+def bpe_tokens(merges: list[tuple[str, str]], col: str | Column) -> Column:
+    """``array<string>`` of BPE tokens (latin-1 byte symbols / merged
+    strings) — Arrow-vectorized, broadcast merges, per-batch word
+    cache. Stateless: streaming-safe."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _tok(s: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return s.map(lambda t: _encode_text(t, ranks, cache))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _tok(c)
+
+
+def bpe_token_count(merges: list[tuple[str, str]], col: str | Column) -> Column:
+    """``long`` token count under the trained merges — drop-in
+    ``count_expr`` for ``packing.pack_sequences`` / ``shard_rows``
+    (the real sequence-length bound the heuristic can't give)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @pandas_udf("long")
+    def _cnt(s: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return s.map(lambda t: len(_encode_text(t, ranks, cache)))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _cnt(c)
+
+
+def merges_table(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The merges as a ``(rank, left, right)`` frame — the persistable
+    model artifact (write it as parquet next to the shards; training
+    jobs read it back with ``[(r['left'], r['right']) for r in ...]``
+    ordered by rank)."""
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    return local_df(
+        spark,
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )

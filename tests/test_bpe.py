@@ -1,0 +1,145 @@
+"""Trained byte-BPE tokenizer: train/encode vs an independent naive
+reference, byte-level coverage, determinism, and packing integration."""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs533_big_data_data_mining_spark.functions.text import SUBWORD_RE
+from cs533_big_data_data_mining_spark.operators.bpe import (
+    bpe_token_count,
+    bpe_tokens,
+    bpe_train,
+    bpe_train_from_histogram,
+    merges_table,
+    word_histogram,
+)
+
+
+def ref_encode(text, merges):
+    """Independent slow reference: pretokenize, byte-decompose, then
+    apply merges strictly in rank order (each fully, left-to-right)."""
+    out = []
+    for w in re.findall(SUBWORD_RE, text or ""):
+        syms = [chr(b) for b in w.encode("utf-8")]
+        for a, b in merges:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        out.extend(syms)
+    return out
+
+
+def test_forced_merges_and_counts(spark):
+    rows = [(i, "ab" * (1 + i % 8)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", 3)
+    assert merges == [("a", "b"), ("ab", "ab"), ("abab", "abab")]
+    got = df.select("doc_id", bpe_token_count(merges, "text").alias("n")).collect()
+    for r in got:
+        m = 1 + r["doc_id"] % 8
+        k1, r1 = divmod(m, 2)
+        k2, r2 = divmod(k1, 2)
+        assert r["n"] == k2 + r2 + r1
+
+
+def test_encode_matches_reference_on_random_text(spark):
+    rng = random.Random(7)
+    words = ["the", "then", "there", "that", "this", "therefore", "ab", "abab", "héllo", "123", "!?"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 30))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", 24)
+    got = {
+        r["doc_id"]: (r["t"], r["n"])
+        for r in df.select(
+            "doc_id", bpe_tokens(merges, "text").alias("t"), bpe_token_count(merges, "text").alias("n")
+        ).collect()
+    }
+    for i, text in rows:
+        want = ref_encode(text, merges)
+        assert got[i][0] == want, f"doc {i}: {got[i][0]} != {want}"
+        assert got[i][1] == len(want)
+
+
+def test_rank_order_vs_lowest_rank_equivalence():
+    """The encoder picks the lowest-rank adjacent pair repeatedly; the
+    reference applies merges in rank order. These are equivalent for
+    BPE (a later merge can only involve symbols produced by earlier
+    ones) — pinned on adversarial overlapping merges."""
+    hist = [("aaab", 10), ("aab", 8), ("ab", 6), ("aaa", 5)]
+    merges = bpe_train_from_histogram(hist, 4)
+    from cs533_big_data_data_mining_spark.operators.bpe import _encode_word
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for w in ["aaab", "aab", "ab", "aaa", "aaaa", "aaaab", "baaa"]:
+        syms = [chr(b) for b in w.encode("utf-8")]
+        for a, b in merges:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        assert _encode_word(w, ranks) == syms, w
+
+
+def test_byte_level_full_coverage(spark):
+    df = spark.createDataFrame([(0, "héllo wörld 漢字 🎉")], "doc_id long, text string")
+    merges = [("a", "b")]  # nothing applicable — pure byte decomposition
+    toks = df.select(bpe_tokens(merges, "text").alias("t")).head()["t"]
+    # round-trip: latin-1 re-encode of the concatenated symbols minus
+    # pretokenizer-dropped whitespace equals the original bytes
+    joined = "".join(toks).encode("latin-1")
+    want = b"".join(w.encode("utf-8") for w in re.findall(SUBWORD_RE, "héllo wörld 漢字 🎉"))
+    assert joined == want
+    assert all(len(t) == 1 for t in toks)  # no merges applied
+
+
+def test_train_deterministic_tie_break():
+    # equal counts: (a,b) and (c,d) both appear 5x -> lexicographic
+    merges = bpe_train_from_histogram([("ab", 5), ("cd", 5)], 1)
+    assert merges == [("a", "b")]
+
+
+def test_histogram_cap_deterministic(spark):
+    rows = [(i, f"w{i % 50} common") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h1 = word_histogram(df, "text", max_words=10)
+    h2 = word_histogram(df, "text", max_words=10)
+    assert h1 == h2 and len(h1) == 10
+    assert h1[0][0] == " common"  # highest count first (space-prefixed pretoken)
+
+
+def test_packing_integration(spark):
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+    rows = [(i, "ab" * (1 + i % 8)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", 3)
+    packed = pack_sequences(
+        df, "doc_id", 16, count_expr=bpe_token_count(merges, "text"), validate=True
+    ).collect()
+    by_id = {r["id"]: r for r in packed}
+    off = 0
+    for i in range(100):
+        m = 1 + i % 8
+        k1, r1 = divmod(m, 2)
+        k2, r2 = divmod(k1, 2)
+        n = k2 + r2 + r1
+        assert by_id[i]["n_tokens"] == n and by_id[i]["start_offset"] == off
+        off += n
+
+
+def test_merges_table_roundtrip(spark):
+    merges = [("a", "b"), ("ab", "c")]
+    t = merges_table(spark, merges)
+    back = [(r["left"], r["right"]) for r in t.orderBy("rank").collect()]
+    assert back == merges
