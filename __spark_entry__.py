@@ -1332,6 +1332,80 @@ def _q_curate_stream_eq(spark, sf_dir):
     return _one_row(spark, n_batch=n_batch, stream_matches=bool(ok))
 
 
+def _q_curate_nb_stream_eq(spark, sf_dir):
+    # TRAINED langid at the stream edge (round-11, VERDICT r10 #5):
+    # the same unified curate_ingest, now gating admission with the
+    # NB classifier (lang_id_nb is stateless scoring — model collected
+    # at plan-build, zero shuffle — so it streams with zero state).
+    # Planted multi-language classes via the langid_route_eq
+    # construction; the stream run and the batch twin use the SAME
+    # model frame, and the invariant is the surviving text set. The
+    # oracle replays the full NB chain in SQL (shared CTE body with
+    # langid_route_eq) to recompute the admitted-count independently.
+    _ensure_shipped(spark)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cs533_big_data_data_mining_spark.operators.classify import langid_train
+    from cs533_big_data_data_mining_spark.session import local_df
+    from cs533_big_data_data_mining_spark.streaming.curate import curate_ingest
+    from cs533_big_data_data_mining_spark.streaming.events import run_stream_to_memory
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", _langid_eq_text().alias("text"))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    )
+    fit = langid_train(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        "text",
+        n_buckets=LANGID_EQ_B,
+        alpha=LANGID_EQ_ALPHA,
+        max_n=LANGID_EQ_MAX_N,
+    )
+    model = local_df(
+        spark,
+        [(r["label"], r["b"], r["llh"]) for r in fit.collect()],
+        "label string, b long, llh double",
+    )
+    kw = {"langs": ("en",), "langid_model": model, "langid_impl": "arrow"}
+    src = tempfile.mkdtemp(prefix="curate_nb_eq_")
+    try:
+        docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        stream_docs = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_stream_to_memory(
+                curate_ingest(stream_docs, watermark="365 days", **kw),
+                "curate_nb_eq",
+                output_mode="append",
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        got = spark.sql("SELECT * FROM curate_nb_eq")
+        batch = curate_ingest(docs, **kw)
+        n_batch = batch.count()
+        n_got = got.count()
+        extra = got.select("clean").exceptAll(batch.select("clean")).count()
+        missing = batch.select("clean").exceptAll(got.select("clean")).count()
+        ok = bool(n_got == n_batch and extra == 0 and missing == 0)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return _one_row(spark, n_batch=n_batch, stream_matches=bool(ok))
+
+
 SAMPLE_FRACS = {"src0": 0.25, "src1": 0.5, "src2": 0.0}  # others keep 100%
 
 # --- round-7 curation operators -------------------------------------
@@ -3941,11 +4015,12 @@ def _q_stream_eq_all(spark, sf_dir):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with ThreadPoolExecutor(3) as ex:
+        with ThreadPoolExecutor(4) as ex:
             fa = ex.submit(_q_sessionize_stream_eq, spark, sf_dir)
             fb = ex.submit(_q_curate_stream_eq, spark, sf_dir)
             fc = ex.submit(_q_dedup_stream_eq, spark, sf_dir)
-            ra, rb, rc = fa.result(), fb.result(), fc.result()
+            fd = ex.submit(_q_curate_nb_stream_eq, spark, sf_dir)
+            ra, rb, rc, rd = fa.result(), fb.result(), fc.result(), fd.result()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     a = ra.select(
@@ -3961,7 +4036,16 @@ def _q_stream_eq_all(spark, sf_dir):
         F.col("n_batch").alias("ded_n_batch"),
         F.col("stream_matches").alias("ded_stream_matches"),
     )
-    return a.coalesce(1).crossJoin(b.coalesce(1)).crossJoin(c.coalesce(1))
+    d = rd.select(
+        F.col("n_batch").alias("nb_n_batch"),
+        F.col("stream_matches").alias("nb_stream_matches"),
+    )
+    return (
+        a.coalesce(1)
+        .crossJoin(b.coalesce(1))
+        .crossJoin(c.coalesce(1))
+        .crossJoin(d.coalesce(1))
+    )
 
 
 #: Round-10 must-record rotation: new/changed-this-round rows first
@@ -4842,13 +4926,12 @@ _DOLMA_PIPE_SQL = re.sub(r"(?m)^(\w+) AS \(", r"\1 AS MATERIALIZED (", _DOLMA_PI
 
 
 
-def _langid_eq_sql() -> str:
-    """The langid_route_eq oracle: construction, marker argmax, seed
-    gate, char-{1..3}-gram NB training (B=256, alpha=0.5, poly31), and
-    scoring — all generated from the same LANG_MARKERS dict as the
-    Spark side. Emits the replayed NB prediction for BOTH nb columns
-    (lang_nb and lang_nb_fast), making the value hash a
-    cross-implementation equivalence gate too."""
+def _langid_nb_ctes() -> str:
+    """THE one DuckDB spelling of the trained-langid chain as a CTE
+    body (construction ``lsrc`` .. prediction ``lnb``) — shared by the
+    ``langid_route_eq`` oracle and the ``curate_nb_stream_eq``
+    component of ``stream_eq_all`` (the NB gate at the stream edge),
+    so the two replays can never de-sync."""
     from cs533_big_data_data_mining_spark.functions.text import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
@@ -4884,7 +4967,7 @@ def _langid_eq_sql() -> str:
     ) + f" ELSE '{langs[-1]}'"
 
     return f"""
-        WITH lsrc AS (
+        lsrc AS (
           SELECT doc_id,
             CASE WHEN doc_id % 97 = 0 THEN 'qqq zzz xxx'
             ELSE {case_lang} END AS text
@@ -4944,6 +5027,16 @@ def _langid_eq_sql() -> str:
                        CASE WHEN t.s IS NULL OR length(t.s) = 0
                             THEN 'und' ELSE p.pred END AS lang_nb
                 FROM lte t LEFT JOIN lpred p ON p.doc_id = t.doc_id)
+    """
+
+
+def _langid_eq_sql() -> str:
+    """The langid_route_eq oracle: the shared NB chain plus the final
+    marker/NB/agree projection. Emits the replayed NB prediction for
+    BOTH nb columns (lang_nb and lang_nb_fast), making the value hash
+    a cross-implementation equivalence gate too."""
+    return f"""
+        WITH {_langid_nb_ctes().strip()}
         SELECT m.doc_id AS id, m.lang_marker, n.lang_nb,
                n.lang_nb AS lang_nb_fast,
                m.lang_marker = n.lang_nb AS agree
@@ -5512,6 +5605,17 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
               FROM documents
             )
+        """,
+        # NB-gated ingest twin: replay the full trained-langid chain
+        # (shared CTE body with langid_route_eq) and count the distinct
+        # admitted texts — the planted construction has no PII, so
+        # redaction is identity and distinct(text) == distinct(clean)
+        "curate_nb_stream_eq": f"""
+            WITH {_langid_nb_ctes().strip()}
+            SELECT CAST(count(DISTINCT s.text) AS BIGINT) AS n_batch,
+                   TRUE AS stream_matches
+            FROM lsrc s JOIN lnb n ON n.doc_id = s.doc_id
+            WHERE n.lang_nb = 'en'
         """,
         "sketch_distinct": (
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, "
@@ -6581,6 +6685,8 @@ def _with_aliases(oracles: dict[str, str]) -> dict[str, str]:
           (SELECT n_batch AS cur_n_batch, stream_matches AS cur_stream_matches
            FROM ({oracles.pop("curate_stream_eq")})) e2,
           (SELECT n_batch AS ded_n_batch, stream_matches AS ded_stream_matches
-           FROM ({oracles.pop("dedup_stream_eq")})) e3
+           FROM ({oracles.pop("dedup_stream_eq")})) e3,
+          (SELECT n_batch AS nb_n_batch, stream_matches AS nb_stream_matches
+           FROM ({oracles.pop("curate_nb_stream_eq")})) e4
     """
     return oracles

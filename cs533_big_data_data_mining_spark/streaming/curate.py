@@ -58,6 +58,8 @@ def curate_ingest(
     history_text_col: str | None = None,
     history_fpp: float = 1e-4,
     history_bloom=None,
+    langid_model: DataFrame | None = None,
+    langid_impl: str = "arrow",
 ) -> DataFrame:
     """``(id, ts, clean, quality)``: scored, filtered, redacted,
     exact-deduped documents. Works on a stream (watermark-bounded
@@ -124,12 +126,23 @@ def curate_ingest(
         )
         docs = docs.filter(keep)
     if langs:
-        # language allowlist (the batch curate_documents gate) — the
-        # marker-overlap lang_id is a pure Column, so this streams
-        # with zero state like the URL gate
-        from cs533_big_data_data_mining_spark.functions.text import lang_id
+        # language allowlist (the batch curate_documents gate).
+        # Marker route by default; pass ``langid_model`` (a
+        # ``langid_train`` / ``nb_train(grams="char")`` fit) to gate
+        # with the TRAINED NB classifier instead — ``lang_id_nb`` is
+        # stateless scoring under both impls (the bucket-bounded model
+        # collects once at plan-build; zero shuffle, zero joins), so
+        # it streams with zero state exactly like the marker route.
+        if langid_model is not None:
+            from cs533_big_data_data_mining_spark.operators.classify import lang_id_nb
 
-        docs = docs.filter(lang_id(text_col).isin(*langs))
+            docs = docs.filter(
+                lang_id_nb(langid_model, text_col, impl=langid_impl).isin(*langs)
+            )
+        else:
+            from cs533_big_data_data_mining_spark.functions.text import lang_id
+
+            docs = docs.filter(lang_id(text_col).isin(*langs))
     if repetition:
         from cs533_big_data_data_mining_spark.operators.quality import (
             gopher_repetition,
