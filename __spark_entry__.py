@@ -4048,61 +4048,64 @@ def _q_stream_eq_all(spark, sf_dir):
     )
 
 
-#: Round-10 must-record rotation: new/changed-this-round rows first
-#: (stream_eq_all's harness determinism fix and multimodal_gif's
-#: budget/transparency guards landed this round), then the 44 queries
-#: whose latest driver row is CORRECTNESS_r08 (registry order) —
-#: 49 rows inside the ~50 cap.
+#: Round-11 must-record rotation: new/changed-this-round rows first —
+#: bpe_tokenize_eq (new), stream_eq_all (new NB stream-edge component),
+#: the dbscan-backed rows (fused local phase landed this round), the
+#: three flagship pipelines (observe() count rework) and
+#: langid_route_eq (oracle CTE refactor) — then the rest of the 46
+#: queries parked past the r10 cap (registry order), so every
+#: registered query keeps a driver row <= 2 rounds old. 49 rows
+#: inside the ~50 cap; this round's r10-recorded stable rows park.
 _RECORD_FRONT = [
-    "langid_route_eq",
-    "semdedup_multiprobe_eq",
-    "multimodal_decode",
+    "bpe_tokenize_eq",
     "stream_eq_all",
-    "multimodal_gif",
-    "crawl_shards",
-    "decontaminate",
-    "sketches_all",
-    "shard_assign",
-    "sim_topk_ivf",
-    "sim_topk_ivf_full",
-    "multimodal_features",
-    "multimodal_frames",
-    "curate_embeds",
-    "redact_pii",
-    "knn_classify",
-    "scan_project_filter",
-    "retention",
-    "profile_lineitem",
-    "expectations",
-    "clean_text",
-    "lm_perplexity",
-    "text_stats",
-    "tfidf",
-    "balance_sources",
-    "salted_join_eq",
-    "sample_sources",
-    "quantile_filter_by",
-    "lsh_route_eq",
-    "boilerplate_lines",
-    "stream_windowed_counts",
-    "chunk_documents",
-    "dedup_minhash_2t",
-    "label_centroids",
-    "repetition_stats",
-    "assign_split",
-    "asof_purchase_click",
-    "funnel",
-    "sessionize",
-    "agg_q1",
-    "eps_join",
-    "join_revenue_by_nation",
-    "window_topk",
-    "rollup_revenue",
-    "simhash_sigs",
-    "multimodal_meta",
-    "quantile_filter",
-    "bbox",
-    "median_dim",
+    "cluster_labels",
+    "cluster_stats",
+    "dense_ids",
+    "refinedweb_pipeline",
+    "fineweb_pipeline",
+    "dolma_pipeline",
+    "langid_route_eq",
+    "url_dedup_bloom",
+    "nb_classify",
+    "fineweb_filters",
+    "c4_filters",
+    "gopher_repetition",
+    "paragraph_dedup",
+    "paragraph_dedup_bi",
+    "lsh_bucket_cap_eq",
+    "compression_ratio",
+    "semdedup_bi",
+    "dsir_bigk_eq",
+    "url_filter",
+    "dsir_resample",
+    "grid_cells",
+    "ghost_rows",
+    "neighbor_count",
+    "core_points",
+    "eps_join_2t",
+    "sample_count",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "simhash_neardup",
+    "embed_neardup",
+    "sim_topk",
+    "curate_docs",
+    "curate_corpus",
+    "url_dedup",
+    "url_dedup_bi",
+    "gopher_rules",
+    "dsir_weights",
+    "mix_to_budget",
+    "remove_dup_spans",
+    "span_dup_stats",
+    "contam_spans",
+    "spans_bipartite",
+    "semdedup_far",
+    "pack_sequences",
+    "semdedup_eq",
+    "dsir_route_eq",
 ]
 
 
