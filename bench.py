@@ -468,6 +468,34 @@ def main() -> None:
             errors["semdedup_scale600k"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# semdedup_scale600k: ERROR {errors['semdedup_scale600k']}", file=sys.stderr)
 
+        # multi-probe cost curve (round 11): p in {2, 4} on the SAME
+        # construction. Recall on the plants stays exact by definition
+        # (identical vectors share every probe), so these runs measure
+        # the pair-generation fan-out growth — SCALE.md's multi-probe
+        # note records the p=1/2/4 wall ratio as the cost table.
+        for p in (2, 4):
+            t0 = time.time()
+            try:
+                sp = semdedup(
+                    base6.unionByName(dups6), 0.9999, 64,
+                    id_col="id", vec_col="embedding", probes=p,
+                )
+                n_sp = sp.count()
+                n_left = sp.filter(F.col("id") >= ne).count()
+                sp.unpersist()
+                assert n_sp == ne and n_left == 0, (p, n_sp, n_left)
+                timings[f"semdedup_scale600k_p{p}"] = round(time.time() - t0, 3)
+                print(
+                    f"# semdedup_scale600k_p{p}: {timings[f'semdedup_scale600k_p{p}']}s",
+                    file=sys.stderr,
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors[f"semdedup_scale600k_p{p}"] = f"{type(exc).__name__}: {exc}"[:500]
+                print(
+                    f"# semdedup_scale600k_p{p}: ERROR {errors[f'semdedup_scale600k_p{p}']}",
+                    file=sys.stderr,
+                )
+
         # incremental SemDeDup against the same 600k history: a
         # 2000-doc "daily shard" with every outcome planted — 1000
         # exact copies of history vectors (components touch history:
