@@ -210,15 +210,55 @@ def _chunk_main(argv: list[str]) -> int:
     return 0
 
 
+def _bpe_train_main(argv: list[str]) -> int:
+    """``... bpe-train -i docs.parquet -o merges.parquet -n 8000`` —
+    learn a byte-level BPE merges table (one combinable histogram
+    groupBy + driver merge loop) and persist it as parquet; feed it
+    back to ``pack --bpe-merges`` (or the API encoders) so token
+    counts bound REAL sequence lengths."""
+    ap = argparse.ArgumentParser(prog="cs533_big_data_data_mining_spark bpe-train")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True, help="merges table parquet")
+    ap.add_argument("-n", "--merges", type=int, default=8000)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--max-words", type=int, default=1_000_000)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from cs533_big_data_data_mining_spark.operators.bpe import bpe_train, merges_table
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_bpe_train_cli", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    merges = bpe_train(docs, args.text_col, args.merges, max_words=args.max_words)
+    merges_table(spark, merges).write.mode("overwrite").parquet(args.output)
+    print(
+        f"learned {len(merges)} merges (vocab {256 + len(merges)}) "
+        f"-> {args.output} ({time.time() - t0:.1f}s)"
+    )
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def _pack_main(argv: list[str]) -> int:
     """``... pack -i docs.parquet -o plan.parquet -l 2048`` — the
     sequence-packing shard plan (global token offsets + bins), with
-    the runtime offset invariants enforced."""
+    the runtime offset invariants enforced. ``--bpe-merges`` swaps the
+    subword-regex token estimate for the TRAINED tokenizer's counts
+    (a ``bpe-train`` artifact), so bins bound real sequence lengths."""
     ap = argparse.ArgumentParser(prog="cs533_big_data_data_mining_spark pack")
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("-l", "--seq-len", type=int, default=2048)
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--bpe-merges", default=None,
+                    help="parquet merges table from bpe-train")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -231,7 +271,15 @@ def _pack_main(argv: list[str]) -> int:
     spark = get_spark(app_name="cs533_pack_cli", master=args.master)
     t0 = time.time()
     docs = spark.read.parquet(args.input)
-    plan = pack_sequences(docs, args.id_col, args.seq_len, validate=True)
+    count_expr = None
+    if args.bpe_merges:
+        from cs533_big_data_data_mining_spark.operators.bpe import (
+            bpe_token_count,
+            load_merges,
+        )
+
+        count_expr = bpe_token_count(load_merges(spark, args.bpe_merges), args.text_col)
+    plan = pack_sequences(docs, args.id_col, args.seq_len, count_expr=count_expr, validate=True)
     plan.write.mode("overwrite").parquet(args.output)
     total = spark.read.parquet(args.output).agg(
         {"n_tokens": "sum", "bin_end": "max"}
@@ -1600,6 +1648,8 @@ def main(argv: list[str] | None = None) -> int:
         return _chunk_main(argv[1:])
     if argv and argv[0] == "pack":
         return _pack_main(argv[1:])
+    if argv and argv[0] == "bpe-train":
+        return _bpe_train_main(argv[1:])
     if argv and argv[0] == "score":
         return _score_main(argv[1:])
     if argv and argv[0] == "classify":
@@ -1608,7 +1658,7 @@ def main(argv: list[str] | None = None) -> int:
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",
         epilog="data-pipeline subcommands: refinedweb fineweb dolma ingest-shard "
-        "curate mix chunk pack score classify (run '<subcommand> --help' for each)",
+        "curate mix chunk pack bpe-train score classify (run '<subcommand> --help' for each)",
     )
     ap.add_argument("-i", "--input", required=True, help="input file (.bin with -b, else parquet)")
     ap.add_argument("-b", "--binary", action="store_true", help="input is the reference's .bin format")

@@ -171,6 +171,40 @@ def bpe_token_count(merges: list[tuple[str, str]], col: str | Column) -> Column:
     return _cnt(c)
 
 
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """Token string -> id mapping as a list (index = id): the 256 base
+    byte symbols first (id = byte value — stable across vocabularies),
+    then one merged token per merge in rank order. Total vocabulary
+    size = 256 + len(merges)."""
+    return [chr(i) for i in range(256)] + [a + b for a, b in merges]
+
+
+def bpe_ids(merges: list[tuple[str, str]], col: str | Column) -> Column:
+    """``array<int>`` of token IDS under the trained vocabulary — what
+    a training shard actually stores. Same Arrow envelope as
+    :func:`bpe_tokens`; ids come from :func:`bpe_vocab` (bytes 0-255,
+    then merges by rank)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    ids = {tok: i for i, tok in enumerate(bpe_vocab(merges))}
+
+    @pandas_udf("array<int>")
+    def _ids(s: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return s.map(lambda t: [ids[tok] for tok in _encode_text(t, ranks, cache)])
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _ids(c)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Read a persisted ``merges_table`` parquet back into the
+    rank-ordered merges list the encoders take."""
+    return [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]
+
+
 def merges_table(spark, merges: list[tuple[str, str]]) -> DataFrame:
     """The merges as a ``(rank, left, right)`` frame — the persistable
     model artifact (write it as parquet next to the shards; training

@@ -143,3 +143,45 @@ def test_merges_table_roundtrip(spark):
     t = merges_table(spark, merges)
     back = [(r["left"], r["right"]) for r in t.orderBy("rank").collect()]
     assert back == merges
+
+
+def test_cli_bpe_train_then_pack(spark, tmp_path):
+    """bpe-train -> pack --bpe-merges round trip: the plan's offsets
+    must replay the closed-form counts of the forced-merge corpus."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "bpe_docs.parquet")
+    model = str(tmp_path / "merges.parquet")
+    plan_out = str(tmp_path / "plan.parquet")
+    rows = [(i, "ab" * (1 + i % 8)) for i in range(120)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    assert main(["bpe-train", "-i", src, "-o", model, "-n", "3"]) == 0
+    got_merges = [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(model).orderBy("rank").collect()
+    ]
+    assert got_merges == [("a", "b"), ("ab", "ab"), ("abab", "abab")]
+
+    assert main(["pack", "-i", src, "-o", plan_out, "-l", "16", "--bpe-merges", model]) == 0
+    plan = {r["id"]: r for r in spark.read.parquet(plan_out).collect()}
+    off = 0
+    for i in range(120):
+        m = 1 + i % 8
+        k1, r1 = divmod(m, 2)
+        k2, r2 = divmod(k1, 2)
+        n = k2 + r2 + r1
+        assert plan[i]["n_tokens"] == n and plan[i]["start_offset"] == off
+        off += n
+
+
+def test_bpe_ids_and_vocab(spark):
+    from cs533_big_data_data_mining_spark.operators.bpe import bpe_ids, bpe_vocab
+
+    merges = [("a", "b"), ("ab", "ab")]
+    vocab = bpe_vocab(merges)
+    assert len(vocab) == 258 and vocab[97] == "a" and vocab[256] == "ab" and vocab[257] == "abab"
+    df = spark.createDataFrame([(0, "ababa")], "doc_id long, text string")
+    ids = df.select(bpe_ids(merges, "text").alias("i")).head()["i"]
+    # "ababa" -> abab + a -> ids [257, 97]
+    assert ids == [257, 97]
