@@ -264,6 +264,7 @@ def dbscan(
     block_fallback_rows: int = 8192,
     driver_label_rows: int = DRIVER_LABEL_FASTPATH_ROWS,
     stage_times: dict | None = None,
+    fused: bool | None = None,
 ) -> DataFrame:
     """Cluster a canonical point frame ``(id, xs)``.
 
@@ -340,7 +341,26 @@ def dbscan(
     # ONE applyInPandas pass and the is_core join disappears. An
     # externally-supplied spec with thinner cells falls back to the
     # two-pass path (identical semantics, one extra kernel ship).
-    fused = (not spec.dims) or all(w >= 2.0 * spec.eps for w in spec.width)
+    # ``fused=None`` auto-selects; ``fused=False`` forces the two-pass
+    # path (A/B instrumentation + a guaranteed-available fallback);
+    # ``fused=True`` asserts the closure requirement holds.
+    #
+    # Auto rule (round-11 A/B, quiet box): fuse only on <=2 grid axes.
+    # The 2eps closure multiplies shipped+scanned rows by
+    # (1+4/wf)^k / (1+2/wf)^k vs the eps frame — 1.5x at k=1, 1.8x at
+    # k=2, 2.4x at k=3 (wf=4) — while it saves one fixed Arrow/task
+    # round plus the is_core join. Measured: part64 (k=2, 64k)
+    # local+merge 0.64-0.76 s fused vs 1.18-1.27 two-pass; clus50k
+    # (k=3, dense) 3.6 vs 2.5 AGAINST; 3M uniform k=3 local stage 87 s
+    # vs 14 s against. The overhead saving is a constant; the extra
+    # kernel work scales with data — so the duplication ratio, i.e.
+    # the axis count, is the gate.
+    fused_ok = (not spec.dims) or all(w >= 2.0 * spec.eps for w in spec.width)
+    if fused is True and not fused_ok:
+        raise ValueError(
+            f"fused=True needs every cell side >= 2*eps={2.0 * spec.eps}; widths {spec.width}"
+        )
+    fused = (fused_ok and len(spec.dims) <= 2) if fused is None else bool(fused)
 
     t0 = time.time()
     celled = ghost_expand_2eps(points, spec) if fused else ghost_expand(points, spec)

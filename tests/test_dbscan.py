@@ -164,3 +164,23 @@ def test_degenerate_inputs(spark):
     )
     st = dbscan_stats(dbscan(same, eps=0.5, min_pts=5)).head()
     assert (st["total_points"], st["n_clusters"], st["noise_count"]) == (50, 1, 0)
+
+
+def test_fused_override_paths_identical(spark):
+    """dbscan(fused=True/False/None) must produce identical labels on
+    a k=3 grid (where the auto rule picks two-pass) and fused=True
+    must reject a thin-celled spec."""
+    x = make_blobs(2500, 3, grid_centers(8, 3, 1.0), 0.004, seed=9, noise_frac=0.05)
+    a = run_and_compare(spark, x, 0.01, 5, fused=True)
+    b = run_and_compare(spark, x, 0.01, 5, fused=False)
+    c = run_and_compare(spark, x, 0.01, 5)
+    assert np.array_equal(a, b) and np.array_equal(b, c)
+
+    from cs533_big_data_data_mining_spark.operators.cells import GridSpec
+
+    thin = GridSpec(eps=0.01, dims=(0,), origin=(0.0,), width=(0.015,), ncells=(100,))
+    df = to_points_df(spark, x)
+    with pytest.raises(ValueError, match="fused=True"):
+        from cs533_big_data_data_mining_spark.operators.dbscan import dbscan as _d
+
+        _d(df, 0.01, 5, spec=thin, fused=True)
