@@ -1816,7 +1816,13 @@ def main() -> None:
         # BENCH_local.json's 'canaries'); ~1.0 => certified-clean record
         "canary": [
             round(can.min_, 3),
-            max((a[1] for v in canaries.values() for a in v[-1:]), default=None),
+            # the window ratio of each key's KEPT reading (the min
+            # attempt), worst across keys — reading the last attempt
+            # could certify a record whose kept minima were dirty
+            max(
+                (min(v, key=lambda a: a[0])[1] for v in canaries.values() if v),
+                default=None,
+            ),
         ],
     }
     print(json.dumps(compact), flush=True)

@@ -271,7 +271,6 @@ def _pack_main(argv: list[str]) -> int:
     spark = get_spark(app_name="cs533_pack_cli", master=args.master)
     t0 = time.time()
     docs = spark.read.parquet(args.input)
-    count_expr = None
     if args.bpe_merges:
         from cs533_big_data_data_mining_spark.operators.bpe import (
             bpe_token_count,
@@ -279,6 +278,12 @@ def _pack_main(argv: list[str]) -> int:
         )
 
         count_expr = bpe_token_count(load_merges(spark, args.bpe_merges), args.text_col)
+    else:
+        # honor --text-col on the heuristic route too (count_expr=None
+        # would hard-code the 'text' column inside pack_sequences)
+        from cs533_big_data_data_mining_spark.functions.text import subword_count
+
+        count_expr = subword_count(args.text_col)
     plan = pack_sequences(docs, args.id_col, args.seq_len, count_expr=count_expr, validate=True)
     plan.write.mode("overwrite").parquet(args.output)
     total = spark.read.parquet(args.output).agg(
@@ -600,10 +605,16 @@ def _make_stage(args, t0):
         return frame
 
     def flush():
-        # called after the terminal action: every stage is on the
-        # linear path to the write, so all observations have fired
+        # called after the terminal action. A stage whose downstream
+        # went runtime-empty can have its observe node PRUNED by AQE's
+        # empty-relation propagation (Observation.get would then raise
+        # or block) — observation_value degrades to n/a instead.
+        from cs533_big_data_data_mining_spark.session import observation_value
+
         for name, obs in pending:
-            print(f"{name}: {int(obs.get['n'])} docs", flush=True)
+            n = observation_value(obs, "n")
+            label = f"{int(n)} docs" if n is not None else "n/a (stage pruned at runtime)"
+            print(f"{name}: {label}", flush=True)
         pending.clear()
 
     return stage, flush
@@ -927,7 +938,10 @@ def _refinedweb_main(argv: list[str]) -> int:
         mode="overwrite", files_per_shard=args.files_per_shard,
     )
     stage_flush()  # deferred stage counts: fired by the write above
-    n_out = spark.read.parquet(args.output).count()
+    try:
+        n_out = spark.read.parquet(args.output).count()
+    except Exception:  # noqa: BLE001 — zero-row write leaves no files to infer from
+        n_out = 0
     print(
         f"wrote {n_out} docs into {args.shards} shards "
         f"x {args.files_per_shard} files at {args.output} ({time.time() - t0:.1f}s)"
@@ -1093,7 +1107,10 @@ def _fineweb_main(argv: list[str]) -> int:
         seed=args.seed + 1, mode="overwrite", files_per_shard=args.files_per_shard,
     )
     stage_flush()  # deferred stage counts: fired by the write above
-    n_out = spark.read.parquet(args.output).count()
+    try:
+        n_out = spark.read.parquet(args.output).count()
+    except Exception:  # noqa: BLE001 — zero-row write leaves no files to infer from
+        n_out = 0
     print(
         f"wrote {n_out} docs into {args.shards} shards "
         f"x {args.files_per_shard} files at {args.output} ({time.time() - t0:.1f}s)"
@@ -1298,7 +1315,10 @@ def _dolma_main(argv: list[str]) -> int:
         seed=args.seed + 1, mode="overwrite", files_per_shard=args.files_per_shard,
     )
     stage_flush()  # deferred stage counts: fired by the write above
-    n_out = spark.read.parquet(args.output).count()
+    try:
+        n_out = spark.read.parquet(args.output).count()
+    except Exception:  # noqa: BLE001 — zero-row write leaves no files to infer from
+        n_out = 0
     print(
         f"wrote {n_out} docs into {args.shards} shards "
         f"x {args.files_per_shard} files at {args.output} ({time.time() - t0:.1f}s)"

@@ -349,10 +349,14 @@ def ghost_expand_2eps(points: DataFrame, spec: GridSpec) -> DataFrame:
             F.lit(True).alias("is_near"),
         )
     r2 = 2.0 * spec.eps
-    bad = [w for w in spec.width if w < r2]
+    # STRICTLY greater: at width == 2*eps a point at per-axis distance
+    # exactly 2*eps homes two cells away, beyond the +-1 offsets, and
+    # the <=-inclusive boundary semantics make that row load-bearing
+    # (an exactly-eps neighbor of an exactly-eps ghost)
+    bad = [w for w in spec.width if w <= r2]
     if bad:
         raise ValueError(
-            f"ghost_expand_2eps needs every cell side >= 2*eps={r2}; got widths {spec.width}"
+            f"ghost_expand_2eps needs every cell side > 2*eps={r2}; got widths {spec.width}"
         )
 
     strides = spec.strides

@@ -355,10 +355,10 @@ def dbscan(
     # vs 14 s against. The overhead saving is a constant; the extra
     # kernel work scales with data — so the duplication ratio, i.e.
     # the axis count, is the gate.
-    fused_ok = (not spec.dims) or all(w >= 2.0 * spec.eps for w in spec.width)
+    fused_ok = (not spec.dims) or all(w > 2.0 * spec.eps for w in spec.width)
     if fused is True and not fused_ok:
         raise ValueError(
-            f"fused=True needs every cell side >= 2*eps={2.0 * spec.eps}; widths {spec.width}"
+            f"fused=True needs every cell side > 2*eps={2.0 * spec.eps}; widths {spec.width}"
         )
     fused = (fused_ok and len(spec.dims) <= 2) if fused is None else bool(fused)
 

@@ -121,3 +121,30 @@ def local_df(spark: SparkSession, rows, schema: str):
     names = [f.name for f in StructType.fromDDL(schema).fields]
     pdf = pd.DataFrame.from_records(list(rows), columns=names)
     return spark.createDataFrame(pdf, schema=schema)
+
+
+def observation_value(obs, name: str, default=None):
+    """Prune-safe read of a ``pyspark.sql.Observation`` metric AFTER
+    the observed dataset's action completed.
+
+    ``Observation.get`` assumes the observe node executed; when AQE's
+    empty-relation propagation collapses a downstream branch (e.g. a
+    left-semi join whose keep set is empty at runtime), the
+    CollectMetrics node is pruned from the executed plan and ``get``
+    raises ``java.lang.AssertionError`` from ``toPyRow`` (the JVM's
+    ``getRowOrEmpty`` yields an EMPTY row). Returns ``default`` in
+    that case instead of crashing — the metric is genuinely unknown,
+    not zero."""
+    jo = getattr(obs, "_jo", None)
+    if jo is None:
+        return default
+    try:
+        opt = jo.getRowOrEmpty()
+        if not opt.isDefined():
+            return default
+        row = opt.get()
+        if row.size() == 0:
+            return default
+        return row.get(row.fieldIndex(name))
+    except Exception:  # noqa: BLE001 — py4j surface; degrade to default
+        return default

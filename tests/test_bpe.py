@@ -185,3 +185,24 @@ def test_bpe_ids_and_vocab(spark):
     ids = df.select(bpe_ids(merges, "text").alias("i")).head()["i"]
     # "ababa" -> abab + a -> ids [257, 97]
     assert ids == [257, 97]
+
+
+def test_incremental_trainer_matches_naive():
+    """The heap/incremental trainer must reproduce the full-rescan
+    reference bit-for-bit (argmax, tie-break, splice order) on random
+    histograms including adversarial overlap/tie shapes."""
+    from cs533_big_data_data_mining_spark.operators.bpe import _bpe_train_naive
+
+    rng = random.Random(31)
+    alphabet = "abcde"
+    for trial in range(8):
+        hist = []
+        for w in range(40):
+            word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            hist.append((word, rng.randint(1, 9)))
+        # deliberate ties and runs
+        hist += [("aaaa", 7), ("aaab", 7), ("abab", 7), ("baba", 7), ("ééé", 3)]
+        for n_merges in (1, 5, 20, 60):
+            fast = bpe_train_from_histogram([*hist], n_merges)
+            ref = _bpe_train_naive([*hist], n_merges)
+            assert fast == ref, (trial, n_merges, fast, ref)
