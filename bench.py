@@ -1667,6 +1667,41 @@ def main() -> None:
         finally:
             docs_lg.unpersist()
 
+        # trained byte-BPE at 500k docs (round 11): the forced-merge
+        # construction holds at volume (merge sequence pinned) and the
+        # Arrow encoder's count total matches the closed form exactly
+        # — train = one histogram groupBy + driver loop, encode = one
+        # stateless pandas-UDF pass
+        from cs533_big_data_data_mining_spark.operators.bpe import (
+            bpe_token_count,
+            bpe_train,
+        )
+
+        nbp = 500_000
+        docs_bp = spark.range(nbp).select(
+            F.col("id").alias("doc_id"),
+            F.repeat(F.lit("ab"), (F.lit(1) + F.col("id") % 8).cast("int")).alias("text"),
+        )
+        t0 = time.time()
+        try:
+            merges_bp = bpe_train(docs_bp, "text", 3)
+            assert merges_bp == [("a", "b"), ("ab", "ab"), ("abab", "abab")], merges_bp
+            total_bp = docs_bp.agg(
+                F.sum(bpe_token_count(merges_bp, "text")).alias("t")
+            ).head()["t"]
+            # closed form: sum over m=1..8 of (m//2)//2 + (m//2)%2 + m%2
+            per_cycle = sum((m // 2) // 2 + (m // 2) % 2 + m % 2 for m in range(1, 9))
+            assert total_bp == (nbp // 8) * per_cycle, (total_bp, per_cycle)
+            timings["bpe_scale500k"] = round(time.time() - t0, 3)
+            print(
+                f"# bpe_scale500k: {timings['bpe_scale500k']}s "
+                f"(forced merges held, {total_bp} tokens exact)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["bpe_scale500k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# bpe_scale500k: ERROR {errors['bpe_scale500k']}", file=sys.stderr)
+
         nmx = 1_000_000
         docs_mx = spark.range(nmx).select(
             F.col("id").alias("doc_id"),

@@ -245,6 +245,56 @@ def _bpe_train_main(argv: list[str]) -> int:
     return 0
 
 
+def _bpe_encode_main(argv: list[str]) -> int:
+    """``... bpe-encode -i docs.parquet -o tokens.parquet --model
+    merges.parquet [--ids]`` — materialize per-doc BPE tokens (or
+    integer token ids with ``--ids``) plus the count column; the
+    train -> encode -> pack chain's middle step."""
+    ap = argparse.ArgumentParser(prog="cs533_big_data_data_mining_spark bpe-encode")
+    ap.add_argument("-i", "--input", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--model", required=True, help="merges table parquet from bpe-train")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--ids", action="store_true", help="emit integer token ids instead of strings")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from cs533_big_data_data_mining_spark.operators.bpe import (
+        bpe_ids,
+        bpe_token_count,
+        bpe_tokens,
+        load_merges,
+    )
+    from cs533_big_data_data_mining_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cs533_bpe_encode_cli", master=args.master)
+    t0 = time.time()
+    merges = load_merges(spark, args.model)
+    docs = spark.read.parquet(args.input)
+    tok = bpe_ids(merges, args.text_col) if args.ids else bpe_tokens(merges, args.text_col)
+    out = docs.select(
+        F.col(args.id_col).alias("id"),
+        tok.alias("tokens"),
+        bpe_token_count(merges, args.text_col).alias("n_tokens"),
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    agg = spark.read.parquet(args.output).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).head()
+    print(
+        f"encoded {agg['n']} docs / {agg['t']} tokens with {len(merges)} merges "
+        f"-> {args.output} ({time.time() - t0:.1f}s)"
+    )
+    if not preexisting:
+        spark.stop()
+    return 0
+
+
 def _pack_main(argv: list[str]) -> int:
     """``... pack -i docs.parquet -o plan.parquet -l 2048`` — the
     sequence-packing shard plan (global token offsets + bins), with
@@ -1670,6 +1720,8 @@ def main(argv: list[str] | None = None) -> int:
         return _pack_main(argv[1:])
     if argv and argv[0] == "bpe-train":
         return _bpe_train_main(argv[1:])
+    if argv and argv[0] == "bpe-encode":
+        return _bpe_encode_main(argv[1:])
     if argv and argv[0] == "score":
         return _score_main(argv[1:])
     if argv and argv[0] == "classify":
@@ -1678,7 +1730,7 @@ def main(argv: list[str] | None = None) -> int:
         prog="cs533_big_data_data_mining_spark",
         description="Distributed DBSCAN (PySpark) - reference-compatible driver",
         epilog="data-pipeline subcommands: refinedweb fineweb dolma ingest-shard "
-        "curate mix chunk pack bpe-train score classify (run '<subcommand> --help' for each)",
+        "curate mix chunk pack bpe-train bpe-encode score classify (run '<subcommand> --help' for each)",
     )
     ap.add_argument("-i", "--input", required=True, help="input file (.bin with -b, else parquet)")
     ap.add_argument("-b", "--binary", action="store_true", help="input is the reference's .bin format")

@@ -206,3 +206,22 @@ def test_incremental_trainer_matches_naive():
             fast = bpe_train_from_histogram([*hist], n_merges)
             ref = _bpe_train_naive([*hist], n_merges)
             assert fast == ref, (trial, n_merges, fast, ref)
+
+
+def test_cli_bpe_encode(spark, tmp_path):
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "enc_docs.parquet")
+    model = str(tmp_path / "enc_merges.parquet")
+    out = str(tmp_path / "enc_out.parquet")
+    spark.createDataFrame(
+        [(i, "ab" * (1 + i % 4)) for i in range(40)], "doc_id long, text string"
+    ).write.parquet(src)
+    assert main(["bpe-train", "-i", src, "-o", model, "-n", "2"]) == 0
+    assert main(["bpe-encode", "-i", src, "-o", out, "--model", model, "--ids"]) == 0
+    got = {r["id"]: r for r in spark.read.parquet(out).collect()}
+    # merges: (a,b)->256, (ab,ab)->257; "ab"->[256], "abab"->[257],
+    # "ababab"->[257,256], "abababab"->[257,257]
+    assert got[0]["tokens"] == [256] and got[1]["tokens"] == [257]
+    assert got[2]["tokens"] == [257, 256] and got[3]["tokens"] == [257, 257]
+    assert all(got[i]["n_tokens"] == len(got[i]["tokens"]) for i in got)
