@@ -222,6 +222,11 @@ def _bpe_train_main(argv: list[str]) -> int:
     ap.add_argument("-n", "--merges", type=int, default=8000)
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--max-words", type=int, default=1_000_000)
+    ap.add_argument("--min-count", type=int, default=2,
+                    help="drop pretokens rarer than this before the top-k "
+                         "histogram cut (web-scale default 2: hapax words "
+                         "carry no pair mass; pass 1 for exact small-corpus "
+                         "training)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -234,7 +239,10 @@ def _bpe_train_main(argv: list[str]) -> int:
     spark = get_spark(app_name="cs533_bpe_train_cli", master=args.master)
     t0 = time.time()
     docs = spark.read.parquet(args.input)
-    merges = bpe_train(docs, args.text_col, args.merges, max_words=args.max_words)
+    merges = bpe_train(
+        docs, args.text_col, args.merges,
+        max_words=args.max_words, min_count=args.min_count,
+    )
     merges_table(spark, merges).write.mode("overwrite").parquet(args.output)
     print(
         f"learned {len(merges)} merges (vocab {256 + len(merges)}) "
@@ -283,11 +291,18 @@ def _bpe_encode_main(argv: list[str]) -> int:
         bpe_token_count(merges, args.text_col).alias("n_tokens"),
     )
     out.write.mode("overwrite").parquet(args.output)
-    agg = spark.read.parquet(args.output).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
-    ).head()
+    # empty-input-safe summary: SUM over zero rows is NULL, and a
+    # zero-row readback can fail schema inference — coalesce + guard
+    try:
+        agg = spark.read.parquet(args.output).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+        ).head()
+        n_docs, n_toks = agg["n"], agg["t"]
+    except Exception:  # zero-row parquet with uninferrable schema
+        n_docs, n_toks = 0, 0
     print(
-        f"encoded {agg['n']} docs / {agg['t']} tokens with {len(merges)} merges "
+        f"encoded {n_docs} docs / {n_toks} tokens with {len(merges)} merges "
         f"-> {args.output} ({time.time() - t0:.1f}s)"
     )
     if not preexisting:
@@ -309,6 +324,10 @@ def _pack_main(argv: list[str]) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--bpe-merges", default=None,
                     help="parquet merges table from bpe-train")
+    ap.add_argument("--sep-tokens", type=int, default=0,
+                    help="separator tokens appended per document (e.g. 1 "
+                         "for a <|doc|> id after each doc); offsets and "
+                         "bins count them")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -334,7 +353,10 @@ def _pack_main(argv: list[str]) -> int:
         from cs533_big_data_data_mining_spark.functions.text import subword_count
 
         count_expr = subword_count(args.text_col)
-    plan = pack_sequences(docs, args.id_col, args.seq_len, count_expr=count_expr, validate=True)
+    plan = pack_sequences(
+        docs, args.id_col, args.seq_len, count_expr=count_expr,
+        validate=True, sep_tokens=args.sep_tokens,
+    )
     plan.write.mode("overwrite").parquet(args.output)
     total = spark.read.parquet(args.output).agg(
         {"n_tokens": "sum", "bin_end": "max"}

@@ -21,12 +21,25 @@ level per GPT-2, Radford et al. 2019):
   batch and streaming alike. A per-batch word cache makes the cost
   proportional to DISTINCT words per batch (Zipf makes that small).
 
-Byte-level: each pretoken (the shared ``SUBWORD_RE`` pretokenizer —
-same regex the heuristic and the DuckDB oracles use) is decomposed
-into its UTF-8 BYTES, represented as latin-1 single-char strings so
-merges stay plain strings. Full coverage: any input encodes with zero
-unknown tokens. No end-of-word marker (documented choice: counts are
-what packing consumes; markers only shift vocabulary identity).
+Byte-level: each pretoken (``BPE_PRETOKEN_RE`` — the heuristic's
+``SUBWORD_RE`` plus a trailing ``\\s+`` whitespace-run branch, the
+GPT-2 move that makes the pretokenizer a PARTITION of the text) is
+decomposed into its UTF-8 BYTES, represented as latin-1 single-char
+strings so merges stay plain strings. Full coverage + partition =
+LOSSLESS: any input encodes with zero unknown tokens and
+``bpe_decode(bpe_ids(text)) == text`` exactly (the shard-audit
+round-trip). Trainer and encoder share ONE compiled Python regex —
+the histogram pretokenizes inside the same Arrow kernel family as the
+encoder, so no Java-vs-Python ``\\s`` class divergence can make
+training learn words the encoder never emits (NBSP et al.). No
+end-of-word marker (documented choice: counts are what packing
+consumes; markers only shift vocabulary identity).
+
+Special tokens: ids are laid out bytes (0-255), merges (256..), then
+specials — ``DEFAULT_SPECIALS`` reserves bos/eos/pad/doc-separator.
+The encoder never EMITS specials (text that spells one encodes as
+ordinary bytes/merges); packing and shard writers append them by id
+(``pack_sequences(sep_tokens=...)`` counts them).
 
 Determinism: the merge loop tie-breaks (count desc, pair lexicographic
 asc) — classic implementations inherit dict order; this one is
@@ -43,9 +56,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from cs533_big_data_data_mining_spark.functions.text import SUBWORD_RE, subword_tokens
+from cs533_big_data_data_mining_spark.functions.text import SUBWORD_RE
 
-_PRETOKEN = re.compile(SUBWORD_RE)
+#: The BPE pretokenizer: the heuristic's subword regex plus a
+#: whitespace-run tail branch. The tail only fires where no other
+#: branch can (orphan whitespace: runs of >= 2, leading/trailing
+#: whitespace, \t/\n not followed by a word), so single-space-joined
+#: prose pretokenizes identically to ``SUBWORD_RE`` — but every
+#: character of ANY text now lands in exactly one pretoken, making
+#: encode a partition of the input and decode an exact inverse.
+BPE_PRETOKEN_RE = SUBWORD_RE + r"|\s+"
+
+_PRETOKEN = re.compile(BPE_PRETOKEN_RE)
+
+#: Reserved special-token strings, appended after the merges in id
+#: order: begin/end-of-sequence, padding, and the document separator
+#: a packed pretraining stream delimits documents with.
+DEFAULT_SPECIALS = ("<|bos|>", "<|eos|>", "<|pad|>", "<|doc|>")
 
 
 def _word_bytes(word: str) -> tuple[str, ...]:
@@ -53,16 +80,44 @@ def _word_bytes(word: str) -> tuple[str, ...]:
     return tuple(chr(b) for b in word.encode("utf-8"))
 
 
-def word_histogram(docs: DataFrame, text_col: str, max_words: int = 1_000_000) -> list[tuple[str, int]]:
+def bpe_pretokens(col: str | Column) -> Column:
+    """``array<string>`` of BPE pretokens — THE pretokenizer, one
+    compiled Python regex shared verbatim by the trainer's histogram,
+    both encoders, and the join-route counter (a Java-regex twin would
+    disagree on Unicode whitespace classes; one engine = no drift)."""
+
+    @pandas_udf("array<string>")
+    def _pt(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _PRETOKEN.findall(t) if t is not None else [])
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _pt(c)
+
+
+def word_histogram(
+    docs: DataFrame, text_col: str, max_words: int = 1_000_000, min_count: int = 1
+) -> list[tuple[str, int]]:
     """``(word, count)`` pretoken histogram — the ONE distributed pass
     of BPE training. Map-side combinable groupBy; the driver collect
     is bounded by ``max_words`` (highest count first, then word asc —
-    a deterministic truncation)."""
-    hist = (
-        docs.select(F.explode(subword_tokens(F.col(text_col))).alias("w"))
+    a deterministic truncation).
+
+    ``min_count`` prefilters the histogram BEFORE the top-k sort: at
+    web scale roughly half of all distinct pretokens are hapax
+    legomena whose pair mass is noise, and dropping them ahead of the
+    TakeOrdered shrinks each partition's 1M-row heap (and the driver
+    merge) by that factor. Default 1 = exact Sennrich training (small
+    planted corpora legitimately carry signal in singletons); the CLI
+    defaults to 2, the web-scale setting."""
+    grouped = (
+        docs.select(F.explode(bpe_pretokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("w").asc())
+    )
+    if int(min_count) > 1:
+        grouped = grouped.filter(F.col("n") >= int(min_count))
+    hist = (
+        grouped.orderBy(F.col("n").desc(), F.col("w").asc())
         .limit(int(max_words))
         .collect()
     )
@@ -168,10 +223,12 @@ def bpe_train_from_histogram(hist: list[tuple[str, int]], n_merges: int) -> list
 
 
 def bpe_train(
-    docs: DataFrame, text_col: str, n_merges: int, max_words: int = 1_000_000
+    docs: DataFrame, text_col: str, n_merges: int, max_words: int = 1_000_000, min_count: int = 1
 ) -> list[tuple[str, str]]:
     """One-call train: distributed histogram + driver merge loop."""
-    return bpe_train_from_histogram(word_histogram(docs, text_col, max_words), n_merges)
+    return bpe_train_from_histogram(
+        word_histogram(docs, text_col, max_words, min_count=min_count), n_merges
+    )
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -241,29 +298,164 @@ def bpe_token_count(merges: list[tuple[str, str]], col: str | Column) -> Column:
     return _cnt(c)
 
 
-def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
-    """Token string -> id mapping as a list (index = id): the 256 base
-    byte symbols first (id = byte value — stable across vocabularies),
-    then one merged token per merge in rank order. Total vocabulary
-    size = 256 + len(merges)."""
-    return [chr(i) for i in range(256)] + [a + b for a, b in merges]
+def bpe_vocab(merges: list[tuple[str, str]], specials: tuple[str, ...] = ()) -> list[str]:
+    """Token string by id (index = id): the 256 base byte symbols
+    first (id = byte value — stable across vocabularies), then one
+    merged token per merge in rank order, then the reserved special
+    tokens. Total id space = 256 + len(merges) + len(specials).
+
+    That total is an UPPER bound on distinct token STRINGS: two merges
+    can produce the same string (('a','bc') and ('ab','c') both yield
+    'abc'). Ids stay distinct either way; the encoder resolves string
+    collisions by emitting the EARLIEST id (:func:`bpe_ids`), and
+    decode (an id -> index lookup) is unaffected."""
+    return [chr(i) for i in range(256)] + [a + b for a, b in merges] + list(specials)
+
+
+def bpe_special_ids(
+    merges: list[tuple[str, str]], specials: tuple[str, ...] = DEFAULT_SPECIALS
+) -> dict[str, int]:
+    """Special-token string -> reserved id (ids follow the merges:
+    256 + len(merges) + position). The encoder never emits these;
+    shard writers append them by id and ``pack_sequences`` counts
+    them via ``sep_tokens``."""
+    base = 256 + len(merges)
+    return {tok: base + j for j, tok in enumerate(specials)}
+
+
+def _ids_by_token(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Encode-side token-string -> id map. On a string collision
+    (duplicate merge products) the EARLIEST id wins — deterministic,
+    and decode maps that id back to the identical string."""
+    ids: dict[str, int] = {}
+    for i, tok in enumerate(bpe_vocab(merges)):
+        ids.setdefault(tok, i)
+    return ids
 
 
 def bpe_ids(merges: list[tuple[str, str]], col: str | Column) -> Column:
     """``array<int>`` of token IDS under the trained vocabulary — what
     a training shard actually stores. Same Arrow envelope as
     :func:`bpe_tokens`; ids come from :func:`bpe_vocab` (bytes 0-255,
-    then merges by rank)."""
+    then merges by rank; string collisions resolve to the earliest
+    id). Special tokens are never emitted here — append them by id
+    (:func:`bpe_special_ids`) at the packing layer."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    ids = {tok: i for i, tok in enumerate(bpe_vocab(merges))}
+    ids = _ids_by_token(merges)
 
     @pandas_udf("array<int>")
-    def _ids(s: pd.Series) -> pd.Series:
+    def _ids_udf(s: pd.Series) -> pd.Series:
         cache: dict = {}
         return s.map(lambda t: [ids[tok] for tok in _encode_text(t, ranks, cache)])
 
     c = F.col(col) if isinstance(col, str) else col
-    return _ids(c)
+    return _ids_udf(c)
+
+
+def bpe_decode(
+    merges: list[tuple[str, str]],
+    col: str | Column,
+    specials: tuple[str, ...] = (),
+) -> Column:
+    """``array<int>`` token ids -> the decoded ``string`` — the ids ->
+    text inverse every packed-shard audit needs (decode a sample, diff
+    against the source). Text-token ids concatenate their latin-1 byte
+    symbols and UTF-8-decode the byte stream; special ids (past
+    256 + len(merges)) render as their literal strings (``specials``
+    must cover every special id present). Exact inverse:
+    ``bpe_decode(bpe_ids(text)) == text`` for ANY input, because the
+    pretokenizer partitions the text and symbols are raw UTF-8 bytes.
+    Decoding an id slice that splits a multi-byte character (a
+    mid-sequence shard window) yields U+FFFD replacement characters
+    for the torn bytes rather than failing, matching standard
+    tokenizer behavior."""
+    vocab = bpe_vocab(merges, specials)
+    n_text = 256 + len(merges)
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        def dec(ids):
+            if ids is None:
+                return None
+            parts: list[str] = []
+            buf: list[str] = []
+            for i in ids:
+                i = int(i)
+                if i < 0 or i >= len(vocab):
+                    raise ValueError(
+                        f"token id {i} outside vocabulary of {len(vocab)} "
+                        "(wrong merges table or missing specials?)"
+                    )
+                if i < n_text:
+                    buf.append(vocab[i])
+                else:
+                    if buf:
+                        parts.append("".join(buf).encode("latin-1").decode("utf-8", "replace"))
+                        buf = []
+                    parts.append(vocab[i])
+            if buf:
+                parts.append("".join(buf).encode("latin-1").decode("utf-8", "replace"))
+            return "".join(parts)
+
+        return s.map(dec)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _dec(c)
+
+
+def bpe_doc_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    route: str = "join",
+) -> DataFrame:
+    """Per-document BPE token counts ``(id, n_tokens)`` — the frame a
+    tokenize-and-pack job feeds ``pack_sequences`` at corpus scale.
+
+    ``route='join'`` (the 100 TB default) makes the Python merge-loop
+    work proportional to the corpus's GLOBAL distinct-pretoken count
+    instead of rows x words: explode pretokens -> per-(doc, word)
+    occurrence counts (one combinable shuffle) -> encode each DISTINCT
+    word exactly once in a bounded Arrow pass -> join the per-word
+    token length back (AQE broadcasts it when the vocabulary is small)
+    -> one JVM sum per document. Zipf bounds the distinct-word frame
+    the same way ``word_histogram`` already relies on; everything on
+    the document axis stays whole-stage-codegen.
+
+    ``route='udf'`` is the per-row Arrow encoder (:func:`bpe_token_count`)
+    — zero shuffle, streaming-safe, but its per-batch word cache redoes
+    Python work per batch; right for streams and small batches."""
+    if route == "udf":
+        return docs.select(
+            F.col(id_col).alias("id"),
+            bpe_token_count(merges, text_col).alias("n_tokens"),
+        )
+    if route != "join":
+        raise ValueError(f"route must be 'join' or 'udf' (got {route!r})")
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @pandas_udf("long")
+    def _word_len(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: len(_encode_word(w, ranks)))
+
+    per_doc_word = (
+        docs.select(F.col(id_col).alias("id"), F.explode(bpe_pretokens(text_col)).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    word_len = per_doc_word.select("w").distinct().withColumn("n_tok", _word_len(F.col("w")))
+    counts = (
+        per_doc_word.join(word_len, "w")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("n_tok")).alias("n_tokens"))
+    )
+    # left join keeps zero-word documents (empty/null text) at 0
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(counts, "id", "left")
+        .select("id", F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"))
+    )
 
 
 def load_merges(spark, path: str) -> list[tuple[str, str]]:

@@ -63,6 +63,7 @@ def pack_sequences(
     n_buckets: int | None = None,
     bounds: list | None = None,
     validate: bool = False,
+    sep_tokens: int = 0,
 ) -> DataFrame:
     """``(id, n_tokens, start_offset, bin_start, bin_end)`` per doc:
     ``start_offset`` = total tokens of all ids before it (id order),
@@ -75,6 +76,16 @@ def pack_sequences(
 
     ``count_expr`` defaults to the BPE-ish ``subword_count`` over a
     ``text`` column; pass an expression for pre-tokenized inputs.
+
+    ``sep_tokens`` adds that many separator tokens to EVERY document's
+    count — the standard packed-stream convention appends a document
+    separator (e.g. the ``<|doc|>``/``<|endoftext|>`` id from
+    ``bpe_special_ids``) after each document, and offsets that ignore
+    it misplace every downstream document by the cumulative separator
+    count. With ``sep_tokens=k``, ``n_tokens`` is the doc's emitted
+    length INCLUDING its trailing separators, ``start_offset`` is
+    where the doc's first real token lands, and the prefix-sum
+    invariants hold over the separator-inclusive stream.
 
     ``bounds`` overrides the sketch-derived bucket bounds (any sorted
     or unsorted list — they are literals, the result is invariant to
@@ -96,9 +107,11 @@ def pack_sequences(
     """
     global LAST_BOUNDS
     cnt = count_expr if count_expr is not None else subword_count("text")
+    if int(sep_tokens) < 0:
+        raise ValueError("sep_tokens must be >= 0")
     base = df.select(
         F.col(id_col).alias("id"),
-        F.coalesce(cnt.cast("long"), F.lit(0)).alias("n_tokens"),
+        (F.coalesce(cnt.cast("long"), F.lit(0)) + F.lit(int(sep_tokens))).alias("n_tokens"),
     )
     nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     # ONE quantile pass -> bounds as literals. Both downstream jobs

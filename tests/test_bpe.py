@@ -225,3 +225,188 @@ def test_cli_bpe_encode(spark, tmp_path):
     assert got[0]["tokens"] == [256] and got[1]["tokens"] == [257]
     assert got[2]["tokens"] == [257, 256] and got[3]["tokens"] == [257, 257]
     assert all(got[i]["n_tokens"] == len(got[i]["tokens"]) for i in got)
+
+
+def test_pretokenizer_partitions_text():
+    """BPE_PRETOKEN_RE must PARTITION any text (every char in exactly
+    one pretoken, in order) — the losslessness precondition."""
+    from cs533_big_data_data_mining_spark.operators.bpe import _PRETOKEN
+
+    gnarly = [
+        "a  b\n\nc\td ",
+        " leading and trailing ",
+        "héllo wörld 漢字 🎉",
+        "nb sp and thin　ideographic",
+        "tabs\t\tand\r\nnewlines",
+        "", "   ", "no-spaces-at-all", "1 2  3   4",
+    ]
+    for t in gnarly:
+        assert "".join(_PRETOKEN.findall(t)) == t, repr(t)
+
+
+def test_train_encode_same_pretokenizer_nbsp(spark):
+    """Trainer histogram and encoder share ONE Python regex: with
+    U+00A0 in the corpus the histogram's words must be exactly the
+    encoder-side pretokens (the r11 Java-vs-Python \\s divergence)."""
+    from collections import Counter
+
+    from cs533_big_data_data_mining_spark.operators.bpe import _PRETOKEN, word_histogram
+
+    texts = [f"a b word{i % 3} end  tail " for i in range(60)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    hist = dict(word_histogram(df, "text"))
+    want = Counter()
+    for t in texts:
+        want.update(_PRETOKEN.findall(t))
+    assert hist == dict(want)
+
+
+def test_decode_roundtrip_exact(spark):
+    from cs533_big_data_data_mining_spark.operators.bpe import bpe_decode, bpe_ids, bpe_train
+
+    texts = [
+        "a  b\n\nc\td ",
+        " leading and trailing ",
+        "héllo wörld 漢字 🎉",
+        "nb sp runs   of spaces",
+        "the theory of therefore, 123!?",
+        "",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", 30)
+    got = {
+        r["doc_id"]: r["back"]
+        for r in df.select(
+            "doc_id", bpe_decode(merges, bpe_ids(merges, "text")).alias("back")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == t, (i, repr(got[i]), repr(t))
+    # null text encodes to [] (same as ""), so decode gives "" — a
+    # null ID ARRAY decodes to null
+    assert got[len(texts)] == ""
+    null_back = df.limit(1).select(
+        bpe_decode(merges, F.lit(None).cast("array<int>")).alias("t")
+    ).head()["t"]
+    assert null_back is None
+
+
+def test_specials_layout_and_decode(spark):
+    from cs533_big_data_data_mining_spark.operators.bpe import (
+        DEFAULT_SPECIALS,
+        bpe_decode,
+        bpe_ids,
+        bpe_special_ids,
+        bpe_vocab,
+    )
+
+    merges = [("a", "b"), ("ab", "ab")]
+    sp = bpe_special_ids(merges)
+    assert sp == {"<|bos|>": 258, "<|eos|>": 259, "<|pad|>": 260, "<|doc|>": 261}
+    vocab = bpe_vocab(merges, DEFAULT_SPECIALS)
+    assert len(vocab) == 262 and vocab[259] == "<|eos|>"
+    # encoder never emits specials: the literal text encodes as bytes
+    df = spark.createDataFrame([(0, "abab<|eos|>")], "doc_id long, text string")
+    ids = df.select(bpe_ids(merges, "text").alias("i")).head()["i"]
+    assert sp["<|eos|>"] not in ids
+    # separator-framed stream decodes with the literal marker
+    framed = df.select(
+        bpe_decode(
+            merges,
+            F.concat(bpe_ids(merges, "text"), F.array(F.lit(sp["<|doc|>"]))),
+            DEFAULT_SPECIALS,
+        ).alias("t")
+    ).head()["t"]
+    assert framed == "abab<|eos|><|doc|>"
+
+
+def test_vocab_string_collision_earliest_id_wins(spark):
+    from cs533_big_data_data_mining_spark.operators.bpe import bpe_decode, bpe_ids, bpe_vocab
+
+    merges = [("b", "c"), ("a", "bc"), ("ab", "c")]  # 257 and 258 both "abc"
+    vocab = bpe_vocab(merges)
+    assert vocab[257] == "abc" and vocab[258] == "abc"  # ids distinct, strings collide
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    ids = df.select(bpe_ids(merges, "text").alias("i")).head()["i"]
+    assert ids == [257]  # earliest id for the collided string
+    back = df.select(
+        bpe_decode(merges, F.array(F.lit(257), F.lit(258))).alias("t")
+    ).head()["t"]
+    assert back == "abcabc"  # decode is index-based; both ids render
+
+
+def test_pack_sep_tokens(spark):
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+    rows = [(i, "ab" * (1 + i % 8)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", 3)
+    packed = pack_sequences(
+        df, "doc_id", 16, count_expr=bpe_token_count(merges, "text"),
+        validate=True, sep_tokens=1,
+    ).collect()
+    by_id = {r["id"]: r for r in packed}
+    off = 0
+    for i in range(100):
+        m = 1 + i % 8
+        k1, r1 = divmod(m, 2)
+        k2, r2 = divmod(k1, 2)
+        n = k2 + r2 + r1 + 1  # + the separator
+        assert by_id[i]["n_tokens"] == n and by_id[i]["start_offset"] == off
+        off += n
+
+
+def test_min_count_prefilter(spark):
+    """min_count=2 must not change merges when no word is hapax; a
+    meaningful hapax shows the documented web-scale approximation."""
+    rows = [(i, "abcd " * 2) for i in range(50)] + [(50, "xy" * 200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dup_only = df.filter("doc_id < 50")
+    assert bpe_train(dup_only, "text", 4, min_count=2) == bpe_train(dup_only, "text", 4)
+    # the hapax xy-run dominates pair mass; min_count=2 drops it
+    m1 = bpe_train(df, "text", 1, min_count=1)
+    m2 = bpe_train(df, "text", 1, min_count=2)
+    assert m1 == [("x", "y")] and m2 != m1
+
+
+def test_doc_token_counts_route_equivalence(spark):
+    from cs533_big_data_data_mining_spark.operators.bpe import (
+        BPE_PRETOKEN_RE,
+        bpe_doc_token_counts,
+    )
+
+    rng = random.Random(11)
+    words = ["the", "then", "there", "ab", "abab", "héllo", "123", "!?", "  ", "\n"]
+    rows = [
+        (i, "".join(rng.choice(words) + rng.choice([" ", ""]) for _ in range(rng.randint(0, 25))))
+        for i in range(150)
+    ] + [(150, ""), (151, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", 16)
+    join_r = {r["id"]: r["n_tokens"] for r in bpe_doc_token_counts(df, merges).collect()}
+    udf_r = {
+        r["id"]: r["n_tokens"]
+        for r in bpe_doc_token_counts(df, merges, route="udf").collect()
+    }
+    assert join_r == udf_r and len(join_r) == 152
+    assert join_r[150] == 0 and join_r[151] == 0
+    # spot-check against the slow reference on the new regex
+    for i, text in rows[:20]:
+        want = len(ref_encode_re(text, merges, BPE_PRETOKEN_RE))
+        assert join_r[i] == want, i
+
+
+def ref_encode_re(text, merges, pattern):
+    out = []
+    for w in re.findall(pattern, text or ""):
+        syms = [chr(b) for b in w.encode("utf-8")]
+        for a, b in merges:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        out.extend(syms)
+    return out
