@@ -3904,6 +3904,187 @@ def _q_bpe_tokenize_eq(spark, sf_dir):
     return per_doc.unionByName(merge_rows)
 
 
+def _q_bpe_roundtrip_eq(spark, sf_dir):
+    # the tokenizer's LOSSLESS inverse (round 12): real corpus text
+    # plus an injected suffix of exactly the characters the r11
+    # pretokenizer dropped (whitespace runs, tabs, NBSP, emoji) ->
+    # ids -> decode must reproduce the text bit-for-bit; a separator-
+    # framed stream (ids + <|eos|> + <|doc|>) must decode to
+    # text + the literal markers (special ids live past the merges);
+    # and len(ids) must agree with the packing counter. Any lossy
+    # pretokenizer branch, byte/char confusion, wrong special-id
+    # layout, or ids/count drift flips a boolean and the value hash.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.bpe import (
+        DEFAULT_SPECIALS,
+        bpe_decode,
+        bpe_ids,
+        bpe_special_ids,
+        bpe_token_count,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 300)
+    gnarly = "\n\n  mixed\tws  émoji🎉 end "
+    txt = F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(gnarly))
+    corpus = docs.select("doc_id", txt.alias("text")).cache()
+    merges = bpe_train(corpus, "text", 32, min_count=2)
+    sp = bpe_special_ids(merges)
+    ids = bpe_ids(merges, "text")
+    framed_ids = F.concat(ids, F.array(F.lit(sp["<|eos|>"]), F.lit(sp["<|doc|>"])))
+    out = corpus.select(
+        "doc_id",
+        (bpe_decode(merges, ids) == F.col("text")).alias("roundtrip_ok"),
+        (
+            bpe_decode(merges, framed_ids, DEFAULT_SPECIALS)
+            == F.concat(F.col("text"), F.lit("<|eos|><|doc|>"))
+        ).alias("sep_roundtrip_ok"),
+        (F.size(ids) == bpe_token_count(merges, "text")).alias("count_consistent"),
+    )
+    return out
+
+
+def _q_bpe_count_route_eq(spark, sf_dir):
+    # distinct-word (join) vs per-row (Arrow UDF) token counting on a
+    # forced-merge corpus with a closed-form oracle, PLUS the
+    # separator-inclusive packing offsets. Corpus per doc:
+    # "ab"*m + " " + "ab"*m2 (+ "é" every 16th; every 50th doc null).
+    # n_merges=2 forces [(a,b),(ab,ab)] ((a,b) pair mass ~2900 and
+    # (ab,ab) ~2150 dominate (space,ab) ~390 and (0xC3,0xA9) 25), so
+    # n = g(m) + 1 + g(m2) + 2*[doc%16==0] with g(x)=x//2+x%2 — both
+    # routes must hit it exactly, and pack_sequences(sep_tokens=1)
+    # must prefix-sum n+1. A wrong explode/groupBy/join route, a
+    # per-batch cache bug, a lost empty-doc row, or separator
+    # accounting drift each flips the value hash.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        bpe_token_count,
+        bpe_train,
+    )
+    from cs533_big_data_data_mining_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 400)
+    m = (F.lit(1) + F.col("doc_id") % 8).cast("int")
+    m2 = (F.lit(1) + F.col("doc_id") % 5).cast("int")
+    text = F.when(F.col("doc_id") % 50 == 49, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.repeat(F.lit("ab"), m),
+            F.lit(" "),
+            F.repeat(F.lit("ab"), m2),
+            F.when(F.col("doc_id") % 16 == 0, F.lit("é")).otherwise(F.lit("")),
+        )
+    )
+    corpus = docs.select("doc_id", text.alias("text")).cache()
+    merges = bpe_train(corpus, "text", 2)
+    jn = bpe_doc_token_counts(corpus, merges, route="join").withColumnRenamed(
+        "n_tokens", "n_tokens_join"
+    )
+    ud = bpe_doc_token_counts(corpus, merges, route="udf").withColumnRenamed(
+        "n_tokens", "n_tokens_udf"
+    )
+    packed = pack_sequences(
+        corpus, "doc_id", 128, count_expr=bpe_token_count(merges, "text"),
+        validate=True, sep_tokens=1,
+    ).select(
+        F.col("id"), F.col("n_tokens").alias("n_tokens_packed"), "start_offset"
+    )
+    return (
+        jn.join(ud, "id")
+        .join(packed, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_tokens_join",
+            "n_tokens_udf",
+            (F.col("n_tokens_join") == F.col("n_tokens_udf")).alias("routes_match"),
+            "n_tokens_packed",
+            "start_offset",
+        )
+    )
+
+
+def _phash_group_payload(g: int, k: int):
+    # member k of group g: a 9x8 +-15-ladder greyscale grid whose
+    # dHash is EXACTLY the planted 64-bit pattern (4-bit group id
+    # repeated 16x -> cross-group Hamming >= 16), integer-upscaled so
+    # nearest-neighbor center-map recovery is exact. k=0: PPM x4
+    # (history/base); k=1: greyscale PNG x3 (re-encode+resize, ham 0);
+    # k=2: 2-bit mutation (ham 2); k=3: 8-bit mutation (ham 8 — must
+    # be EXCLUDED at max_hamming=3; also caps cross-member distance
+    # shifts at 8, keeping cross-group >= 8 > 3).
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import pack_png, pack_ppm
+
+    bits = 0
+    for j in range(64):
+        bits |= ((g >> (j % 4)) & 1) << j
+    for f in {2: (0, 1), 3: tuple(range(8))}.get(k, ()):
+        bits ^= 1 << f
+    grid = np.zeros((8, 9), dtype=np.uint8)
+    for r in range(8):
+        v = 128
+        grid[r, 0] = v
+        for c in range(8):
+            v = v - 15 if (bits >> (r * 8 + c)) & 1 else v + 15
+            grid[r, c + 1] = v
+    if k % 2 == 0:
+        rgb = np.repeat(grid[..., None], 3, axis=2)
+        return bytearray(pack_ppm(np.repeat(np.repeat(rgb, 4, 0), 4, 1)))
+    return bytearray(pack_png(np.repeat(np.repeat(grid[..., None], 3, 0), 3, 1)))
+
+
+def _phash_media(spark):
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    rows = [(g * 4 + k, _phash_group_payload(g, k)) for g in range(16) for k in range(4)]
+    rows.append((900, bytearray(b"not an image")))
+    return local_df(spark, rows, "media_id long, payload binary")
+
+
+def _q_phash_neardup(spark, sf_dir):
+    # perceptual-hash (dHash) image near-dup (round 12): REAL pixel
+    # content through decode -> integer BT.601 luma -> 9x8 center-map
+    # thumbnail -> gradient bits -> Hamming band join + exact verify.
+    # The construction plants, per group: a re-encoded+resized twin
+    # (PPM x4 vs greyscale PNG x3 — byte-level dedup CANNOT pair
+    # these; hamming must be exactly 0), a 2-bit mutation (hamming
+    # exactly 2), and an 8-bit mutation that must be excluded at
+    # max_hamming=3; 16x-repetition group patterns keep every
+    # cross-group distance >= 8, so the result is exactly 3 pairs per
+    # group. Wrong luma weights, resize mapping, bit order, band
+    # slicing, or Hamming verify each add/drop/renumber pairs.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.multimodal import phash_neardup_pairs
+
+    caches: list = []
+    out = phash_neardup_pairs(_phash_media(spark), max_hamming=3, caches=caches)
+    return out
+
+
+def _q_phash_neardup_bi(spark, sf_dir):
+    # bipartite twin: history = the k=0 bases (immutable), new = the
+    # k=1..3 variants. Only cross-corpus pairs may appear (the
+    # within-new (k1,k2) hamming-2 pair must NOT), and the persisted-
+    # signature route (history_sigs from dhash64 — history payloads
+    # never decoded) must agree with the payload route pair-for-pair.
+    _ensure_shipped(spark)
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        dhash64,
+        phash_neardup_pairs_bipartite,
+    )
+
+    media = _phash_media(spark)
+    hist = media.filter((F.col("media_id") % 4 == 0) & (F.col("media_id") < 900))
+    new = media.filter(F.col("media_id") % 4 != 0)
+    via_payload = phash_neardup_pairs_bipartite(new, hist, max_hamming=3)
+    hs = dhash64(hist).filter(F.col("decode_ok"))
+    via_sigs = phash_neardup_pairs_bipartite(new, hist, max_hamming=3, history_sigs=hs)
+    return via_payload.withColumn("route", F.lit("payload")).unionByName(
+        via_sigs.withColumn("route", F.lit("sigs"))
+    )
+
+
 # deterministic synthetic PII injected per doc (the corpus itself is
 # clean word soup): exercises every pattern class on both engines
 _PII_SUFFIX = (
@@ -4048,64 +4229,69 @@ def _q_stream_eq_all(spark, sf_dir):
     )
 
 
-#: Round-11 must-record rotation: new/changed-this-round rows first —
-#: bpe_tokenize_eq (new), stream_eq_all (new NB stream-edge component),
-#: the dbscan-backed rows (fused local phase landed this round), the
-#: three flagship pipelines (observe() count rework) and
-#: langid_route_eq (oracle CTE refactor) — then the rest of the 46
-#: queries parked past the r10 cap (registry order), so every
-#: registered query keeps a driver row <= 2 rounds old. 49 rows
-#: inside the ~50 cap; this round's r10-recorded stable rows park.
+#: Round-12 must-record rotation: new rows first (bpe_roundtrip_eq,
+#: bpe_count_route_eq, phash_neardup, phash_neardup_bi), then rows
+#: whose implementation changed this round (bpe_tokenize_eq: unified
+#: pretokenizer + min_count; pack_sequences: sep_tokens;
+#: simhash_neardup: band engine refactor), then the 47 queries parked
+#: past the r11 cap (registry order) so every registered query keeps a
+#: driver row <= 2 rounds old. 54 listed; the ~50-row cap parks the
+#: last few (bbox/median_dim-class rows the r10 record + pytest pin).
 _RECORD_FRONT = [
+    "bpe_roundtrip_eq",
+    "bpe_count_route_eq",
+    "phash_neardup",
+    "phash_neardup_bi",
     "bpe_tokenize_eq",
-    "stream_eq_all",
-    "cluster_labels",
-    "cluster_stats",
-    "dense_ids",
-    "refinedweb_pipeline",
-    "fineweb_pipeline",
-    "dolma_pipeline",
-    "langid_route_eq",
-    "url_dedup_bloom",
-    "nb_classify",
-    "fineweb_filters",
-    "c4_filters",
-    "gopher_repetition",
-    "paragraph_dedup",
-    "paragraph_dedup_bi",
-    "lsh_bucket_cap_eq",
-    "compression_ratio",
-    "semdedup_bi",
-    "dsir_bigk_eq",
-    "url_filter",
-    "dsir_resample",
-    "grid_cells",
-    "ghost_rows",
-    "neighbor_count",
-    "core_points",
-    "eps_join_2t",
-    "sample_count",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "simhash_neardup",
-    "embed_neardup",
-    "sim_topk",
-    "curate_docs",
-    "curate_corpus",
-    "url_dedup",
-    "url_dedup_bi",
-    "gopher_rules",
-    "dsir_weights",
-    "mix_to_budget",
-    "remove_dup_spans",
-    "span_dup_stats",
-    "contam_spans",
-    "spans_bipartite",
-    "semdedup_far",
     "pack_sequences",
-    "semdedup_eq",
-    "dsir_route_eq",
+    "simhash_neardup",
+    "paragraph_dedup_bloom",
+    "semdedup_multiprobe_eq",
+    "multimodal_decode",
+    "crawl_shards",
+    "decontaminate",
+    "sketches_all",
+    "shard_assign",
+    "sim_topk_ivf",
+    "sim_topk_ivf_full",
+    "multimodal_features",
+    "multimodal_frames",
+    "curate_embeds",
+    "redact_pii",
+    "knn_classify",
+    "scan_project_filter",
+    "retention",
+    "profile_lineitem",
+    "expectations",
+    "clean_text",
+    "lm_perplexity",
+    "text_stats",
+    "tfidf",
+    "balance_sources",
+    "salted_join_eq",
+    "sample_sources",
+    "quantile_filter_by",
+    "lsh_route_eq",
+    "boilerplate_lines",
+    "stream_windowed_counts",
+    "chunk_documents",
+    "dedup_minhash_2t",
+    "label_centroids",
+    "repetition_stats",
+    "assign_split",
+    "asof_purchase_click",
+    "funnel",
+    "sessionize",
+    "agg_q1",
+    "eps_join",
+    "join_revenue_by_nation",
+    "window_topk",
+    "rollup_revenue",
+    "simhash_sigs",
+    "multimodal_meta",
+    "quantile_filter",
+    "bbox",
+    "median_dim",
 ]
 
 
@@ -4123,6 +4309,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-query comments stay put.
     reg = {
         # --- new / changed this round (must-record) ---
+        # bpe_roundtrip_eq: NEW (round 12) — lossless detokenizer +
+        # special tokens: decode(ids)==text on real corpus text with a
+        # planted whitespace/NBSP/emoji suffix; separator-framed
+        # streams decode with literal markers; len(ids) == pack count
+        "bpe_roundtrip_eq": _q_bpe_roundtrip_eq,
+        # bpe_count_route_eq: NEW — distinct-word join-route counter
+        # vs the Arrow UDF route vs a closed-form forced-merge oracle,
+        # plus sep_tokens-inclusive packing offsets
+        "bpe_count_route_eq": _q_bpe_count_route_eq,
+        # phash_neardup: NEW — perceptual-hash (dHash) image dedup:
+        # re-encoded/resized pixel twins pair at hamming 0, planted
+        # 2-bit mutants at 2, 8-bit mutants excluded
+        "phash_neardup": _q_phash_neardup,
+        # phash_neardup_bi: NEW — incremental twin (history immutable,
+        # cross-corpus pairs only) with the persisted-signature route
+        # pinned equal to the payload route
+        "phash_neardup_bi": _q_phash_neardup_bi,
         # bpe_tokenize_eq: NEW (round 11) — trained byte-BPE tokenizer
         # (histogram -> merge learning -> Arrow encode) wired into
         # pack_sequences, vs a closed-form forced-merge oracle
@@ -5334,6 +5537,70 @@ WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6
         # (greedy rank-order merging leaves (m//2)//2 + (m//2)%2 + m%2
         # tokens) plus 2 unmerged bytes for the planted 2-byte UTF-8
         # char on every 16th doc; offsets replay pack_sequences' sum
+        # bpe_roundtrip_eq: the engine must prove losslessness itself
+        # — the oracle only states that every check HOLDS (any lossy
+        # branch or id-layout drift flips a boolean -> value hash)
+        "bpe_roundtrip_eq": """
+            SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS sep_roundtrip_ok,
+                   TRUE AS count_consistent
+            FROM documents WHERE doc_id < 300
+        """,
+        # bpe_count_route_eq: closed form of the forced-merge corpus
+        # ("ab"*m + " " + "ab"*m2 + é-plant; every 50th doc null):
+        # n = g(m) + 1 + g(m2) + 2*[doc%16=0], g(x) = x//2 + x%2,
+        # merges forced to [(a,b),(ab,ab)]; packing adds 1 separator
+        # per doc and prefix-sums in doc_id order
+        "bpe_count_route_eq": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+            n AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN doc_id % 50 = 49 THEN 0 ELSE
+                         ((1 + doc_id % 8) // 2) + (1 + doc_id % 8) % 2
+                       + 1
+                       + ((1 + doc_id % 5) // 2) + (1 + doc_id % 5) % 2
+                       + CASE WHEN doc_id % 16 = 0 THEN 2 ELSE 0 END
+                     END AS BIGINT) AS n
+              FROM d
+            )
+            SELECT doc_id, n AS n_tokens_join, n AS n_tokens_udf,
+                   TRUE AS routes_match,
+                   n + 1 AS n_tokens_packed,
+                   CAST(COALESCE(sum(n + 1) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS start_offset
+            FROM n
+        """,
+        # phash_neardup: construction-derived pair list — per group g
+        # (ids 4g..4g+3): (base, png-twin) hamming 0, (base, 2-bit
+        # mutant) and (twin, 2-bit mutant) hamming 2, the 8-bit mutant
+        # and all cross-group pairs excluded (distance >= 8 > 3)
+        "phash_neardup": """
+            WITH g AS (SELECT doc_id AS gid FROM documents WHERE doc_id < 16)
+            SELECT CAST(gid * 4 AS BIGINT) AS a, CAST(gid * 4 + 1 AS BIGINT) AS b,
+                   CAST(0 AS BIGINT) AS hamming FROM g
+            UNION ALL
+            SELECT CAST(gid * 4 AS BIGINT), CAST(gid * 4 + 2 AS BIGINT),
+                   CAST(2 AS BIGINT) FROM g
+            UNION ALL
+            SELECT CAST(gid * 4 + 1 AS BIGINT), CAST(gid * 4 + 2 AS BIGINT),
+                   CAST(2 AS BIGINT) FROM g
+        """,
+        # phash_neardup_bi: cross-corpus pairs only — new k=1 twin at
+        # hamming 0 and k=2 mutant at 2 against the k=0 history base;
+        # the within-new (k1,k2) pair must NOT appear; both routes
+        # (payload decode vs persisted history signatures) identical
+        "phash_neardup_bi": """
+            WITH g AS (SELECT doc_id AS gid FROM documents WHERE doc_id < 16),
+            p AS (
+              SELECT CAST(gid * 4 + 1 AS BIGINT) AS a, CAST(gid * 4 AS BIGINT) AS b,
+                     CAST(0 AS BIGINT) AS hamming FROM g
+              UNION ALL
+              SELECT CAST(gid * 4 + 2 AS BIGINT), CAST(gid * 4 AS BIGINT),
+                     CAST(2 AS BIGINT) FROM g
+            )
+            SELECT a, b, hamming, r.route
+            FROM p, (SELECT 'payload' AS route UNION ALL SELECT 'sigs') r
+        """,
         "bpe_tokenize_eq": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
             n AS (

@@ -834,6 +834,83 @@ def _simhash_banded(sigs: DataFrame, nbits: int, bands: int) -> DataFrame:
     ).select("id", "simhash", "bk.band", "bk.bkey")
 
 
+def hamming_neardup_pairs_from_sigs(
+    sigs: DataFrame,
+    nbits: int,
+    max_hamming: int,
+    bands: int | None = None,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Verified Hamming near-dup pairs ``(a, b, hamming)`` (a < b)
+    over ANY precomputed bit-signature frame — the banded
+    candidates-then-exact-verify engine shared by text simhash and
+    perceptual image hashes (``multimodal.dhash64``). Pigeonhole with
+    the default ``bands = max_hamming + 1`` keeps recall exactly 1;
+    the exact ``bit_count(xor)`` verify rides INSIDE the band join so
+    non-matching collisions die before the distinct. Pass a frame you
+    have cached/persisted yourself — at scale the signature is the
+    artifact worth keeping, not the payload."""
+    if bands is None:
+        bands = int(max_hamming) + 1
+    if bands > nbits:
+        raise ValueError(f"bands={bands} exceeds signature width {nbits}")
+    std = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
+    bucketed = _simhash_banded(std, nbits, bands)
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("long")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (ham <= F.lit(int(max_hamming))),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), ham.alias("hamming"))
+        .distinct()
+    )
+
+
+def hamming_neardup_pairs_bipartite_from_sigs(
+    new_sigs: DataFrame,
+    history_sigs: DataFrame,
+    nbits: int,
+    max_hamming: int,
+    bands: int | None = None,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Incremental twin of :func:`hamming_neardup_pairs_from_sigs`:
+    ``(a, b, hamming)`` with ``a`` from the NEW shard and ``b`` from
+    the immutable history — only cross-corpus pairs, never
+    history x history (the bipartite convention shared by the MinHash/
+    span/SemDeDup families). History's banded signature frame is a
+    pure function of its signatures, so persist the ``(id, sig)``
+    table once and history payloads are never touched again."""
+    if bands is None:
+        bands = int(max_hamming) + 1
+    if bands > nbits:
+        raise ValueError(f"bands={bands} exceeds signature width {nbits}")
+
+    def _std(df):
+        return df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
+
+    l = _simhash_banded(_std(new_sigs), nbits, bands).alias("l")
+    r = _simhash_banded(_std(history_sigs), nbits, bands).alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("long")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (ham <= F.lit(int(max_hamming))),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), ham.alias("hamming"))
+        .distinct()
+    )
+
+
 def _simhash_band_candidates(sigs: DataFrame, nbits: int, bands: int) -> DataFrame:
     """Band-collision candidate pairs ``(a, b)`` (recall 1 for
     Hamming distance <= bands - 1 by pigeonhole)."""
@@ -888,32 +965,12 @@ def simhash_neardup_pairs(
         sigs, nbits = simhash_poly31(df, id_col, text_col), 31
     else:
         raise ValueError(f"unknown token_hash {token_hash!r}")
-    if bands is None:
-        bands = max_hamming + 1
-    if bands > nbits:
-        raise ValueError(f"bands={bands} exceeds signature width {nbits}")
-    # one signature aggregation feeds both sides of the band self-join
+    # one signature aggregation feeds both sides of the band self-join;
+    # the verify rides INSIDE the band join (see the sigs-level engine)
     sigs = sigs.cache()
     if caches is not None:
         caches.append(sigs)
-    # the signature rides through the band explode (2 extra longs per
-    # row), so the Hamming verify is a predicate INSIDE the band join
-    # — no separate candidate-to-signature joins, and non-matching
-    # collisions die before the distinct
-    bucketed = _simhash_banded(sigs, nbits, bands)
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("long")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col("l.id") < F.col("r.id"))
-            & (ham <= F.lit(int(max_hamming))),
-        )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), ham.alias("hamming"))
-        .distinct()
-    )
+    return hamming_neardup_pairs_from_sigs(sigs, nbits, max_hamming, bands)
 
 
 def duplicated_spans(

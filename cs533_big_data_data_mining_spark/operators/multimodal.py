@@ -1258,6 +1258,146 @@ def image_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(kernel, schema=schema)
 
 
+#: dHash raster: 8 rows x 9 columns of greyscale -> 8x8 horizontal
+#: gradient bits. The de-facto-standard perceptual hash size.
+_DHASH_H, _DHASH_W = 8, 9
+
+
+def _luma_u16(px: np.ndarray, c: int) -> np.ndarray:
+    """Integer ITU-R BT.601 luma, exact and engine-independent:
+    (299 R + 587 G + 114 B + 500) // 1000. Greyscale passes through
+    (so an RGB image with R==G==B hashes identically to its greyscale
+    re-encode — the weights sum to 1000); alpha is ignored."""
+    px = px.reshape(px.shape[0], px.shape[1], c).astype(np.int64)
+    if c in (1, 2):  # grey / grey+alpha
+        return px[..., 0]
+    return (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2] + 500) // 1000
+
+
+def _dhash_one(px: np.ndarray, c: int) -> int:
+    """64-bit dHash of one decoded image: nearest-neighbor center-map
+    resize to 9x8 (the same floor((i+0.5)*src/dst) gather as
+    :func:`resize_image` — integer upscales of a 9x8 grid are hash
+    IDENTICAL by construction), then bit r*8+c = grey[r,c] >
+    grey[r,c+1]."""
+    g = _luma_u16(px, c)
+    h, w = g.shape
+    yi = np.minimum(((np.arange(_DHASH_H) + 0.5) * h / _DHASH_H).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(_DHASH_W) + 0.5) * w / _DHASH_W).astype(np.int64), w - 1)
+    grid = g[yi][:, xi]
+    bits = grid[:, :-1] > grid[:, 1:]  # (8, 8) row-major gradient signs
+    val = int(bits.ravel() @ (1 << np.arange(64, dtype=object)))  # bit r*8+c
+    return val - (1 << 64) if val >= (1 << 63) else val  # two's-complement BIGINT
+
+
+def dhash64(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Perceptual image hash frame ``(id, dhash BIGINT, decode_ok)``
+    — the difference hash (dHash): greyscale, 9x8 nearest-neighbor
+    thumbnail, one bit per horizontal luminance gradient. Robust to
+    re-encoding (PPM <-> PNG <-> BMP of the same pixels hash
+    identically) and to resizing (gradient signs survive scaling);
+    the content-level dedup signal for images that byte-exact hashing
+    can't see. Undecodable payloads get ``decode_ok = false`` and
+    hash 0 — filter them before pairing.
+
+    Scale shape: one ``mapInPandas`` pass, payload bytes cross to
+    Python once and reduce to 8 bytes + a flag; persist THIS frame as
+    the dedup artifact so history payloads are never re-read
+    (:func:`phash_neardup_pairs_bipartite`)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, oks = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(p) if p is not None else b""
+                r = (
+                    _parse_ppm(buf)
+                    or _parse_bmp(buf)
+                    or _parse_png(buf)
+                    or _parse_jpeg(buf)
+                    or _parse_gif(buf)  # animated: first composited frame
+                )
+                ids.append(mid)
+                if r is None:
+                    hs.append(0), oks.append(False)
+                else:
+                    _w, _h, c, px = r
+                    hs.append(_dhash_one(px, c)), oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "id": np.asarray(ids, dtype=np.int64),
+                    "dhash": np.asarray(hs, dtype=np.int64),
+                    "decode_ok": np.asarray(oks, dtype=bool),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema=schema)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """Image-content near-duplicate pairs ``(a, b, hamming)`` with
+    a < b — dHash signatures through the shared Hamming band engine
+    (band candidates, exact ``bit_count(xor)`` verify inside the
+    join; recall exactly 1 at the default ``bands = max_hamming + 1``
+    by pigeonhole). Finds recompressed / resized / format-shifted
+    duplicates the exact and MinHash text routes cannot: the pixels
+    vote, not the bytes. Never all-pairs."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        hamming_neardup_pairs_from_sigs,
+    )
+
+    sigs = dhash64(df, id_col, payload_col).filter(F.col("decode_ok")).cache()
+    if caches is not None:
+        caches.append(sigs)
+    return hamming_neardup_pairs_from_sigs(sigs, 64, max_hamming, bands, sig_col="dhash")
+
+
+def phash_neardup_pairs_bipartite(
+    new: DataFrame,
+    history: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    history_sigs: DataFrame | None = None,
+    caches: list | None = None,
+) -> DataFrame:
+    """Incremental image near-dup: ``(a, b, hamming)`` with ``a`` from
+    the NEW shard, ``b`` from the immutable history — cross-corpus
+    pairs only (the ingest-ladder convention of the exact/MinHash/
+    span/SemDeDup families). Pass ``history_sigs`` (a persisted
+    :func:`dhash64` output) to skip decoding history payloads
+    entirely — at 100 TB the 16-bytes-per-image signature table is
+    the artifact you keep, and each new shard decodes only itself."""
+    from cs533_big_data_data_mining_spark.operators.dedup import (
+        hamming_neardup_pairs_bipartite_from_sigs,
+    )
+
+    new_sigs = dhash64(new, id_col, payload_col).filter(F.col("decode_ok"))
+    if history_sigs is None:
+        history_sigs = dhash64(history, id_col, payload_col).filter(F.col("decode_ok"))
+    if caches is not None:
+        new_sigs, history_sigs = new_sigs.cache(), history_sigs.cache()
+        caches.extend([new_sigs, history_sigs])
+    return hamming_neardup_pairs_bipartite_from_sigs(
+        new_sigs, history_sigs, 64, max_hamming, bands, sig_col="dhash"
+    )
+
+
 def resize_image(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """REAL nearest-neighbor resize for PPM, PNG, and GIF payloads —
     pure NumPy fancy indexing (one gather per axis),

@@ -1220,3 +1220,151 @@ def test_jpeg_fill_bytes_before_eoi():
             r = _parse_jpeg(padded)
             assert r is not None and np.array_equal(r[3][:, :, 0], px), (enc, nfill)
         assert _parse_jpeg(buf[:-1]) is None  # truncation still rejects
+
+
+# ---------- perceptual hash (dHash) image dedup ----------
+
+def _ladder_grid(bits64):
+    """9x8 greyscale whose dHash is exactly ``bits64``: each row walks
+    +-15 from 128 so bit r*8+c = (step down at c) — all 2^64 patterns
+    realizable inside [8, 248]."""
+    import numpy as np
+
+    g = np.zeros((8, 9), dtype=np.uint8)
+    for r in range(8):
+        v = 128
+        g[r, 0] = v
+        for c in range(8):
+            v = v - 15 if (bits64 >> (r * 8 + c)) & 1 else v + 15
+            g[r, c + 1] = v
+    return g
+
+
+def _signed64(v):
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_dhash_bit_layout_and_format_invariance(spark):
+    """Hash of a ladder grid == the planted bit pattern, identically
+    across PPM/BMP/PNG re-encodes and integer upscales (incl. a
+    pattern with bit 63 set — BIGINT sign handling)."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        dhash64,
+        pack_bmp24,
+        pack_png,
+        pack_ppm,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    patterns = [0, 1, (1 << 63) | 5, 0x0123456789ABCDEF, (1 << 64) - 1]
+    rows = []
+    for i, bits in enumerate(patterns):
+        g = _ladder_grid(bits)
+        rgb = np.repeat(g[..., None], 3, axis=2)
+        rows.append((i * 10 + 0, bytearray(pack_ppm(np.repeat(np.repeat(rgb, 4, 0), 4, 1)))))
+        rows.append((i * 10 + 1, bytearray(pack_png(np.repeat(np.repeat(g[..., None], 3, 0), 3, 1)))))
+        rows.append((i * 10 + 2, bytearray(pack_bmp24(np.repeat(np.repeat(rgb, 2, 0), 2, 1)))))
+    rows.append((999, bytearray(b"garbage")))
+    df = local_df(spark, rows, "media_id long, payload binary")
+    got = {r["id"]: (r["dhash"], r["decode_ok"]) for r in dhash64(df).collect()}
+    for i, bits in enumerate(patterns):
+        want = _signed64(bits)
+        assert got[i * 10 + 0] == (want, True)
+        assert got[i * 10 + 1] == (want, True)
+        assert got[i * 10 + 2] == (want, True)
+    assert got[999] == (0, False)
+
+
+def test_phash_neardup_pairs_planted(spark):
+    """Groups of 4 planted variants: re-encode+resize (ham 0), 2-bit
+    mutation (ham 2), 8-bit mutation (excluded at max_hamming=3);
+    cross-group distance >= 8 by the 16x-repetition pattern code."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        pack_png,
+        pack_ppm,
+        phash_neardup_pairs,
+        phash_neardup_pairs_bipartite,
+        dhash64,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    def member_payload(g, k):
+        bits = 0
+        for j in range(64):
+            bits |= ((g >> (j % 4)) & 1) << j  # 4-bit group id, 16x repetition
+        flips = {2: (0, 1), 3: tuple(range(8))}.get(k, ())
+        for f in flips:
+            bits ^= 1 << f
+        grid = _ladder_grid(bits)
+        rgb = np.repeat(grid[..., None], 3, axis=2)
+        if k % 2 == 0:
+            return bytearray(pack_ppm(np.repeat(np.repeat(rgb, 4, 0), 4, 1)))
+        return bytearray(pack_png(np.repeat(np.repeat(grid[..., None], 3, 0), 3, 1)))
+
+    rows = [(g * 4 + k, member_payload(g, k)) for g in range(8) for k in range(4)]
+    rows.append((900, bytearray(b"not an image")))
+    df = local_df(spark, rows, "media_id long, payload binary")
+    caches = []
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in phash_neardup_pairs(df, max_hamming=3, caches=caches).collect()
+    }
+    want = {}
+    for g in range(8):
+        want[(g * 4 + 0, g * 4 + 1)] = 0
+        want[(g * 4 + 0, g * 4 + 2)] = 2
+        want[(g * 4 + 1, g * 4 + 2)] = 2
+    assert got == want
+    for c in caches:
+        c.unpersist()
+
+    # bipartite: history = member 0s, new = members 1..3 — only
+    # cross-corpus pairs (the within-new (1,2) ham-2 pair must NOT
+    # appear), and a precomputed history_sigs frame is equivalent
+    from pyspark.sql import functions as F
+
+    hist = df.filter((F.col("media_id") % 4 == 0) & (F.col("media_id") < 100))
+    new = df.filter(F.col("media_id") % 4 != 0)
+    bi = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in phash_neardup_pairs_bipartite(new, hist, max_hamming=3).collect()
+    }
+    want_bi = {}
+    for g in range(8):
+        want_bi[(g * 4 + 1, g * 4 + 0)] = 0
+        want_bi[(g * 4 + 2, g * 4 + 0)] = 2
+    assert bi == want_bi
+    hs = dhash64(hist).filter("decode_ok")
+    bi2 = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in phash_neardup_pairs_bipartite(
+            new, hist, history_sigs=hs, max_hamming=3
+        ).collect()
+    }
+    assert bi2 == want_bi
+
+
+def test_dhash_resize_image_consistency(spark):
+    """dHash survives the engine's own resize_image on block images:
+    nearest-neighbor downscale back to the grid is exact."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        dhash64,
+        pack_ppm,
+        resize_image,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    bits = 0xDEADBEEFCAFEF00D
+    rgb = np.repeat(_ladder_grid(bits)[..., None], 3, axis=2)
+    big = np.repeat(np.repeat(rgb, 8, 0), 8, 1)  # 72x64
+    df = local_df(spark, [(1, bytearray(pack_ppm(big)))], "media_id long, payload binary")
+    shrunk = resize_image(df, 36, 32)  # still an integer multiple of 9x8
+    h0 = dhash64(df).head()["dhash"]
+    h1 = dhash64(shrunk).head()["dhash"]
+    assert h0 == h1 == _signed64(bits)
