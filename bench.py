@@ -1728,6 +1728,85 @@ def main() -> None:
             errors["bpe_scale500k"] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# bpe_scale500k: ERROR {errors['bpe_scale500k']}", file=sys.stderr)
 
+        # perceptual-hash dedup at 100k images (round 12): payloads
+        # GENERATED distributively (mapInPandas over range — no
+        # driver-side image loop), 95k unique ladder-grid patterns
+        # (dHash == the planted splitmix64 bits by construction) as
+        # PPM + 5k re-encoded PNG mutants of the first 5k bases with
+        # exactly 2 planted bit flips. phash_neardup_pairs must find
+        # EXACTLY the 5000 cross-format pairs at hamming 2 (random
+        # 64-bit patterns make a spurious <=3-distance pair ~1e-5
+        # likely across all 4.5e9 candidate pairs).
+        t0 = time.time()
+        try:
+            import pandas as _pd  # noqa: PLC0415
+            import numpy as _np  # noqa: PLC0415
+
+            from cs533_big_data_data_mining_spark.operators.multimodal import (  # noqa: PLC0415
+                pack_png,
+                pack_ppm,
+                phash_neardup_pairs,
+            )
+
+            NP, ND = 95_000, 5_000
+            M64 = (1 << 64) - 1
+
+            def _mix(x):
+                x = (x + 0x9E3779B97F4A7C15) & M64
+                x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M64
+                x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M64
+                return x ^ (x >> 31)
+
+            def _gen(batches):
+                for pdf in batches:
+                    ids, pays = [], []
+                    for i in pdf["id"]:
+                        i = int(i)
+                        base = i if i < NP else i - NP
+                        bits = _mix(base)
+                        if i >= NP:
+                            bits ^= (1 << (i % 64)) | (1 << ((i * 7 + 13) % 64))
+                        g = _np.zeros((8, 9), dtype=_np.uint8)
+                        for r in range(8):
+                            v = 128
+                            g[r, 0] = v
+                            for c in range(8):
+                                v = v - 15 if (bits >> (r * 8 + c)) & 1 else v + 15
+                                g[r, c + 1] = v
+                        if i < NP:
+                            rgb = _np.repeat(g[..., None], 3, axis=2)
+                            pays.append(pack_ppm(_np.repeat(_np.repeat(rgb, 2, 0), 2, 1)))
+                        else:
+                            pays.append(pack_png(_np.repeat(_np.repeat(g[..., None], 2, 0), 2, 1)))
+                        ids.append(i)
+                    yield _pd.DataFrame({"media_id": _np.asarray(ids, dtype=_np.int64),
+                                         "payload": pays})
+
+            media100k = spark.range(0, NP + ND, 1, 32).mapInPandas(
+                _gen, schema="media_id long, payload binary"
+            )
+            caches: list = []
+            pairs = phash_neardup_pairs(media100k, max_hamming=3, caches=caches)
+            agg = pairs.groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("hamming") == 2).cast("long")).alias("n_h2"),
+                F.sum((F.col("b") - F.col("a") == F.lit(NP)).cast("long")).alias("n_planted"),
+            ).head()
+            for c in caches:
+                c.unpersist()
+            assert agg["n"] == ND and agg["n_h2"] == ND and agg["n_planted"] == ND, (
+                f"phash smoke wrong: {agg}"
+            )
+            timings["phash_scale100k"] = round(time.time() - t0, 3)
+            print(
+                f"# phash_scale100k: {timings['phash_scale100k']}s "
+                f"(exactly {ND} cross-format pairs at hamming 2)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["phash_scale100k"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# phash_scale100k: ERROR {errors['phash_scale100k']}", file=sys.stderr)
+
         nmx = 1_000_000
         docs_mx = spark.range(nmx).select(
             F.col("id").alias("doc_id"),

@@ -119,10 +119,24 @@ from cs533_big_data_data_mining_spark.operators.multimodal import (
     audio_stats,
     byte_histogram_features,
     decode_media,
+    dhash64,
     documents_as_media,
     frame_sample_media,
     image_stats,
+    phash_neardup_pairs,
+    phash_neardup_pairs_bipartite,
     resize_image,
+)
+from cs533_big_data_data_mining_spark.operators.bpe import (
+    bpe_decode,
+    bpe_doc_token_counts,
+    bpe_ids,
+    bpe_special_ids,
+    bpe_token_count,
+    bpe_tokens,
+    bpe_train,
+    load_merges,
+    merges_table,
 )
 from cs533_big_data_data_mining_spark.functions.text import clean_text, redact_pii
 from cs533_big_data_data_mining_spark.functions.url import normalize_url, url_host
@@ -252,4 +266,16 @@ __all__ = [
     "sessionize",
     "curate_ingest",
     "__version__",
+    "dhash64",
+    "phash_neardup_pairs",
+    "phash_neardup_pairs_bipartite",
+    "bpe_train",
+    "bpe_tokens",
+    "bpe_token_count",
+    "bpe_ids",
+    "bpe_decode",
+    "bpe_special_ids",
+    "bpe_doc_token_counts",
+    "merges_table",
+    "load_merges",
 ]

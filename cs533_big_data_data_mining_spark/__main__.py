@@ -265,6 +265,11 @@ def _bpe_encode_main(argv: list[str]) -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--ids", action="store_true", help="emit integer token ids instead of strings")
+    ap.add_argument("--audit", type=int, default=0, metavar="N",
+                    help="with --ids: decode N sample docs from the written "
+                         "shard and diff against the source text (the "
+                         "standard packed-shard audit); non-zero mismatches "
+                         "exit 1")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -272,6 +277,7 @@ def _bpe_encode_main(argv: list[str]) -> int:
     from pyspark.sql import functions as F
 
     from cs533_big_data_data_mining_spark.operators.bpe import (
+        bpe_decode,
         bpe_ids,
         bpe_token_count,
         bpe_tokens,
@@ -305,9 +311,25 @@ def _bpe_encode_main(argv: list[str]) -> int:
         f"encoded {n_docs} docs / {n_toks} tokens with {len(merges)} merges "
         f"-> {args.output} ({time.time() - t0:.1f}s)"
     )
+    rc = 0
+    if args.audit and args.ids and n_docs:
+        # decode-and-diff audit: the detokenizer is an exact inverse,
+        # so ANY mismatch means the written shard does not reproduce
+        # its source (wrong merges table, column mixup, truncation)
+        sample = spark.read.parquet(args.output).limit(int(args.audit))
+        back = sample.select("id", bpe_decode(merges, "tokens").alias("back"))
+        src = docs.select(F.col(args.id_col).alias("id"),
+                          F.coalesce(F.col(args.text_col), F.lit("")).alias("text"))
+        bad = back.join(src, "id").filter(F.col("back") != F.col("text")).count()
+        n_aud = sample.count()
+        print(f"audit: {n_aud - bad}/{n_aud} sample docs decode back to their source")
+        if bad:
+            rc = 1
+    elif args.audit and not args.ids:
+        print("audit: skipped (requires --ids)", file=sys.stderr)
     if not preexisting:
         spark.stop()
-    return 0
+    return rc
 
 
 def _pack_main(argv: list[str]) -> int:

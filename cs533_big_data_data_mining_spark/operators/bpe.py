@@ -409,6 +409,7 @@ def bpe_doc_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     route: str = "join",
+    caches: list | None = None,
 ) -> DataFrame:
     """Per-document BPE token counts ``(id, n_tokens)`` — the frame a
     tokenize-and-pack job feeds ``pack_sequences`` at corpus scale.
@@ -425,7 +426,16 @@ def bpe_doc_token_counts(
 
     ``route='udf'`` is the per-row Arrow encoder (:func:`bpe_token_count`)
     — zero shuffle, streaming-safe, but its per-batch word cache redoes
-    Python work per batch; right for streams and small batches."""
+    Python work per batch; right for streams and small batches.
+
+    The per-(doc, word) aggregate is CACHED (disk-spillable, and far
+    smaller than the raw text: no payloads, words deduplicated within
+    each doc) because both the distinct-word side and the final sum
+    consume it — without the cache Catalyst re-expands the diamond and
+    the pretokenize UDF runs over the corpus twice (verified in the
+    physical plan). Pass ``caches`` to collect the handle and
+    ``unpersist()`` after the terminal action, mirroring
+    ``simhash_neardup_pairs``."""
     if route == "udf":
         return docs.select(
             F.col(id_col).alias("id"),
@@ -443,7 +453,10 @@ def bpe_doc_token_counts(
         docs.select(F.col(id_col).alias("id"), F.explode(bpe_pretokens(text_col)).alias("w"))
         .groupBy("id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
+    if caches is not None:
+        caches.append(per_doc_word)
     word_len = per_doc_word.select("w").distinct().withColumn("n_tok", _word_len(F.col("w")))
     counts = (
         per_doc_word.join(word_len, "w")

@@ -410,3 +410,19 @@ def ref_encode_re(text, merges, pattern):
                     i += 1
         out.extend(syms)
     return out
+
+
+def test_cli_bpe_encode_audit(spark, tmp_path):
+    """--audit decodes written ids back and diffs against the source:
+    clean corpus exits 0 with full match."""
+    from cs533_big_data_data_mining_spark.__main__ import main
+
+    src = str(tmp_path / "aud_docs.parquet")
+    model = str(tmp_path / "aud_merges.parquet")
+    out = str(tmp_path / "aud_out.parquet")
+    rows = [(i, f"doc {i} text  with\nmess {i % 5} ") for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    assert main(["bpe-train", "-i", src, "-o", model, "-n", "8", "--min-count", "1"]) == 0
+    assert main([
+        "bpe-encode", "-i", src, "-o", out, "--model", model, "--ids", "--audit", "10",
+    ]) == 0

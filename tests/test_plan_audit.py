@@ -91,3 +91,57 @@ def test_audit_sweep_over_query_surface(spark):
         a = audit(qs[name](spark, SF_DIR))
         flags = [f for f in a.red_flags if "cartesian" not in f and "nested-loop" not in f]
         assert not flags, f"{name}: {flags}"
+
+
+def test_bpe_join_route_single_pretokenize_pass(spark):
+    """The join-route counter's physical plan must pretokenize the
+    corpus ONCE: the distinct-word branch reads the cached
+    per-(doc, word) aggregate (InMemoryRelation), not a second scan +
+    Arrow pass over the raw text — exactly 2 ArrowEvalPython nodes
+    (pretokenize, per-word encode) and no cartesian."""
+    from cs533_big_data_data_mining_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = bpe_train(docs, "text", 4)
+    caches = []
+    out = bpe_doc_token_counts(docs, merges, route="join", caches=caches)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # both consumers of the diamond (distinct-word branch, final sum)
+    # must read the CACHED per-(doc, word) aggregate — two
+    # InMemoryTableScan references = the pretokenize pass runs once
+    # (the explain text repeats the cached subplan inside each
+    # InMemoryRelation, so node-string counting would be misleading)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    a = audit(out)
+    assert a.n_cartesian == 0
+    for c in caches:
+        c.unpersist()
+
+
+def test_phash_plan_no_cartesian(spark):
+    """phash pairing must be a band equi-join (never all-pairs)."""
+    import numpy as np
+
+    from cs533_big_data_data_mining_spark.operators.multimodal import (
+        pack_ppm,
+        phash_neardup_pairs,
+    )
+    from cs533_big_data_data_mining_spark.session import local_df
+
+    rows = [
+        (i, bytearray(pack_ppm(np.full((8, 9, 3), 10 * (i % 20), dtype=np.uint8))))
+        for i in range(30)
+    ]
+    media = local_df(spark, rows, "media_id long, payload binary")
+    caches = []
+    out = phash_neardup_pairs(media, caches=caches)
+    a = audit(out)
+    assert a.n_cartesian == 0
+    assert a.n_python_stages >= 1  # the dhash decode kernel
+    for c in caches:
+        c.unpersist()
