@@ -1935,12 +1935,14 @@ def _q_langid_route_eq(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", _langid_eq_text().alias("text")
     )
+    fit_caches: list = []
     fit = langid_train(
         docs.filter(F.col("doc_id") % 3 == 0),
         "text",
         n_buckets=LANGID_EQ_B,
         alpha=LANGID_EQ_ALPHA,
         max_n=LANGID_EQ_MAX_N,
+        caches=fit_caches,
     )
     # materialize the (bucket-bounded) model ONCE as a local frame:
     # both lang_id_nb calls collect the model at plan-build time, and
@@ -1952,6 +1954,9 @@ def _q_langid_route_eq(spark, sf_dir):
         [(r["label"], r["b"], r["llh"]) for r in fit.collect()],
         "label string, b long, llh double",
     )
+    # the fit's internal aggregates served their one consumer above
+    for fr in fit_caches:
+        fr.unpersist()
     # the pure-Column route is the exact oracle replay but runs on
     # interpreted HOFs (~100x the Arrow route); CaseWhen evaluates
     # per-row lazily, so pinning it on the deterministic 1-in-5 slice

@@ -69,6 +69,47 @@ def _feature_grams(col, max_n: int, grams: str) -> F.Column:
     return gs
 
 
+def _char_bucket_rolling(col, max_n: int, n_buckets: int) -> F.Column:
+    """poly31 feature BUCKETS of all char {1..max_n}-grams as ONE
+    ``array<bigint>`` — bit-identical values to mapping
+    :func:`..operators.quality._gram_bucket` over
+    ``char_ngrams(col, n)`` (same ``ascii(substring(...))`` per-char
+    codes, same fold, same pmod), computed by the ROLLING recurrence
+    ``h_n[i] = (h_{n-1}[i] * 31 + cp[i+n-1]) % MOD`` instead of
+    re-folding every gram from scratch (guide §4.1: the per-gram
+    ``aggregate(sequence(...))`` built one sequence array and one
+    fold PER GRAM — ~3x the interpreted-expression work, plus a
+    materialized gram string per position that existed only to be
+    hashed). Order: all 1-gram buckets, then 2-grams, ... — the same
+    concat order as :func:`_feature_grams`; every consumer is an
+    order-independent count or DECIMAL sum. NULL/empty text yields
+    the same empty/NULL array the gram route produced."""
+    from cs533_big_data_data_mining_spark.functions.text import FINGERPRINT_MOD
+
+    c = F.col(col) if isinstance(col, str) else col
+    ln = F.length(c)
+    mod = F.lit(FINGERPRINT_MOD)
+    cps = F.transform(
+        F.sequence(F.lit(1), ln),
+        lambda i: F.ascii(F.substring(c, i, F.lit(1))).cast("long"),
+    )
+    hs = [F.transform(cps, lambda x: F.pmod(x, mod))]
+    for n in range(2, int(max_n) + 1):
+        m = F.greatest(ln - F.lit(n - 1), F.lit(0))
+        hs.append(
+            F.zip_with(
+                F.slice(hs[-1], 1, m),
+                F.slice(cps, n, m),
+                lambda a, x: F.pmod(a * F.lit(31) + x, mod),
+            )
+        )
+    out = None
+    for h in hs:
+        b = F.transform(h, lambda x: F.pmod(x, F.lit(int(n_buckets))))
+        out = b if out is None else F.concat(out, b)
+    return F.when(ln >= 1, out).otherwise(F.array().cast("array<bigint>"))
+
+
 # sentinel bucket ids inside the model frame (real buckets are >= 0)
 NB_PRIOR_BUCKET = -1  # row holds the class log-prior
 NB_MISSING_BUCKET = -2  # row holds the unseen-bucket log-likelihood
@@ -85,6 +126,7 @@ def nb_train(
     max_n: int = 1,
     hash_buckets: str = "poly31",
     grams: str = "word",
+    caches: list | None = None,
 ) -> DataFrame:
     """Fit a multinomial Naive Bayes model over hashed word
     {1..max_n}-gram occurrences (``grams="char"`` switches the
@@ -142,17 +184,38 @@ def nb_train(
     )
 
     # per-(label, bucket) gram-occurrence counts — explode ->
-    # map-side-combinable groupBy ending at <= k*B rows
-    cnt = (
-        base.select("label", F.explode(_feature_grams("__t", max_n, grams)).alias("g"))
-        .select("label", _gram_bucket("g", hash_buckets, n_buckets).alias("b"))
-        .groupBy("label", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # map-side-combinable groupBy ending at <= k*B rows. The char/
+    # poly31 feature space explodes ROLLING bucket ids directly
+    # (``_char_bucket_rolling`` — bit-identical values, ~3x less
+    # expression work, and the exchange carries longs, not gram
+    # strings); other spaces keep the gram-string route.
+    if grams == "char" and hash_buckets == "poly31":
+        gram_buckets = F.explode(_char_bucket_rolling("__t", max_n, n_buckets)).alias("b")
+        cnt = base.select("label", gram_buckets)
+    else:
+        cnt = base.select(
+            "label", F.explode(_feature_grams("__t", max_n, grams)).alias("g")
+        ).select("label", _gram_bucket("g", hash_buckets, n_buckets).alias("b"))
+    cnt = cnt.groupBy("label", "b").agg(F.count(F.lit(1)).alias("c"))
 
     # per-label doc counts define the label universe: a label whose
     # docs are all empty still gets prior + missing rows (tot = 0)
     docs = base.groupBy("label").agg(F.count(F.lit(1)).alias("nd"))
+
+    # cache the two SMALL aggregates (<= k*B and k rows): the model
+    # union below consumes cnt twice (obs, tot) and docs three times
+    # (tot, pri, sizes), and without the cache Catalyst re-expands —
+    # and whole-stage-codegen RE-COMPILES — the full input subtree
+    # per branch (guide §2.4 shared-exchange rationale; measured 16 s
+    # -> ~5 s on the langid_route_eq fit, whose base carries a large
+    # constructed-text expression). The frame itself stays lazy: the
+    # caches fill at the caller's first action. Pass ``caches`` to
+    # collect the handles and release them after materializing; left
+    # alone they hold <= k*(B+1) tiny rows.
+    cnt = cnt.cache()
+    docs = docs.cache()
+    if caches is not None:
+        caches.extend([cnt, docs])
     tot = (
         docs.join(cnt.groupBy("label").agg(F.sum("c").alias("tot")), "label", "left")
         .select("label", F.coalesce("tot", F.lit(0)).alias("tot"))
@@ -301,12 +364,18 @@ def nb_classify(
 
     ratio = F.broadcast(local_df(df.sparkSession, merged, schema))
 
-    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
-        "id", F.explode(_feature_grams("__t", max_n, grams)).alias("g")
-    )
-    joined = ex.select("id", _gram_bucket("g", hash_buckets, n_buckets).alias("b")).join(
-        ratio, "b", "left"
-    )
+    spread = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+    if grams == "char" and hash_buckets == "poly31":
+        # rolling bucket ids (bit-identical; see nb_train) — no gram
+        # strings are ever materialized on the scoring path
+        ex = spread.select(
+            "id", F.explode(_char_bucket_rolling("__t", max_n, n_buckets)).alias("b")
+        )
+    else:
+        ex = spread.select(
+            "id", F.explode(_feature_grams("__t", max_n, grams)).alias("g")
+        ).select("id", _gram_bucket("g", hash_buckets, n_buckets).alias("b"))
+    joined = ex.join(ratio, "b", "left")
     per = joined.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         *[
@@ -391,6 +460,7 @@ def langid_train(
     max_chars: int = LANGID_MAX_CHARS,
     min_hits: int = 2,
     min_lead: int = 1,
+    caches: list | None = None,
 ) -> DataFrame:
     """Fit the trained langid model from an UNLABELED pool: label the
     high-confidence slice with the marker heuristic
@@ -421,6 +491,7 @@ def langid_train(
         max_n=max_n,
         hash_buckets=hash_buckets,
         grams="char",
+        caches=caches,
     )
     # stamp the truncation into the meta row: max_chars IS a
     # feature-space parameter (training saw only the prefix), so a
@@ -483,10 +554,7 @@ def lang_id_nb(
     raises instead of silently feeding the scorer more grams than
     training saw. Models without a stamp (a plain ``grams='char'``
     :func:`nb_train` fit) fall back to ``LANGID_MAX_CHARS``."""
-    from cs533_big_data_data_mining_spark.functions.text import (
-        FINGERPRINT_MOD,
-        char_ngrams,
-    )
+    from cs533_big_data_data_mining_spark.functions.text import char_ngrams
 
     rows = model.collect()
     pri: dict[str, float] = {}
@@ -543,25 +611,22 @@ def lang_id_nb(
 
     c = F.col(col) if isinstance(col, str) else col
     t = F.substring(c, 1, int(max_chars))
-    grams = char_ngrams(t, 1)
-    for n in range(2, max_n + 1):
-        grams = F.concat(grams, char_ngrams(t, n))
 
     if hash_buckets == "xxhash64":
-        bucket = lambda g: F.pmod(F.xxhash64(g), F.lit(B)).cast("int")  # noqa: E731
+        grams = char_ngrams(t, 1)
+        for n in range(2, max_n + 1):
+            grams = F.concat(grams, char_ngrams(t, n))
+        buckets = F.transform(
+            grams, lambda g: F.pmod(F.xxhash64(g), F.lit(B)).cast("int")
+        )
     else:
-        # the poly31 cross-engine fingerprint, spelled with pyspark
-        # HOFs so it composes under the enclosing transform lambda
-        bucket = lambda g: F.pmod(  # noqa: E731
-            F.aggregate(
-                F.sequence(F.lit(1), F.length(g)),
-                F.lit(0).cast("long"),
-                lambda acc, i: (acc * F.lit(31) + F.ascii(F.substring(g, i, F.lit(1))))
-                % F.lit(FINGERPRINT_MOD),
-            ),
-            F.lit(B),
-        ).cast("int")
-    buckets = F.transform(grams, bucket)
+        # rolling poly31 buckets (bit-identical to folding each gram;
+        # see _char_bucket_rolling) — the old per-gram
+        # aggregate(sequence(...)) fold re-scanned every gram and was
+        # the scorer's hottest interpreted expression
+        buckets = F.transform(
+            _char_bucket_rolling(t, max_n, B), lambda b: b.cast("int")
+        )
 
     # dense per-label llh vectors as TRUE array literals (F.lit of a
     # list — a CreateArray of literal children inside a lambda is NOT

@@ -1270,6 +1270,65 @@ def _ngrams_concat(col, max_n: int) -> F.Column:
     return gs
 
 
+def _word_bucket_rolling(col, max_n: int, n_buckets: int) -> F.Column:
+    """poly31 feature BUCKETS of all word {1..max_n}-grams as ONE
+    ``array<bigint>`` — bit-identical values to mapping
+    :func:`_gram_bucket` over ``_ngrams_concat(col, max_n)`` (same
+    per-char ``ascii`` codes, same Horner fold, same pmod), computed
+    with ONE fold per TOKEN instead of one fold per GRAM OCCURRENCE.
+
+    Derivation: each token folds once into ``(p, w)`` where ``p`` is
+    its poly31 value and ``w = 31^len % MOD``; a gram extends its
+    (n-1)-prefix hash ``h`` over ``" " + token`` as
+    ``h_n = ((h*31 + 32) % MOD * w + p) % MOD`` (32 = ascii space;
+    ``(h*31+32) % MOD < 2^31`` and ``w < 2^31`` keep every product
+    under 2^62 — the same ANSI-overflow discipline as
+    ``FINGERPRINT_MOD`` itself). A word 2-gram used to re-fold ~2x
+    its characters plus build the gram string (``concat_ws`` per
+    occurrence) just to hash it; at max_n=2 this cuts the interpreted
+    fold work ~3x and materializes no gram strings at all (guide
+    §4.1). Output order: all 1-gram buckets, then 2-grams, ... — the
+    :func:`_ngrams_concat` order; every consumer is an
+    order-independent count or DECIMAL sum."""
+    from cs533_big_data_data_mining_spark.functions.text import (
+        FINGERPRINT_MOD,
+        tokenize,
+    )
+
+    mod = F.lit(FINGERPRINT_MOD)
+    toks = tokenize(col)
+
+    def _tok_fold(tok):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(tok)),
+            F.struct(F.lit(0).cast("long").alias("p"), F.lit(1).cast("long").alias("w")),
+            lambda acc, i: F.struct(
+                F.pmod(acc["p"] * F.lit(31) + F.ascii(F.substring(tok, i, F.lit(1))), mod).alias("p"),
+                F.pmod(acc["w"] * F.lit(31), mod).alias("w"),
+            ),
+        )
+
+    st = F.transform(toks, _tok_fold)
+    ln = F.size(toks)
+    hs = [F.transform(st, lambda s: s["p"])]
+    for n in range(2, int(max_n) + 1):
+        m = F.greatest(ln - F.lit(n - 1), F.lit(0))
+        hs.append(
+            F.zip_with(
+                F.slice(hs[-1], 1, m),
+                F.slice(st, n, m),
+                lambda h, s: F.pmod(
+                    F.pmod(h * F.lit(31) + F.lit(32), mod) * s["w"] + s["p"], mod
+                ),
+            )
+        )
+    out = None
+    for h in hs:
+        b = F.transform(h, lambda x: F.pmod(x, F.lit(int(n_buckets))))
+        out = b if out is None else F.concat(out, b)
+    return F.when(ln >= 1, out).otherwise(F.array().cast("array<bigint>"))
+
+
 def _gram_bucket(gcol_name: str, hash_buckets: str, n_buckets: int) -> F.Column:
     """gram -> feature bucket, shared by DSIR and the NB classifier.
 
@@ -1354,21 +1413,27 @@ def dsir_logratio(
     r = raw if raw is not None else df
     tcol = target_text_col if target_text_col is not None else text_col
 
-    def grams(col):
-        return _ngrams_concat(col, max_n)
-
-    def bucket(gcol_name):
-        return _gram_bucket(gcol_name, hash_buckets, n_buckets)
-
     # CPU-bound per-row gram hashing must fan out on single-file
     # inputs — the shared dedup._spread (no-op at 100 TB)
     from cs533_big_data_data_mining_spark.operators.dedup import _spread
 
+    # poly31 explodes ROLLING bucket ids directly
+    # (:func:`_word_bucket_rolling` — bit-identical values, one fold
+    # per token instead of per gram occurrence, and no gram strings
+    # are ever materialized; guide §4.1); xxhash64 keeps the
+    # gram-string route (its hash needs the actual gram bytes)
+    def bucket_ids(frame, *keep):
+        if hash_buckets == "poly31":
+            return frame.select(
+                *keep, F.explode(_word_bucket_rolling("__t", max_n, n_buckets)).alias("b")
+            )
+        return frame.select(
+            *keep, F.explode(_ngrams_concat("__t", max_n)).alias("g")
+        ).select(*keep, _gram_bucket("g", hash_buckets, n_buckets).alias("b"))
+
     def bucket_counts(frame, col):
         return (
-            _spread(frame.select(F.col(col).alias("__t")))
-            .select(F.explode(grams("__t")).alias("g"))
-            .select(bucket("g").alias("b"))
+            bucket_ids(_spread(frame.select(F.col(col).alias("__t"))))
             .groupBy("b")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -1403,10 +1468,10 @@ def dsir_logratio(
         )
     )
 
-    ex = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
-        "id", F.explode(grams("__t")).alias("g")
+    ex = bucket_ids(
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))), "id"
     )
-    scored = ex.select("id", bucket("g").alias("b")).join(ratio, "b", "left")
+    scored = ex.join(ratio, "b", "left")
     # a doc bucket absent from BOTH fits never occurs (the doc's own
     # grams are in raw when raw=df); when raw != df it can — score it
     # as the all-smoothing ratio
