@@ -176,12 +176,24 @@ def nb_train(
 
     from cs533_big_data_data_mining_spark.operators.dedup import _spread
 
-    base = _spread(
-        train.filter(F.col(label_col).isNotNull()).select(
+    # NO pre-aggregate Filter on the label: ``isnotnull(<label expr>)``
+    # would be pushed below this select by PushDownPredicates, textually
+    # SUBSTITUTING the caller's full label expression into the scan
+    # predicate (for langid_train's heuristic seed label that inlining
+    # multiplied the plan to ~100 KB per union branch — every task
+    # deserialized it, codegen compiled it, AQE stringified it; measured
+    # 194 s -> ~5 s on the langid_route_eq fit). Unlabeled rows are
+    # dropped instead by (a) a CASE-guarded explode that emits zero
+    # gram rows for null labels (no bucket work either — CaseWhen is
+    # lazy) and (b) an attribute filter ABOVE the cached doc-count
+    # aggregate, which an InMemoryRelation seals against pushdown.
+    sel = _spread(
+        train.select(
             F.col(label_col).cast("string").alias("label"),
             F.col(text_col).alias("__t"),
         )
     )
+    labeled = F.col("label").isNotNull()
 
     # per-(label, bucket) gram-occurrence counts — explode ->
     # map-side-combinable groupBy ending at <= k*B rows. The char/
@@ -190,32 +202,44 @@ def nb_train(
     # expression work, and the exchange carries longs, not gram
     # strings); other spaces keep the gram-string route.
     if grams == "char" and hash_buckets == "poly31":
-        gram_buckets = F.explode(_char_bucket_rolling("__t", max_n, n_buckets)).alias("b")
-        cnt = base.select("label", gram_buckets)
+        buckets = _char_bucket_rolling("__t", max_n, n_buckets)
+        gram_buckets = F.explode(
+            F.when(labeled, buckets).otherwise(F.array().cast("array<bigint>"))
+        ).alias("b")
+        cnt = sel.select("label", gram_buckets)
     else:
-        cnt = base.select(
-            "label", F.explode(_feature_grams("__t", max_n, grams)).alias("g")
-        ).select("label", _gram_bucket("g", hash_buckets, n_buckets).alias("b"))
+        gram_arr = F.when(labeled, _feature_grams("__t", max_n, grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+        cnt = sel.select("label", F.explode(gram_arr).alias("g")).select(
+            "label", _gram_bucket("g", hash_buckets, n_buckets).alias("b")
+        )
     cnt = cnt.groupBy("label", "b").agg(F.count(F.lit(1)).alias("c"))
 
     # per-label doc counts define the label universe: a label whose
-    # docs are all empty still gets prior + missing rows (tot = 0)
-    docs = base.groupBy("label").agg(F.count(F.lit(1)).alias("nd"))
+    # docs are all empty still gets prior + missing rows (tot = 0);
+    # the null-label group is aggregated (cheap, one group) and
+    # filtered out above the cache
+    docs_all = sel.groupBy("label").agg(F.count(F.lit(1)).alias("nd"))
 
-    # cache the two SMALL aggregates (<= k*B and k rows): the model
+    # cache the two SMALL aggregates (<= k*B and k+1 rows): the model
     # union below consumes cnt twice (obs, tot) and docs three times
     # (tot, pri, sizes), and without the cache Catalyst re-expands —
     # and whole-stage-codegen RE-COMPILES — the full input subtree
     # per branch (guide §2.4 shared-exchange rationale; measured 16 s
     # -> ~5 s on the langid_route_eq fit, whose base carries a large
-    # constructed-text expression). The frame itself stays lazy: the
-    # caches fill at the caller's first action. Pass ``caches`` to
-    # collect the handles and release them after materializing; left
-    # alone they hold <= k*(B+1) tiny rows.
+    # constructed-text expression). The caches double as PUSHDOWN
+    # BARRIERS: the label-nonnull filter sits above the
+    # InMemoryRelation, so it can never be substituted into the scan.
+    # The frame itself stays lazy: the caches fill at the caller's
+    # first action. Pass ``caches`` to collect the handles and
+    # release them after materializing; left alone they hold
+    # <= k*(B+1) tiny rows.
     cnt = cnt.cache()
-    docs = docs.cache()
+    docs_all = docs_all.cache()
     if caches is not None:
-        caches.extend([cnt, docs])
+        caches.extend([cnt, docs_all])
+    docs = docs_all.filter(labeled)
     tot = (
         docs.join(cnt.groupBy("label").agg(F.sum("c").alias("tot")), "label", "left")
         .select("label", F.coalesce("tot", F.lit(0)).alias("tot"))
@@ -478,7 +502,14 @@ def langid_train(
     first (any slice with enough per-language mass works — the CLIs
     pass a fraction) since a seed past ~10^6 docs stops improving a
     256-bucket model."""
-    seed = df.select(
+    from cs533_big_data_data_mining_spark.operators.dedup import _spread
+
+    # fan the POOL out before the seed-label projection: the heuristic
+    # label is a large interpreted-HOF expression, and building it
+    # above the repartition lets every core work on it (below, it
+    # would run on the handful of scan tasks a small input produces;
+    # at 100 TB _spread no-ops and the scan's own parallelism serves)
+    seed = _spread(df).select(
         F.substring(F.col(text_col), 1, int(max_chars)).alias("__t"),
         langid_seed_label(F.col(text_col), min_hits, min_lead).alias("__lab"),
     )

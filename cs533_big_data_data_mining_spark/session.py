@@ -87,6 +87,14 @@ def get_spark(
         # timestamps, which vanilla Spark rejects; read them as longs
         # and convert explicitly (streaming/events.load_events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # AQE posts a full plan DESCRIPTION string to the listener bus
+        # on every re-optimization; for queries with large expression
+        # trees the driver burned ~70 s CPU in Expression.toString per
+        # fit (jstack: AdaptiveSparkPlanExec -> BinaryOperator.toString).
+        # 256 KB keeps explain() complete for every sane plan while
+        # bounding the stringification of pathological ones (display
+        # only — no effect on results).
+        .config("spark.sql.maxPlanStringLength", str(256 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
