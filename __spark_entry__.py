@@ -3143,13 +3143,20 @@ def _q_refinedweb_pipeline(spark, sf_dir):
         .cache()
     )
 
-    # 2. Gopher quality rules (Rae 2021 A1.1)
+    # 2. Gopher quality rules (Rae 2021 A1.1). The verdict frame
+    # CARRIES the text through the pure-Column gate, so the survivor
+    # set is a plain filter instead of a survivor-id semi-join back
+    # to s1 (guide §2.4: remove shuffles outright); `source` was dead
+    # past this stage (stage 9's target reads docs0) and is dropped.
     g = gopher_rules(
-        s1, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
+        s1,
+        "doc_id",
+        "text",
+        min_words=GOPHER_MIN_WORDS,
+        min_stopword_hits=GOPHER_MIN_STOP,
+        carry=("text",),
     )
-    s2 = s1.join(
-        g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
-    ).cache()
+    s2 = g.filter("keep").select(F.col("id").alias("doc_id"), "text").cache()
     n_gopher = s2.count()  # eager: stage 3's threshold input
     n_url = int(obs_url.get["n"])  # fired by the count above via s1's cache fill
 
@@ -3510,14 +3517,24 @@ def _q_dolma_pipeline(spark, sf_dir):
     o_lang = Observation("dmp_lang")
     s1 = crawl.filter(lang_id("text") == "en").observe(o_lang, _cnt()).cache()
 
-    # 2. Gopher quality rules (Dolma applies the Gopher set)
+    # 2. Gopher quality rules (Dolma applies the Gopher set) — the
+    # carried text makes the gate a plain filter, no survivor-id
+    # semi-join back to s1 (guide §2.4); `url` was dead past stage 1
+    # (stage 4 re-derives it from doc_id) and is dropped here.
     g = gopher_rules(
-        s1, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
+        s1,
+        "doc_id",
+        "text",
+        min_words=GOPHER_MIN_WORDS,
+        min_stopword_hits=GOPHER_MIN_STOP,
+        carry=("text",),
     )
     o_gopher = Observation("dmp_gopher")
-    s2 = s1.join(
-        g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
-    ).observe(o_gopher, _cnt())
+    s2 = (
+        g.filter("keep")
+        .select(F.col("id").alias("doc_id"), "text")
+        .observe(o_gopher, _cnt())
+    )
 
     # 3. C4 rules minus terminal_punct; clean text flows forward
     c4 = c4_filters(s2, "doc_id", "text", line_terminal_punct=False)
@@ -3638,11 +3655,19 @@ def _q_fineweb_pipeline(spark, sf_dir):
     def _cnt():
         return F.count(F.lit(1)).alias("n")
 
-    # 1. URL filtering (stage zero): domain blocklist
-    uf = url_filter(crawl, "doc_id", "url", blocked_domains=FWP_BLOCKED)
+    # 1. URL filtering (stage zero): domain blocklist. The verdict
+    # frame CARRIES the payload (text) through the pure-Column gate,
+    # so the survivor set is a plain filter — the old survivor-id
+    # left-semi join back to `crawl` re-shuffled/re-broadcast ids and
+    # re-scanned the source per stage (guide §2.4/§8: decide on the
+    # proxy, never move the payload twice). Rows identical.
+    uf = url_filter(
+        crawl, "doc_id", "url", blocked_domains=FWP_BLOCKED, carry=("text",)
+    )
     o_url = Observation("fw_url")
     s1 = (
-        crawl.join(uf.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+        uf.filter("keep")
+        .select(F.col("id").alias("doc_id"), "text")
         .observe(o_url, _cnt())
         .cache()
     )
@@ -3652,22 +3677,29 @@ def _q_fineweb_pipeline(spark, sf_dir):
     s2 = s1.filter(lang_id("text") == "en").observe(o_lang, _cnt()).cache()
 
     # 3. Gopher repetition removal (A1.2) — checkpoint: the 11-unit
-    # explode is the plan-heaviest stage
-    rep = gopher_repetition(s2, "doc_id", "text")
+    # explode is the plan-heaviest stage; carry replaces the join-back
+    rep = gopher_repetition(s2, "doc_id", "text", carry=("text",))
     o_rep = Observation("fw_rep")
     s3 = (
-        s2.join(rep.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+        rep.filter("keep")
+        .select(F.col("id").alias("doc_id"), "text")
         .observe(o_rep, _cnt())
         .localCheckpoint()
     )
 
-    # 4. Gopher quality rules (A1.1)
+    # 4. Gopher quality rules (A1.1) — carry replaces the join-back
     g = gopher_rules(
-        s3, "doc_id", "text", min_words=GOPHER_MIN_WORDS, min_stopword_hits=GOPHER_MIN_STOP
+        s3,
+        "doc_id",
+        "text",
+        min_words=GOPHER_MIN_WORDS,
+        min_stopword_hits=GOPHER_MIN_STOP,
+        carry=("text",),
     )
     o_gopher = Observation("fw_gopher")
     s4 = (
-        s3.join(g.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+        g.filter("keep")
+        .select(F.col("id").alias("doc_id"), "text")
         .observe(o_gopher, _cnt())
         .cache()
     )
@@ -3694,11 +3726,9 @@ def _q_fineweb_pipeline(spark, sf_dir):
         .cache()
     )
 
-    # 7. FineWeb custom filters (§3.6)
-    fw = fineweb_filters(s6, "doc_id", "text")
-    s7 = s6.join(
-        fw.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
-    )
+    # 7. FineWeb custom filters (§3.6) — carry replaces the join-back
+    fw = fineweb_filters(s6, "doc_id", "text", carry=("text",))
+    s7 = fw.filter("keep").select(F.col("id").alias("doc_id"), "text")
 
     # 8. PII redaction on the survivors
     final = s7.select("doc_id", redact_col("text").alias("clean")).collect()

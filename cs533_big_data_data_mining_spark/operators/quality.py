@@ -737,6 +737,7 @@ def fineweb_filters(
     max_dup_line_char_frac: float = 0.10,
     max_short_line_frac: float = 0.67,
     short_line_len: int = 30,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """The FineWeb custom quality filters (Penedo et al. 2024 §3.6,
     public — the three C4-inspired gates FineWeb adds ON TOP of the
@@ -774,7 +775,18 @@ def fineweb_filters(
     into the scan.
     """
     c = F.col(text_col)
-    lines = F.filter(F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != "")
+    # layered projections (the gopher_rules / gopher_repetition
+    # pattern): name the line array once so CollapseProject keeps the
+    # multi-referenced non-cheap alias shared; values unchanged
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *carry,
+        c.isNull().alias("__null"),
+        F.filter(
+            F.transform(F.split(c, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+        ).alias("__lines"),
+    )
+    lines = F.col("__lines")
     n = F.size(lines).cast("double")
     n_punct = F.size(F.filter(lines, lambda x: x.rlike("[.'\"!?]$"))).cast("double")
     n_short = F.size(
@@ -785,23 +797,41 @@ def fineweb_filters(
 
     # no-lines docs (n = 0) keep null signals: 0/0 division yields
     # null under ANSI-off double semantics, but be explicit
-    has = c.isNotNull() & (n > 0)
+    has = ~F.col("__null") & (n > 0)
     punct_frac = F.when(has, F.round(n_punct / n, 6))
     dup_frac = F.when(has & (tot_chars > 0), F.round(dup_chars / tot_chars, 6))
     short_frac = F.when(has, F.round(n_short / n, 6))
 
-    keep = (
-        c.isNotNull()
-        & ~F.coalesce(punct_frac <= F.lit(float(min_line_punct_frac)), F.lit(False))
-        & ~F.coalesce(dup_frac >= F.lit(float(max_dup_line_char_frac)), F.lit(False))
-        & ~F.coalesce(short_frac >= F.lit(float(max_short_line_frac)), F.lit(False))
-    )
-    return df.select(
-        F.col(id_col).alias("id"),
+    sig = base.select(
+        "id",
+        *carry,
+        "__null",
         punct_frac.alias("line_punct_frac"),
         dup_frac.alias("dup_line_char_frac"),
         short_frac.alias("short_line_frac"),
-        keep.alias("keep"),
+    )
+    keep = (
+        ~F.col("__null")
+        & ~F.coalesce(
+            F.col("line_punct_frac") <= F.lit(float(min_line_punct_frac)), F.lit(False)
+        )
+        & ~F.coalesce(
+            F.col("dup_line_char_frac") >= F.lit(float(max_dup_line_char_frac)), F.lit(False)
+        )
+        & ~F.coalesce(
+            F.col("short_line_frac") >= F.lit(float(max_short_line_frac)), F.lit(False)
+        )
+    )
+    # optimizer fence (see gopher_rules): keep `.filter("keep")`
+    # consumers gating on the computed boolean
+    fence = F.element_at(F.shuffle(F.array(F.lit(False))), 1)
+    return sig.select(
+        "id",
+        *carry,
+        "line_punct_frac",
+        "dup_line_char_frac",
+        "short_line_frac",
+        (keep | fence).alias("keep"),
     )
 
 
@@ -1095,6 +1125,7 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher quality-rule bundle (Rae et al. 2021 Appendix A1.1,
     public) as one pass: per-document metrics plus the combined
@@ -1115,20 +1146,42 @@ def gopher_rules(
     never smuggle a document past the gate. Ratios round to 6 dp
     (cross-engine hash discipline).
 
+    ``carry`` names extra input columns to pass through untouched —
+    the verdict frame then needs no join back to the source (the
+    :func:`gopher_repetition` contract), which is what lets pipeline
+    consumers gate with a plain ``filter("keep")`` instead of a
+    survivor-id semi-join.
+
     Scale shape: pure Column expressions end to end — zero shuffle,
     zero Python, fuses into the scan stage; the one thing it is NOT
     is a Pandas UDF (same 100 TB argument as ``quality_score``).
     """
     c = F.col(text_col)
-    toks = tokenize(text_col)
+    # Layered projections, not one flat select: the token and line
+    # arrays are referenced by several signals, and NAMING them in a
+    # lower project gives explicit subexpression sharing that
+    # CollapseProject preserves (multi-referenced non-cheap aliases
+    # are not re-inlined) — tokenize() was being re-derived per
+    # signal in the old flat spelling. Values unchanged.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *carry,
+        c.isNull().alias("__null"),
+        c.alias("__t"),
+        tokenize(text_col).alias("__toks"),
+        F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "").alias("__lines"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks).cast("double")
     nz = F.when(n > 0, n)  # null denominator when empty
 
     mean_len = F.round(F.length(F.concat_ws("", toks)).cast("double") / nz, 6)
-    hash_ratio = F.round(F.regexp_count(c, F.lit(r"#")).cast("double") / nz, 6)
-    ell_ratio = F.round(F.regexp_count(c, F.lit(r"\.\.\.|…")).cast("double") / nz, 6)
+    hash_ratio = F.round(F.regexp_count(F.col("__t"), F.lit(r"#")).cast("double") / nz, 6)
+    ell_ratio = F.round(
+        F.regexp_count(F.col("__t"), F.lit(r"\.\.\.|…")).cast("double") / nz, 6
+    )
 
-    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    lines = F.col("__lines")
     n_lines = F.size(lines).cast("double")
     nzl = F.when(n_lines > 0, n_lines)
     bullet = F.round(
@@ -1144,26 +1197,10 @@ def gopher_rules(
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
 
-    def _ok(cond):
-        return F.coalesce(cond, F.lit(False))
-
-    keep = (
-        _ok(n >= min_words)
-        & _ok(n <= max_words)
-        & _ok(mean_len >= min_mean_word_len)
-        & _ok(mean_len <= max_mean_word_len)
-        & _ok(hash_ratio <= max_symbol_ratio)
-        & _ok(ell_ratio <= max_symbol_ratio)
-        # a doc with no non-empty lines has no bullet/ellipsis
-        # problem — the line rules pass vacuously (nzl null => the
-        # <= holds via coalesce on the NEGATED condition)
-        & ~_ok(bullet > max_bullet_frac)
-        & ~_ok(ellipsis > max_ellipsis_frac)
-        & _ok(alpha >= min_alpha_frac)
-        & _ok(stop_hits >= min_stopword_hits)
-    )
-    return df.select(
-        F.col(id_col).alias("id"),
+    sig = base.select(
+        "id",
+        *carry,
+        "__null",
         F.size(toks).cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
         hash_ratio.alias("hash_ratio"),
@@ -1172,7 +1209,43 @@ def gopher_rules(
         ellipsis.alias("ellipsis_frac"),
         alpha.alias("alpha_frac"),
         stop_hits.cast("long").alias("stopword_hits"),
-        F.when(c.isNull(), F.lit(False)).otherwise(keep).alias("keep"),
+    )
+
+    def _ok(cond):
+        return F.coalesce(cond, F.lit(False))
+
+    keep = (
+        _ok(F.col("n_words") >= min_words)
+        & _ok(F.col("n_words") <= max_words)
+        & _ok(F.col("mean_word_len") >= min_mean_word_len)
+        & _ok(F.col("mean_word_len") <= max_mean_word_len)
+        & _ok(F.col("hash_ratio") <= max_symbol_ratio)
+        & _ok(F.col("ellipsis_ratio") <= max_symbol_ratio)
+        # a doc with no non-empty lines has no bullet/ellipsis
+        # problem — the line rules pass vacuously (nzl null => the
+        # <= holds via coalesce on the NEGATED condition)
+        & ~_ok(F.col("bullet_frac") > max_bullet_frac)
+        & ~_ok(F.col("ellipsis_frac") > max_ellipsis_frac)
+        & _ok(F.col("alpha_frac") >= min_alpha_frac)
+        & _ok(F.col("stopword_hits") >= min_stopword_hits)
+    )
+    # same optimizer fence as gopher_repetition: a consumer's
+    # `.filter("keep")` must gate on the computed boolean, not have
+    # PushDownPredicates substitute the full HOF rule bundle into an
+    # interpreted scan predicate (no subexpression reuse there)
+    fence = F.element_at(F.shuffle(F.array(F.lit(False))), 1)
+    return sig.select(
+        "id",
+        *carry,
+        "n_words",
+        "mean_word_len",
+        "hash_ratio",
+        "ellipsis_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "alpha_frac",
+        "stopword_hits",
+        (F.when(F.col("__null"), F.lit(False)).otherwise(keep) | fence).alias("keep"),
     )
 
 
@@ -1183,6 +1256,7 @@ def url_filter(
     blocked_domains: list[str] | DataFrame | None = None,
     keyword_weights: dict[str, float] | None = None,
     max_keyword_score: float = 1.0,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """RefinedWeb stage ZERO (Penedo 2023 §3.1 "URL filtering", before
     even URL dedup): drop documents by where they came from — (a) a
@@ -1216,6 +1290,7 @@ def url_filter(
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"),
+        *carry,
         F.col(url_col).alias("__url"),
         url_host(url_col).alias("host"),
     )
@@ -1253,6 +1328,7 @@ def url_filter(
         blocked = F.coalesce(F.col("__blocked"), F.lit(False))
     return joined.select(
         "id",
+        *carry,
         "host",
         "kw_score",
         (hostless | (~blocked & kw_pass)).alias("keep"),
