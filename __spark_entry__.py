@@ -2990,20 +2990,41 @@ def _q_crawl_shards(spark, sf_dir):
         corpus2 = cleaned.select(
             F.col("id").alias("doc_id"), F.col("clean").alias("text")
         ).cache()
-        boiler_bad = (
-            corpus2.withColumn("base", F.pmod("doc_id", F.lit(CRAWL_DUP_OFF)))
-            .join(docs.select(F.col("doc_id").alias("base"), F.col("text").alias("orig")), "base")
-            .filter((F.col("text") != F.col("orig")) | F.col("text").isNull())
-            .count()
-        )
-        ppl = lm_perplexity(corpus2, id_col="doc_id", text_col="text")
-        scored = corpus2.select("doc_id", quality_score("text").alias("q")).join(
-            ppl.select(F.col("id").alias("doc_id"), "ppl"), "doc_id", "left"
-        )
-        score_bad = scored.filter(
-            F.col("q").isNull() | F.col("ppl").isNull() | ~(F.col("ppl") > 0) | F.isnan("ppl")
-        ).count()
-        ppl.unpersist()
+        corpus2.count()  # fill the cache once before the parallel consumers
+
+        # The byte-exactness audit and the scoring audit are
+        # INDEPENDENT reads of corpus2 — overlap their jobs from a
+        # small thread pool (guide §2.6: actions are only sequential
+        # because the driver calls them sequentially). Each computes
+        # exactly what it did serially; only the wall clock changes.
+        def _boiler_bad() -> int:
+            return (
+                corpus2.withColumn("base", F.pmod("doc_id", F.lit(CRAWL_DUP_OFF)))
+                .join(
+                    docs.select(F.col("doc_id").alias("base"), F.col("text").alias("orig")),
+                    "base",
+                )
+                .filter((F.col("text") != F.col("orig")) | F.col("text").isNull())
+                .count()
+            )
+
+        def _score_bad() -> int:
+            ppl = lm_perplexity(corpus2, id_col="doc_id", text_col="text")
+            scored = corpus2.select("doc_id", quality_score("text").alias("q")).join(
+                ppl.select(F.col("id").alias("doc_id"), "ppl"), "doc_id", "left"
+            )
+            bad = scored.filter(
+                F.col("q").isNull() | F.col("ppl").isNull() | ~(F.col("ppl") > 0) | F.isnan("ppl")
+            ).count()
+            ppl.unpersist()
+            return bad
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            f_boiler = ex.submit(_boiler_bad)
+            f_score = ex.submit(_score_bad)
+            boiler_bad, score_bad = f_boiler.result(), f_score.result()
 
         surv = exact_dedup(corpus2, "doc_id", "text").cache()
         n_dedup = surv.count()
@@ -3013,18 +3034,31 @@ def _q_crawl_shards(spark, sf_dir):
             flags.filter("keep").select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
         ).cache()
         n_final = final.count()
-        splits = assign_split(
-            final, "doc_id", weights={"train": 0.875, "val": 0.0625, "test": 0.0625}
-        )
-        sc = {
-            r["split"]: r["n"]
-            for r in splits.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        plan = pack_sequences(final, "doc_id", PACK_SEQ_LEN, validate=True)
-        agg = plan.agg(
-            F.coalesce(F.max(F.col("start_offset") + F.col("n_tokens")), F.lit(0)).alias("total"),
-            F.coalesce(F.max("bin_end") + 1, F.lit(0)).alias("bins"),
-        ).head()
+
+        # split counting and pack planning both read the cached
+        # `final` and are independent — overlap them too (§2.6)
+        def _split_counts() -> dict:
+            splits = assign_split(
+                final, "doc_id", weights={"train": 0.875, "val": 0.0625, "test": 0.0625}
+            )
+            return {
+                r["split"]: r["n"]
+                for r in splits.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+
+        def _pack_agg():
+            plan = pack_sequences(final, "doc_id", PACK_SEQ_LEN, validate=True)
+            return plan.agg(
+                F.coalesce(F.max(F.col("start_offset") + F.col("n_tokens")), F.lit(0)).alias(
+                    "total"
+                ),
+                F.coalesce(F.max("bin_end") + 1, F.lit(0)).alias("bins"),
+            ).head()
+
+        with ThreadPoolExecutor(2) as ex:
+            f_sc = ex.submit(_split_counts)
+            f_agg = ex.submit(_pack_agg)
+            sc, agg = f_sc.result(), f_agg.result()
         for fr in (corpus, corpus2, surv, final):
             fr.unpersist()
     finally:

@@ -25,10 +25,31 @@ from __future__ import annotations
 
 import math
 
+from pyspark import SparkContext
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cs533_big_data_data_mining_spark.functions.text import tokenize, word_ngrams
+
+
+def _expr_memo(key: tuple, builder):
+    """Memoize a pure Column-expression construction per live
+    SparkContext (guide §1/§7.3: a planning-bound composite spends
+    seconds of driver wall in py4j round trips re-BUILDING the same
+    big HOF trees every call — ~1.6 s per ``gopher_repetition``).
+    Column objects are immutable, name-based and reusable across
+    DataFrames, so handing back the same tree is semantically
+    identical to rebuilding it. The cache dict lives ON the
+    SparkContext object: a stopped/restarted context is a new object,
+    so stale JVM references can never leak across sessions. This
+    caches unresolved EXPRESSIONS only — never data or results."""
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return builder()
+    cache = sc.__dict__.setdefault("_cs533_expr_memo", {})
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -506,12 +527,19 @@ def lm_perplexity(
     associative; this is the same discipline as ``label_centroids``).
 
     Scale shape: two combinable count groupBys over the reference
-    (unigrams, bigrams), a per-doc window (lag) to pair each token
-    with its predecessor (state bounded by document length), two
-    equi-joins against the count tables (shuffle on token keys — hot
-    words are exactly what AQE skew splitting handles), one final
-    per-doc aggregate. N and V are two scalars collected once and
-    embedded as literals.
+    (unigrams, bigrams). Scoring pairs each token with its
+    predecessor INSIDE the token array (zip against its own tail —
+    the same spelling the fit uses), so there is no posexplode + lag
+    window: the corpus-wide sort exchange that window required is
+    gone (guide §2.4), the bigram terms take two equi-joins against
+    the count tables (shuffle on token keys — hot words are exactly
+    what AQE skew splitting handles), the first-token unigram term
+    rides a one-row-per-doc frame, and a per-doc NULL anchor row
+    keeps empty documents in the final aggregate without a join back
+    to the input. The per-token log terms are rounded then summed as
+    DECIMAL, so the regrouped sum is bit-identical to the windowed
+    spelling. N and V are two scalars collected once and embedded as
+    literals.
     """
     a = float(alpha)
     if a <= 0:
@@ -545,44 +573,64 @@ def lm_perplexity(
         .agg(F.count(F.lit(1)).alias("cb"))
     )
 
-    pos = df.select(
-        F.col(id_col).alias("id"), F.posexplode(tokenize(text_col)).alias("pos", "w")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    seq = pos.withColumn("prev", F.lag("w").over(w))
+    # scoring WITHOUT the window: the (prev, w) pairs come from the
+    # same zip-against-own-tail used for the fit, so no posexplode +
+    # lag (the per-doc sort exchange is gone); the first token's
+    # unigram term needs only one row per document. A NULL-lp anchor
+    # row per document keeps zero-token docs in the final groupBy so
+    # the old join back to df is unnecessary. Term values and their
+    # exact DECIMAL sum are unchanged (rounded per term to 9 dp, and
+    # decimal addition is associative), so the output is
+    # bit-identical to the windowed spelling.
+    dt = tokenize(text_col)
+    dpairs = F.when(
+        F.size(dt) >= 2,
+        F.zip_with(
+            F.slice(dt, 1, F.size(dt) - 1),
+            F.slice(dt, 2, F.size(dt) - 1),
+            lambda x, y: F.struct(x.alias("prev"), y.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    docs = df.select(F.col(id_col).alias("id"), dt.alias("__tk"))
 
-    ctx = uni.select(F.col("w").alias("prev"), F.col("cu").alias("cprev"))
-    joined = (
-        seq.join(uni, "w", "left")
-        .join(ctx, "prev", "left")
-        .join(big, (F.col("prev") == F.col("w1")) & (F.col("w") == F.col("w2")), "left")
-    )
     av = F.lit(a * vocab)
     first = (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(a)) / F.lit(n_total + a * vocab)
     later = (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(a)) / (
         F.coalesce(F.col("cprev"), F.lit(0)) + av
     )
-    term = F.round(F.log(F.when(F.col("prev").isNull(), first).otherwise(later)), 9)
-
-    scored = joined.select("id", term.cast("decimal(24,9)").alias("lp"))
-    per_doc = scored.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("slp")
+    lp_t = "decimal(24,9)"
+    firsts = (
+        docs.filter(F.size("__tk") >= 1)
+        .select("id", F.element_at("__tk", 1).alias("w"))
+        .join(uni, "w", "left")
+        .select("id", F.round(F.log(first), 9).cast(lp_t).alias("lp"))
+    )
+    ctx = uni.select(F.col("w").alias("prev"), F.col("cu").alias("cprev"))
+    laters = (
+        df.select(F.col(id_col).alias("id"), F.explode(dpairs).alias("pr"))
+        .select("id", F.col("pr.prev").alias("prev"), F.col("pr.w").alias("w"))
+        .join(ctx, "prev", "left")
+        .join(big, (F.col("prev") == F.col("w1")) & (F.col("w") == F.col("w2")), "left")
+        .select("id", F.round(F.log(later), 9).cast(lp_t).alias("lp"))
+    )
+    anchors = docs.select("id", F.lit(None).cast(lp_t).alias("lp"))
+    per_doc = (
+        firsts.unionByName(laters)
+        .unionByName(anchors)
+        .groupBy("id")
+        .agg(F.count("lp").alias("n_tokens"), F.sum("lp").alias("slp"))
     )
     # cast the exact DECIMAL sum to double BEFORE dividing — the
     # oracle does the same, so both engines round the same quotient
-    avg = F.round(F.col("slp").cast("double") / F.col("n_tokens"), 6)
-    out = per_doc.select(
+    avg = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("slp").cast("double") / F.col("n_tokens"), 6),
+    )
+    res = per_doc.select(
         "id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         avg.alias("avg_logp"),
         F.round(F.exp(-avg), 6).alias("ppl"),
-    )
-    all_docs = df.select(F.col(id_col).alias("id"))
-    res = all_docs.join(out, "id", "left").select(
-        "id",
-        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-        "avg_logp",
-        "ppl",
     )
     res = res.persist()
     res.count()
@@ -916,14 +964,64 @@ def gopher_repetition(
     for c in carry:
         if c in reserved or c.startswith("__"):
             raise ValueError(f"carry column {c!r} collides with an internal name")
+    carry = tuple(carry)
+    # The five projection layers are pure name-based Column trees —
+    # independent of df — and building them costs ~1.6 s of py4j
+    # round trips (the single largest driver cost of a warm flagship
+    # run). _expr_memo hands back the identical tree on repeat calls.
+    layers = _expr_memo(
+        (
+            "gopher_repetition",
+            id_col,
+            text_col,
+            carry,
+            float(max_dup_line_frac),
+            float(max_dup_para_frac),
+            float(max_dup_line_char_frac),
+            float(max_dup_para_char_frac),
+            tuple(float(x) for x in max_top_ngram_char_frac),
+            tuple(float(x) for x in max_dup_ngram_char_frac),
+        ),
+        lambda: _gopher_repetition_layers(
+            id_col,
+            text_col,
+            carry,
+            max_dup_line_frac,
+            max_dup_para_frac,
+            max_dup_line_char_frac,
+            max_dup_para_char_frac,
+            max_top_ngram_char_frac,
+            max_dup_ngram_char_frac,
+        ),
+    )
+    out = df
+    for cols in layers:
+        out = out.select(*cols)
+    return out
+
+
+def _gopher_repetition_layers(
+    id_col: str,
+    text_col: str,
+    carry: tuple[str, ...],
+    max_dup_line_frac: float,
+    max_dup_para_frac: float,
+    max_dup_line_char_frac: float,
+    max_dup_para_char_frac: float,
+    max_top_ngram_char_frac: tuple[float, float, float],
+    max_dup_ngram_char_frac: tuple[float, ...],
+) -> tuple[list, ...]:
+    """The five projection layers of :func:`gopher_repetition` as
+    Column lists (see its docstring for the signal definitions)."""
+    top_ns, dup_ns = (2, 3, 4), tuple(range(5, 5 + len(max_dup_ngram_char_frac)))
     # tokenize ONCE: the nine gram streams below slice this column
     # instead of re-splitting the text per n
-    base = df.select(
+    base_cols = [
         F.col(id_col).alias("id"),
         F.col(text_col).alias("__t"),
         tokenize(text_col).alias("__toks"),
         *[F.col(c) for c in carry],
-    )
+    ]
 
     def _grams(n):
         # word_ngrams over the materialized token column (duplicates
@@ -949,13 +1047,13 @@ def gopher_repetition(
     kinds = {"line": (lines, 0), "para": (paras, 0)}
     # grams are space-joined: non-space char length = len - (n-1)
     kinds.update({f"g{n}": (_grams(n), n - 1) for n in top_ns + dup_ns})
-    sorted_units = base.select(
-        "id",
-        *carry,
+    sorted_cols = [
+        F.col("id"),
+        *[F.col(c) for c in carry],
         F.col("__t").isNull().alias("__null"),
         F.length(F.concat_ws("", F.col("__toks"))).cast("long").alias("tok_chars"),
         *[F.array_sort(arr).alias(f"{kind}_s") for kind, (arr, _) in kinds.items()],
-    )
+    ]
 
     def _stream_stats(kind: str, off: int, wants: str) -> list:
         # only the stats this kind's signals consume get computed —
@@ -1026,13 +1124,13 @@ def gopher_repetition(
     wants = {"line": "du", "para": "du"}
     wants.update({f"g{n}": "t" for n in top_ns})
     wants.update({f"g{n}": "d" for n in dup_ns})
-    j = sorted_units.select(
-        "id",
-        *carry,
-        "__null",
-        "tok_chars",
+    stat_cols = [
+        F.col("id"),
+        *[F.col(c) for c in carry],
+        F.col("__null"),
+        F.col("tok_chars"),
         *[e for kind, (_, off) in kinds.items() for e in _stream_stats(kind, off, wants[kind])],
-    )
+    ]
 
     def _ratio(num, den):
         return F.round(num.cast("double") / den.cast("double"), 6)
@@ -1080,9 +1178,12 @@ def gopher_repetition(
     )
     thr.update({f"top_{n}gram_char_frac": t for n, t in zip(top_ns, max_top_ngram_char_frac)})
     thr.update({f"dup_{n}gram_char_frac": t for n, t in zip(dup_ns, max_dup_ngram_char_frac)})
-    out = j.select(
-        "id", *carry, "__null", *[expr.alias(name) for name, expr in cols.items()]
-    )
+    out_cols = [
+        F.col("id"),
+        *[F.col(c) for c in carry],
+        F.col("__null"),
+        *[expr.alias(name) for name, expr in cols.items()],
+    ]
     keep = F.lit(True)
     for name, t in thr.items():
         # a null signal (no lines / < n tokens / empty doc) passes
@@ -1104,12 +1205,13 @@ def gopher_repetition(
     # consumers' UNRELATED predicates also stop pushing through this
     # projection — irrelevant here, the verdict frame is terminal.
     fence = F.element_at(F.shuffle(F.array(F.lit(False))), 1)
-    return out.select(
-        "id",
-        *carry,
-        *cols.keys(),
+    final_cols = [
+        F.col("id"),
+        *[F.col(c) for c in carry],
+        *[F.col(name) for name in cols],
         (F.when(F.col("__null"), F.lit(False)).otherwise(keep) | fence).alias("keep"),
-    )
+    ]
+    return (base_cols, sorted_cols, stat_cols, out_cols, final_cols)
 
 
 def gopher_rules(
@@ -1156,6 +1258,60 @@ def gopher_rules(
     zero Python, fuses into the scan stage; the one thing it is NOT
     is a Pandas UDF (same 100 TB argument as ``quality_score``).
     """
+    carry = tuple(carry)
+    layers = _expr_memo(
+        (
+            "gopher_rules",
+            id_col,
+            text_col,
+            carry,
+            int(min_words),
+            int(max_words),
+            float(min_mean_word_len),
+            float(max_mean_word_len),
+            float(max_symbol_ratio),
+            float(max_bullet_frac),
+            float(max_ellipsis_frac),
+            float(min_alpha_frac),
+            int(min_stopword_hits),
+        ),
+        lambda: _gopher_rules_layers(
+            id_col,
+            text_col,
+            carry,
+            min_words,
+            max_words,
+            min_mean_word_len,
+            max_mean_word_len,
+            max_symbol_ratio,
+            max_bullet_frac,
+            max_ellipsis_frac,
+            min_alpha_frac,
+            min_stopword_hits,
+        ),
+    )
+    out = df
+    for cols in layers:
+        out = out.select(*cols)
+    return out
+
+
+def _gopher_rules_layers(
+    id_col: str,
+    text_col: str,
+    carry: tuple[str, ...],
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_frac: float,
+    min_stopword_hits: int,
+) -> tuple[list, ...]:
+    """The three projection layers of :func:`gopher_rules` as Column
+    lists (memoized by the wrapper — see :func:`_expr_memo`)."""
     c = F.col(text_col)
     # Layered projections, not one flat select: the token and line
     # arrays are referenced by several signals, and NAMING them in a
@@ -1163,14 +1319,14 @@ def gopher_rules(
     # CollapseProject preserves (multi-referenced non-cheap aliases
     # are not re-inlined) — tokenize() was being re-derived per
     # signal in the old flat spelling. Values unchanged.
-    base = df.select(
+    base_cols = [
         F.col(id_col).alias("id"),
-        *carry,
+        *[F.col(cc) for cc in carry],
         c.isNull().alias("__null"),
         c.alias("__t"),
         tokenize(text_col).alias("__toks"),
         F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "").alias("__lines"),
-    )
+    ]
     toks = F.col("__toks")
     n = F.size(toks).cast("double")
     nz = F.when(n > 0, n)  # null denominator when empty
@@ -1197,10 +1353,10 @@ def gopher_rules(
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
 
-    sig = base.select(
-        "id",
-        *carry,
-        "__null",
+    sig_cols = [
+        F.col("id"),
+        *[F.col(cc) for cc in carry],
+        F.col("__null"),
         F.size(toks).cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
         hash_ratio.alias("hash_ratio"),
@@ -1209,7 +1365,7 @@ def gopher_rules(
         ellipsis.alias("ellipsis_frac"),
         alpha.alias("alpha_frac"),
         stop_hits.cast("long").alias("stopword_hits"),
-    )
+    ]
 
     def _ok(cond):
         return F.coalesce(cond, F.lit(False))
@@ -1234,19 +1390,20 @@ def gopher_rules(
     # PushDownPredicates substitute the full HOF rule bundle into an
     # interpreted scan predicate (no subexpression reuse there)
     fence = F.element_at(F.shuffle(F.array(F.lit(False))), 1)
-    return sig.select(
-        "id",
-        *carry,
-        "n_words",
-        "mean_word_len",
-        "hash_ratio",
-        "ellipsis_ratio",
-        "bullet_frac",
-        "ellipsis_frac",
-        "alpha_frac",
-        "stopword_hits",
+    final_cols = [
+        F.col("id"),
+        *[F.col(cc) for cc in carry],
+        F.col("n_words"),
+        F.col("mean_word_len"),
+        F.col("hash_ratio"),
+        F.col("ellipsis_ratio"),
+        F.col("bullet_frac"),
+        F.col("ellipsis_frac"),
+        F.col("alpha_frac"),
+        F.col("stopword_hits"),
         (F.when(F.col("__null"), F.lit(False)).otherwise(keep) | fence).alias("keep"),
-    )
+    ]
+    return (base_cols, sig_cols, final_cols)
 
 
 def url_filter(

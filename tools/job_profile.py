@@ -46,6 +46,8 @@ def main():
         app_name=f"job_profile_{name}",
         extra_conf={
             "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
             "spark.eventLog.dir": f"file://{log_dir}",
             "spark.ui.showConsoleProgress": "false",
         },
@@ -64,8 +66,13 @@ def main():
 
     # parse the event log: keep jobs submitted inside the LAST run
     evs = []
-    for f in os.listdir(log_dir):
-        with open(os.path.join(log_dir, f)) as fh:
+    paths = []
+    for root, _dirs, files in os.walk(log_dir):
+        for f in files:
+            if "appstatus" not in f:
+                paths.append(os.path.join(root, f))
+    for p in paths:
+        with open(p) as fh:
             for line in fh:
                 try:
                     e = json.loads(line)
@@ -97,6 +104,7 @@ def main():
                 "end": None,
                 "task_ms": 0,
                 "stages": 0,
+                "sdetail": [],
             }
             for sid in e.get("Stage IDs", []):
                 stage_to_job[sid] = jid
@@ -108,6 +116,14 @@ def main():
             jid = stage_to_job.get(si["Stage ID"])
             if jid in jobs and si.get("Completion Time") and si.get("Submission Time"):
                 jobs[jid]["stages"] += 1
+                jobs[jid]["sdetail"].append(
+                    (
+                        si["Stage ID"],
+                        si.get("Number of Tasks", 0),
+                        (si["Completion Time"] - si["Submission Time"]) / 1000.0,
+                        (si.get("Stage Name") or "")[:60],
+                    )
+                )
 
     print(f"\n=== jobs in last run of {name} (wall {hi - lo:.3f}s) ===")
     total = 0.0
@@ -119,6 +135,9 @@ def main():
         prev_end = j["end"] or j["start"]
         total += dur
         print(f"job {jid:4d}  {dur:7.3f}s  gap {gap:6.3f}s  [{j['stages']:2d} st]  {j['desc']}")
+        if dur >= 0.75:
+            for sid, ntask, sdur, sname in sorted(j["sdetail"], key=lambda x: -x[2])[:4]:
+                print(f"        stage {sid:4d}  {sdur:7.3f}s  {ntask:4d} tasks  {sname}")
     print(f"sum of job durations: {total:.3f}s over {len(items)} jobs "
           f"(driver/plan time = wall - overlapping sum)")
 
