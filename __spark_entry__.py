@@ -1241,10 +1241,11 @@ def _q_sessionize_stream_eq(spark, sf_dir):
         stream = sessionize_stream(read_events_stream(spark, src, max_files_per_trigger=2))
         # scope the STATE partition count to the workload: 20k events
         # over 3 micro-batches doesn't need 32 state tasks per batch —
-        # 8 cuts ~2/3 of the per-batch Python-worker scheduling. The
+        # 4 cuts ~7/8 of the per-batch state-task scheduling (r12
+        # interleaved A/B: p4 beat p8 on every iteration). The
         # conf is read at stream start; restored for later queries.
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             run_stream_to_memory(stream, "sessions_eq", output_mode="append")
         finally:
@@ -1310,7 +1311,7 @@ def _q_curate_stream_eq(spark, sf_dir):
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
         )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             run_stream_to_memory(
                 curate_ingest(stream_docs, watermark="365 days"),
@@ -1385,7 +1386,7 @@ def _q_curate_nb_stream_eq(spark, sf_dir):
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
         )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             run_stream_to_memory(
                 curate_ingest(stream_docs, watermark="365 days", **kw),
@@ -2293,7 +2294,7 @@ def _q_dedup_stream_eq(spark, sf_dir):
             read_events_stream(spark, src, max_files_per_trigger=2), watermark="3650 days"
         )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             run_stream_to_memory(stream, "dedup_eq", output_mode="append")
         finally:
@@ -4259,11 +4260,11 @@ def _q_stream_eq_all(spark, sf_dir):
     # independent harnesses (own temp dirs / sink names) run
     # concurrently. The parts' shuffle-partition set/restore is made
     # race-free by pinning the conf around all three: each part then
-    # reads prev=8, sets 8, restores 8 — a fixed point.
+    # reads prev=4, sets 4, restores 4 — a fixed point.
     from concurrent.futures import ThreadPoolExecutor
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         with ThreadPoolExecutor(4) as ex:
             fa = ex.submit(_q_sessionize_stream_eq, spark, sf_dir)

@@ -158,11 +158,10 @@ def url_dedup(
     :func:`~cs533_big_data_data_mining_spark.functions.url.normalize_url`
     (case, ``www.``, tracking params, fragments, trailing slash) so
     crawl-variant URLs collapse; the normalizer is a pure Column that
-    fuses into the scan, so the whole operator is ONE map-side-
-    combinable groupBy on the normalized key + a broadcast-free
-    min-id semi-join on the unique id — the same scale shape as
-    :func:`exact_dedup`, with a key that is bytes instead of
-    documents. NULL urls are EXEMPT (all kept): a document without
+    fuses into the scan, so the whole operator is ONE exchange on the
+    normalized key with a partition-window min picking the keeper —
+    the key is bytes instead of documents, and no second pass or
+    join re-reads the input. NULL urls are EXEMPT (all kept): a document without
     provenance cannot be a re-crawl of anything — collapsing the
     null group to one survivor would delete distinct documents
     (the ``url_filter`` hostless stance; dedup them on content).
@@ -171,10 +170,18 @@ def url_dedup(
 
     norm = normalize_url(url_col) if normalize else F.col(url_col)
     base = df.select(F.col(id_col).alias("id"), norm.alias("url_norm"))
-    nonnull = base.filter(F.col("url_norm").isNotNull())
-    keepers = nonnull.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
-    return base.filter(F.col("url_norm").isNull()).unionByName(
-        nonnull.join(keepers, "id", "left_semi")
+    # min-id keeper as a window over the normalized key (round 12):
+    # the old groupBy(min) + id semi-join evaluated the normalizer
+    # subtree twice and paid a second exchange for the join (the
+    # keeper set is #distinct-URLs-sized — not broadcastable at
+    # corpus scale); one partition-window min is one exchange and one
+    # pass. NULL urls stay exempt via the filter disjunct (they share
+    # one window group, but every row of it is kept).
+    w = Window.partitionBy("url_norm")
+    return (
+        base.withColumn("__mn", F.min("id").over(w))
+        .filter(F.col("url_norm").isNull() | (F.col("id") == F.col("__mn")))
+        .drop("__mn")
     )
 
 
@@ -202,12 +209,18 @@ def url_dedup_bipartite(
     n_norm = normalize_url(url_col) if normalize else F.col(url_col)
     h_norm = normalize_url(hcol) if normalize else F.col(hcol)
     base = new.select(F.col(id_col).alias("id"), n_norm.alias("url_norm"))
-    nonnull = base.filter(F.col("url_norm").isNotNull())
     seen = history.select(h_norm.alias("url_norm")).distinct()
-    fresh = nonnull.join(seen, "url_norm", "left_anti")
-    keepers = fresh.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
-    return base.filter(F.col("url_norm").isNull()).unionByName(
-        fresh.join(keepers, "id", "left_semi")
+    # one anti-join over ALL rows (NULL urls can never equi-match, so
+    # they pass the anti-join — the exemption needs no separate
+    # branch), then the window-min keeper of :func:`url_dedup` — the
+    # old nonnull-split + groupBy + semi-join spelled the normalizer
+    # subtree four times in one plan and paid an extra exchange
+    fresh = base.join(seen, "url_norm", "left_anti")
+    w = Window.partitionBy("url_norm")
+    return (
+        fresh.withColumn("__mn", F.min("id").over(w))
+        .filter(F.col("url_norm").isNull() | (F.col("id") == F.col("__mn")))
+        .select("id", "url_norm")  # the join moved the key column first
     )
 
 
@@ -240,20 +253,34 @@ def url_dedup_bipartite_bloom(
     hcol = history_url_col if history_url_col is not None else url_col
     n_norm = normalize_url(url_col) if normalize else F.col(url_col)
     base = new.select(F.col(id_col).alias("id"), n_norm.alias("url_norm"))
-    nonnull = base.filter(F.col("url_norm").isNotNull())
     seen = _url_history_keys(history, hcol, normalize)
     if bloom is None:
         bloom = bloom_build(seen, "url_norm", fpp=fpp)
     mc = bloom.might_contain("url_norm")
     if exact:
-        fresh = nonnull.filter(~mc).unionByName(
-            nonnull.filter(mc).join(seen, "url_norm", "left_anti")
-        )
+        # Bloom-gated anti-join in ONE branch (round 12): rows whose
+        # probe is negative (or whose url is NULL) make the join
+        # condition false and pass straight through — the Bloom still
+        # shields the verify join from every definitely-new row, but
+        # the probe and the normalizer evaluate once instead of the
+        # old two-filter union's twice (the probe is an Arrow-UDF
+        # boundary crossing — guide §4).
+        flagged = base.withColumn("__mc", F.coalesce(mc, F.lit(False)))
+        s = seen.select(F.col("url_norm").alias("__seen_url"))
+        fresh = flagged.join(
+            s,
+            flagged["__mc"] & (flagged["url_norm"] == s["__seen_url"]),
+            "left_anti",
+        ).drop("__mc")
     else:
-        fresh = nonnull.filter(~mc)
-    keepers = fresh.groupBy("url_norm").agg(F.min("id").alias("id")).select("id")
-    return base.filter(F.col("url_norm").isNull()).unionByName(
-        fresh.join(keepers, "id", "left_semi")
+        fresh = base.filter(F.col("url_norm").isNull() | ~mc)
+    # window-min keeper (the url_dedup spelling): one exchange, no
+    # duplicate evaluation of the fresh subtree; NULL urls exempt
+    w = Window.partitionBy("url_norm")
+    return (
+        fresh.withColumn("__mn", F.min("id").over(w))
+        .filter(F.col("url_norm").isNull() | (F.col("id") == F.col("__mn")))
+        .select("id", "url_norm")
     )
 
 

@@ -1768,18 +1768,20 @@ def dsir_resample(
       NO global sort shuffle, one corpus scan. Right for training-
       subset-sized k.
     * ``k > driver_k_limit``: the #partitions-x-k driver merge is the
-      bottleneck, so the cut moves to a THRESHOLD: an approxQuantile
-      pass estimates the k-th largest ``g_key``, conditional counts
-      refine it until ``count(> t) < k <= count(>= t)`` (keys round
-      to 6 dp, so the k-th key value is an exact gate), and the
-      result is ``filter(g_key > t)`` — fully distributed, never
-      driver-merged — plus the ``== t`` tie sliver topped up by
-      smallest id (a heap of ``k - count(> t)`` <= one key's tie
-      count). Typically 1-2 quantile passes + 1-2 count passes; if
-      the search hasn't landed after ``8`` rounds (adversarial key
-      distributions), it falls back to top-k over the smallest
-      examined band that still contains the answer and says so in a
-      UserWarning.
+      bottleneck, so the cut moves to a THRESHOLD: one approxQuantile
+      call returns a rank-guaranteed BRACKET ``[t_lo, t_hi]``
+      enclosing the k-th largest ``g_key`` (keys round to 6 dp, so
+      the k-th key value is an exact gate), one count fixes the exact
+      rank of ``t_hi``, and one per-key histogram of the (err-bound-
+      sized) bracket band is collected so the driver reads off the
+      exact k-th key — the result is ``filter(g_key > t)`` — fully
+      distributed, never driver-merged — plus the ``== t`` tie
+      sliver topped up by smallest id (a heap of ``k - count(> t)``
+      <= one key's tie count). Always exactly 4 passes over the
+      cached keys (count, quantile, rank count, band histogram); if
+      the band's distinct-key histogram would exceed the driver cap
+      (adversarial key distributions), it falls back to top-k over
+      the band and says so in a UserWarning.
     """
     if k < 0:
         raise ValueError("k must be >= 0")
@@ -1798,50 +1800,79 @@ def dsir_resample(
     # (one scan materialized, then quantile/count jobs read the
     # cache); the RETURNED frame is rebuilt lazily from `scores` with
     # the found literal threshold, so no cache ownership leaks.
+    #
+    # Round 12: ONE guaranteed round. The old loop re-drew
+    # approxQuantile + a count until count(>t) < k <= count(>=t)
+    # happened to land — but approxQuantile only bounds RANK error
+    # (err*n), so hitting the exact k-th order statistic was a
+    # per-round coin flip (measured: up to 8 quantile+count rounds =
+    # ~25 driver-serialized jobs at sf0.1; at corpus scale every
+    # extra round is a full scan of the keys). Now the quantile call
+    # requests BOTH ends of a bracket whose rank guarantees enclose
+    # the k-th key, and one exact per-key histogram of the band
+    # (~2*err*n rows, 6-dp-rounded keys) hands the driver the exact
+    # cut — same t, same result set, fixed pass count (guide §1.2:
+    # fewer driver-serialized passes).
     keyed_c = keyed.persist()
     try:
         n = keyed_c.count()
         if k >= n:
             return keyed  # everything is selected — no cut to find
-        kt = float(k)
+        err = max(1e-7, min(1e-3, k / (20.0 * n)))
+        E = int(math.ceil(err * n)) + 1
+        # bottom-rank of the k-th LARGEST key is n-k+1; request values
+        # at bottom-ranks n-k+1±E so the GK rank guarantee (±err*n)
+        # forces t_lo <= y_k <= t_hi
+        q_hi = min(1.0, (n - k + 1.0 + E) / n)
+        q_lo = max(0.0, (n - k + 1.0 - E) / n)
+        t_lo, t_hi = keyed_c.approxQuantile("g_key", [q_lo, q_hi], err)
+        if t_lo > t_hi:  # approx artifacts on tiny n — widen, stay correct
+            t_lo, t_hi = t_hi, t_lo
+        # exact rank of the bracket top: rows strictly above t_hi
+        # (<= k-1 by the enclosure guarantee)
+        c_gt_hi = int(keyed_c.filter(F.col("g_key") > F.lit(t_hi)).count())
+        # exact per-key histogram of the band [t_lo, t_hi] — the k-th
+        # key lives here; TakeOrdered caps the driver collect
+        _BAND_CAP = 200_000
+        hist = (
+            keyed_c.filter(
+                (F.col("g_key") >= F.lit(t_lo)) & (F.col("g_key") <= F.lit(t_hi))
+            )
+            .groupBy("g_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("g_key"))
+            .limit(_BAND_CAP)
+            .collect()
+        )
         t = None
         c_gt = c_eq = 0
-        t_safe = None  # highest examined t covering >= k rows (smallest safe band)
-        for _ in range(8):
-            q = min(1.0, max(0.0, 1.0 - kt / n))
-            # rank error well under k so the refinement loop converges
-            err = max(1e-7, min(1e-3, k / (20.0 * n)))
-            t = keyed_c.approxQuantile("g_key", [q], err)[0]
-            row = keyed_c.agg(
-                F.count(F.when(F.col("g_key") > t, 1)).alias("gt"),
-                F.count(F.when(F.col("g_key") == t, 1)).alias("eq"),
-            ).head()
-            c_gt, c_eq = int(row["gt"]), int(row["eq"])
-            if c_gt + c_eq >= k and (t_safe is None or t > t_safe[0]):
-                t_safe = (t, c_gt + c_eq)
-            if c_gt == k:
-                # the strict cut IS the top-k — no tie top-up needed
-                return keyed.filter(F.col("g_key") > F.lit(t))
-            if c_gt < k <= c_gt + c_eq:
+        acc = c_gt_hi
+        for row in hist:  # descending g_key
+            cnt = int(row["c"])
+            if acc + cnt >= k:
+                t, c_gt, c_eq = float(row["g_key"]), acc, cnt
                 break
-            # t too low (too many above) -> aim at a smaller rank;
-            # too high -> larger. kt tracks the observed miss ratio.
-            kt = kt * (k / (c_gt + 1.0)) if c_gt >= k else kt * (k / max(c_gt + c_eq, 1))
-        if not (c_gt < k <= c_gt + c_eq):
+            acc += cnt
+        if t is None:
+            # only reachable when the band histogram was truncated at
+            # _BAND_CAP distinct keys (adversarial distributions) —
+            # exact top-k over the band, driver merge ~band-sized
             import warnings
 
-            t, band = t_safe if t_safe is not None else (float("-inf"), n)
             warnings.warn(
-                f"dsir_resample big-k threshold search did not land after 8 "
-                f"rounds; falling back to top-{k} over the {band}-row band "
-                f"g_key >= {t!r} (exact result, driver merge ~band-sized)",
+                f"dsir_resample big-k bracket band exceeded {_BAND_CAP} "
+                f"distinct keys; falling back to top-{k} over the band "
+                f"g_key >= {t_lo!r} (exact result, driver merge ~band-sized)",
                 stacklevel=2,
             )
             return (
-                keyed.filter(F.col("g_key") >= F.lit(t))
+                keyed.filter(F.col("g_key") >= F.lit(t_lo))
                 .orderBy(F.desc("g_key"), F.asc("id"))
                 .limit(int(k))
             )
+        if c_gt + c_eq == k:
+            # the inclusive cut IS the top-k — no tie top-up needed
+            return keyed.filter(F.col("g_key") >= F.lit(t))
         # exact cut: everything above t, plus the == t ties by
         # smallest id (the (g_key desc, id asc) global order) — the
         # only driver-merged piece is the tie sliver's heap

@@ -134,17 +134,37 @@ def run_stream_to_memory(
     The drain either COMPLETES or RAISES: a query still active at the
     deadline is stopped and reported, never left for the caller to
     read a silently-partial sink (a truncated drain under CPU
-    contention looks exactly like a correctness bug downstream)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise RuntimeError(
-            f"stream {query_name!r} did not drain within {timeout_s}s "
-            "(overloaded host or a genuine hang) — partial sink discarded"
+    contention looks exactly like a correctness bug downstream).
+
+    The checkpoint goes under the session scratch dir
+    (:func:`~cs533_big_data_data_mining_spark.session._local_dir` —
+    memory-backed when available, ``SPARK_GRAFT_LOCAL_DIR`` to
+    override) instead of Spark's ``java.io.tmpdir`` default: every
+    micro-batch commits offsets + per-partition state-store deltas
+    with fsyncs, so on a spinning ``/tmp`` the commit latency, not
+    the data, dominates a bounded drain. Removed afterwards either
+    way (this helper is for bounded test streams; production sinks
+    pass their own durable checkpointLocation)."""
+    import shutil
+    import tempfile
+
+    from cs533_big_data_data_mining_spark.session import _local_dir
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_", dir=_local_dir())
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError(
+                f"stream {query_name!r} did not drain within {timeout_s}s "
+                "(overloaded host or a genuine hang) — partial sink discarded"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
