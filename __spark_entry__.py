@@ -3168,12 +3168,12 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     base_key = (F.col("doc_id") - F.when(is_dup, 1).otherwise(0)).cast("string")
     crawl = docs0.withColumn("url", _url_variants(base_key))
     obs_url = Observation("rw_url")
+    # carried text makes the gate direct (no survivor-id semi-join
+    # back to docs0 — guide §2.4); `source` is re-read from docs0 by
+    # the stage-9 target, nothing reads it off s1
     s1 = (
-        docs0.join(
-            url_dedup(crawl, "doc_id", "url").select(F.col("id").alias("doc_id")),
-            "doc_id",
-            "left_semi",
-        )
+        url_dedup(crawl, "doc_id", "url", carry=("text",))
+        .select(F.col("id").alias("doc_id"), "text")
         .observe(obs_url, F.count(F.lit(1)).alias("n"))
         .cache()
     )
@@ -3586,14 +3586,13 @@ def _q_dolma_pipeline(spark, sf_dir):
     s4 = s3.select("doc_id", redact_col("text").alias("text"), _dmp_url(i).alias("url"))
 
     # 5. URL dedup (exact keys: the construction is normalization-
-    # invariant, and Dolma dedups raw URLs)
-    ud = url_dedup(s4, "doc_id", "url", normalize=False)
+    # invariant, and Dolma dedups raw URLs). The carried text makes
+    # the gate direct — the old survivor-id semi-join back to s4
+    # evaluated the PII-masking regexes twice and paid an extra
+    # exchange (guide §2.4; same rework as the quality-gate carries).
+    ud = url_dedup(s4, "doc_id", "url", normalize=False, carry=("text",))
     o_urlded = Observation("dmp_urlded")
-    s5 = (
-        s4.join(ud.select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
-        .select("doc_id", "text")
-        .observe(o_urlded, _cnt())
-    )
+    s5 = ud.select(F.col("id").alias("doc_id"), "text").observe(o_urlded, _cnt())
 
     # 6. exact document dedup vs the immutable history (Bloom route,
     # exact spelling — deliberate-FP filter)
@@ -4208,14 +4207,24 @@ def _q_sketches_all(spark, sf_dir):
     # (What made this composite read 16 s in round 7's first bench was
     # not the concurrency but the final crossJoin of createDataFrame
     # one-row frames — see _one_row.)
+    # 20k events through ~65 tiny jobs: 32-way shuffles are pure
+    # scheduling overhead — pin partitions low around all four parts
+    # (the stream_eq_all pattern; set/restore is a fixed point, and
+    # every check is partition-invariant: counts, CMS cell sums, HLL
+    # merges are associative-commutative).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(4) as ex:
-        fa = ex.submit(_q_sketch_distinct, spark, sf_dir)
-        fb = ex.submit(_q_sketch_heavy_hitters, spark, sf_dir)
-        fc = ex.submit(_q_sketch_stream_merge, spark, sf_dir)
-        fd = ex.submit(_q_sketch_persist, spark, sf_dir)
-        ra, rb, rc, rd = fa.result(), fb.result(), fc.result(), fd.result()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            fa = ex.submit(_q_sketch_distinct, spark, sf_dir)
+            fb = ex.submit(_q_sketch_heavy_hitters, spark, sf_dir)
+            fc = ex.submit(_q_sketch_stream_merge, spark, sf_dir)
+            fd = ex.submit(_q_sketch_persist, spark, sf_dir)
+            ra, rb, rc, rd = fa.result(), fb.result(), fc.result(), fd.result()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     a = ra.select(
         F.col("n_exact").alias("hll_n_exact"),
         F.col("within_bounds").alias("hll_within_bounds"),

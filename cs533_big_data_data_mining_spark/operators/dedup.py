@@ -145,14 +145,23 @@ def bipartite_survivors(
 
 
 def url_dedup(
-    df: DataFrame, id_col: str, url_col: str, normalize: bool = True
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    normalize: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """URL-level exact dedup — stage ONE of the RefinedWeb/CommonCrawl
     curation recipe (Penedo et al. 2023 §3.1: re-crawls of the same
     page are removed by URL before any content-based dedup runs,
     because the groupBy key here is a short string, not shingle
     sets). Returns ``(id, url_norm)`` for survivors (keeper = min id
-    per normalized URL).
+    per normalized URL). ``carry`` names payload columns to pass
+    through unchanged (``(id, url_norm, *carry)``): the window keeper
+    carries them for free, so a pipeline can gate on the result
+    directly instead of semi-joining survivor ids back to its input —
+    one evaluation of the upstream stage instead of two (the
+    ``gopher_rules(carry=...)`` pattern; guide §2.4).
 
     ``normalize=True`` canonicalizes via
     :func:`~cs533_big_data_data_mining_spark.functions.url.normalize_url`
@@ -169,7 +178,9 @@ def url_dedup(
     from cs533_big_data_data_mining_spark.functions.url import normalize_url
 
     norm = normalize_url(url_col) if normalize else F.col(url_col)
-    base = df.select(F.col(id_col).alias("id"), norm.alias("url_norm"))
+    base = df.select(
+        F.col(id_col).alias("id"), norm.alias("url_norm"), *[F.col(c) for c in carry]
+    )
     # min-id keeper as a window over the normalized key (round 12):
     # the old groupBy(min) + id semi-join evaluated the normalizer
     # subtree twice and paid a second exchange for the join (the
@@ -181,7 +192,7 @@ def url_dedup(
     return (
         base.withColumn("__mn", F.min("id").over(w))
         .filter(F.col("url_norm").isNull() | (F.col("id") == F.col("__mn")))
-        .drop("__mn")
+        .select("id", "url_norm", *carry)
     )
 
 
@@ -463,6 +474,31 @@ def _signatures_from_index(sh: DataFrame, num_hashes: int) -> DataFrame:
     return sigs.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def _packed_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes], __sarr ARRAY<STRING>) in
+    ONE groupBy (round 12): the signature minima and the verify's
+    packed shingle array are aggregates over the SAME (id, shingle)
+    explode keyed the same way, so computing them in separate
+    groupBys paid two shuffles of the index and cached the wide
+    exploded form; one combined aggregate pays one shuffle and the
+    cache holds each shingle once (guide §2.3/§2.4). Values are
+    unchanged: min-hash per seed and the per-doc distinct shingle
+    set do not depend on aggregation or array order."""
+    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None)
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs, F.collect_list("shingle").alias("__sarr"))
+        .select(
+            "id",
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+            "__sarr",
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -592,12 +628,15 @@ def _jaccard_verify(
     surfaced) for any threshold. Values are identical: shingle sets
     are distinct per doc, so ``size(array_intersect())`` equals the
     equi-join's per-pair match count."""
-    arra = sha.groupBy("id").agg(F.collect_list("shingle").alias("__sarr"))
-    arrb = (
-        arra
-        if shb is sha
-        else shb.groupBy("id").agg(F.collect_list("shingle").alias("__sarr"))
-    )
+    def _packed(s):
+        # accept a prepacked (id, __sarr) frame (the _packed_index
+        # route) or a raw (id, shingle) index
+        if "__sarr" in s.columns:
+            return s.select("id", "__sarr")
+        return s.groupBy("id").agg(F.collect_list("shingle").alias("__sarr"))
+
+    arra = _packed(sha)
+    arrb = arra if shb is sha else _packed(shb)
     j = cands.join(
         arra.select(F.col("id").alias("a"), F.col("__sarr").alias("__aa")), "a"
     ).join(arrb.select(F.col("id").alias("b"), F.col("__sarr").alias("__ab")), "b")
@@ -645,26 +684,29 @@ def minhash_dedup_pairs(
     before the candidate join — the boilerplate-template guard; see
     :func:`_drop_hot_buckets` for the recall contract.
 
-    The (id, shingle) index is built ONCE and cached: signatures,
-    intersection counts, and sizes all read the same materialized
-    index instead of re-tokenizing/re-shingling the corpus per
-    consumer (three scans of the text column collapsed to one).
+    The per-doc packed index (signature minima + distinct shingle
+    array, ONE combined groupBy — :func:`_packed_index`) is built
+    once and cached: candidate generation and exact verification
+    read the same materialized frame instead of re-tokenizing/
+    re-shingling the corpus per consumer (three scans of the text
+    column collapsed to one, and the two index shuffles to one).
     ``caches`` (optional) receives the cached index so callers that
     materialize the result can unpersist it; with ``caches=None`` the
     (small) pair result is materialized internally and the index is
     unpersisted before returning — the cache cannot outlive the call
     (the returned cached frame is caller-owned, same contract as
     ``dbscan``/``curate_documents``)."""
-    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq=None).cache()
+    pk = _packed_index(df, id_col, text_col, n, num_hashes).cache()
     if caches is not None:
-        caches.append(sh)
+        caches.append(pk)
     cands = _lsh_candidates_from_sigs(
-        _signatures_from_index(sh, num_hashes), num_hashes, bands, max_bucket_size
+        pk.select("id", "sig"), num_hashes, bands, max_bucket_size
     )
     # exact verification only for candidate pairs (linear in
     # candidates, not N^2) — array-packed, see _jaccard_verify
-    out = _jaccard_verify(cands, sh, sh, threshold)
-    return _release_index_caches(out, [sh]) if caches is None else out
+    arr = pk.select("id", "__sarr")
+    out = _jaccard_verify(cands, arr, arr, threshold)
+    return _release_index_caches(out, [pk]) if caches is None else out
 
 
 def minhash_dedup_pairs_bipartite(
@@ -703,10 +745,10 @@ def minhash_dedup_pairs_bipartite(
     to own the index caches yourself, or leave it ``None`` and get a
     materialized result with the indexes already unpersisted.
     """
-    shl = _shingle_index(left, id_col, text_col, n, max_doc_freq=None).cache()
-    shr = _shingle_index(right, id_col, text_col, n, max_doc_freq=None).cache()
+    pkl = _packed_index(left, id_col, text_col, n, num_hashes).cache()
+    pkr = _packed_index(right, id_col, text_col, n, num_hashes).cache()
     if caches is not None:
-        caches.extend([shl, shr])
+        caches.extend([pkl, pkr])
     r = num_hashes // bands
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -727,8 +769,8 @@ def minhash_dedup_pairs_bipartite(
             ).alias("bk"),
         ).select("id", "bk.band", "bk.bhash")
 
-    bl = banded(_signatures_from_index(shl, num_hashes))
-    br = banded(_signatures_from_index(shr, num_hashes))
+    bl = banded(pkl.select("id", "sig"))
+    br = banded(pkr.select("id", "sig"))
     if max_bucket_size is not None:
         # combined membership: a bucket hot on EITHER side (or jointly)
         # explodes the cross join, so the census spans both tables
@@ -746,8 +788,8 @@ def minhash_dedup_pairs_bipartite(
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
     )
-    out = _jaccard_verify(cands, shl, shr, threshold)
-    return _release_index_caches(out, [shl, shr]) if caches is None else out
+    out = _jaccard_verify(cands, pkl.select("id", "__sarr"), pkr.select("id", "__sarr"), threshold)
+    return _release_index_caches(out, [pkl, pkr]) if caches is None else out
 
 
 def _term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
