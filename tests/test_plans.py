@@ -189,10 +189,11 @@ def test_semdedup_pairs_plan_shape(spark):
 
 
 def test_url_dedup_plan_shape(spark):
-    """URL dedup: the normalizer must fuse into the scan stage (no
-    extra exchange before the groupBy), the groupBy keeps its partial
-    phase, the min-id semi-join is never a cartesian — and the text
-    column must not reach the scan."""
+    """URL dedup (round-12 window form): ONE exchange on the
+    normalized key, a window min picking the keeper — no join at all
+    (the old groupBy + min-id semi-join spelled the normalizer twice
+    and paid a second exchange) — and the text column must not reach
+    the scan."""
     from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -200,8 +201,11 @@ def test_url_dedup_plan_shape(spark):
     )
     p = _plan(url_dedup(docs, "doc_id", "url"))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "partial_min" in p, "keeper groupBy lost its map-side combine"
-    assert "LeftSemi" in p
+    assert "Join" not in p, "window keeper must not re-join the input"
+    assert p.count("Exchange hashpartitioning") == 1, (
+        "url_dedup must shuffle exactly once (by the normalized key)"
+    )
+    assert "Window" in p
     assert "text" not in p
 
 
