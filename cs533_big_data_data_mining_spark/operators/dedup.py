@@ -374,14 +374,31 @@ def _shingle_index(
     return sh
 
 
-def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
-    """PPJoin prefix-filtered candidate pairs ``(a, b)`` from a
-    ``(id, shingle)`` index (Bayardo/Xiao prefix filtering, public
+def _ordered_docs(sh: DataFrame) -> DataFrame:
+    """One-row-per-doc ``(id, sz, ord)`` frame from a ``(id, shingle)``
+    index: ``ord`` is the doc's distinct shingles under the PPJoin
+    global total order — ascending document frequency, ties by shingle
+    (rare-first, the order that minimizes candidates) — and
+    ``sz = |A|`` (shingles are distinct). ONE aggregate serves both the
+    prefix generation (ordered slice) and the exact verify (the full
+    array — order is irrelevant to ``array_intersect``), so the
+    ngram-Jaccard route shuffles the index by id once, not twice
+    (round 12, guide §2.3/§2.4 — the same fusion as ``_packed_index``)."""
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfq", "shingle"))).alias("ord"))
+        .select("id", F.size("ord").alias("sz"), "ord")
+    )
+
+
+def _prefix_candidates_from_docs(docs: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin prefix-filtered candidate pairs ``(a, b)`` from an
+    ``_ordered_docs`` frame (Bayardo/Xiao prefix filtering, public
     all-pairs-similarity literature).
 
-    Shingles get a global total order — ascending document frequency,
-    ties by shingle (rare-first, the order that minimizes candidates)
-    — and only each doc's first ``|A| - ceil(t*|A|) + 1`` shingles are
+    Only each doc's first ``|A| - ceil(t*|A|) + 1`` shingles are
     indexed for candidate generation. Correctness: J(A,B) >= t forces
     |A ∩ B| >= ceil(t*(|A|+|B|)/(1+t)) >= max(ceil(t|A|), ceil(t|B|)),
     and two sets whose overlap is >= alpha must intersect within their
@@ -396,15 +413,6 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     opt-in ``max_doc_freq`` drop remains available on top.)
     """
     t = float(threshold)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
-    # one groupBy(id) builds the per-doc globally-ordered shingle array
-    # AND its size (|A| = array length; shingles are distinct)
-    docs = (
-        sh.join(dfreq, "shingle")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("dfq", "shingle"))).alias("ord"))
-        .select("id", F.size("ord").alias("sz"), "ord")
-    )
     # clamp at 0: an unreachable threshold (> 1) makes every prefix
     # empty — the correct "no pair can qualify" degenerate, not an
     # error from slice() seeing a negative length
@@ -430,6 +438,13 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin candidates straight from an ``(id, shingle)`` index —
+    thin composition kept for callers (and tests) that hold the
+    exploded index rather than the ordered-docs frame."""
+    return _prefix_candidates_from_docs(_ordered_docs(sh), threshold)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -442,28 +457,37 @@ def ngram_jaccard_pairs(
     """Exact Jaccard near-dup pairs ``(a, b, jaccard)`` with a < b.
 
     Candidates come from the PPJoin prefix-filtered self-join
-    (``_prefix_candidates`` — only docs sharing a PREFIX shingle are
-    ever paired, so hot boilerplate shingles cannot produce a df^2
-    blowup); |A ∩ B| is then counted exactly over the full index for
-    candidate pairs only (linear in candidates), |A ∪ B| from the
+    (``_prefix_candidates_from_docs`` — only docs sharing a PREFIX
+    shingle are ever paired, so hot boilerplate shingles cannot produce
+    a df^2 blowup); |A ∩ B| is then counted exactly over the full index
+    for candidate pairs only (linear in candidates), |A ∪ B| from the
     per-doc distinct-shingle counts. Results are identical to the
     unfiltered join — prefix filtering is lossless for J >= t.
 
-    ``caches`` (optional): the internally cached (id, shingle) index
-    is appended so callers that materialize the result can unpersist
-    it; with ``caches=None`` the (small) pair result is materialized
+    Round 12: the prefix generator and the exact verify share ONE
+    ``_ordered_docs`` aggregate — the verify's packed shingle array is
+    ``transform(ord, x -> x.shingle)`` (array order is irrelevant to
+    ``array_intersect``), so the cached frame is one array row per doc
+    and the id-keyed shuffle of the index happens once, not twice.
+
+    ``caches`` (optional): the internally cached ordered-docs frame is
+    appended so callers that materialize the result can unpersist it;
+    with ``caches=None`` the (small) pair result is materialized
     internally and the index unpersisted before returning (same cache
     contract as ``minhash_dedup_pairs``).
     """
-    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq).cache()
+    sh = _shingle_index(df, id_col, text_col, n, max_doc_freq)
+    docs = _ordered_docs(sh).cache()
     if caches is not None:
-        caches.append(sh)
+        caches.append(docs)
     t = float(threshold)
-    cands = _prefix_candidates(sh, t)
+    cands = _prefix_candidates_from_docs(docs, t)
     # exact verification only for candidate pairs — array-packed,
-    # see _jaccard_verify
-    jac = _jaccard_verify(cands, sh, sh, threshold)
-    return _release_index_caches(jac, [sh]) if caches is None else jac
+    # see _jaccard_verify; the packed arrays project from the SAME
+    # cached ordered-docs frame the prefixes sliced
+    packed = docs.select("id", F.transform("ord", lambda x: x["shingle"]).alias("__sarr"))
+    jac = _jaccard_verify(cands, packed, packed, threshold)
+    return _release_index_caches(jac, [docs]) if caches is None else jac
 
 
 def _signatures_from_index(sh: DataFrame, num_hashes: int) -> DataFrame:
