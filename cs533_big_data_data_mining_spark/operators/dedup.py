@@ -144,6 +144,24 @@ def bipartite_survivors(
     return ids.join(dropped, "id", "left_anti")
 
 
+def _url_keeper_window() -> Window:
+    """THE min-id keeper window of the URL-dedup family: partitioned
+    by the normalized key plus a NULL-salt — ``id`` when ``url_norm``
+    is NULL, a constant otherwise. Real URLs group exactly as a plain
+    ``partitionBy(url_norm)`` (the salt is constant there); NULL-url
+    rows each form their OWN single-row group instead of all hashing
+    into one partition. They were always kept (the exemption filter's
+    ``isNull`` disjunct), but a corpus with a large no-provenance
+    fraction previously shuffled every such row to ONE task — a
+    guaranteed straggler at scale (guide §2.5 "hot keys: handle nulls
+    separately"). Values are identical: the NULL group's min is never
+    consulted. Still one Exchange (hash on two exprs)."""
+    return Window.partitionBy(
+        "url_norm",
+        F.when(F.col("url_norm").isNull(), F.col("id")).otherwise(F.lit(0)),
+    )
+
+
 def url_dedup(
     df: DataFrame,
     id_col: str,
@@ -186,9 +204,10 @@ def url_dedup(
     # subtree twice and paid a second exchange for the join (the
     # keeper set is #distinct-URLs-sized — not broadcastable at
     # corpus scale); one partition-window min is one exchange and one
-    # pass. NULL urls stay exempt via the filter disjunct (they share
-    # one window group, but every row of it is kept).
-    w = Window.partitionBy("url_norm")
+    # pass. NULL urls stay exempt via the filter disjunct; the window
+    # key NULL-salts them so they don't all shuffle to one task
+    # (round 13 — see _url_keeper_window).
+    w = _url_keeper_window()
     return (
         base.withColumn("__mn", F.min("id").over(w))
         .filter(F.col("url_norm").isNull() | (F.col("id") == F.col("__mn")))
@@ -227,7 +246,7 @@ def url_dedup_bipartite(
     # old nonnull-split + groupBy + semi-join spelled the normalizer
     # subtree four times in one plan and paid an extra exchange
     fresh = base.join(seen, "url_norm", "left_anti")
-    w = Window.partitionBy("url_norm")
+    w = _url_keeper_window()
     return (
         fresh.withColumn("__mn", F.min("id").over(w))
         .filter(F.col("url_norm").isNull() | (F.col("id") == F.col("__mn")))
@@ -287,7 +306,8 @@ def url_dedup_bipartite_bloom(
         fresh = base.filter(F.col("url_norm").isNull() | ~mc)
     # window-min keeper (the url_dedup spelling): one exchange, no
     # duplicate evaluation of the fresh subtree; NULL urls exempt
-    w = Window.partitionBy("url_norm")
+    # (NULL-salted window — see _url_keeper_window)
+    w = _url_keeper_window()
     return (
         fresh.withColumn("__mn", F.min("id").over(w))
         .filter(F.col("url_norm").isNull() | (F.col("id") == F.col("__mn")))
@@ -383,12 +403,22 @@ def _ordered_docs(sh: DataFrame) -> DataFrame:
     prefix generation (ordered slice) and the exact verify (the full
     array — order is irrelevant to ``array_intersect``), so the
     ngram-Jaccard route shuffles the index by id once, not twice
-    (round 12, guide §2.3/§2.4 — the same fusion as ``_packed_index``)."""
+    (round 12, guide §2.3/§2.4 — the same fusion as ``_packed_index``).
+    The sort key (dfq) is dropped INSIDE the aggregate (round 13,
+    ADVICE): consumers only read the shingles after ordering, so
+    caching the struct kept dead df values in executor memory —
+    ``transform(..., x -> x.shingle)`` halves the cached bytes while
+    preserving the (dfq, shingle) order."""
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
     return (
         sh.join(dfreq, "shingle")
         .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("dfq", "shingle"))).alias("ord"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dfq", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("ord")
+        )
         .select("id", F.size("ord").alias("sz"), "ord")
     )
 
@@ -420,8 +450,8 @@ def _prefix_candidates_from_docs(docs: DataFrame, threshold: float) -> DataFrame
         F.lit(0), (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + F.lit(1)).cast("int")
     )
     prefix = docs.select(
-        "id", "sz", F.explode(F.slice("ord", F.lit(1), plen)).alias("ps")
-    ).select("id", "sz", F.col("ps.shingle").alias("shingle"))
+        "id", "sz", F.explode(F.slice("ord", F.lit(1), plen)).alias("shingle")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     return (
         a.join(
@@ -483,9 +513,9 @@ def ngram_jaccard_pairs(
     t = float(threshold)
     cands = _prefix_candidates_from_docs(docs, t)
     # exact verification only for candidate pairs — array-packed,
-    # see _jaccard_verify; the packed arrays project from the SAME
-    # cached ordered-docs frame the prefixes sliced
-    packed = docs.select("id", F.transform("ord", lambda x: x["shingle"]).alias("__sarr"))
+    # see _jaccard_verify; the packed arrays ARE the ordered arrays
+    # of the SAME cached ordered-docs frame the prefixes sliced
+    packed = docs.select("id", F.col("ord").alias("__sarr"))
     jac = _jaccard_verify(cands, packed, packed, threshold)
     return _release_index_caches(jac, [docs]) if caches is None else jac
 

@@ -209,6 +209,31 @@ def test_url_dedup_plan_shape(spark):
     assert "text" not in p
 
 
+def test_url_dedup_window_null_salted(spark):
+    """The keeper window must partition on (url_norm, NULL-salt), not
+    url_norm alone (round 13): NULL-url rows are all kept, so hashing
+    them into ONE window partition made a guaranteed straggler task on
+    any corpus with a large no-provenance fraction (guide §2.5). The
+    salt is ``id`` for NULL urls and a constant otherwise, so real
+    URLs group exactly as before."""
+    import re
+
+    from cs533_big_data_data_mining_spark.operators.dedup import url_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("https://x.com/"), "doc_id")).alias("url"),
+    )
+    p = _plan(url_dedup(docs, "doc_id", "url"))
+    m = re.search(r"hashpartitioning\(([^)]*)\)", p)
+    assert m, "window exchange missing"
+    # two partition expressions + the partition count
+    assert len(m.group(1).split(",")) == 3, (
+        f"keeper window must hash on (url_norm, null-salt): {m.group(0)}"
+    )
+    assert p.count("Exchange hashpartitioning") == 1
+
+
 def test_gopher_rules_plan_is_scan_fused(spark):
     """The whole rule bundle must be ONE scan-stage projection: no
     exchange, no join, no aggregate anywhere in the plan."""
