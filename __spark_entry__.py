@@ -1206,8 +1206,12 @@ def _q_sessionize_stream_eq(spark, sf_dir):
         cuts = evm.stat.approxQuantile("_us", [i / 6 for i in range(1, 6)], 0.001)
         bounds = [float("-inf"), *sorted(set(cuts)), float("inf")]
 
-        # slice writes are independent single-partition jobs — submit
-        # them concurrently (Spark's scheduler interleaves fine).
+        # ONE partitioned write replaces the six per-slice filter
+        # jobs (round 13, guide §1.2 fewer passes): the slice id is
+        # the same bucket the filters encoded (#cuts strictly below
+        # _us), the shuffle keys each slice into one task, and the
+        # in-partition sort keeps each slice file ordered by ts as
+        # before — the source scans once instead of six times.
         # The COPIES then run SEQUENTIALLY in slice order with
         # explicit ascending mtimes: FileStreamSource orders files by
         # MODIFICATION TIME, not name — parallel copies finishing out
@@ -1216,28 +1220,30 @@ def _q_sessionize_stream_eq(spark, sf_dir):
         # emitting partial sessions that are not batch subsets (the
         # round-9 "known sensitivity", now closed: source order is a
         # pure function of the slice index, load cannot reorder it)
-        def _write_slice(i):
-            part = evm.filter(
-                (F.col("_us") > F.lit(bounds[i])) & (F.col("_us") <= F.lit(bounds[i + 1]))
-            ).drop("_us")
-            stage = f"{src}_stage{i}"
-            part.coalesce(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(stage)
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(len(bounds) - 1) as ex:
-            list(ex.map(_write_slice, range(len(bounds) - 1)))
+        cuts_sorted = sorted(set(cuts))
+        slice_id = F.lit(0)
+        for c in cuts_sorted:
+            slice_id = slice_id + (F.col("_us") > F.lit(float(c))).cast("int")
+        stage = f"{src}_stage"
+        (
+            evm.withColumn("__slice", slice_id)
+            .drop("_us")
+            .repartition(len(bounds) - 1, "__slice")
+            .sortWithinPartitions("__slice", "ts")
+            .write.mode("overwrite")
+            .partitionBy("__slice")
+            .parquet(stage)
+        )
         import os
 
         base_mt = int(os.path.getmtime(src))
         for i in range(len(bounds) - 1):
-            stage = f"{src}_stage{i}"
-            pf = glob.glob(f"{stage}/part-*.parquet")
+            pf = glob.glob(f"{stage}/__slice={i}/part-*.parquet")
             if pf:
                 dst = f"{src}/{i:02d}.parquet"
                 shutil.copy(pf[0], dst)
                 os.utime(dst, (base_mt + i, base_mt + i))
-            shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
         stream = sessionize_stream(read_events_stream(spark, src, max_files_per_trigger=2))
         # scope the STATE partition count to the workload: 20k events
         # over 3 micro-batches doesn't need 32 state tasks per batch —
@@ -3300,7 +3306,11 @@ def _q_refinedweb_pipeline(spark, sf_dir):
     # fired at the latest by the collect above (dsir's internal fit
     # actions usually materialize s8's cache first)
     n_decon = int(obs_decon.get["n"])
-    for fr in (docs0, s1, s2, s4, s6, s8):
+    # ppl rides lm_perplexity's internal persist (caller-owned by its
+    # contract); without this it leaked one cached plan per run into
+    # the session CacheManager — every later query's analysis then
+    # pays a sameResult scan against it (round 13)
+    for fr in (docs0, s1, s2, s4, s6, s8, ppl):
         fr.unpersist()
     if _rdds_before is not None:
         try:
@@ -4560,7 +4570,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [k for k in _RECORD_FRONT if k in reg]
     ordered = {k: reg[k] for k in front}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
-    return ordered
+    return {k: _leakproof(v) for k, v in ordered.items()}
+
+
+def _leakproof(fn):
+    """Make a declared query leave NO session-global state behind.
+
+    Round 13: 19 of the 101 registered queries returned a frame whose
+    plan (or a dependency) was still registered in the session
+    CacheManager — by design inside one call (composite consumers
+    reuse the cached pairs/labels), but a LEAK once the caller is
+    done. Two measured costs: (a) every later query's physical
+    planning pays a sameResult scan against each leaked entry, and
+    (b) a leaked entry silently serves the SAME query's next run from
+    cache — i.e. cross-run result caching, which the bench must never
+    do (measured: dedup_ngram_jaccard warm re-run 0.98 s with the
+    leak vs 2.96 s honest; dedup_minhash 2.35 vs 3.67 s).
+
+    The wrapper snapshots the persisted-RDD set, runs the query, and
+    if the call left new entries behind: collects the (small) result,
+    unpersists every new entry, and returns the rows as a driver-local
+    Arrow-backed frame with the ORIGINAL schema — values, columns and
+    row multiset are identical (the driver sorts before hashing), and
+    the leak-free warm number is the honest one. Queries that already
+    clean up after themselves (the flagship sweeps) short-circuit:
+    no new entries, frame returned untouched. Object-dtype transit
+    keeps NULLs as NULLs (a float64 pandas column would silently turn
+    None into NaN)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        try:
+            before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+            cm = spark._jsparkSession.sharedState().cacheManager()
+            cm_empty_before = bool(cm.isEmpty())
+        except Exception:  # noqa: BLE001 — py4j surface; fall back to the raw frame
+            return fn(spark, sf_dir)
+        df = fn(spark, sf_dir)
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            fresh = set(jmap.keySet().toArray()) - before
+            # the RDD map alone misses caches whose physical RDD has
+            # not materialized yet (persist() registers in the
+            # CacheManager immediately, the RDD object appears only at
+            # first execution) — ask the CacheManager too
+            cm_grew = cm_empty_before and not bool(cm.isEmpty())
+        except Exception:  # noqa: BLE001
+            return df
+        if not fresh and not cm_grew:
+            return df
+        import pandas as pd
+
+        schema = df.schema
+        rows = df.collect()
+        try:
+            # re-snapshot: the collect itself can register entries
+            # (lazy internal persists materializing late)
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in set(jmap.keySet().toArray()) - before:
+                ref = jmap.get(rid)
+                if ref is not None:
+                    ref.unpersist()
+            if cm_empty_before:
+                # RDD-level unpersist drops the blocks but leaves the
+                # CacheManager plan registration (a sameResult scan on
+                # every later planning pass, and plan-tree memory).
+                # With no pre-existing caches to protect, drop the
+                # registrations too.
+                spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+        names = [f.name for f in schema.fields]
+        pdf = pd.DataFrame(
+            {n: pd.Series([r[i] for r in rows], dtype=object) for i, n in enumerate(names)}
+        )
+        return spark.createDataFrame(pdf, schema=schema)
+
+    return wrapped
 
 
 def _uniform_sql(expr: str) -> str:

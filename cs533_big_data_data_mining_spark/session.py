@@ -95,6 +95,22 @@ def get_spark(
         # bounding the stringification of pathological ones (display
         # only — no effect on results).
         .config("spark.sql.maxPlanStringLength", str(256 * 1024))
+        # Whole-stage-codegen class cache (default 100 entries, LRU,
+        # one static cache per JVM). This engine's plans are literal-
+        # specialized and composite queries compile ~80 codegen units
+        # each (measured: fineweb_pipeline), so a driver session that
+        # runs many distinct queries — the bench's ~190 runs, or a
+        # production driver looping over curation configs — evicts a
+        # composite's units long before its next run and pays the full
+        # multi-second recompile again (measured via CodegenMetrics:
+        # re-run after 10 intervening queries recompiled 70/85 units,
+        # 9.5 s vs 7.4 s with 1 recompile at 4096; in a full bench
+        # session the same re-run read 49 s). 4096 entries covers the
+        # whole registry (~101 queries x ~20 units) with headroom;
+        # cost is driver-heap class metadata (~100 KB/entry worst
+        # case, ~400 MB bound on a 32 GB driver). Not a result-bearing
+        # setting — purely compile-cache sizing for long sessions.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
